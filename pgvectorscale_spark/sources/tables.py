@@ -1,0 +1,40 @@
+"""Table loaders for the driver's synthetic star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet each under /root/testdata/sf*/.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {n: load_table(spark, n, sf_dir) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register all tables as temp views so spark.sql() mirrors the DuckDB oracle."""
+    for n in TABLE_NAMES:
+        load_table(spark, n, sf_dir).createOrReplaceTempView(n)

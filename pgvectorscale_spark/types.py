@@ -1,0 +1,101 @@
+"""Type layer: distance enums and index metadata.
+
+Mirrors the reference's meta page (pgvectorscale/src/access_method/
+meta_page.rs:179-210) — the index-wide configuration record — as a plain
+dataclass persisted as a JSON sidecar next to the parquet node table.
+Defaults mirror the reference (meta_page.rs:284-334, README.md:325-332):
+num_neighbors=50, search_list_size=100, max_alpha=1.2,
+bits/dim = 2 if dims < 900 else 1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from enum import Enum
+
+
+class DistanceType(str, Enum):
+    """Distance semantics (reference: src/access_method/distance/mod.rs:52-65).
+
+    - COSINE: vectors L2-normalized at ingest and query; distance =
+      max(0, 1 - dot)  (distance/mod.rs:193-223, 225-253)
+    - L2: **squared** euclidean — sqrt skipped, order-only
+      (distance/mod.rs:88-117)
+    - INNER_PRODUCT: negated dot product (distance/mod.rs:173-190)
+    """
+
+    COSINE = "cosine"
+    L2 = "l2"
+    INNER_PRODUCT = "inner_product"
+
+
+class StorageType(str, Enum):
+    """Storage layouts (reference: src/access_method/storage.rs:144-168)."""
+
+    SBQ = "memory_optimized"  # quantized codes + rescore (default)
+    PLAIN = "plain"  # full f32 vectors in the graph
+
+
+# Reference defaults (meta_page.rs:284-334; guc.rs:3-4)
+DEFAULT_NUM_NEIGHBORS = 50
+DEFAULT_SEARCH_LIST_SIZE = 100
+DEFAULT_MAX_ALPHA = 1.2
+DEFAULT_QUERY_SEARCH_LIST_SIZE = 100
+DEFAULT_QUERY_RESCORE = 50
+# build-time slack: neighbor lists may exceed R by 1.3x before the final
+# prune (meta_page.rs:24, 253-255)
+NEIGHBOR_SLACK = 1.3
+MAX_DIMENSIONS = 16_000  # build.rs:192
+MAX_DIMENSIONS_PLAIN = 2_000  # build.rs:196
+SBQ_NBIT_DIM_CAP = 900  # meta_page.rs:312-323
+
+
+def default_bits_per_dimension(num_dimensions: int) -> int:
+    """2 bits/dim below 900 dims, else 1 (meta_page.rs:312-323)."""
+    return 2 if num_dimensions < SBQ_NBIT_DIM_CAP else 1
+
+
+@dataclass
+class IndexMeta:
+    """Index-wide metadata (reference meta page, meta_page.rs:179-210)."""
+
+    distance_type: str = DistanceType.COSINE.value
+    storage_type: str = StorageType.SBQ.value
+    num_dimensions: int = 0
+    num_dimensions_to_index: int = 0  # Matryoshka truncation; 0 = all
+    num_neighbors: int = DEFAULT_NUM_NEIGHBORS
+    search_list_size: int = DEFAULT_SEARCH_LIST_SIZE
+    max_alpha: float = DEFAULT_MAX_ALPHA
+    bits_per_dimension: int = 0  # 0 = derive from dims at build
+    has_labels: bool = False
+    num_shards: int = 0
+    num_rows: int = 0
+    version: int = 1
+    # SBQ quantizer state (reference SbqMeans, sbq/mod.rs:79-86):
+    # per-dimension mean and variance from the training pass.
+    quantizer_means: list[float] = field(default_factory=list)
+    quantizer_variances: list[float] = field(default_factory=list)
+    # default + per-label start nodes (graph/start_nodes.rs:14-21)
+    start_nodes: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def effective_dims(self) -> int:
+        return self.num_dimensions_to_index or self.num_dimensions
+
+    @property
+    def effective_bits(self) -> int:
+        return self.bits_per_dimension or default_bits_per_dimension(
+            self.effective_dims
+        )
+
+    def save(self, index_path: str) -> None:
+        os.makedirs(index_path, exist_ok=True)
+        with open(os.path.join(index_path, "_index_meta.json"), "w") as f:
+            json.dump(asdict(self), f)
+
+    @classmethod
+    def load(cls, index_path: str) -> "IndexMeta":
+        with open(os.path.join(index_path, "_index_meta.json")) as f:
+            return cls(**json.load(f))
