@@ -1,0 +1,564 @@
+"""DiskannIndex — shard-parallel StreamingDiskANN build + batch serving.
+
+Reference lifecycle (pgvectorscale/src/access_method/build.rs:296-460,
+scan.rs:309-436) re-expressed for Spark's execution model:
+
+**Build** = three chained batch jobs, mirroring the reference's phases
+(build.rs:1154-1166 "training quantizer" → "building graph" → "finalizing"):
+
+1. *Train* (SBQ only): per-dimension mean/variance via declarative
+   aggregation (operators/sbq.py) — one pass, map-side partial agg.
+2. *Graph construction*: the corpus is hash-sharded; each shard builds an
+   independent Vamana graph **inside one executor task** via
+   ``groupBy(shard).applyInPandas`` (operators/vamana.py). This replaces the
+   reference's DSM-shared-memory parallel build (build.rs:343-428): Spark's
+   natural parallelism unit is the shard, not page-locked shared state.
+   Sharding is how the design scales: at 100 TB, shards of ~100k-1M vectors
+   build in parallel across 1000 executors with zero coordination.
+3. *Finalize*: neighbor lists pruned to R and written as a parquet node
+   table partitioned by shard + a JSON meta sidecar (replacing 8KB page
+   tape storage, util/tape.rs — parquet/Delta replace page management).
+
+**Query** = scatter/gather + rescore, the classic distributed-ANN plan:
+queries are broadcast; each shard greedy-walks its local graph
+(mapPartitions-style, no data leaves the executor) and emits its local
+top-`rescore` candidates; candidates are then *exactly* re-ranked
+JVM-side — a broadcast join back to full-precision vectors + the M0
+distance fold + per-query top-k (T2, scan.rs:244-305). Per-shard recall
+composes: each shard returns a superset of its contribution to the global
+top-k, so the union contains the (approximate) global answer.
+
+**Mutations**: inserts are micro-batched per shard and run the *same*
+insert algorithm against the stored graph (aminsert, build.rs:464-558 —
+the txn advisory lock becomes single-writer-per-index discipline);
+deletes are tombstones that stay in the graph for traversal but never
+surface in results (vacuum.rs:23-136); compact() rebuilds from live rows.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.functions.distance import distance_expr, l2_normalize, np_normalize
+from pgvectorscale_spark.operators.sbq import SbqQuantizer, train_quantizer
+from pgvectorscale_spark.operators.vamana import VamanaGraph
+from pgvectorscale_spark.types import (
+    DEFAULT_MAX_ALPHA,
+    DEFAULT_NUM_NEIGHBORS,
+    DEFAULT_QUERY_RESCORE,
+    DEFAULT_QUERY_SEARCH_LIST_SIZE,
+    DEFAULT_SEARCH_LIST_SIZE,
+    MAX_DIMENSIONS,
+    MAX_DIMENSIONS_PLAIN,
+    DistanceType,
+    IndexMeta,
+    StorageType,
+)
+
+__all__ = ["DiskannIndex"]
+
+_NODE_SCHEMA = (
+    "node_id long, shard int, vector array<float>, bq_code array<long>, "
+    "labels array<smallint>, neighbors array<long>, is_default_start boolean, "
+    "start_labels array<smallint>, deleted boolean"
+)
+
+
+def _node_cols() -> list[str]:
+    return [c.strip().split(" ")[0] for c in _NODE_SCHEMA.split(",")]
+
+
+def _shard_col(id_col, num_shards: int):
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).cast("int")
+
+
+def _to_frozenset(x) -> frozenset | None:
+    if x is None:
+        return None
+    s = frozenset(int(v) for v in x if v is not None)
+    return s or None
+
+
+def _graph_from_pdf(pdf: pd.DataFrame, meta: dict, quantizer_state) -> tuple[VamanaGraph, np.ndarray]:
+    """Rehydrate a shard's VamanaGraph from node-table rows."""
+    pdf = pdf.sort_values("node_id").reset_index(drop=True)
+    gids = pdf["node_id"].to_numpy()
+    pos = {int(g): i for i, g in enumerate(gids)}
+    mat = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
+    d_index = meta["num_dimensions_to_index"] or mat.shape[1]
+    walk_mat = mat[:, :d_index]
+    codes = None
+    quantize_fn = None
+    if meta["storage_type"] == StorageType.SBQ.value:
+        codes = np.stack(
+            pdf["bq_code"].map(lambda c: np.array(c, dtype=np.int64)).to_numpy()
+        ).view(np.uint64)
+        means, variances, bits = quantizer_state
+        local_q = SbqQuantizer(means, variances, bits)
+        quantize_fn = lambda v: local_q.quantize(v[:d_index])  # noqa: E731
+    labels = None
+    if meta["has_labels"]:
+        labels = [_to_frozenset(x) for x in pdf["labels"]]
+    adjacency = [
+        np.array(
+            [pos[int(v)] for v in (row if row is not None else []) if int(v) in pos],
+            dtype=np.int64,
+        )
+        for row in pdf["neighbors"]
+    ]
+    g = VamanaGraph(
+        walk_mat,
+        distance_type=meta["distance_type"],
+        num_neighbors=meta["num_neighbors"],
+        search_list_size=meta["search_list_size"],
+        max_alpha=meta["max_alpha"],
+        labels=labels,
+        codes=codes,
+        adjacency=adjacency,
+        quantize_fn=quantize_fn,
+    )
+    dflt = pdf.index[pdf["is_default_start"].eq(True)].tolist()
+    if dflt:
+        g.start_default = int(dflt[0])
+    for i, sl in enumerate(pdf["start_labels"]):
+        if sl is not None:
+            for l in sl:
+                g.start_by_label.setdefault(int(l), i)
+    return g, gids
+
+
+def _emit_nodes(pdf: pd.DataFrame, g: VamanaGraph, gids: np.ndarray) -> pd.DataFrame:
+    """Serialize a built/updated shard graph back to node-table rows."""
+    n = len(gids)
+    neighbors = [[int(gids[v]) for v in g.adj[i]] for i in range(n)]
+    is_start = [bool(g.start_default == i) for i in range(n)]
+    start_labels: list[list[int] | None] = [None] * n
+    for l, i in g.start_by_label.items():
+        if start_labels[i] is None:
+            start_labels[i] = []
+        start_labels[i].append(int(l))
+    out = pdf.copy()
+    out["neighbors"] = neighbors
+    out["is_default_start"] = is_start
+    out["start_labels"] = [sorted(s) if s else None for s in start_labels]
+    return out
+
+
+class DiskannIndex:
+    """Persisted shard-parallel DiskANN index (parquet + JSON meta)."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: IndexMeta):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    # -- build ---------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        path: str,
+        distance_type: str = DistanceType.COSINE.value,
+        storage_type: str = StorageType.SBQ.value,
+        num_neighbors: int = DEFAULT_NUM_NEIGHBORS,
+        search_list_size: int = DEFAULT_SEARCH_LIST_SIZE,
+        max_alpha: float = DEFAULT_MAX_ALPHA,
+        num_dimensions: int = 0,
+        bits_per_dimension: int = 0,
+        num_shards: int | None = None,
+        target_shard_size: int = 100_000,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+        label_col: str | None = None,
+    ) -> "DiskannIndex":
+        spark = df.sparkSession
+        # reloption validation (build.rs:264-290, :192-196)
+        if storage_type == StorageType.PLAIN.value:
+            if distance_type == DistanceType.INNER_PRODUCT.value:
+                raise ValueError("plain storage does not support inner product distance")
+            if label_col is not None:
+                raise ValueError("plain storage does not support labels")
+
+        src = df.filter(F.col(vector_col).isNotNull())  # NULLs never indexed (build.rs:493-497)
+        first = src.select(F.size(F.col(vector_col)).alias("d")).first()
+        dims = int(first["d"]) if first else 0
+        cap = MAX_DIMENSIONS_PLAIN if storage_type == StorageType.PLAIN.value else MAX_DIMENSIONS
+        if dims > cap:
+            raise ValueError(f"{dims} dimensions exceeds cap {cap} for {storage_type}")
+        n = src.count()
+        num_shards = num_shards or max(1, -(-n // target_shard_size))
+
+        meta = IndexMeta(
+            distance_type=distance_type,
+            storage_type=storage_type,
+            num_dimensions=dims,
+            num_dimensions_to_index=num_dimensions if 0 < num_dimensions < dims else 0,
+            num_neighbors=num_neighbors,
+            search_list_size=search_list_size,
+            max_alpha=max_alpha,
+            bits_per_dimension=bits_per_dimension,
+            has_labels=label_col is not None,
+            num_shards=num_shards,
+            num_rows=n,
+        )
+
+        vec = F.col(vector_col)
+        if distance_type == DistanceType.COSINE.value:
+            vec = l2_normalize(vec)  # ingest-time normalization (pg_vector.rs:153-155)
+        sel = [
+            F.col(id_col).cast("long").alias("node_id"),
+            _shard_col(id_col, num_shards).alias("shard"),
+            vec.cast("array<float>").alias("vector"),
+        ]
+        if label_col is not None:
+            # NULL labels / NULL elements → empty set (labels/mod.rs:188-204)
+            sel.append(
+                F.array_sort(
+                    F.array_distinct(
+                        F.filter(
+                            F.coalesce(F.col(label_col), F.array().cast("array<smallint>")),
+                            lambda x: x.isNotNull(),
+                        )
+                    )
+                ).cast("array<smallint>").alias("labels")
+            )
+        else:
+            sel.append(F.lit(None).cast("array<smallint>").alias("labels"))
+        base = src.select(*sel)
+
+        quantizer_state = None
+        if storage_type == StorageType.SBQ.value:
+            d_index = meta.effective_dims
+            train_src = base.select(F.slice("vector", 1, d_index).alias("v"))
+            q = train_quantizer(train_src, "v", bits_per_dimension=meta.effective_bits)
+            meta.quantizer_means = q.means.tolist()
+            meta.quantizer_variances = q.variances.tolist()
+            meta.bits_per_dimension = q.bits
+            quantizer_state = (q.means, q.variances, q.bits)
+
+        meta_d = _meta_dict(meta)
+        b_state = spark.sparkContext.broadcast(quantizer_state)
+
+        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("node_id").reset_index(drop=True)
+            gids = pdf["node_id"].to_numpy()
+            mat = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
+            d_index = meta_d["num_dimensions_to_index"] or mat.shape[1]
+            walk = mat[:, :d_index]
+            codes = None
+            qfn = None
+            if meta_d["storage_type"] == StorageType.SBQ.value:
+                means, variances, bits = b_state.value
+                lq = SbqQuantizer(means, variances, bits)
+                codes = lq.quantize_matrix(walk)
+                qfn = lq.quantize
+            labels = None
+            if meta_d["has_labels"]:
+                labels = [_to_frozenset(x) for x in pdf["labels"]]
+            g = VamanaGraph(
+                walk,
+                distance_type=meta_d["distance_type"],
+                num_neighbors=meta_d["num_neighbors"],
+                search_list_size=meta_d["search_list_size"],
+                max_alpha=meta_d["max_alpha"],
+                labels=labels,
+                codes=codes,
+                quantize_fn=qfn,
+            )
+            g.build()
+            g.finalize()
+            if codes is not None:
+                pdf["bq_code"] = list(codes.view(np.int64))
+            else:
+                pdf["bq_code"] = None
+            pdf["deleted"] = False
+            return _emit_nodes(pdf, g, gids)
+
+        nodes = base.groupBy("shard").applyInPandas(build_shard, schema=_NODE_SCHEMA)
+        (
+            nodes.write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(path, "nodes"))
+        )
+        meta.save(path)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "DiskannIndex":
+        return cls(spark, path, IndexMeta.load(path))
+
+    def nodes(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "nodes"))
+
+    # -- serving ---------------------------------------------------------------
+
+    def _quantizer_state(self):
+        if self.meta.storage_type != StorageType.SBQ.value:
+            return None
+        return (
+            np.array(self.meta.quantizer_means),
+            np.array(self.meta.quantizer_variances),
+            self.meta.effective_bits,
+        )
+
+    def search(
+        self,
+        query_vec: Sequence[float] | None,
+        k: int = 10,
+        search_list_size: int = DEFAULT_QUERY_SEARCH_LIST_SIZE,
+        rescore: int = DEFAULT_QUERY_RESCORE,
+        labels: Sequence[int] | None = None,
+    ) -> DataFrame:
+        """Single-query top-k → DataFrame (node_id, distance).
+
+        A NULL query degrades to a full scan in arbitrary order
+        (labels/mod.rs:214-216).
+        """
+        if query_vec is None:
+            out = self.full_scan().withColumn("distance", F.lit(0.0))
+            return out.select("node_id", "distance").limit(max(k, self.meta.num_rows))
+        qdf = self.spark.createDataFrame(
+            [(0, [float(x) for x in query_vec])], "query_id long, query_vec array<float>"
+        )
+        res = self.search_batch(qdf, k=k, search_list_size=search_list_size, rescore=rescore, labels=labels)
+        return res.select("node_id", "distance").orderBy("rank")
+
+    def search_batch(
+        self,
+        queries_df: DataFrame,
+        k: int = 10,
+        search_list_size: int = DEFAULT_QUERY_SEARCH_LIST_SIZE,
+        rescore: int = DEFAULT_QUERY_RESCORE,
+        labels: Sequence[int] | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Scatter/gather batch search: (query_id, node_id, distance, rank)."""
+        meta_d = _meta_dict(self.meta)
+        qrows = queries_df.select(query_id_col, query_vec_col).collect()
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+        if meta_d["distance_type"] == DistanceType.COSINE.value:
+            qmat = np_normalize(qmat)  # query-time normalization (labels/mod.rs:209-238)
+        qlabels = frozenset(int(l) for l in labels) if labels else None
+        per_shard = max(k, rescore)
+        b = self.spark.sparkContext.broadcast(
+            (qids, qmat, meta_d, self._quantizer_state(), qlabels, per_shard, search_list_size)
+        )
+
+        def shard_search(pdf: pd.DataFrame) -> pd.DataFrame:
+            qids_l, qmat_l, md, qstate, qlab, limit, sls = b.value
+            pdf = pdf.sort_values("node_id").reset_index(drop=True)
+            g, gids = _graph_from_pdf(pdf, md, qstate)
+            dead = set(np.flatnonzero(pdf["deleted"].fillna(False).to_numpy()))
+            out_q, out_n, out_d = [], [], []
+            d_index = md["num_dimensions_to_index"]
+            for qi in range(len(qids_l)):
+                q = qmat_l[qi][:d_index] if d_index else qmat_l[qi]
+                idx, dist = g.search(q, k=limit + len(dead), search_list_size=sls, rescore=0, query_labels=qlab)
+                live = [(i, dv) for i, dv in zip(idx, dist) if int(i) not in dead][:limit]
+                out_q.extend([qids_l[qi]] * len(live))
+                out_n.extend(int(gids[i]) for i, _ in live)
+                out_d.extend(float(dv) for _, dv in live)
+            return pd.DataFrame({"query_id": out_q, "node_id": out_n, "wdist": out_d})
+
+        cand = (
+            self.nodes()
+            .groupBy("shard")
+            .applyInPandas(shard_search, schema="query_id long, node_id long, wdist double")
+        )
+        # exact rescore (T2): broadcast-join candidates to full-precision
+        # vectors + queries, rerank JVM-side on the full dimensions.
+        nodes = self.nodes().select("node_id", "vector")
+        qsel = queries_df.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+        )
+        qv = F.col("_qv")
+        if self.meta.distance_type == DistanceType.COSINE.value:
+            qv = l2_normalize(qv)
+        rescored = (
+            cand.join(nodes, "node_id")
+            .join(F.broadcast(qsel), "query_id")
+            .withColumn(
+                "distance",
+                distance_expr(
+                    F.col("vector"), qv, self.meta.distance_type, assume_normalized=self.meta.distance_type == "cosine"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("node_id").asc())
+        return (
+            rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "node_id", "distance", "rank")
+        )
+
+    def full_scan(self) -> DataFrame:
+        """All live rows through the index (accuracy-scaffold completeness check)."""
+        return self.nodes().filter(~F.coalesce(F.col("deleted"), F.lit(False))).select(
+            "node_id", "vector", "labels"
+        )
+
+    # -- mutations ---------------------------------------------------------------
+
+    def insert(
+        self,
+        df: DataFrame,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+        label_col: str | None = None,
+    ) -> None:
+        """Micro-batch insert (aminsert analog): run the same graph-insert
+        algorithm per affected shard against the stored graph, then rewrite
+        only those shard partitions (single writer per index assumed)."""
+        meta_d = _meta_dict(self.meta)
+        src = df.filter(F.col(vector_col).isNotNull())
+        vec = F.col(vector_col)
+        if self.meta.distance_type == DistanceType.COSINE.value:
+            vec = l2_normalize(vec)
+        sel = [
+            F.col(id_col).cast("long").alias("node_id"),
+            _shard_col(id_col, self.meta.num_shards).alias("shard"),
+            vec.cast("array<float>").alias("vector"),
+        ]
+        if label_col is not None:
+            sel.append(
+                F.array_sort(
+                    F.array_distinct(
+                        F.filter(
+                            F.coalesce(F.col(label_col), F.array().cast("array<smallint>")),
+                            lambda x: x.isNotNull(),
+                        )
+                    )
+                ).cast("array<smallint>").alias("labels")
+            )
+        else:
+            sel.append(F.lit(None).cast("array<smallint>").alias("labels"))
+        new = (
+            src.select(*sel)
+            .withColumn("bq_code", F.lit(None).cast("array<long>"))
+            .withColumn("neighbors", F.lit(None).cast("array<long>"))
+            .withColumn("is_default_start", F.lit(None).cast("boolean"))
+            .withColumn("start_labels", F.lit(None).cast("array<smallint>"))
+            .withColumn("deleted", F.lit(False))
+            .select(_node_cols())
+        )
+        shards = [r["shard"] for r in new.select("shard").distinct().collect()]
+        existing = self.nodes().filter(F.col("shard").isin(shards))
+        combined = existing.unionByName(new)
+        b_state = self.spark.sparkContext.broadcast(self._quantizer_state())
+
+        def insert_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            qstate = b_state.value
+            pdf = pdf.sort_values("node_id").reset_index(drop=True)
+            new_mask = pdf["neighbors"].isna()
+            new_ids = sorted(int(x) for x in pdf.loc[new_mask, "node_id"])
+            # quantize new rows (existing rows keep their stored codes)
+            if meta_d["storage_type"] == StorageType.SBQ.value and new_mask.any():
+                means, variances, bits = qstate
+                lq = SbqQuantizer(means, variances, bits)
+                d_index = meta_d["num_dimensions_to_index"]
+                for ridx in pdf.index[new_mask]:
+                    v = np.asarray(pdf.at[ridx, "vector"], dtype=np.float64)
+                    if d_index:
+                        v = v[:d_index]
+                    pdf.at[ridx, "bq_code"] = lq.quantize(v).view(np.int64).tolist()
+            pdf["neighbors"] = pdf["neighbors"].map(lambda x: [] if x is None else x)
+            g, gids = _graph_from_pdf(pdf, meta_d, qstate)
+            pos = {int(gid): i for i, gid in enumerate(gids)}
+            for nid in new_ids:
+                g.insert(pos[nid])
+            g.finalize()
+            pdf["deleted"] = pdf["deleted"].fillna(False)
+            return _emit_nodes(pdf, g, gids)
+
+        updated = combined.groupBy("shard").applyInPandas(insert_shard, schema=_NODE_SCHEMA)
+        self._rewrite_partitions(updated)
+        self.meta.num_rows += src.count()
+        self.meta.save(self.path)
+
+    def delete(self, ids: Sequence[int]) -> None:
+        """Tombstone delete (ambulkdelete analog): flip the deleted flag;
+        edges remain for traversal (vacuum.rs:23-136)."""
+        ids_df = self.spark.createDataFrame([(int(i),) for i in ids], "node_id long")
+        shards = [
+            r["shard"]
+            for r in self.nodes().join(F.broadcast(ids_df), "node_id").select("shard").distinct().collect()
+        ]
+        if not shards:
+            return
+        updated = (
+            self.nodes()
+            .filter(F.col("shard").isin(shards))
+            .join(F.broadcast(ids_df.withColumn("_dead", F.lit(True))), "node_id", "left")
+            .withColumn("deleted", F.coalesce(F.col("_dead"), F.col("deleted"), F.lit(False)))
+            .drop("_dead")
+            .select(_node_cols())
+        )
+        self._rewrite_partitions(updated)
+
+    def _rewrite_partitions(self, updated: DataFrame) -> None:
+        """Rewrite only the shard partitions present in `updated`.
+
+        Spark can't overwrite a path it is reading from, so stage the result
+        first, then dynamic-partition-overwrite the node table from the
+        staging copy (the Delta MERGE analog for plain parquet)."""
+        import shutil
+
+        staging = os.path.join(self.path, "_staging_nodes")
+        updated.write.mode("overwrite").partitionBy("shard").parquet(staging)
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            self.spark.read.parquet(staging)
+            .select(_node_cols())
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(self.path, "nodes"))
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def compact(self) -> "DiskannIndex":
+        """Rebuild from live rows, dropping tombstones (periodic compaction)."""
+        import shutil
+
+        staging = os.path.join(self.path, "_staging_live")
+        self.full_scan().write.mode("overwrite").parquet(staging)
+        live = self.spark.read.parquet(staging).select(
+            F.col("node_id").alias("vec_id"), F.col("vector").alias("embedding"), "labels"
+        )
+        idx = DiskannIndex.build(
+            live,
+            self.path,
+            distance_type=self.meta.distance_type,
+            storage_type=self.meta.storage_type,
+            num_neighbors=self.meta.num_neighbors,
+            search_list_size=self.meta.search_list_size,
+            max_alpha=self.meta.max_alpha,
+            num_dimensions=self.meta.num_dimensions_to_index,
+            bits_per_dimension=self.meta.bits_per_dimension,
+            num_shards=self.meta.num_shards,
+            label_col="labels" if self.meta.has_labels else None,
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        self.meta = idx.meta
+        return idx
+
+
+def _meta_dict(meta: IndexMeta) -> dict:
+    return {
+        "distance_type": meta.distance_type,
+        "storage_type": meta.storage_type,
+        "num_dimensions": meta.num_dimensions,
+        "num_dimensions_to_index": meta.num_dimensions_to_index,
+        "num_neighbors": meta.num_neighbors,
+        "search_list_size": meta.search_list_size,
+        "max_alpha": meta.max_alpha,
+        "has_labels": meta.has_labels,
+    }

@@ -1,0 +1,352 @@
+"""Vamana (StreamingDiskANN) graph — pure-numpy core, no Spark dependencies.
+
+This module is the per-shard kernel that runs *inside* executors via
+``applyInPandas`` (see operators/diskann.py). Semantics follow the reference:
+
+- greedy beam search with a bounded best-L candidate list
+  (pgvectorscale/src/access_method/graph/mod.rs:357-385, visit_closest
+  :153-170): repeatedly expand the closest unexpanded candidate among the
+  best `search_list_size`; results are the expanded nodes in distance order.
+- robust alpha-prune (graph/mod.rs:392-488): candidates sorted by distance;
+  rounds with alpha = 1.0, x1.2, ... <= max_alpha; a selected neighbor
+  occludes later candidates via factor = d(candidate, point) /
+  d(candidate, selected); occluded candidates are revisited in later
+  (larger-alpha) rounds. Label-aware skip: a selected neighbor occludes a
+  candidate only if (candidate_labels ∩ point_labels) ⊆ selected_labels
+  (labels/mod.rs:85-115 contains_intersection).
+- insertion (graph/mod.rs:637-717): greedy-search the current graph for the
+  new point (labeled points search twice: label-filtered from per-label
+  start nodes + unfiltered from the default start), alpha-prune the visited
+  pool into the point's neighbor list, then add symmetric back-edges,
+  re-pruning any list that overflows R * 1.3 (meta_page.rs:24,253-255).
+- start nodes (graph/start_nodes.rs:14-21): a default entry point plus the
+  first node seen per label. We use the shard medoid as the default start
+  (the reference uses first-inserted and notes a centroid would be better,
+  graph/mod.rs:505).
+- tie-break determinism (graph/neighbor_with_distance.rs:11-95): all
+  orderings use (distance, node_id).
+
+Distances here are whatever the storage layer provides: full-precision
+float32 (plain layout) or SBQ-quantized Hamming (memory_optimized layout).
+"""
+
+from __future__ import annotations
+
+from bisect import insort
+from typing import Callable, Sequence
+
+import numpy as np
+
+from pgvectorscale_spark.functions.distance import np_distance, np_hamming
+from pgvectorscale_spark.types import (
+    DEFAULT_MAX_ALPHA,
+    DEFAULT_NUM_NEIGHBORS,
+    DEFAULT_SEARCH_LIST_SIZE,
+    NEIGHBOR_SLACK,
+)
+
+__all__ = ["VamanaGraph"]
+
+
+def _labels_overlap(a: frozenset | None, b: frozenset | None) -> bool:
+    if not a or not b:
+        return False
+    return not a.isdisjoint(b)
+
+
+class VamanaGraph:
+    """In-memory Vamana graph over a local matrix of vectors.
+
+    ``mat`` rows are addressed by local index 0..n-1; callers map local
+    indices to global node ids. ``codes`` (packed u64 SBQ codes) switch the
+    in-graph distance to Hamming while full-precision ``mat`` is kept for
+    rescoring — the reference's memory_optimized layout.
+    """
+
+    def __init__(
+        self,
+        mat: np.ndarray,
+        distance_type: str = "cosine",
+        num_neighbors: int = DEFAULT_NUM_NEIGHBORS,
+        search_list_size: int = DEFAULT_SEARCH_LIST_SIZE,
+        max_alpha: float = DEFAULT_MAX_ALPHA,
+        labels: Sequence[frozenset | None] | None = None,
+        codes: np.ndarray | None = None,
+        adjacency: list[np.ndarray] | None = None,
+        quantize_fn: Callable[[np.ndarray], np.ndarray] | None = None,
+    ):
+        # cosine inputs must be pre-normalized by the caller (ingest-time
+        # normalization, pg_vector.rs:153-155)
+        self.mat = np.ascontiguousarray(mat, dtype=np.float32)
+        self.n = self.mat.shape[0]
+        self.distance_type = distance_type
+        self.R = num_neighbors
+        self.L = search_list_size
+        self.max_alpha = max_alpha
+        self.labels = list(labels) if labels is not None else None
+        self.codes = codes  # (n, w) uint64 or None
+        self.quantize_fn = quantize_fn
+        self.max_build_neighbors = int(self.R * NEIGHBOR_SLACK)
+        self.adj: list[list[int]] = (
+            [list(a) for a in adjacency] if adjacency is not None else [[] for _ in range(self.n)]
+        )
+        self.start_default: int | None = None
+        self.start_by_label: dict[int, int] = {}
+
+    # -- distance ----------------------------------------------------------
+
+    def _dists_to_point(self, i: int, idxs: np.ndarray) -> np.ndarray:
+        """Graph-internal distance from stored node i to stored nodes idxs."""
+        if self.codes is not None:
+            return np_hamming(self.codes[idxs], self.codes[i]).astype(np.float64)
+        return np_distance(self.mat[idxs], self.mat[i], self.distance_type, assume_normalized=True)
+
+    def _dists_to_query(self, q: np.ndarray, idxs: np.ndarray, qcode: np.ndarray | None) -> np.ndarray:
+        if self.codes is not None and qcode is not None:
+            return np_hamming(self.codes[idxs], qcode).astype(np.float64)
+        return np_distance(self.mat[idxs], q, self.distance_type, assume_normalized=True)
+
+    def exact_dists(self, q: np.ndarray, idxs: np.ndarray) -> np.ndarray:
+        """Full-precision rescore distances (scan.rs:244-305)."""
+        return np_distance(self.mat[idxs], q, self.distance_type, assume_normalized=True)
+
+    # -- greedy search (G1/G2/G3) -------------------------------------------
+
+    def _start_nodes(self, query_labels: frozenset | None) -> list[int]:
+        if self.start_default is None:
+            return []
+        if query_labels:
+            starts = [self.start_by_label[l] for l in sorted(query_labels) if l in self.start_by_label]
+            if starts:
+                return sorted(set(starts))
+        return [self.start_default]
+
+    def greedy_search(
+        self,
+        q: np.ndarray,
+        search_list_size: int | None = None,
+        query_labels: frozenset | None = None,
+        no_filter: bool = True,
+        qcode: np.ndarray | None = None,
+        include_frontier: bool = False,
+    ) -> tuple[list[int], list[float]]:
+        """Beam search; returns expanded (visited) nodes and their distances
+        in visit order — the reference's relaxed distance order.
+
+        ``include_frontier=True`` additionally returns the unexpanded
+        candidates still on the beam — for serving, rescoring these (already
+        scored, zero extra walk cost) strictly improves recall over the
+        reference's visited-only streaming pool."""
+        L = search_list_size or self.L
+        starts = self._start_nodes(None if no_filter else query_labels)
+        if not starts:
+            return [], []
+        sidx = np.array(starts)
+        sd = self._dists_to_query(q, sidx, qcode)
+        # candidate list: sorted (dist, idx, expanded) capped at L
+        cand: list[list] = sorted([d, i, False] for d, i in zip(sd.tolist(), starts))
+        seen = set(starts)
+        visited: list[int] = []
+        visited_d: list[float] = []
+        while True:
+            nxt = next((c for c in cand[:L] if not c[2]), None)
+            if nxt is None:
+                break
+            nxt[2] = True
+            d_u, u = nxt[0], nxt[1]
+            visited.append(u)
+            visited_d.append(d_u)
+            neigh = [v for v in self.adj[u] if v not in seen]
+            if not no_filter and query_labels:
+                # label filter during expansion (sbq/storage.rs:162-171)
+                neigh = [v for v in neigh if _labels_overlap(self.labels[v], query_labels)]
+            if not neigh:
+                continue
+            seen.update(neigh)
+            nidx = np.array(neigh)
+            nd = self._dists_to_query(q, nidx, qcode)
+            for d, v in zip(nd.tolist(), neigh):
+                insort(cand, [d, v, False])
+            if len(cand) > 4 * L:
+                # drop hopeless tail but never drop expanded entries' record
+                cand = cand[: 2 * L]
+        if include_frontier:
+            vset = set(visited)
+            for d, v, _ in cand:
+                if v not in vset:
+                    visited.append(v)
+                    visited_d.append(d)
+                    vset.add(v)
+        return visited, visited_d
+
+    # -- robust alpha-prune (G4) --------------------------------------------
+
+    def robust_prune(
+        self,
+        point: int,
+        cand_idx: np.ndarray,
+        cand_dist: np.ndarray,
+        point_labels: frozenset | None = None,
+    ) -> list[int]:
+        """Reference prune_neighbors (graph/mod.rs:392-488), vectorized."""
+        # dedupe + drop self-loops, sort by (distance, id)
+        order = np.lexsort((cand_idx, cand_dist))
+        cand_idx, cand_dist = cand_idx[order], cand_dist[order]
+        keep = cand_idx != point
+        cand_idx, cand_dist = cand_idx[keep], cand_dist[keep]
+        _, first = np.unique(cand_idx, return_index=True)
+        mask = np.zeros(len(cand_idx), dtype=bool)
+        mask[first] = True
+        cand_idx, cand_dist = cand_idx[mask], cand_dist[mask]
+        order = np.lexsort((cand_idx, cand_dist))
+        cand_idx, cand_dist = cand_idx[order], cand_dist[order]
+
+        m = len(cand_idx)
+        if m == 0:
+            return []
+        max_factors = np.zeros(m)
+        results: list[int] = []
+        alpha = 1.0
+        labeled = point_labels is not None and self.labels is not None
+        while alpha <= self.max_alpha and len(results) < self.R:
+            for i in range(m):
+                if len(results) >= self.R:
+                    return results
+                if max_factors[i] > alpha:
+                    continue
+                max_factors[i] = np.inf
+                sel = int(cand_idx[i])
+                results.append(sel)
+                tail = np.arange(i + 1, m)
+                if len(tail) == 0:
+                    continue
+                live = tail[max_factors[tail] <= self.max_alpha]
+                if len(live) == 0:
+                    continue
+                if labeled:
+                    sel_labels = self.labels[sel] or frozenset()
+                    keep_mask = np.array(
+                        [
+                            ((self.labels[int(cand_idx[j])] or frozenset()) & point_labels)
+                            <= sel_labels
+                            for j in live
+                        ]
+                    )
+                    live = live[keep_mask]
+                    if len(live) == 0:
+                        continue
+                d_ce = self._dists_to_point(sel, cand_idx[live])
+                d_cp = cand_dist[live]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    factor = np.where(d_ce > 0, d_cp / d_ce, np.where(d_cp > 0, np.inf, 1.0))
+                max_factors[live] = np.maximum(max_factors[live], factor)
+            alpha *= 1.2
+        return results
+
+    # -- insertion (G5/G6/G7/G8) ---------------------------------------------
+
+    def _point_labels(self, i: int) -> frozenset | None:
+        return self.labels[i] if self.labels is not None else None
+
+    def insert(self, i: int) -> None:
+        pl = self._point_labels(i)
+        if self.start_default is None:
+            self.start_default = i
+            if pl:
+                for l in pl:
+                    self.start_by_label.setdefault(l, i)
+            return
+        q = self.mat[i]
+        qcode = self.codes[i] if self.codes is not None else None
+        vis_idx: list[int] = []
+        vis_d: list[float] = []
+        if pl:
+            # labeled vectors insert twice (graph/mod.rs:653-659)
+            v1, d1 = self.greedy_search(q, self.L, query_labels=pl, no_filter=False, qcode=qcode)
+            vis_idx += v1
+            vis_d += d1
+        v2, d2 = self.greedy_search(q, self.L, no_filter=True, qcode=qcode)
+        vis_idx += v2
+        vis_d += d2
+        if not vis_idx:
+            self.adj[i] = []
+        else:
+            neighbors = self.robust_prune(
+                i, np.array(vis_idx), np.array(vis_d), point_labels=pl
+            )
+            self.adj[i] = neighbors
+            # symmetric back-edges with overflow prune (graph/mod.rs:720-737)
+            for b in neighbors:
+                if i not in self.adj[b]:
+                    self.adj[b].append(i)
+                    if len(self.adj[b]) > self.max_build_neighbors:
+                        bidx = np.array(self.adj[b])
+                        bd = self._dists_to_point(b, bidx)
+                        self.adj[b] = self.robust_prune(
+                            b, bidx, bd, point_labels=self._point_labels(b)
+                        )
+        if pl:
+            for l in pl:
+                self.start_by_label.setdefault(l, i)
+
+    def build(self, order: Sequence[int] | None = None, medoid_first: bool = True) -> None:
+        if self.n == 0:
+            return
+        order = list(order) if order is not None else list(range(self.n))
+        if medoid_first and self.start_default is None:
+            centroid = self.mat.astype(np.float64).mean(axis=0)
+            d = np_distance(self.mat, centroid, self.distance_type, assume_normalized=True)
+            medoid = int(np.lexsort((np.arange(self.n), d))[0])
+            order.remove(medoid)
+            order.insert(0, medoid)
+        for i in order:
+            self.insert(i)
+
+    def finalize(self) -> None:
+        """Final prune pass: enforce |adj| <= R (build.rs:905-960)."""
+        for i in range(self.n):
+            if len(self.adj[i]) > self.R:
+                idx = np.array(self.adj[i])
+                d = self._dists_to_point(i, idx)
+                self.adj[i] = self.robust_prune(i, idx, d, point_labels=self._point_labels(i))
+
+    # -- serving --------------------------------------------------------------
+
+    def search(
+        self,
+        q: np.ndarray,
+        k: int = 10,
+        search_list_size: int | None = None,
+        rescore: int = 0,
+        query_labels: frozenset | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k local indices + exact distances. With codes, the walk uses
+        Hamming and the top `rescore` candidates are re-ranked at full
+        precision (T2); without codes the walk is already exact."""
+        no_filter = not query_labels
+        qcode = None
+        if self.codes is not None:
+            qcode = self.quantize_fn(q) if self.quantize_fn is not None else None
+        L = max(search_list_size or self.L, k)
+        vis, vis_d = self.greedy_search(
+            q, L, query_labels=query_labels, no_filter=no_filter, qcode=qcode,
+            include_frontier=True,
+        )
+        if not vis:
+            return np.array([], dtype=np.int64), np.array([])
+        vidx = np.array(vis, dtype=np.int64)
+        vd = np.array(vis_d)
+        if query_labels:
+            # recheck on results (xs_recheck, scan.rs:350-352)
+            mask = np.array([_labels_overlap(self.labels[int(i)], query_labels) for i in vidx])
+            vidx, vd = vidx[mask], vd[mask]
+            if len(vidx) == 0:
+                return np.array([], dtype=np.int64), np.array([])
+        if self.codes is not None and rescore > 0:
+            order = np.lexsort((vidx, vd))[: max(rescore, k)]
+            cand = vidx[order]
+            ed = self.exact_dists(q, cand)
+            top = np.lexsort((cand, ed))[:k]
+            return cand[top], ed[top]
+        order = np.lexsort((vidx, vd))[:k]
+        return vidx[order], vd[order]

@@ -1,0 +1,150 @@
+"""DiskannIndex lifecycle: build → search → insert → delete → compact.
+
+Mirrors the reference's accuracy scaffold + mutation tests
+(build.rs:1179-1416, :1558-1611, :1613-1698; vacuum.rs:159-465)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.functions.distance import np_cosine_distance, np_normalize
+from pgvectorscale_spark.operators.diskann import DiskannIndex
+from tests.conftest import make_fixture_f1, make_fixture_f4
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="diskann_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmpdir):
+    df, mat = make_fixture_f1(spark, n=300, d=64)
+    path = f"{tmpdir}/idx1"
+    idx = DiskannIndex.build(
+        df, path, distance_type="cosine", num_shards=3, id_col="id", vector_col="embedding"
+    )
+    return idx, mat
+
+
+def _true_topk(mat, q, k=10):
+    matn = np_normalize(mat)
+    qn = np_normalize(q.reshape(1, -1))[0]
+    d = np_cosine_distance(matn, qn, assume_normalized=True)
+    return set(np.lexsort((np.arange(len(d)), d))[:k].tolist())
+
+
+def test_build_and_fullscan_completeness(built):
+    idx, mat = built
+    assert idx.meta.num_shards == 3
+    assert idx.full_scan().count() == 300  # every row reachable through the index
+    nodes = idx.nodes()
+    assert nodes.filter(F.size("neighbors") > idx.meta.num_neighbors).count() == 0
+
+
+def test_search_recall(built):
+    idx, mat = built
+    rng = np.random.default_rng(9)
+    hits = 0
+    for _ in range(5):
+        q = rng.random(64, dtype=np.float32)
+        got = {r["node_id"] for r in idx.search(q.tolist(), k=10, rescore=100).collect()}
+        hits += len(got & _true_topk(mat, q))
+    assert hits / 50 >= 0.9, f"recall {hits/50}"
+
+
+def test_search_batch_shapes(built, spark):
+    idx, mat = built
+    qdf = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(3)], "query_id long, query_vec array<float>"
+    )
+    res = idx.search_batch(qdf, k=5).collect()
+    assert len(res) == 15
+    top1 = {r["query_id"]: r["node_id"] for r in res if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}  # self is nearest
+
+
+def test_null_query_scans_all(built):
+    idx, _ = built
+    assert idx.search(None, k=10).count() == 300
+
+
+def test_load_roundtrip(built, spark):
+    idx, mat = built
+    idx2 = DiskannIndex.load(spark, idx.path)
+    assert idx2.meta.num_rows == 300
+    q = mat[5]
+    got = [r["node_id"] for r in idx2.search(q.tolist(), k=3).collect()]
+    assert got[0] == 5
+
+
+def test_insert_then_search(spark, tmpdir):
+    df, mat = make_fixture_f1(spark, n=200, d=32)
+    path = f"{tmpdir}/idx_ins"
+    idx = DiskannIndex.build(df, path, distance_type="l2", num_shards=2, id_col="id")
+    rng = np.random.default_rng(77)
+    new = rng.random((10, 32), dtype=np.float32)
+    new_df = spark.createDataFrame(
+        [(200 + i, new[i].tolist()) for i in range(10)], "id long, embedding array<float>"
+    )
+    idx.insert(new_df, id_col="id")
+    assert idx.full_scan().count() == 210
+    # a brand-new vector must be findable (its own nearest neighbor)
+    got = [r["node_id"] for r in idx.search(new[3].tolist(), k=3).collect()]
+    assert got[0] == 203
+
+
+def test_delete_tombstones_then_compact(spark, tmpdir):
+    df, mat = make_fixture_f1(spark, n=150, d=32)
+    path = f"{tmpdir}/idx_del"
+    idx = DiskannIndex.build(df, path, distance_type="l2", num_shards=2, id_col="id")
+    q = mat[0]
+    top = [r["node_id"] for r in idx.search(q.tolist(), k=5).collect()]
+    assert top[0] == 0
+    idx.delete([0, 1, 2])
+    assert idx.full_scan().count() == 147
+    top_after = [r["node_id"] for r in idx.search(q.tolist(), k=5).collect()]
+    assert not {0, 1, 2} & set(top_after)  # tombstoned rows never surface
+    idx.compact()
+    assert idx.full_scan().count() == 147
+    assert idx.nodes().filter(F.col("deleted")).count() == 0
+    top_compacted = [r["node_id"] for r in idx.search(q.tolist(), k=5).collect()]
+    assert not {0, 1, 2} & set(top_compacted)
+
+
+def test_labeled_index_filtered_search(spark, tmpdir):
+    df, mat, rows = make_fixture_f4(spark, n=100, d=16)
+    path = f"{tmpdir}/idx_lab"
+    idx = DiskannIndex.build(
+        df, path, distance_type="cosine", num_shards=2, id_col="id", label_col="labels"
+    )
+    assert idx.meta.has_labels
+    assert idx.full_scan().count() == 100  # NULL/empty-label rows still indexed
+    q = mat[0]
+    res = idx.search(q.tolist(), k=5, labels=[1]).collect()
+    eligible = {i for i, _, ls in rows if ls and 1 in ls}
+    got = {r["node_id"] for r in res}
+    assert got and got <= eligible
+
+
+def test_plain_storage_and_validation(spark, tmpdir):
+    df, mat = make_fixture_f1(spark, n=100, d=16)
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/idx_plain", distance_type="l2", storage_type="plain",
+        num_shards=1, id_col="id",
+    )
+    got = [r["node_id"] for r in idx.search(mat[7].tolist(), k=3).collect()]
+    assert got[0] == 7
+    with pytest.raises(ValueError, match="inner product"):
+        DiskannIndex.build(df, f"{tmpdir}/x1", distance_type="inner_product",
+                           storage_type="plain", id_col="id")
+    with pytest.raises(ValueError, match="labels"):
+        DiskannIndex.build(df, f"{tmpdir}/x2", storage_type="plain",
+                           label_col="id", id_col="id")
