@@ -1,0 +1,289 @@
+"""Deduplication operators for 100 TB training-data pipelines.
+
+Five dedup families over the `documents` / `embeddings` tables, all built
+from declarative DataFrame ops + the cross-engine hash fragments in
+functions/hashing.py (so each has a DuckDB oracle twin):
+
+- **exact**: hash-groupBy on content; keep the lowest id per group. One
+  shuffle with map-side partial agg — the canonical 100 TB first pass.
+- **MinHash + LSH**: shingle → minhash signature → band → bucket-join.
+  Candidate generation never compares documents pairwise: docs sharing an
+  LSH band bucket-join on (band_id, band_hash) — the join key is the
+  buckets, so the shuffle is proportional to candidates, not n².
+- **SimHash**: 32-bit sign-of-weighted-sum fingerprint; near-dups =
+  fingerprints within Hamming distance h.
+- **n-gram Jaccard**: exact similarity verification via a shingle-level
+  self-join (inverted-index style: join on shingle, count shared, divide
+  by union) — the verifier behind the MinHash candidates.
+- **embedding cosine near-dup**: exact O(n²) form for oracles/small data +
+  an SBQ-sign-bucket LSH form as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.functions.distance import cosine_distance
+from pgvectorscale_spark.functions.hashing import (
+    SPARK,
+    band_hash,
+    h60,
+    minhash_signature,
+    tokens,
+    word_shingles,
+)
+
+__all__ = [
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_band_buckets",
+    "minhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
+]
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: survivors = lowest id per identical content.
+
+    Grouping key is h60(text) (not the raw text) so the shuffle carries a
+    fixed-width key; 100 TB safe. Returns (keep_id, dup_count).
+    """
+    return (
+        df.withColumn("_h", F.expr(h60(text_col, SPARK)))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
+def _with_shingles(df: DataFrame, text_col: str, shingle_n: int) -> DataFrame:
+    toks = tokens(text_col, SPARK)
+    return df.withColumn("_shingles", F.expr(word_shingles(toks, shingle_n, SPARK)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature array<bigint>) — JVM-side nested HOF, no UDF."""
+    sh = _with_shingles(df, text_col, shingle_n)
+    return sh.select(
+        F.col(id_col),
+        F.expr(minhash_signature("_shingles", num_hashes, SPARK)).alias("signature"),
+    )
+
+
+def lsh_band_buckets(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band_id, band_hash) — one row per band per doc."""
+    parts = [
+        sig_df.select(
+            F.col(id_col),
+            F.lit(b).alias("band_id"),
+            F.expr(band_hash("signature", b, rows_per_band, SPARK)).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing >= 1 LSH band bucket."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    buckets = lsh_band_buckets(sig, id_col, bands, rows_per_band)
+    a = buckets.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing >= 1 shingle (inverted index
+    join). Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6dp."""
+    sh = _with_shingles(df, text_col, shingle_n).select(
+        F.col(id_col), F.array_distinct("_shingles").alias("_sh")
+    )
+    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
+    ex = sh.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    a = ex.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = ex.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash: bit i = sign of sum over distinct tokens of
+    ((h60(token) >> i) & 1) * 2 - 1. Relational formulation (explode +
+    two groupBys with partial agg) — identical shape in the DuckDB twin."""
+    toks = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(F.expr(tokens(text_col, SPARK)))).alias("tok"))
+        .withColumn("_h", F.expr(h60("tok", SPARK)))
+    )
+    bits = (
+        toks.select(id_col, "_h")
+        .crossJoin(F.broadcast(df.sparkSession.range(num_bits).select(F.col("id").alias("i"))))
+        .groupBy(id_col, "i")
+        .agg(F.sum(F.expr("(shiftright(_h, cast(i as int)) & 1) * 2 - 1")).alias("s"))
+        .withColumn("b", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+    )
+    return bits.groupBy(id_col).agg(
+        F.sum(F.expr("b * shiftleft(cast(1 as bigint), cast(i as int))")).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= h. O(n²) compare on the
+    32-bit fingerprints only (cheap); at 100 TB band the fingerprint bytes
+    first (same LSH trick as MinHash) to avoid the cross join."""
+    s = simhash(df, text_col, id_col, num_bits)
+    a = s.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"))
+    b = s.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine near-dup pairs (sim >= threshold). O(n²) — the oracle
+    form; use embedding_neardup_lsh as the scale path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(1.0 - cosine_distance(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH. Sign bits of projections onto
+    bands*rows_per_band seeded hyperplanes; docs sharing a band bucket are
+    candidates; candidates verified with exact cosine. Never materializes
+    the n² cross product — the join key is the bucket."""
+    import numpy as np
+
+    first = df.select(F.size(vector_col).alias("d")).first()
+    d = int(first["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(bands * rows_per_band, d))
+
+    proj_cols = []
+    for p in range(planes.shape[0]):
+        lit = F.array([F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vector_col), lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        proj_cols.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    bits = df.select(F.col(id_col), F.col(vector_col), F.array(*proj_cols).alias("_bits"))
+    bucket_rows = []
+    for bnd in range(bands):
+        key = F.concat_ws(
+            ",", *[F.element_at("_bits", bnd * rows_per_band + r + 1) for r in range(rows_per_band)]
+        )
+        bucket_rows.append(
+            bits.select(F.col(id_col), F.col(vector_col), F.lit(bnd).alias("band_id"), key.alias("bucket"))
+        )
+    buckets = bucket_rows[0]
+    for p in bucket_rows[1:]:
+        buckets = buckets.unionByName(p)
+    a = buckets.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"), "band_id", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"), "band_id", "bucket")
+    cand = (
+        a.join(b, ["band_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine_sim", F.round(1.0 - cosine_distance(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

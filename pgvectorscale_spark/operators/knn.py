@@ -107,8 +107,13 @@ def search_exact_batch(
     query_vec_col: str = "query_vec",
     impl: str = "numpy",
     num_dims: int | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact top-k for a DataFrame of queries (batch serving shape).
+
+    ``round_to`` rounds the distance *before* ranking (ties then break on
+    id) — used for cross-engine oracle parity where full-precision ordering
+    is not reproducible across engines.
 
     Returns (query_id, <id_col>, distance, rank). The query set is broadcast;
     the corpus is scored in place (no corpus shuffle before the local top-k
@@ -124,6 +129,8 @@ def search_exact_batch(
     if num_dims:
         vec, q = matryoshka_slice(vec, num_dims), F.slice(q, 1, num_dims)
     scored = joined.withColumn("distance", distance_expr(vec, q, distance_type))
+    if round_to is not None:
+        scored = scored.withColumn("distance", F.round("distance", round_to))
     w = Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -195,6 +202,7 @@ def knn_join(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     exclude_self: bool = True,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact k-NN join: for each left row, its k nearest right rows.
 
@@ -210,6 +218,8 @@ def knn_join(
     scored = joined.withColumn(
         "distance", distance_expr(F.col("_lv"), F.col("_rv"), distance_type)
     )
+    if round_to is not None:
+        scored = scored.withColumn("distance", F.round("distance", round_to))
     w = Window.partitionBy("left_id").orderBy(F.col("distance").asc(), F.col("right_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

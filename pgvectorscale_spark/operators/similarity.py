@@ -1,0 +1,89 @@
+"""Similarity search beyond the graph index: IVF coarse quantization.
+
+The scale path for batch ANN when a graph is overkill: partition the corpus
+into Voronoi cells around centroids, search only the `nprobe` cells nearest
+the query, rerank exactly. Fully declarative (joins + window top-k), so
+Catalyst handles pushdown and the cell assignment is one shuffle.
+
+Centroid choice is deterministic (the `num_centroids` lowest-id vectors) so
+results are reproducible and the DuckDB oracle can replay the exact
+computation. Swap in k-means centroids for quality at scale — the operator
+shape (assign → probe → rerank) is unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.functions.distance import distance_expr
+
+__all__ = ["ivf_assign", "ivf_search"]
+
+
+def ivf_assign(
+    df: DataFrame,
+    num_centroids: int = 16,
+    distance_type: str = "l2",
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest deterministic centroid.
+
+    Returns (id, centroid_id, assign_dist). Centroids = vectors with the
+    `num_centroids` lowest ids (deterministic, oracle-replayable).
+    """
+    centroids = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vector_col).alias("_cv"))
+    )
+    scored = df.select(F.col(id_col), F.col(vector_col)).crossJoin(F.broadcast(centroids))
+    scored = scored.withColumn(
+        "assign_dist", distance_expr(F.col(vector_col), F.col("_cv"), distance_type)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("assign_dist").asc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "centroid_id", F.round("assign_dist", 6).alias("assign_dist"))
+    )
+
+
+def ivf_search(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    distance_type: str = "l2",
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k: probe the nprobe cells nearest the query, exact rerank.
+
+    Returns (id, distance) — distance rounded to 6dp for oracle parity.
+    """
+    qlit = F.array([F.lit(float(x)) for x in query_vec])
+    assign = ivf_assign(df, num_centroids, distance_type, vector_col, id_col)
+    centroids = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vector_col).alias("_cv"))
+    )
+    probed = (
+        centroids.withColumn("_qd", distance_expr(F.col("_cv"), qlit, distance_type))
+        .orderBy(F.col("_qd").asc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cand = assign.join(F.broadcast(probed), "centroid_id").select(id_col)
+    return (
+        df.join(cand, id_col)
+        .withColumn("distance", F.round(distance_expr(F.col(vector_col), qlit, distance_type), 6))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "distance")
+    )

@@ -1,0 +1,354 @@
+"""DuckDB oracle SQL builders — the ANSI-SQL twins of every operator.
+
+The driver runs each Spark query side-by-side with its oracle on the same
+parquet tables (views pre-registered) and compares row count + schema +
+order-insensitive value hash. These builders assemble the oracle SQL from
+the same cross-engine fragments (functions/hashing.py, functions/text.py)
+the Spark operators use, so parity is by construction.
+
+Float discipline: every float output is computed in float64 with the same
+formula on both engines and rounded to 4-6 decimals; orderings always
+tie-break on ids.
+"""
+
+from __future__ import annotations
+
+from pgvectorscale_spark.functions.hashing import (
+    DUCKDB,
+    band_hash,
+    h60,
+    minhash_signature,
+    tokens,
+    word_shingles,
+)
+from pgvectorscale_spark.functions.text import (
+    document_fingerprint_sql,
+    lang_id_sql,
+    punct_ratio_sql,
+    quality_score_sql,
+    stopword_ratio_sql,
+    token_count_sql,
+)
+
+# ---------------------------------------------------------------------------
+# vector search oracles (embeddings table: vec_id, embedding FLOAT[64], label)
+# ---------------------------------------------------------------------------
+
+_UNNEST = (
+    "SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+    "unnest(embedding)::DOUBLE AS v FROM embeddings"
+)
+
+
+def _query_unnest(query_id: int) -> str:
+    return (
+        f"SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v "
+        f"FROM embeddings WHERE vec_id = {query_id}"
+    )
+
+
+def knn_exact_oracle(query_id: int, k: int, distance_type: str, max_dim: int | None = None) -> str:
+    """Exact top-k by distance to the embedding of `query_id`."""
+    dim_filter = f"WHERE i <= {max_dim}" if max_dim else ""
+    if distance_type == "l2":
+        dist = "sum((e.v - q.v) * (e.v - q.v))"
+    elif distance_type == "inner_product":
+        dist = "-sum(e.v * q.v)"
+    else:  # cosine over normalized vectors
+        return _knn_cosine_oracle(query_id, k, max_dim)
+    return f"""
+WITH e AS (SELECT * FROM ({_UNNEST}) {dim_filter}),
+q AS (SELECT * FROM ({_query_unnest(query_id)}) {dim_filter}),
+d AS (SELECT e.vec_id, {dist} AS distance FROM e JOIN q USING (i) GROUP BY e.vec_id)
+SELECT vec_id, round(distance, 4) AS distance FROM d
+ORDER BY round(distance, 4), vec_id LIMIT {k}
+"""
+
+
+def _knn_cosine_oracle(query_id: int, k: int, max_dim: int | None = None) -> str:
+    dim_filter = f"WHERE i <= {max_dim}" if max_dim else ""
+    return f"""
+WITH e AS (SELECT * FROM ({_UNNEST}) {dim_filter}),
+q AS (SELECT * FROM ({_query_unnest(query_id)}) {dim_filter}),
+en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+qn AS (SELECT sqrt(sum(v * v)) AS nrm FROM q),
+d AS (
+  SELECT e.vec_id,
+         greatest(0.0, 1.0 - sum((e.v / en.nrm) * (q.v / qn.nrm))) AS distance
+  FROM e JOIN q USING (i) JOIN en ON e.vec_id = en.vec_id CROSS JOIN qn
+  GROUP BY e.vec_id, en.nrm, qn.nrm)
+SELECT vec_id, round(distance, 4) AS distance FROM d
+ORDER BY round(distance, 4), vec_id LIMIT {k}
+"""
+
+
+def knn_label_filtered_oracle(query_id: int, k: int, labels: list[int]) -> str:
+    lbls = ", ".join(str(x) for x in labels)
+    return f"""
+WITH e AS (SELECT u.* FROM ({_UNNEST}) u JOIN embeddings t USING (vec_id) WHERE t.label IN ({lbls})),
+q AS ({_query_unnest(query_id)}),
+en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+qn AS (SELECT sqrt(sum(v * v)) AS nrm FROM q),
+d AS (
+  SELECT e.vec_id,
+         greatest(0.0, 1.0 - sum((e.v / en.nrm) * (q.v / qn.nrm))) AS distance
+  FROM e JOIN q USING (i) JOIN en ON e.vec_id = en.vec_id CROSS JOIN qn
+  GROUP BY e.vec_id, en.nrm, qn.nrm)
+SELECT vec_id, round(distance, 4) AS distance FROM d
+ORDER BY round(distance, 4), vec_id LIMIT {k}
+"""
+
+
+def knn_batch_oracle(num_queries: int, k: int) -> str:
+    """Top-k cosine for each of the first `num_queries` vectors as queries."""
+    return f"""
+WITH e AS ({_UNNEST}),
+en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, i, v FROM e WHERE vec_id < {num_queries}),
+qn AS (SELECT vec_id AS query_id, nrm FROM en WHERE vec_id < {num_queries}),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         greatest(0.0, 1.0 - sum((e.v / en.nrm) * (q.v / qn.nrm))) AS distance
+  FROM e JOIN q USING (i)
+  JOIN en ON e.vec_id = en.vec_id JOIN qn ON q.query_id = qn.query_id
+  GROUP BY q.query_id, e.vec_id, en.nrm, qn.nrm)
+SELECT query_id, vec_id, round(distance, 4) AS distance,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(distance, 4), vec_id) AS rank
+FROM d QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def sbq_means_oracle() -> str:
+    """Quantizer training stats: per-dimension mean/variance (Q1)."""
+    return f"""
+SELECT i AS dim, round(avg(v), 6) AS mean, round(var_pop(v), 6) AS variance
+FROM ({_UNNEST}) GROUP BY i ORDER BY dim
+"""
+
+
+def sbq_hamming_oracle(query_id: int, k: int) -> str:
+    """1-bit SBQ + Hamming top-k (Q2/D4): bit_i = v_i > mean_i."""
+    return f"""
+WITH e AS ({_UNNEST}),
+m AS (SELECT i, avg(v) AS mu FROM e GROUP BY i),
+bits AS (SELECT e.vec_id, e.i, (e.v > m.mu) AS b FROM e JOIN m USING (i)),
+qb AS (SELECT i, b FROM bits WHERE vec_id = {query_id}),
+ham AS (
+  SELECT bits.vec_id, sum(CASE WHEN bits.b != qb.b THEN 1 ELSE 0 END) AS hamming
+  FROM bits JOIN qb USING (i) GROUP BY bits.vec_id)
+SELECT vec_id, hamming::BIGINT AS hamming FROM ham ORDER BY hamming, vec_id LIMIT {k}
+"""
+
+
+def sbq_rescore_oracle(query_id: int, window: int, k: int) -> str:
+    """Two-stage: Hamming top-`window` candidates → exact squared-L2 top-k (T2)."""
+    return f"""
+WITH e AS ({_UNNEST}),
+m AS (SELECT i, avg(v) AS mu FROM e GROUP BY i),
+bits AS (SELECT e.vec_id, e.i, (e.v > m.mu) AS b FROM e JOIN m USING (i)),
+qb AS (SELECT i, b FROM bits WHERE vec_id = {query_id}),
+cand AS (
+  SELECT bits.vec_id, sum(CASE WHEN bits.b != qb.b THEN 1 ELSE 0 END) AS hamming
+  FROM bits JOIN qb USING (i) GROUP BY bits.vec_id
+  ORDER BY hamming, vec_id LIMIT {window}),
+q AS ({_query_unnest(query_id)}),
+d AS (
+  SELECT e.vec_id, sum((e.v - q.v) * (e.v - q.v)) AS distance
+  FROM e JOIN q USING (i) JOIN cand ON e.vec_id = cand.vec_id
+  GROUP BY e.vec_id)
+SELECT vec_id, round(distance, 4) AS distance FROM d
+ORDER BY round(distance, 4), vec_id LIMIT {k}
+"""
+
+
+def index_full_scan_oracle() -> str:
+    """Full-scan completeness: every non-NULL vector is indexed."""
+    return "SELECT count(*) AS n_indexed FROM embeddings WHERE embedding IS NOT NULL"
+
+
+def knn_join_oracle(num_left: int, k: int) -> str:
+    """k-NN self-join (cosine) for the first `num_left` vectors, excluding self."""
+    return f"""
+WITH e AS ({_UNNEST}),
+en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+l AS (SELECT vec_id AS left_id, i, v FROM e WHERE vec_id < {num_left}),
+ln AS (SELECT vec_id AS left_id, nrm FROM en WHERE vec_id < {num_left}),
+d AS (
+  SELECT l.left_id, e.vec_id AS right_id,
+         greatest(0.0, 1.0 - sum((e.v / en.nrm) * (l.v / ln.nrm))) AS distance
+  FROM e JOIN l USING (i)
+  JOIN en ON e.vec_id = en.vec_id JOIN ln ON l.left_id = ln.left_id
+  WHERE e.vec_id != l.left_id
+  GROUP BY l.left_id, e.vec_id, en.nrm, ln.nrm)
+SELECT left_id, right_id, round(distance, 4) AS distance,
+       row_number() OVER (PARTITION BY left_id ORDER BY round(distance, 4), right_id) AS rank
+FROM d QUALIFY rank <= {k}
+ORDER BY left_id, rank
+"""
+
+
+def ivf_search_oracle(query_id: int, k: int, num_centroids: int, nprobe: int) -> str:
+    """IVF: deterministic centroids (lowest ids), assign, probe, exact rerank."""
+    return f"""
+WITH e AS ({_UNNEST}),
+c AS (SELECT vec_id AS centroid_id, i, v FROM e
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {num_centroids})),
+assign_d AS (
+  SELECT e.vec_id, c.centroid_id, sum((e.v - c.v) * (e.v - c.v)) AS ad
+  FROM e JOIN c USING (i) GROUP BY e.vec_id, c.centroid_id),
+assign AS (
+  SELECT vec_id, centroid_id FROM assign_d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ad, centroid_id) = 1),
+q AS ({_query_unnest(query_id)}),
+probe AS (
+  SELECT c.centroid_id, sum((c.v - q.v) * (c.v - q.v)) AS qd
+  FROM c JOIN q USING (i) GROUP BY c.centroid_id
+  ORDER BY qd, centroid_id LIMIT {nprobe}),
+cand AS (SELECT vec_id FROM assign JOIN probe USING (centroid_id)),
+d AS (
+  SELECT e.vec_id, sum((e.v - q.v) * (e.v - q.v)) AS distance
+  FROM e JOIN q USING (i) JOIN cand ON e.vec_id = cand.vec_id GROUP BY e.vec_id)
+SELECT vec_id, round(distance, 6) AS distance FROM d
+ORDER BY round(distance, 6), vec_id LIMIT {k}
+"""
+
+
+def embedding_neardup_oracle(threshold: float) -> str:
+    """Exact cosine near-dup pairs over the embeddings table."""
+    return f"""
+WITH e AS ({_UNNEST}),
+en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum((a.v / na.nrm) * (b.v / nb.nrm)) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+  JOIN en na ON a.vec_id = na.vec_id JOIN en nb ON b.vec_id = nb.vec_id
+  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm)
+SELECT id_a, id_b, round(least(dot, 1.0), 6) AS cosine_sim
+FROM d WHERE round(least(dot, 1.0), 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents-table oracles (doc_id, text, lang, source, n_chars)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_oracle() -> str:
+    return f"""
+SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY {h60('text', DUCKDB)} ORDER BY keep_id
+"""
+
+
+def minhash_signature_oracle(num_hashes: int, shingle_n: int) -> str:
+    toks = tokens("text", DUCKDB)
+    sh = word_shingles(toks, shingle_n, DUCKDB)
+    sig = minhash_signature("shingles", num_hashes, DUCKDB)
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS shingles FROM documents)
+SELECT doc_id, {sig} AS signature FROM s ORDER BY doc_id
+"""
+
+
+def minhash_bands_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
+    rows = num_hashes // bands
+    toks = tokens("text", DUCKDB)
+    sh = word_shingles(toks, shingle_n, DUCKDB)
+    sig = minhash_signature("shingles", num_hashes, DUCKDB)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {band_hash('signature', b, rows, DUCKDB)} AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS shingles FROM documents),
+sig AS (SELECT doc_id, {sig} AS signature FROM s)
+SELECT * FROM ({band_rows}) ORDER BY doc_id, band_id
+"""
+
+
+def minhash_pairs_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
+    rows = num_hashes // bands
+    toks = tokens("text", DUCKDB)
+    sh = word_shingles(toks, shingle_n, DUCKDB)
+    sig = minhash_signature("shingles", num_hashes, DUCKDB)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {band_hash('signature', b, rows, DUCKDB)} AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS shingles FROM documents),
+sig AS (SELECT doc_id, {sig} AS signature FROM s),
+buckets AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b USING (band_id, band_hash)
+WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard_oracle(shingle_n: int, threshold: float) -> str:
+    toks = tokens("text", DUCKDB)
+    sh = word_shingles(toks, shingle_n, DUCKDB)
+    return f"""
+WITH s AS (SELECT doc_id, list_distinct({sh}) AS sh FROM documents),
+sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ex a JOIN ex b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(i / (na.n + nb.n - i)::DOUBLE, 6) AS jaccard
+FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+WHERE round(i / (na.n + nb.n - i)::DOUBLE, 6) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def simhash_oracle(num_bits: int) -> str:
+    toks = tokens("text", DUCKDB)
+    return f"""
+WITH t AS (SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents),
+h AS (SELECT doc_id, {h60('tok', DUCKDB)} AS hv FROM t),
+bits AS (
+  SELECT doc_id, i.range AS i,
+         CASE WHEN sum(((hv >> i.range::INT) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS b
+  FROM h CROSS JOIN range({num_bits}) i GROUP BY doc_id, i.range)
+SELECT doc_id, sum(b * (1::BIGINT << i::INT))::BIGINT AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def simhash_pairs_oracle(num_bits: int, max_hamming: int) -> str:
+    base = simhash_oracle(num_bits).strip().rstrip()
+    return f"""
+WITH sh AS ({base})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+def text_features_oracle() -> str:
+    return f"""
+SELECT doc_id,
+       {token_count_sql('text', DUCKDB)} AS token_count,
+       {punct_ratio_sql('text', DUCKDB)} AS punct_permille,
+       {stopword_ratio_sql('text', DUCKDB)} AS stopword_permille,
+       {quality_score_sql('text', DUCKDB)} AS quality_micro,
+       {lang_id_sql('text', DUCKDB)} AS lang_id,
+       {document_fingerprint_sql('text', DUCKDB)} AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def multimodal_meta_oracle() -> str:
+    return """
+SELECT doc_id, octet_length(encode(text)) AS byte_len,
+       md5(text) AS payload_md5
+FROM documents ORDER BY doc_id
+"""

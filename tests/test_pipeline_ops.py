@@ -1,0 +1,53 @@
+"""Spark-only scale paths: LSH near-dup recall vs exact, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.operators import dedup
+from pgvectorscale_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    fake_feature_extract,
+    frame_sample_plan,
+)
+
+
+def test_lsh_neardup_is_subset_with_recall(spark, embeddings):
+    exact = {
+        (r["id_a"], r["id_b"]) for r in dedup.embedding_neardup_pairs(embeddings, 0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_neardup_lsh(embeddings, 0.8, bands=16, rows_per_band=4).collect()
+    }
+    assert lsh <= exact  # verification step guarantees precision 1.0
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.8, f"LSH recall {len(lsh & exact)/len(exact)}"
+
+
+def test_fake_feature_extract_shapes(spark, documents):
+    src = attach_binary_payload(documents.limit(20))
+    feats = fake_feature_extract(src, dim=8).collect()
+    assert len(feats) == 20
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same payload -> same feature
+    again = fake_feature_extract(src, dim=8).collect()
+    assert {r["doc_id"]: r["feature"] for r in feats} == {r["doc_id"]: r["feature"] for r in again}
+
+
+def test_decode_image_is_gated(spark, documents):
+    with pytest.raises(NotImplementedError, match="media decoders"):
+        decode_image(attach_binary_payload(documents.limit(1)))
+
+
+def test_frame_sample_plan(spark, documents):
+    src = attach_binary_payload(documents.limit(5))
+    frames = frame_sample_plan(src, every_n_bytes=64)
+    rows = frames.collect()
+    assert rows and all(r["frame_no"] >= 0 for r in rows)
+    # reassembling frames yields the original payload length
+    tot = frames.groupBy("doc_id").agg(F.sum(F.length("frame_bytes")).alias("n")).collect()
+    orig = {r["doc_id"]: r["n"] for r in src.select("doc_id", F.length("payload").alias("n")).collect()}
+    assert {r["doc_id"]: r["n"] for r in tot} == orig
