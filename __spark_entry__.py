@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` smoke-runs the flagship two-stage SBQ search at sf0.001;
+``queries`` exposes every implemented operator from SURVEY.md §2 (plus the
+training-data pipeline operators) as (spark, sf_dir) callables; ``oracle_sql``
+gives each one's DuckDB twin assembled from the same cross-engine fragments
+(pgvectorscale_spark/oracles.py), so parity is by construction.
+
+Column-name and float discipline: every computed column is aliased the same
+on both engines; every float is rounded (4-6 dp) before ranking/output;
+orderings tie-break on ids; big sums are integer (cents) so they hash
+identically across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +17,285 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark import oracles
+from pgvectorscale_spark.functions.hashing import SPARK
+from pgvectorscale_spark.functions.text import (
+    document_fingerprint_sql,
+    lang_id_sql,
+    punct_ratio_sql,
+    quality_score_sql,
+    stopword_ratio_sql,
+    token_count_sql,
+)
+from pgvectorscale_spark.operators import dedup, relational
+from pgvectorscale_spark.operators.knn import knn_join, search_exact, search_exact_batch
+from pgvectorscale_spark.operators.sbq import search_sbq, train_quantizer
+from pgvectorscale_spark.operators.similarity import ivf_search
+from pgvectorscale_spark.sources.tables import load_table
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, qid: int):
+    return _emb(spark, sf_dir).filter(F.col("vec_id") == qid).collect()[0]["embedding"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: two-stage SBQ search (quantized Hamming scan → exact rescore)
+    at sf0.001 — the reference's core capability end-to-end."""
+    sf_dir = "/root/testdata/sf0.001"
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    quant = train_quantizer(emb, bits_per_dimension=1)
+    return search_sbq(emb, q, k=10, rescore=50, quantizer=quant, distance_type="l2").select(
+        "vec_id", F.round("distance", 4).alias("distance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# query builders (each returns a (spark, sf_dir) -> DataFrame callable)
+# ---------------------------------------------------------------------------
+
+
+def _knn_exact(dist: str, qid: int = 0, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        q = _query_vec(spark, sf_dir, qid)
+        return search_exact(emb, q, k=k, distance_type=dist).select(
+            "vec_id", F.round("distance", 4).alias("distance")
+        )
+
+    return run
+
+
+def _knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 3)
+    return search_exact(emb, q, k=10, distance_type="l2", num_dims=32).select(
+        "vec_id", F.round("distance", 4).alias("distance")
+    )
+
+
+def _knn_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    return search_exact(emb, q, k=10, labels=[3, 4], label_col="label").select(
+        "vec_id", F.round("distance", 4).alias("distance")
+    )
+
+
+def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qdf = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = search_exact_batch(emb, qdf, k=5, impl="sql", round_to=4)
+    return res.select("query_id", "vec_id", "distance", F.col("rank").cast("long").alias("rank"))
+
+
+def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    res = knn_join(emb.filter("vec_id < 10"), emb, k=3, round_to=4)
+    return res.select("left_id", "right_id", "distance", F.col("rank").cast("long").alias("rank"))
+
+
+def _sbq_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(F.posexplode("embedding").alias("dim0", "v"))
+        .select((F.col("dim0") + 1).cast("long").alias("dim"), F.col("v").cast("double").alias("v"))
+        .groupBy("dim")
+        .agg(F.round(F.avg("v"), 6).alias("mean"), F.round(F.var_pop("v"), 6).alias("variance"))
+        .orderBy("dim")
+    )
+
+
+def _sbq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 5)
+    quant = train_quantizer(emb, bits_per_dimension=1)
+    return search_sbq(
+        emb, q, k=20, rescore=0, search_list_size=20, quantizer=quant, distance_type="l2"
+    ).select("vec_id", F.col("distance").cast("long").alias("hamming"))
+
+
+def _sbq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 5)
+    quant = train_quantizer(emb, bits_per_dimension=1)
+    return search_sbq(
+        emb, q, k=10, rescore=50, search_list_size=50, quantizer=quant, distance_type="l2"
+    ).select("vec_id", F.round("distance", 4).alias("distance"))
+
+
+def _ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 9)
+    return ivf_search(emb, q, k=10, num_centroids=16, nprobe=4, distance_type="l2")
+
+
+def _full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return emb.filter(F.col("embedding").isNotNull()).agg(F.count("*").alias("n_indexed"))
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.8)
+
+
+def _diskann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-index build + search — iterative, not SQL-expressible (no oracle;
+    the driver records a rows-only check). Accuracy is asserted against the
+    exact oracle in tests/test_diskann.py (recall@10 >= 0.9)."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    path = tempfile.mkdtemp(prefix="diskann_entry_")
+    idx = DiskannIndex.build(emb, path, distance_type="l2", num_shards=4)
+    return idx.search(q, k=10).select(
+        F.col("node_id").alias("vec_id"), F.round("distance", 4).alias("distance")
+    )
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs(spark, sf_dir))
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=8, shingle_n=3).select(
+        "doc_id", F.col("signature").cast("string").alias("sig_str")
+    )
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(_docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3)
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=3, threshold=0.2)
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir), num_bits=32)
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=6).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = "text"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(token_count_sql(t, SPARK)).cast("long").alias("token_count"),
+        F.expr(punct_ratio_sql(t, SPARK)).alias("punct_permille"),
+        F.expr(stopword_ratio_sql(t, SPARK)).alias("stopword_permille"),
+        F.expr(quality_score_sql(t, SPARK)).alias("quality_micro"),
+        F.expr(lang_id_sql(t, SPARK)).alias("lang_id"),
+        F.expr(document_fingerprint_sql(t, SPARK)).alias("fingerprint"),
+    )
+
+
+def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvectorscale_spark.operators.multimodal import attach_binary_payload, binary_metadata
+
+    return binary_metadata(attach_binary_payload(_docs(spark, sf_dir))).select(
+        "doc_id", F.col("byte_len").cast("long").alias("byte_len"), "payload_md5"
+    )
+
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(load_table(spark, "lineitem", sf_dir))
+
+
+def _top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_customers(
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        k=10,
+    )
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.events_hourly(load_table(spark, "events", sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # vector search (SURVEY.md §2.1/2.2/2.5)
+        "knn_exact_cosine": _knn_exact("cosine"),
+        "knn_exact_l2": _knn_exact("l2"),
+        "knn_exact_ip": _knn_exact("inner_product"),
+        "knn_matryoshka": _knn_matryoshka,
+        "knn_label_filtered": _knn_label_filtered,
+        "knn_batch": _knn_batch,
+        "knn_join": _knn_join,
+        "index_full_scan": _full_scan,
+        # SBQ (§2.4)
+        "sbq_means": _sbq_means,
+        "sbq_hamming": _sbq_hamming,
+        "sbq_rescore": _sbq_rescore,
+        # similarity search scale paths
+        "ivf_search": _ivf,
+        "diskann_search": _diskann_search,
+        # dedup family
+        "dedup_exact": _dedup_exact,
+        "minhash_signatures": _minhash_signatures,
+        "minhash_pairs": _minhash_pairs,
+        "ngram_jaccard": _ngram_jaccard,
+        "simhash": _simhash,
+        "simhash_pairs": _simhash_pairs,
+        "embedding_neardup": _embedding_neardup,
+        # text analysis + multimodal
+        "text_features": _text_features,
+        "multimodal_meta": _multimodal_meta,
+        # relational surface (inherited from Spark, §2.7)
+        "pricing_summary": _pricing_summary,
+        "top_customers": _top_customers,
+        "events_hourly": _events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knn_exact_cosine": oracles.knn_exact_oracle(0, 10, "cosine"),
+        "knn_exact_l2": oracles.knn_exact_oracle(0, 10, "l2"),
+        "knn_exact_ip": oracles.knn_exact_oracle(0, 10, "inner_product"),
+        "knn_matryoshka": oracles.knn_exact_oracle(3, 10, "l2", max_dim=32),
+        "knn_label_filtered": oracles.knn_label_filtered_oracle(0, 10, [3, 4]),
+        "knn_batch": oracles.knn_batch_oracle(5, 5),
+        "knn_join": oracles.knn_join_oracle(10, 3),
+        "index_full_scan": oracles.index_full_scan_oracle(),
+        "sbq_means": oracles.sbq_means_oracle(),
+        "sbq_hamming": oracles.sbq_hamming_oracle(5, 20),
+        "sbq_rescore": oracles.sbq_rescore_oracle(5, 50, 10),
+        "ivf_search": oracles.ivf_search_oracle(9, 10, 16, 4),
+        # diskann_search: iterative graph walk — intentionally no SQL oracle
+        "dedup_exact": oracles.dedup_exact_oracle(),
+        "minhash_signatures": oracles.minhash_signature_str_oracle(8, 3),
+        "minhash_pairs": oracles.minhash_pairs_oracle(8, 4, 3),
+        "ngram_jaccard": oracles.ngram_jaccard_oracle(3, 0.2),
+        "simhash": oracles.simhash_oracle(32),
+        "simhash_pairs": oracles.simhash_pairs_oracle(32, 6),
+        "embedding_neardup": oracles.embedding_neardup_oracle(0.8),
+        "text_features": oracles.text_features_oracle(),
+        "multimodal_meta": oracles.multimodal_meta_oracle(),
+        "pricing_summary": relational.pricing_summary_sql(),
+        "top_customers": relational.top_customers_sql(10),
+        "events_hourly": relational.events_hourly_sql(),
+    }

@@ -1,0 +1,134 @@
+"""Headline benchmark: runs the engine's flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Query set spans the engine's planes: relational (scan/agg, broadcast join,
+time rollup), vector search (batch exact k-NN, SBQ two-stage, IVF, DiskANN
+build+serve), and the pipeline operators (exact dedup, MinHash-LSH, SimHash,
+text features). Each is forced with a full collect (results are small — topk /
+grouped) so the measured time is the complete job, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.operators import dedup, relational
+from pgvectorscale_spark.operators.knn import search_exact_batch
+from pgvectorscale_spark.operators.sbq import encode_dataframe, search_sbq, train_quantizer
+from pgvectorscale_spark.operators.similarity import ivf_search
+from pgvectorscale_spark.functions.text import with_text_features
+from pgvectorscale_spark.session import get_spark
+from pgvectorscale_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    lineitem = load_table(spark, "lineitem", SF_DIR)
+    orders = load_table(spark, "orders", SF_DIR)
+    customer = load_table(spark, "customer", SF_DIR)
+    nation = load_table(spark, "nation", SF_DIR)
+    events = load_table(spark, "events", SF_DIR)
+    docs = load_table(spark, "documents", SF_DIR)
+    emb = load_table(spark, "embeddings", SF_DIR)
+
+    # warm the JVM + parquet footers outside the timed region
+    lineitem.count(), emb.count(), docs.count()
+
+    quant = train_quantizer(emb, bits_per_dimension=1)
+    encoded = encode_dataframe(emb, quant).persist()
+    encoded.count()
+    qvecs = emb.filter("vec_id < 16").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    q0 = emb.filter("vec_id = 0").first()["embedding"]
+    tmp_index = tempfile.mkdtemp(prefix="bench_diskann_")
+
+    def q_pricing():
+        return relational.pricing_summary(lineitem).collect()
+
+    def q_top_customers():
+        return relational.top_customers(orders, customer, nation, k=10).collect()
+
+    def q_events_hourly():
+        return relational.events_hourly(events).collect()
+
+    def q_knn_batch():
+        return search_exact_batch(emb, qvecs, k=10, impl="numpy").collect()
+
+    def q_sbq_rescore():
+        return search_sbq(
+            emb, q0, k=10, rescore=50, quantizer=quant, distance_type="l2"
+        ).collect()
+
+    def q_ivf():
+        return ivf_search(emb, q0, k=10, num_centroids=32, nprobe=4).collect()
+
+    def q_diskann():
+        from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+        idx = DiskannIndex.build(emb, tmp_index, distance_type="l2", num_shards=8)
+        return idx.search(q0, k=10).collect()
+
+    def q_dedup_exact():
+        return dedup.dedup_exact(docs).count()
+
+    def q_minhash_pairs():
+        return dedup.minhash_candidate_pairs(docs, num_hashes=16, bands=4).count()
+
+    def q_simhash():
+        return dedup.simhash(docs).count()
+
+    def q_text_features():
+        return with_text_features(docs).select(
+            F.sum("token_count"), F.sum("quality_micro"), F.count("*")
+        ).collect()
+
+    queries = {
+        "q_pricing": q_pricing,
+        "q_top_customers": q_top_customers,
+        "q_events_hourly": q_events_hourly,
+        "q_knn_batch": q_knn_batch,
+        "q_sbq_rescore": q_sbq_rescore,
+        "q_ivf": q_ivf,
+        "q_diskann": q_diskann,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash": q_simhash,
+        "q_text_features": q_text_features,
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    encoded.unpersist()
+    shutil.rmtree(tmp_index, ignore_errors=True)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,21 +50,26 @@ def word_shingles(toks_expr: str, n: int, dialect: str) -> str:
     )
 
 
-def minhash_signature(shingles_expr: str, num_hashes: int, dialect: str) -> str:
-    """MinHash signature: for seed j, min over shingles of h60(j || ':' || s)."""
-    if dialect == SPARK:
-        return (
-            f"transform(sequence(0, {num_hashes - 1}), j -> "
-            f"array_min(transform({shingles_expr}, s -> "
-            + h60("concat(cast(j as string), ':', s)", SPARK)
-            + ")))"
-        )
-    return (
-        f"list_transform(range(0, {num_hashes}), j -> "
-        f"list_min(list_transform({shingles_expr}, s -> "
-        + h60("(j::VARCHAR || ':' || s)", DUCKDB)
-        + ")))"
-    )
+def minhash_seeds(num_hashes: int) -> list[int]:
+    """Deterministic 60-bit XOR seeds, one per hash function.
+
+    The signature's j-th entry is ``min over shingles of h60(shingle) XOR
+    seed_j`` — the classic one-base-hash-many-cheap-permutations MinHash.
+    The base md5 is computed ONCE per shingle; deriving the family by XOR
+    (exact on int64 in both engines) instead of re-hashing per seed makes
+    signature cost independent of num_hashes. Computed via hashlib so the
+    constants can be inlined as literals in both dialects.
+    """
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"minhash-seed:{j}".encode()).hexdigest()[:15], 16)
+        for j in range(num_hashes)
+    ]
+
+
+def xor_expr(a: str, b: str, dialect: str) -> str:
+    return f"({a} ^ {b})" if dialect == SPARK else f"xor({a}, {b})"
 
 
 def band_hash(sig_expr: str, band: int, rows_per_band: int, dialect: str) -> str:

@@ -29,7 +29,7 @@ from pgvectorscale_spark.functions.hashing import (
     SPARK,
     band_hash,
     h60,
-    minhash_signature,
+    minhash_seeds,
     tokens,
     word_shingles,
 )
@@ -73,11 +73,25 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, signature array<bigint>) — JVM-side nested HOF, no UDF."""
+    """(id, signature array<bigint>) — fully declarative, md5 once per shingle.
+
+    Shape: explode shingles → h60 each ONCE → groupBy(id) with one
+    ``min(h ^ seed_j)`` aggregate per hash function. Map-side partial min
+    means the shuffle carries num_hashes longs per (doc, partition) — at
+    100 TB signature cost is one pass + one combine-heavy shuffle,
+    independent of num_hashes in md5 work.
+    """
     sh = _with_shingles(df, text_col, shingle_n)
-    return sh.select(
-        F.col(id_col),
-        F.expr(minhash_signature("_shingles", num_hashes, SPARK)).alias("signature"),
+    ex = sh.select(F.col(id_col), F.explode("_shingles").alias("_s"))
+    hashed = ex.select(F.col(id_col), F.expr(h60("_s", SPARK)).alias("_h"))
+    aggs = [
+        F.min(F.expr(f"_h ^ {seed}")).alias(f"_m{j}")
+        for j, seed in enumerate(minhash_seeds(num_hashes))
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("signature"))
     )
 
 

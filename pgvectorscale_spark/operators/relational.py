@@ -1,0 +1,132 @@
+"""Relational surface queries over the driver's star schema.
+
+The reference implements no relational operators — Postgres supplies
+scan/filter/join/aggregate/sort around the index (SURVEY.md §2.7). In the
+Spark rebuild those come from DataFrame/Catalyst directly; these queries are
+the proof: scan+filter+agg (pricing summary), multi-way broadcast join
+(top customers), and time-window aggregation (events rollup).
+
+Float discipline for cross-engine parity: money is floored to integer cents
+*per row* (float64 ops are per-row deterministic and identical across
+engines), then summed exactly as bigints — a float sum over 600k rows is
+association-order-dependent and would hash-mismatch, an integer sum cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pricing_summary", "top_customers", "events_hourly"]
+
+
+def _cents(col) -> F.Column:
+    return F.floor(col * 100).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → groupBy agg with map-side partial agg.
+
+    One shuffle of (4 groups × partials); the filter and the 7-column
+    projection push into the parquet scan.
+    """
+    li = lineitem.filter(F.col("l_shipdate") < F.lit(ship_before))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc_price)).alias("sum_disc_cents"),
+            F.sum(_cents(charge)).alias("sum_charge_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def pricing_summary_sql(ship_before: str = "1998-09-01") -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS sum_disc_cents,
+       sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)::BIGINT)::BIGINT AS sum_charge_cents,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '{ship_before} 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def top_customers(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, k: int = 10
+) -> DataFrame:
+    """Revenue per customer with nation name: fact ⋈ two broadcast dims.
+
+    customer and nation are dimension tables — broadcast both so the only
+    shuffle is the groupBy on o_custkey (and AQE coalesces it).
+    """
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+            F.count("*").alias("order_count"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def top_customers_sql(k: int = 10) -> str:
+    return f"""
+SELECT c_custkey, c_name, n_name,
+       sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents,
+       count(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey LIMIT {k}
+"""
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Per-type hourly rollup — the batch shape of a streaming windowed agg.
+
+    Hour emitted as epoch seconds (bigint) so the value is engine- and
+    timezone-representation independent.
+
+    The driver's events parquet stores TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (see load_events) and this
+    operator truncates the long nanos to the hour with integer arithmetic —
+    same values as DuckDB's native ns-timestamp date_trunc.
+    """
+    if dict(events.dtypes)["ts"] == "bigint":  # nanos-as-long read path
+        # `div` = exact long division; float `/` would lose precision at 1e18 ns
+        hour = F.expr("ts div 3600000000000") * F.lit(3600)
+    else:
+        hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long")
+    return (
+        events.withColumn("hour_epoch", hour)
+        .groupBy("event_type", "hour_epoch")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )
+
+
+def events_hourly_sql() -> str:
+    return """
+SELECT event_type,
+       epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       count(*) AS event_count,
+       sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents
+FROM events GROUP BY event_type, hour_epoch ORDER BY event_type, hour_epoch
+"""

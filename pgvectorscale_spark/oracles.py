@@ -17,7 +17,7 @@ from pgvectorscale_spark.functions.hashing import (
     DUCKDB,
     band_hash,
     h60,
-    minhash_signature,
+    minhash_seeds,
     tokens,
     word_shingles,
 )
@@ -243,44 +243,60 @@ FROM documents GROUP BY {h60('text', DUCKDB)} ORDER BY keep_id
 """
 
 
-def minhash_signature_oracle(num_hashes: int, shingle_n: int) -> str:
+def _minhash_sig_ctes(num_hashes: int, shingle_n: int) -> str:
+    """CTE chain ending in sig(doc_id, signature) — hash once per shingle,
+    min(xor(h, seed_j)) per hash function (mirrors dedup.minhash_signatures)."""
     toks = tokens("text", DUCKDB)
     sh = word_shingles(toks, shingle_n, DUCKDB)
-    sig = minhash_signature("shingles", num_hashes, DUCKDB)
+    mins = ", ".join(
+        f"min(xor(hv, {seed})) AS m{j}" for j, seed in enumerate(minhash_seeds(num_hashes))
+    )
+    arr = ", ".join(f"m{j}" for j in range(num_hashes))
     return f"""
-WITH s AS (SELECT doc_id, {sh} AS shingles FROM documents)
-SELECT doc_id, {sig} AS signature FROM s ORDER BY doc_id
+s AS (SELECT doc_id, {sh} AS shingles FROM documents),
+ex AS (SELECT doc_id, unnest(shingles) AS sng FROM s),
+hv AS (SELECT doc_id, {h60('sng', DUCKDB)} AS hv FROM ex),
+mn AS (SELECT doc_id, {mins} FROM hv GROUP BY doc_id),
+sig AS (SELECT doc_id, [{arr}] AS signature FROM mn)"""
+
+
+def minhash_signature_oracle(num_hashes: int, shingle_n: int) -> str:
+    return f"""
+WITH {_minhash_sig_ctes(num_hashes, shingle_n)}
+SELECT doc_id, signature FROM sig ORDER BY doc_id
+"""
+
+
+def minhash_signature_str_oracle(num_hashes: int, shingle_n: int) -> str:
+    """Signature rendered as Spark's array-to-string cast format '[a, b, c]'
+    so the value-hash compares a plain string column on both engines."""
+    return f"""
+WITH {_minhash_sig_ctes(num_hashes, shingle_n)}
+SELECT doc_id, '[' || array_to_string(signature, ', ') || ']' AS sig_str
+FROM sig ORDER BY doc_id
 """
 
 
 def minhash_bands_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
     rows = num_hashes // bands
-    toks = tokens("text", DUCKDB)
-    sh = word_shingles(toks, shingle_n, DUCKDB)
-    sig = minhash_signature("shingles", num_hashes, DUCKDB)
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, {band_hash('signature', b, rows, DUCKDB)} AS band_hash FROM sig"
         for b in range(bands)
     )
     return f"""
-WITH s AS (SELECT doc_id, {sh} AS shingles FROM documents),
-sig AS (SELECT doc_id, {sig} AS signature FROM s)
+WITH {_minhash_sig_ctes(num_hashes, shingle_n)}
 SELECT * FROM ({band_rows}) ORDER BY doc_id, band_id
 """
 
 
 def minhash_pairs_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
     rows = num_hashes // bands
-    toks = tokens("text", DUCKDB)
-    sh = word_shingles(toks, shingle_n, DUCKDB)
-    sig = minhash_signature("shingles", num_hashes, DUCKDB)
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, {band_hash('signature', b, rows, DUCKDB)} AS band_hash FROM sig"
         for b in range(bands)
     )
     return f"""
-WITH s AS (SELECT doc_id, {sh} AS shingles FROM documents),
-sig AS (SELECT doc_id, {sig} AS signature FROM s),
+WITH {_minhash_sig_ctes(num_hashes, shingle_n)},
 buckets AS ({band_rows})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM buckets a JOIN buckets b USING (band_id, band_hash)

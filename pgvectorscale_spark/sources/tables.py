@@ -27,6 +27,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it
+        # unless nanos are surfaced as raw longs (ts column = epoch nanos).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
