@@ -41,8 +41,16 @@ def main() -> None:
     docs = load_table(spark, "documents", SF_DIR)
     emb = load_table(spark, "embeddings", SF_DIR)
 
-    # warm the JVM + parquet footers outside the timed region
+    # warm the JVM, parquet footers, and Python UDF workers outside the timed
+    # region (local-mode worker cold start is ~3s and unrepresentative of a
+    # long-lived cluster)
     lineitem.count(), emb.count(), docs.count()
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    emb.mapInPandas(_noop, schema=emb.schema).count()
 
     quant = train_quantizer(emb, bits_per_dimension=1)
     encoded = encode_dataframe(emb, quant).persist()

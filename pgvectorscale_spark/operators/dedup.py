@@ -61,9 +61,22 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition narrow inputs so per-row hashing parallelizes.
+
+    A small parquet file scans as ONE partition, serializing the md5-heavy
+    explode stages onto a single core. At 100 TB the source is already wide
+    and this is a no-op; locally it restores the cluster-equivalent plan.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _with_shingles(df: DataFrame, text_col: str, shingle_n: int) -> DataFrame:
     toks = tokens(text_col, SPARK)
-    return df.withColumn("_shingles", F.expr(word_shingles(toks, shingle_n, SPARK)))
+    return _widen(df).withColumn("_shingles", F.expr(word_shingles(toks, shingle_n, SPARK)))
 
 
 def minhash_signatures(
@@ -191,7 +204,8 @@ def simhash(
     ((h60(token) >> i) & 1) * 2 - 1. Relational formulation (explode +
     two groupBys with partial agg) — identical shape in the DuckDB twin."""
     toks = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(F.expr(tokens(text_col, SPARK)))).alias("tok"))
+        _widen(df)
+        .select(F.col(id_col), F.explode(F.array_distinct(F.expr(tokens(text_col, SPARK)))).alias("tok"))
         .withColumn("_h", F.expr(h60("tok", SPARK)))
     )
     bits = (

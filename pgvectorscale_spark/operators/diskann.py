@@ -281,7 +281,15 @@ class DiskannIndex:
             pdf["deleted"] = False
             return _emit_nodes(pdf, g, gids)
 
-        nodes = base.groupBy("shard").applyInPandas(build_shard, schema=_NODE_SCHEMA)
+        # explicit repartition: one task per shard. Without it AQE coalesces
+        # the small shuffle into one partition and the shard builds run
+        # sequentially in a single Python worker — a parallelism collapse
+        # (harmless-looking locally, catastrophic on a cluster).
+        nodes = (
+            base.repartition(num_shards, "shard")
+            .groupBy("shard")
+            .applyInPandas(build_shard, schema=_NODE_SCHEMA)
+        )
         (
             nodes.write.mode("overwrite")
             .partitionBy("shard")
@@ -371,6 +379,7 @@ class DiskannIndex:
 
         cand = (
             self.nodes()
+            .repartition(self.meta.num_shards, "shard")  # one task per shard (see build)
             .groupBy("shard")
             .applyInPandas(shard_search, schema="query_id long, node_id long, wdist double")
         )
@@ -479,7 +488,11 @@ class DiskannIndex:
             pdf["deleted"] = pdf["deleted"].fillna(False)
             return _emit_nodes(pdf, g, gids)
 
-        updated = combined.groupBy("shard").applyInPandas(insert_shard, schema=_NODE_SCHEMA)
+        updated = (
+            combined.repartition(max(len(shards), 1), "shard")  # one task per shard
+            .groupBy("shard")
+            .applyInPandas(insert_shard, schema=_NODE_SCHEMA)
+        )
         self._rewrite_partitions(updated)
         self.meta.num_rows += src.count()
         self.meta.save(self.path)

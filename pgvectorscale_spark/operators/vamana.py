@@ -92,19 +92,38 @@ class VamanaGraph:
         )
         self.start_default: int | None = None
         self.start_by_label: dict[int, int] = {}
+        # precomputed squared norms: in-graph L2 via |a|²+|b|²-2a·b keeps the
+        # hot path a single float32 BLAS matvec (the walk makes ~100k tiny
+        # distance calls per 1k inserts — per-call numpy overhead dominates
+        # without this)
+        self._sqnorms = (
+            np.einsum("ij,ij->i", self.mat, self.mat) if self.distance_type == "l2" else None
+        )
 
     # -- distance ----------------------------------------------------------
+
+    def _dists_fast(self, v32: np.ndarray, sq_v: float, idxs: np.ndarray) -> np.ndarray:
+        """In-graph float32 BLAS distance from vector v32 to stored idxs."""
+        dots = self.mat[idxs] @ v32
+        if self.distance_type == "l2":
+            return np.maximum(self._sqnorms[idxs] + sq_v - 2.0 * dots, 0.0).astype(np.float64)
+        if self.distance_type == "cosine":
+            return np.maximum(1.0 - dots, 0.0).astype(np.float64)
+        return (-dots).astype(np.float64)
 
     def _dists_to_point(self, i: int, idxs: np.ndarray) -> np.ndarray:
         """Graph-internal distance from stored node i to stored nodes idxs."""
         if self.codes is not None:
             return np_hamming(self.codes[idxs], self.codes[i]).astype(np.float64)
-        return np_distance(self.mat[idxs], self.mat[i], self.distance_type, assume_normalized=True)
+        sq = float(self._sqnorms[i]) if self._sqnorms is not None else 0.0
+        return self._dists_fast(self.mat[i], sq, idxs)
 
     def _dists_to_query(self, q: np.ndarray, idxs: np.ndarray, qcode: np.ndarray | None) -> np.ndarray:
         if self.codes is not None and qcode is not None:
             return np_hamming(self.codes[idxs], qcode).astype(np.float64)
-        return np_distance(self.mat[idxs], q, self.distance_type, assume_normalized=True)
+        q32 = q if q.dtype == np.float32 else q.astype(np.float32)
+        sq = float(q32 @ q32) if self.distance_type == "l2" else 0.0
+        return self._dists_fast(q32, sq, idxs)
 
     def exact_dists(self, q: np.ndarray, idxs: np.ndarray) -> np.ndarray:
         """Full-precision rescore distances (scan.rs:244-305)."""
@@ -237,8 +256,8 @@ class VamanaGraph:
                         continue
                 d_ce = self._dists_to_point(sel, cand_idx[live])
                 d_cp = cand_dist[live]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    factor = np.where(d_ce > 0, d_cp / d_ce, np.where(d_cp > 0, np.inf, 1.0))
+                safe = np.where(d_ce > 0, d_ce, 1.0)
+                factor = np.where(d_ce > 0, d_cp / safe, np.where(d_cp > 0, np.inf, 1.0))
                 max_factors[live] = np.maximum(max_factors[live], factor)
             alpha *= 1.2
         return results
