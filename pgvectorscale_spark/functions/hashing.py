@@ -72,6 +72,25 @@ def xor_expr(a: str, b: str, dialect: str) -> str:
     return f"({a} ^ {b})" if dialect == SPARK else f"xor({a}, {b})"
 
 
+def minhash_signature_expr(shingles_expr: str, num_hashes: int) -> str:
+    """Row-local MinHash signature as ONE Spark fold — no shuffle, no state.
+
+    ``aggregate`` walks the hashed shingles once, keeping an array of
+    ``num_hashes`` running minima (acc[j] = min(h ^ seed_j)); each shingle's
+    md5 is evaluated exactly once. Being a pure per-row expression it works
+    identically on batch and streaming DataFrames. Values match the
+    explode+groupBy formulation and the DuckDB oracle by construction.
+    """
+    seeds = minhash_seeds(num_hashes)
+    seed_arr = "array(" + ", ".join(f"{s}L" for s in seeds) + ")"
+    hashed = f"transform({shingles_expr}, s -> {h60('s', SPARK)})"
+    init = f"array_repeat(9223372036854775807L, {num_hashes})"
+    return (
+        f"aggregate({hashed}, {init}, "
+        f"(acc, h) -> zip_with(acc, {seed_arr}, (a, c) -> least(a, h ^ c)))"
+    )
+
+
 def band_hash(sig_expr: str, band: int, rows_per_band: int, dialect: str) -> str:
     """Hash of one LSH band (rows_per_band consecutive signature entries)."""
     start = band * rows_per_band + 1

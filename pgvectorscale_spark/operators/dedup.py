@@ -29,7 +29,7 @@ from pgvectorscale_spark.functions.hashing import (
     SPARK,
     band_hash,
     h60,
-    minhash_seeds,
+    minhash_signature_expr,
     tokens,
     word_shingles,
 )
@@ -67,7 +67,11 @@ def _widen(df: DataFrame) -> DataFrame:
     A small parquet file scans as ONE partition, serializing the md5-heavy
     explode stages onto a single core. At 100 TB the source is already wide
     and this is a no-op; locally it restores the cluster-equivalent plan.
+    Streaming DataFrames pass through (micro-batch sizing is the stream's
+    own concern and ``.rdd`` is undefined for them).
     """
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
@@ -86,25 +90,18 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, signature array<bigint>) — fully declarative, md5 once per shingle.
+    """(id, signature array<bigint>) — one per-row fold, zero shuffle.
 
-    Shape: explode shingles → h60 each ONCE → groupBy(id) with one
-    ``min(h ^ seed_j)`` aggregate per hash function. Map-side partial min
-    means the shuffle carries num_hashes longs per (doc, partition) — at
-    100 TB signature cost is one pass + one combine-heavy shuffle,
-    independent of num_hashes in md5 work.
+    The signature is a single ``aggregate`` expression (hashing.py
+    minhash_signature_expr): each shingle hashed once, num_hashes running
+    minima kept in the fold accumulator. No explode, no groupBy — at 100 TB
+    signatures are a map-only stage; the same expression serves streaming
+    micro-batches unchanged.
     """
     sh = _with_shingles(df, text_col, shingle_n)
-    ex = sh.select(F.col(id_col), F.explode("_shingles").alias("_s"))
-    hashed = ex.select(F.col(id_col), F.expr(h60("_s", SPARK)).alias("_h"))
-    aggs = [
-        F.min(F.expr(f"_h ^ {seed}")).alias(f"_m{j}")
-        for j, seed in enumerate(minhash_seeds(num_hashes))
-    ]
-    return (
-        hashed.groupBy(id_col)
-        .agg(*aggs)
-        .select(F.col(id_col), F.array(*[f"_m{j}" for j in range(num_hashes)]).alias("signature"))
+    return sh.select(
+        F.col(id_col),
+        F.expr(minhash_signature_expr("_shingles", num_hashes)).alias("signature"),
     )
 
 
@@ -114,19 +111,18 @@ def lsh_band_buckets(
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """(id, band_id, band_hash) — one row per band per doc."""
-    parts = [
-        sig_df.select(
-            F.col(id_col),
-            F.lit(b).alias("band_id"),
-            F.expr(band_hash("signature", b, rows_per_band, SPARK)).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """(id, band_id, band_hash) — one row per band per doc.
+
+    Single posexplode projection (not a bands-way union): the signature
+    expression feeding it is evaluated once per row, and the plan stays one
+    map stage regardless of band count.
+    """
+    hash_arr = F.array(
+        *[F.expr(band_hash("signature", b, rows_per_band, SPARK)) for b in range(bands)]
+    )
+    return sig_df.select(
+        F.col(id_col), F.posexplode(hash_arr).alias("band_id", "band_hash")
+    )
 
 
 def minhash_candidate_pairs(

@@ -43,6 +43,14 @@ def make_fixture_f1(spark, n=300, d=64, seed=42):
     return df, mat
 
 
+def make_vectors(spark, n=100, dim=16, seed=42):
+    """Seeded corpus in the embeddings-table shape (vec_id, embedding)."""
+    rng = np.random.default_rng(seed)
+    mat = rng.random((n, dim), dtype=np.float32)
+    rows = [(i, mat[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
 def make_fixture_f4(spark, n=50, d=16, seed=42, num_labels=16):
     """FIXTURES.md F4: labeled corpus with NULL / empty / null-element edge rows."""
     rng = np.random.default_rng(seed)

@@ -1,0 +1,130 @@
+"""Structured Streaming plane: windowed aggs, micro-batch index ingest,
+stream-static near-dup screening. Streams are driven with availableNow
+triggers over file sources so each test is deterministic and bounded."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.operators.diskann import DiskannIndex
+from pgvectorscale_spark.operators.dedup import lsh_band_buckets, minhash_signatures
+from pgvectorscale_spark.operators.relational import events_hourly
+from pgvectorscale_spark.streaming.ingest import stream_delete, stream_insert
+from pgvectorscale_spark.streaming.windows import (
+    events_windowed_stream,
+    streaming_neardup_candidates,
+)
+from tests.conftest import make_vectors
+
+
+def _ts(h, m=0):
+    return dt.datetime(2026, 1, 1, h, m)
+
+
+@pytest.fixture()
+def event_rows(spark, tmpdir):
+    rows = [
+        (1, _ts(9, 5), 7, "click", 1.25),
+        (2, _ts(9, 40), 7, "click", 2.50),
+        (3, _ts(9, 55), 8, "view", 0.75),
+        (4, _ts(10, 10), 7, "click", 4.00),
+        (5, _ts(10, 20), 9, "view", 3.10),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    path = str(tmpdir.join("events_in"))
+    df.coalesce(1).write.parquet(path)
+    return df, path
+
+
+def test_events_windowed_stream_matches_batch(spark, tmpdir, event_rows):
+    batch_df, path = event_rows
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = events_windowed_stream(stream, window_duration="1 hour", watermark_delay="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ev_windows")
+        .outputMode("complete")  # append would hold windows until the watermark passes
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmpdir.join("ckpt_ev")))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["event_type"], r["hour_epoch"]): (r["event_count"], r["value_cents"])
+        for r in spark.sql("SELECT * FROM ev_windows").collect()
+    }
+    exp = {
+        (r["event_type"], r["hour_epoch"]): (r["event_count"], r["value_cents"])
+        for r in events_hourly(batch_df).collect()
+    }
+    assert got == exp  # the batch rollup is the stream's backfill
+
+
+def test_stream_insert_then_search(spark, tmpdir):
+    base = make_vectors(spark, n=120, dim=16, seed=7)
+    idx = DiskannIndex.build(
+        base, str(tmpdir.join("idx")), distance_type="l2", num_shards=2, target_shard_size=100
+    )
+    new = make_vectors(spark, n=140, dim=16, seed=7).filter("vec_id >= 120")
+    in_path = str(tmpdir.join("stream_in"))
+    new.coalesce(1).write.parquet(in_path)
+
+    stream = spark.readStream.schema(new.schema).parquet(in_path)
+    q = stream_insert(idx, stream, checkpoint_dir=str(tmpdir.join("ckpt_ins")))
+    q.awaitTermination(120)
+    assert idx.full_scan().count() == 140
+
+    target = new.filter("vec_id = 130").first()["embedding"]
+    got = [r["node_id"] for r in idx.search(target, k=3).collect()]
+    assert got[0] == 130  # streamed vector is its own nearest neighbor
+
+
+def test_stream_delete_tombstones(spark, tmpdir):
+    base = make_vectors(spark, n=60, dim=8, seed=3)
+    idx = DiskannIndex.build(
+        base, str(tmpdir.join("idx_d")), distance_type="l2", num_shards=2, target_shard_size=50
+    )
+    dels = spark.createDataFrame([(0,), (1,)], "vec_id long")
+    in_path = str(tmpdir.join("del_in"))
+    dels.coalesce(1).write.parquet(in_path)
+    stream = spark.readStream.schema(dels.schema).parquet(in_path)
+    q = stream_delete(idx, stream, checkpoint_dir=str(tmpdir.join("ckpt_del")))
+    q.awaitTermination(120)
+    assert idx.full_scan().count() == 58
+    q0 = base.filter("vec_id = 0").first()["embedding"]
+    top = [r["node_id"] for r in idx.search(q0, k=5).collect()]
+    assert 0 not in top and 1 not in top
+
+
+def test_streaming_neardup_screen(spark, tmpdir, documents):
+    static_docs = documents.limit(50)
+    static_buckets = lsh_band_buckets(
+        minhash_signatures(static_docs, num_hashes=8), bands=4, rows_per_band=2
+    )
+    # stream two docs: one exact copy of doc 7, one novel
+    dup_text = documents.filter("doc_id = 7").first()["text"]
+    new_docs = spark.createDataFrame(
+        [(1000, dup_text), (1001, "entirely novel text never seen before xyzzy")],
+        "doc_id long, text string",
+    )
+    in_path = str(tmpdir.join("docs_in"))
+    new_docs.coalesce(1).write.parquet(in_path)
+    stream = spark.readStream.schema(new_docs.schema).parquet(in_path)
+    out = streaming_neardup_candidates(stream, static_buckets, num_hashes=8, bands=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmpdir.join("ckpt_nd")))
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {(r["new_doc_id"], r["dup_of"]) for r in spark.sql("SELECT * FROM neardup").collect()}
+    assert (1000, 7) in pairs
+    assert all(a != 1001 for a, _ in pairs)  # novel doc matches nothing
