@@ -169,6 +169,42 @@ def _diskann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diskann_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-filtered graph search (T4/G8: per-label start nodes, overlap
+    pruning in the beam, recheck on results). Rows-only check."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "labels", F.array(F.col("label")).cast("array<smallint>")
+    )
+    q = _query_vec(spark, sf_dir, 0)
+    path = tempfile.mkdtemp(prefix="diskann_lbl_")
+    idx = DiskannIndex.build(emb, path, distance_type="l2", num_shards=4, label_col="labels")
+    return idx.search(q, k=10, labels=[3, 4]).select(
+        F.col("node_id").alias("vec_id"), F.round("distance", 4).alias("distance")
+    )
+
+
+def _diskann_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert + tombstone-delete lifecycle (B3/B4 analogs): build on ids<400,
+    stream-insert the rest, delete ids 0-4, search. Rows-only check."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="diskann_mut_")
+    idx = DiskannIndex.build(emb.filter("vec_id < 400"), path, distance_type="l2", num_shards=2)
+    idx.insert(emb.filter("vec_id >= 400"))
+    idx.delete([0, 1, 2, 3, 4])
+    q = _query_vec(spark, sf_dir, 0)
+    return idx.search(q, k=10).select(
+        F.col("node_id").alias("vec_id"), F.round("distance", 4).alias("distance")
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(_docs(spark, sf_dir))
 
@@ -235,6 +271,22 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.events_hourly(load_table(spark, "events", sf_dir))
 
 
+def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.events_json_rollup(load_table(spark, "events", sf_dir))
+
+
+def _top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_orders_per_customer(load_table(spark, "orders", sf_dir), k=3)
+
+
+def _tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvectorscale_spark.functions.text import bpe_token_count_sql
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(bpe_token_count_sql("text", SPARK)).alias("bpe_token_count")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # vector search (SURVEY.md §2.1/2.2/2.5)
@@ -253,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search scale paths
         "ivf_search": _ivf,
         "diskann_search": _diskann_search,
+        "diskann_labeled": _diskann_labeled,
+        "diskann_mutations": _diskann_mutations,
         # dedup family
         "dedup_exact": _dedup_exact,
         "minhash_signatures": _minhash_signatures,
@@ -268,6 +322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _pricing_summary,
         "top_customers": _top_customers,
         "events_hourly": _events_hourly,
+        "events_json": _events_json,
+        "top_orders_per_customer": _top_orders_per_customer,
+        "tokenize_bpe": _tokenize_bpe,
     }
 
 
@@ -298,4 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": relational.pricing_summary_sql(),
         "top_customers": relational.top_customers_sql(10),
         "events_hourly": relational.events_hourly_sql(),
+        "events_json": relational.events_json_rollup_sql(),
+        "top_orders_per_customer": relational.top_orders_per_customer_sql(3),
+        "tokenize_bpe": oracles.tokenize_bpe_oracle(),
     }

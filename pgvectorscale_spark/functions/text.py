@@ -110,6 +110,24 @@ def document_fingerprint_sql(text_expr: str, dialect: str) -> str:
     return rolling_fingerprint(text_expr, dialect)
 
 
+# ASCII-class BPE-style pre-tokenizer: letter runs, digit runs, and single
+# punctuation marks each become one token (the GPT-2 pre-tokenizer shape,
+# ASCII-restricted so Java and RE2 regex semantics agree exactly).
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_tokens_sql(text_expr: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"regexp_extract_all({text_expr}, '{BPE_PATTERN}', 0)"
+    return f"regexp_extract_all({text_expr}, '{BPE_PATTERN}')"
+
+
+def bpe_token_count_sql(text_expr: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"cast(size({bpe_tokens_sql(text_expr, SPARK)}) as bigint)"
+    return f"len({bpe_tokens_sql(text_expr, DUCKDB)})::BIGINT"
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis features as columns (JVM-side expressions)."""
     t = text_col

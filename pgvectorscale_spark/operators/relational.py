@@ -130,3 +130,66 @@ SELECT event_type,
        sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents
 FROM events GROUP BY event_type, hour_epoch ORDER BY event_type, hour_epoch
 """
+
+
+def events_json_rollup(events: DataFrame) -> DataFrame:
+    """JSON column surface: extract props.k, aggregate per event_type.
+
+    ``get_json_object`` is JVM-side (Jackson); the extraction and the cast
+    stay inside whole-stage codegen — no UDF for semi-structured columns.
+    """
+    return (
+        events.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_json_rollup_sql() -> str:
+    return """
+SELECT event_type,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+       min(json_extract(props, '$.k')::BIGINT) AS k_min,
+       max(json_extract(props, '$.k')::BIGINT) AS k_max,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window-function surface: rank orders per customer, keep the top k.
+
+    row_number over (custkey, totalprice desc) — one hash-partitioned window,
+    ties broken by orderkey for cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            "rn",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def top_orders_per_customer_sql(k: int = 3) -> str:
+    return f"""
+SELECT o_custkey, o_orderkey,
+       floor(o_totalprice * 100)::BIGINT AS price_cents,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders QUALIFY rn <= {k} ORDER BY o_custkey, rn
+"""

@@ -362,6 +362,15 @@ FROM documents ORDER BY doc_id
 """
 
 
+def tokenize_bpe_oracle() -> str:
+    from pgvectorscale_spark.functions.text import bpe_token_count_sql
+
+    return f"""
+SELECT doc_id, {bpe_token_count_sql('text', DUCKDB)} AS bpe_token_count
+FROM documents ORDER BY doc_id
+"""
+
+
 def multimodal_meta_oracle() -> str:
     return """
 SELECT doc_id, octet_length(encode(text)) AS byte_len,
