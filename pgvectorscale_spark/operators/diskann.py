@@ -61,7 +61,33 @@ from pgvectorscale_spark.types import (
     StorageType,
 )
 
-__all__ = ["DiskannIndex"]
+__all__ = ["DiskannIndex", "QueryStats"]
+
+
+class QueryStats:
+    """Per-query-batch counters (reference StreamingStats / amendscan DEBUG1
+    log, scan.rs:119-160, :458-476; stats.rs:3-283), accumulator-backed.
+
+    Pass an instance to ``search``/``search_batch``; counters populate when
+    the returned DataFrame executes (Spark accumulators flow from the shard
+    tasks to the driver with task completion, like the reference's stats
+    flowing to the backend at scan end).
+    """
+
+    def __init__(self, spark: SparkSession):
+        sc = spark.sparkContext
+        self.candidates_scored = sc.accumulator(0)
+        self.quantized_comparisons = sc.accumulator(0)
+        self.rescored = sc.accumulator(0)
+        self.shard_searches = sc.accumulator(0)
+
+    def as_dict(self) -> dict[str, int]:
+        return {
+            "candidates_scored": self.candidates_scored.value,
+            "quantized_comparisons": self.quantized_comparisons.value,
+            "rescored": self.rescored.value,
+            "shard_searches": self.shard_searches.value,
+        }
 
 _NODE_SCHEMA = (
     "node_id long, shard int, vector array<float>, bq_code array<long>, "
@@ -233,8 +259,12 @@ class DiskannIndex:
             sel.append(F.lit(None).cast("array<smallint>").alias("labels"))
         base = src.select(*sel)
 
+        # build phases surface in the Spark UI like the reference's
+        # ambuildphasename progress (build.rs:1154-1166)
+        sc = spark.sparkContext
         quantizer_state = None
         if storage_type == StorageType.SBQ.value:
+            sc.setJobDescription("diskann build: training quantizer")
             d_index = meta.effective_dims
             train_src = base.select(F.slice("vector", 1, d_index).alias("v"))
             q = train_quantizer(train_src, "v", bits_per_dimension=meta.effective_bits)
@@ -285,6 +315,7 @@ class DiskannIndex:
         # the small shuffle into one partition and the shard builds run
         # sequentially in a single Python worker — a parallelism collapse
         # (harmless-looking locally, catastrophic on a cluster).
+        sc.setJobDescription("diskann build: building + finalizing graph")
         nodes = (
             base.repartition(num_shards, "shard")
             .groupBy("shard")
@@ -295,6 +326,7 @@ class DiskannIndex:
             .partitionBy("shard")
             .parquet(os.path.join(path, "nodes"))
         )
+        sc.setJobDescription(None)
         meta.save(path)
         return cls(spark, path, meta)
 
@@ -323,6 +355,7 @@ class DiskannIndex:
         search_list_size: int = DEFAULT_QUERY_SEARCH_LIST_SIZE,
         rescore: int = DEFAULT_QUERY_RESCORE,
         labels: Sequence[int] | None = None,
+        stats: "QueryStats | None" = None,
     ) -> DataFrame:
         """Single-query top-k → DataFrame (node_id, distance).
 
@@ -335,7 +368,9 @@ class DiskannIndex:
         qdf = self.spark.createDataFrame(
             [(0, [float(x) for x in query_vec])], "query_id long, query_vec array<float>"
         )
-        res = self.search_batch(qdf, k=k, search_list_size=search_list_size, rescore=rescore, labels=labels)
+        res = self.search_batch(
+            qdf, k=k, search_list_size=search_list_size, rescore=rescore, labels=labels, stats=stats
+        )
         return res.select("node_id", "distance").orderBy("rank")
 
     def search_batch(
@@ -347,6 +382,7 @@ class DiskannIndex:
         labels: Sequence[int] | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
+        stats: "QueryStats | None" = None,
     ) -> DataFrame:
         """Scatter/gather batch search: (query_id, node_id, distance, rank)."""
         meta_d = _meta_dict(self.meta)
@@ -375,6 +411,11 @@ class DiskannIndex:
                 out_q.extend([qids_l[qi]] * len(live))
                 out_n.extend(int(gids[i]) for i, _ in live)
                 out_d.extend(float(dv) for _, dv in live)
+                if stats is not None:
+                    stats.shard_searches += 1
+                    stats.candidates_scored += g.last_stats.get("candidates_scored", 0)
+                    stats.quantized_comparisons += g.last_stats.get("quantized_comparisons", 0)
+                    stats.rescored += len(live)  # exact rescore happens JVM-side on these
             return pd.DataFrame({"query_id": out_q, "node_id": out_n, "wdist": out_d})
 
         cand = (

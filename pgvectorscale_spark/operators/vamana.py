@@ -92,6 +92,7 @@ class VamanaGraph:
         )
         self.start_default: int | None = None
         self.start_by_label: dict[int, int] = {}
+        self.last_stats: dict[str, int] = {}
         # precomputed squared norms: in-graph L2 via |a|²+|b|²-2a·b keeps the
         # hot path a single float32 BLAS matvec (the walk makes ~100k tiny
         # distance calls per 1k inserts — per-call numpy overhead dominates
@@ -351,6 +352,13 @@ class VamanaGraph:
             q, L, query_labels=query_labels, no_filter=no_filter, qcode=qcode,
             include_frontier=True,
         )
+        # per-search counters (reference StreamingStats, scan.rs:119-160;
+        # stats.rs:3-283): node expansions, quantized comparisons, rescores
+        self.last_stats = {
+            "candidates_scored": len(vis),
+            "quantized_comparisons": len(vis) if self.codes is not None else 0,
+            "rescored": 0,
+        }
         if not vis:
             return np.array([], dtype=np.int64), np.array([])
         vidx = np.array(vis, dtype=np.int64)
@@ -365,6 +373,7 @@ class VamanaGraph:
             order = np.lexsort((vidx, vd))[: max(rescore, k)]
             cand = vidx[order]
             ed = self.exact_dists(q, cand)
+            self.last_stats["rescored"] = len(cand)
             top = np.lexsort((cand, ed))[:k]
             return cand[top], ed[top]
         order = np.lexsort((vidx, vd))[:k]

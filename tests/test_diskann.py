@@ -148,3 +148,15 @@ def test_plain_storage_and_validation(spark, tmpdir):
     with pytest.raises(ValueError, match="labels"):
         DiskannIndex.build(df, f"{tmpdir}/x2", storage_type="plain",
                            label_col="id", id_col="id")
+
+
+def test_query_stats_populate(built, spark):
+    from pgvectorscale_spark.operators.diskann import QueryStats
+
+    idx, mat = built
+    stats = QueryStats(spark)
+    idx.search(mat[5].tolist(), k=10, stats=stats).collect()
+    d = stats.as_dict()
+    assert d["shard_searches"] == idx.meta.num_shards  # every shard walked once
+    assert d["candidates_scored"] > 0
+    assert d["rescored"] >= 10
