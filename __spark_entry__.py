@@ -128,6 +128,22 @@ def _sbq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("distance").cast("long").alias("hamming"))
 
 
+def _sbq2_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 5)
+    quant = train_quantizer(emb, bits_per_dimension=2)
+    return search_sbq(
+        emb, q, k=20, rescore=0, search_list_size=20, quantizer=quant, distance_type="l2"
+    ).select("vec_id", F.col("distance").cast("long").alias("hamming"))
+
+
+def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup (scale path). The hyperplanes are
+    numpy-seeded so there is no SQL twin; the exact operator
+    (embedding_neardup) is the oracle-checked one. Rows-only."""
+    return dedup.embedding_neardup_lsh(_emb(spark, sf_dir), threshold=0.8)
+
+
 def _sbq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = _query_vec(spark, sf_dir, 5)
@@ -301,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SBQ (§2.4)
         "sbq_means": _sbq_means,
         "sbq_hamming": _sbq_hamming,
+        "sbq2_hamming": _sbq2_hamming,
         "sbq_rescore": _sbq_rescore,
         # similarity search scale paths
         "ivf_search": _ivf,
@@ -315,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
         "embedding_neardup": _embedding_neardup,
+        "embedding_neardup_lsh": _embedding_neardup_lsh,
         # text analysis + multimodal
         "text_features": _text_features,
         "multimodal_meta": _multimodal_meta,
@@ -340,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
         "index_full_scan": oracles.index_full_scan_oracle(),
         "sbq_means": oracles.sbq_means_oracle(),
         "sbq_hamming": oracles.sbq_hamming_oracle(5, 20),
+        "sbq2_hamming": oracles.sbq2_hamming_oracle(5, 20),
         "sbq_rescore": oracles.sbq_rescore_oracle(5, 50, 10),
         "ivf_search": oracles.ivf_search_oracle(9, 10, 16, 4),
         # diskann_search: iterative graph walk — intentionally no SQL oracle

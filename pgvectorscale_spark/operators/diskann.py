@@ -213,12 +213,13 @@ class DiskannIndex:
                 raise ValueError("plain storage does not support labels")
 
         src = df.filter(F.col(vector_col).isNotNull())  # NULLs never indexed (build.rs:493-497)
-        first = src.select(F.size(F.col(vector_col)).alias("d")).first()
-        dims = int(first["d"]) if first else 0
+        row = src.agg(
+            F.count("*").alias("n"), F.first(F.size(F.col(vector_col))).alias("d")
+        ).first()
+        n, dims = int(row["n"]), int(row["d"]) if row["d"] is not None else 0
         cap = MAX_DIMENSIONS_PLAIN if storage_type == StorageType.PLAIN.value else MAX_DIMENSIONS
         if dims > cap:
             raise ValueError(f"{dims} dimensions exceeds cap {cap} for {storage_type}")
-        n = src.count()
         num_shards = num_shards or max(1, -(-n // target_shard_size))
 
         meta = IndexMeta(

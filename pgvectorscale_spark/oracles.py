@@ -141,6 +141,33 @@ SELECT vec_id, hamming::BIGINT AS hamming FROM ham ORDER BY hamming, vec_id LIMI
 """
 
 
+def sbq2_hamming_oracle(query_id: int, k: int, bits: int = 2) -> str:
+    """2-bit thermometer SBQ Hamming top-k, expressed arithmetically.
+
+    Unary (thermometer) codes make XOR+popcount equal the per-dimension
+    |ones_a - ones_b|, so the packed-bit kernel has an exact SQL twin:
+    ones = 0 if idx < 1 else min(floor(idx), bits), idx = (z+2)/(4/(bits+1)),
+    z = (v-mu)/sigma; sigma=0 rows degrade to (v > mu ? bits : 0)
+    (quantize.rs:63-89 incl. the float->usize saturation edge).
+    """
+    width = 4.0 / (bits + 1)
+    ones = (
+        f"CASE WHEN m.sd = 0 THEN (CASE WHEN {{v}} > m.mu THEN {bits} ELSE 0 END) "
+        f"ELSE (CASE WHEN (({{v}} - m.mu) / m.sd + 2.0) / {width} < 1.0 THEN 0 "
+        f"ELSE least(floor((({{v}} - m.mu) / m.sd + 2.0) / {width}), {bits}) END) END"
+    )
+    return f"""
+WITH e AS ({_UNNEST}),
+m AS (SELECT i, avg(v) AS mu, sqrt(var_pop(v)) AS sd FROM e GROUP BY i),
+o AS (SELECT e.vec_id, e.i, {ones.format(v='e.v')} AS ones FROM e JOIN m USING (i)),
+q AS (SELECT i, ones FROM o WHERE vec_id = {query_id}),
+ham AS (
+  SELECT o.vec_id, sum(abs(o.ones - q.ones))::BIGINT AS hamming
+  FROM o JOIN q USING (i) GROUP BY o.vec_id)
+SELECT vec_id, hamming FROM ham ORDER BY hamming, vec_id LIMIT {k}
+"""
+
+
 def sbq_rescore_oracle(query_id: int, window: int, k: int) -> str:
     """Two-stage: Hamming top-`window` candidates → exact squared-L2 top-k (T2)."""
     return f"""
