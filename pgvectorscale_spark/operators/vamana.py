@@ -130,6 +130,27 @@ class VamanaGraph:
         """Full-precision rescore distances (scan.rs:244-305)."""
         return np_distance(self.mat[idxs], q, self.distance_type, assume_normalized=True)
 
+    def _pairwise_dists(self, idxs: np.ndarray) -> np.ndarray:
+        """(m, m) graph-internal distance matrix among candidates — one BLAS
+        gram (or one broadcast XOR) instead of m matvecs inside the prune."""
+        if self.codes is not None:
+            c = self.codes[idxs]
+            x = np.bitwise_xor(c[:, None, :], c[None, :, :])
+            if hasattr(np, "bitwise_count"):
+                return np.bitwise_count(x).sum(axis=2).astype(np.float64)
+            b = x.view(np.uint8).reshape(len(idxs), len(idxs), -1)
+            from pgvectorscale_spark.functions.distance import _POPCOUNT_LUT
+
+            return _POPCOUNT_LUT[b].sum(axis=2).astype(np.float64)
+        sub = self.mat[idxs]
+        g = sub @ sub.T
+        if self.distance_type == "l2":
+            n = self._sqnorms[idxs]
+            return np.maximum(n[:, None] + n[None, :] - 2.0 * g, 0.0).astype(np.float64)
+        if self.distance_type == "cosine":
+            return np.maximum(1.0 - g, 0.0).astype(np.float64)
+        return (-g).astype(np.float64)
+
     # -- greedy search (G1/G2/G3) -------------------------------------------
 
     def _start_nodes(self, query_labels: frozenset | None) -> list[int]:
@@ -161,9 +182,12 @@ class VamanaGraph:
         starts = self._start_nodes(None if no_filter else query_labels)
         if not starts:
             return [], []
+        q32 = np.asarray(q, dtype=np.float32)
         sidx = np.array(starts)
-        sd = self._dists_to_query(q, sidx, qcode)
-        # candidate list: sorted (dist, idx, expanded) capped at L
+        sd = self._dists_to_query(q32, sidx, qcode)
+        # candidate list: sorted (dist, idx, expanded) capped at L. Python
+        # insort beats array re-sorts here: ~30 O(len) inserts per expansion
+        # are cheaper than a lexsort + 3 concatenates of the whole beam.
         cand: list[list] = sorted([d, i, False] for d, i in zip(sd.tolist(), starts))
         seen = set(starts)
         visited: list[int] = []
@@ -184,7 +208,7 @@ class VamanaGraph:
                 continue
             seen.update(neigh)
             nidx = np.array(neigh)
-            nd = self._dists_to_query(q, nidx, qcode)
+            nd = self._dists_to_query(q32, nidx, qcode)
             for d, v in zip(nd.tolist(), neigh):
                 insort(cand, [d, v, False])
             if len(cand) > 4 * L:
@@ -224,6 +248,10 @@ class VamanaGraph:
         m = len(cand_idx)
         if m == 0:
             return []
+        # one pairwise matrix up front; each selection then reads a row
+        # instead of issuing its own distance call (the prune runs once per
+        # back-edge overflow — this is the build's second hot loop)
+        D = self._pairwise_dists(cand_idx)
         max_factors = np.zeros(m)
         results: list[int] = []
         alpha = 1.0
@@ -237,10 +265,9 @@ class VamanaGraph:
                 max_factors[i] = np.inf
                 sel = int(cand_idx[i])
                 results.append(sel)
-                tail = np.arange(i + 1, m)
-                if len(tail) == 0:
+                if i + 1 >= m:
                     continue
-                live = tail[max_factors[tail] <= self.max_alpha]
+                live = np.arange(i + 1, m)[max_factors[i + 1 :] <= self.max_alpha]
                 if len(live) == 0:
                     continue
                 if labeled:
@@ -255,7 +282,7 @@ class VamanaGraph:
                     live = live[keep_mask]
                     if len(live) == 0:
                         continue
-                d_ce = self._dists_to_point(sel, cand_idx[live])
+                d_ce = D[i, live]
                 d_cp = cand_dist[live]
                 safe = np.where(d_ce > 0, d_ce, 1.0)
                 factor = np.where(d_ce > 0, d_cp / safe, np.where(d_cp > 0, np.inf, 1.0))
