@@ -153,6 +153,23 @@ def _sbq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.round("distance", 4).alias("distance"))
 
 
+def _sbq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted flat SBQ index (build → write → load → search). Same math
+    as sbq_rescore, so the same oracle checks the storage round-trip."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.sbq_index import SbqFlatIndex
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 5)
+    path = tempfile.mkdtemp(prefix="sbqflat_entry_")
+    SbqFlatIndex.build(emb, path, distance_type="l2", bits_per_dimension=1)
+    idx = SbqFlatIndex.load(spark, path)
+    return idx.search(q, k=10, rescore=50, search_list_size=50).select(
+        F.col("node_id").alias("vec_id"), F.round("distance", 4).alias("distance")
+    )
+
+
 def _ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = _query_vec(spark, sf_dir, 9)
@@ -319,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sbq_hamming": _sbq_hamming,
         "sbq2_hamming": _sbq2_hamming,
         "sbq_rescore": _sbq_rescore,
+        "sbq_index_persisted": _sbq_index_persisted,
         # similarity search scale paths
         "ivf_search": _ivf,
         "diskann_search": _diskann_search,
@@ -360,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "sbq_hamming": oracles.sbq_hamming_oracle(5, 20),
         "sbq2_hamming": oracles.sbq2_hamming_oracle(5, 20),
         "sbq_rescore": oracles.sbq_rescore_oracle(5, 50, 10),
+        "sbq_index_persisted": oracles.sbq_rescore_oracle(5, 50, 10),
         "ivf_search": oracles.ivf_search_oracle(9, 10, 16, 4),
         # diskann_search: iterative graph walk — intentionally no SQL oracle
         "dedup_exact": oracles.dedup_exact_oracle(),
