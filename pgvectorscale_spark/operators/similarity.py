@@ -20,7 +20,53 @@ from pyspark.sql import functions as F
 
 from pgvectorscale_spark.functions.distance import distance_expr
 
-__all__ = ["ivf_assign", "ivf_search"]
+__all__ = ["ivf_assign", "ivf_search", "kmeans_centroids"]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    num_centroids: int = 16,
+    iterations: int = 5,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Declarative Lloyd iterations: the quality upgrade over lowest-id seeds.
+
+    Each round = one broadcast-join assignment + one map-side-combined
+    aggregate (posexplode -> avg per (cluster, dim)); centroids stay tiny and
+    broadcast, the corpus is scanned ``iterations`` times and never shuffled
+    whole (the shuffle carries num_centroids x dims partial sums per task).
+    Seeds are the lowest-id vectors, so the whole training is deterministic.
+
+    Returns (centroid_id, centroid array<double>).
+    """
+    centroids = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vector_col).cast("array<double>").alias("_cv"))
+    )
+    src = df.select(F.col(id_col), F.col(vector_col)).persist()
+    try:
+        for _ in range(iterations):
+            scored = src.crossJoin(F.broadcast(centroids)).withColumn(
+                "_d", distance_expr(F.col(vector_col), F.col("_cv"), "l2")
+            )
+            w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("centroid_id").asc())
+            assigned = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+            centroids = (
+                assigned.select("centroid_id", F.posexplode(vector_col).alias("dim", "v"))
+                .groupBy("centroid_id", "dim")
+                .agg(F.avg("v").alias("m"))
+                .groupBy("centroid_id")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_s"))
+                .select(
+                    "centroid_id",
+                    F.expr("transform(_s, x -> x.m)").alias("_cv"),
+                )
+            )
+        return centroids.select("centroid_id", F.col("_cv").alias("centroid"))
+    finally:
+        src.unpersist()
 
 
 def ivf_assign(
@@ -29,17 +75,23 @@ def ivf_assign(
     distance_type: str = "l2",
     vector_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Assign every vector to its nearest deterministic centroid.
+    """Assign every vector to its nearest centroid.
 
-    Returns (id, centroid_id, assign_dist). Centroids = vectors with the
-    `num_centroids` lowest ids (deterministic, oracle-replayable).
+    Returns (id, centroid_id, assign_dist). Default centroids = vectors with
+    the `num_centroids` lowest ids (deterministic, oracle-replayable); pass
+    ``centroids_df`` (centroid_id, centroid) from kmeans_centroids for the
+    quality path.
     """
-    centroids = (
-        df.orderBy(F.col(id_col).asc())
-        .limit(num_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vector_col).alias("_cv"))
-    )
+    if centroids_df is not None:
+        centroids = centroids_df.select("centroid_id", F.col("centroid").alias("_cv"))
+    else:
+        centroids = (
+            df.orderBy(F.col(id_col).asc())
+            .limit(num_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vector_col).alias("_cv"))
+        )
     scored = df.select(F.col(id_col), F.col(vector_col)).crossJoin(F.broadcast(centroids))
     scored = scored.withColumn(
         "assign_dist", distance_expr(F.col(vector_col), F.col("_cv"), distance_type)
@@ -61,18 +113,22 @@ def ivf_search(
     distance_type: str = "l2",
     vector_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k: probe the nprobe cells nearest the query, exact rerank.
 
     Returns (id, distance) — distance rounded to 6dp for oracle parity.
     """
     qlit = F.array([F.lit(float(x)) for x in query_vec])
-    assign = ivf_assign(df, num_centroids, distance_type, vector_col, id_col)
-    centroids = (
-        df.orderBy(F.col(id_col).asc())
-        .limit(num_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vector_col).alias("_cv"))
-    )
+    assign = ivf_assign(df, num_centroids, distance_type, vector_col, id_col, centroids_df)
+    if centroids_df is not None:
+        centroids = centroids_df.select("centroid_id", F.col("centroid").alias("_cv"))
+    else:
+        centroids = (
+            df.orderBy(F.col(id_col).asc())
+            .limit(num_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vector_col).alias("_cv"))
+        )
     probed = (
         centroids.withColumn("_qd", distance_expr(F.col("_cv"), qlit, distance_type))
         .orderBy(F.col("_qd").asc(), F.col("centroid_id").asc())

@@ -51,3 +51,32 @@ def test_frame_sample_plan(spark, documents):
     tot = frames.groupBy("doc_id").agg(F.sum(F.length("frame_bytes")).alias("n")).collect()
     orig = {r["doc_id"]: r["n"] for r in src.select("doc_id", F.length("payload").alias("n")).collect()}
     assert {r["doc_id"]: r["n"] for r in tot} == orig
+
+
+def test_kmeans_ivf_quality(spark, embeddings):
+    """k-means centroids: IVF with trained cells reaches >= the recall of
+    lowest-id seeding at the same nprobe budget."""
+    import numpy as np
+
+    from pgvectorscale_spark.functions.distance import np_l2_squared
+    from pgvectorscale_spark.operators.similarity import ivf_search, kmeans_centroids
+
+    rows = embeddings.orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = mat[9]
+    true = set(np.lexsort((np.arange(len(mat)), np_l2_squared(mat, q)))[:10].tolist())
+
+    cents = kmeans_centroids(embeddings, num_centroids=8, iterations=3)
+    assert cents.count() == 8
+    got_km = {r["vec_id"] for r in ivf_search(
+        embeddings, q.tolist(), k=10, num_centroids=8, nprobe=3, centroids_df=cents
+    ).collect()}
+    got_id = {r["vec_id"] for r in ivf_search(
+        embeddings, q.tolist(), k=10, num_centroids=8, nprobe=3
+    ).collect()}
+    assert len(got_km & true) >= len(got_id & true)
+    # full probe = exact
+    got_all = {r["vec_id"] for r in ivf_search(
+        embeddings, q.tolist(), k=10, num_centroids=8, nprobe=8, centroids_df=cents
+    ).collect()}
+    assert got_all == true
