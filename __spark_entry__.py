@@ -304,6 +304,19 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.events_hourly(load_table(spark, "events", sf_dir))
 
 
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the stateful streaming op,
+    streaming/sessionize.py). Nanos -> epoch seconds via exact long division."""
+    from pgvectorscale_spark.streaming.sessionize import sessionize_batch
+
+    events = load_table(spark, "events", sf_dir).withColumn(
+        "ts_sec", F.expr("ts div 1000000000")
+    )
+    return sessionize_batch(events, gap_seconds=1800, ts_col="ts_sec").select(
+        "user_id", "session_start", "session_end", "event_count"
+    )
+
+
 def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.events_json_rollup(load_table(spark, "events", sf_dir))
 
@@ -359,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _top_customers,
         "events_hourly": _events_hourly,
         "events_json": _events_json,
+        "sessionize": _sessionize,
         "top_orders_per_customer": _top_orders_per_customer,
         "tokenize_bpe": _tokenize_bpe,
     }
@@ -394,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": relational.top_customers_sql(10),
         "events_hourly": relational.events_hourly_sql(),
         "events_json": relational.events_json_rollup_sql(),
+        "sessionize": oracles.sessionize_oracle(1800),
         "top_orders_per_customer": relational.top_orders_per_customer_sql(3),
         "tokenize_bpe": oracles.tokenize_bpe_oracle(),
     }

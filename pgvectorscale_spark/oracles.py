@@ -398,6 +398,25 @@ FROM documents ORDER BY doc_id
 """
 
 
+def sessionize_oracle(gap_seconds: int = 1800) -> str:
+    """Gap-based sessionization in SQL: lag -> gap flag -> cumsum -> agg.
+    Times in epoch seconds (floor) so nanosecond storage compares exactly."""
+    return f"""
+WITH e AS (SELECT user_id, floor(epoch(ts))::BIGINT AS ts_sec FROM events),
+l AS (SELECT user_id, ts_sec,
+             lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) AS prev FROM e),
+f AS (SELECT user_id, ts_sec,
+             CASE WHEN prev IS NULL OR ts_sec - prev > {gap_seconds} THEN 1 ELSE 0 END AS is_new
+      FROM l),
+s AS (SELECT user_id, ts_sec,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+SELECT user_id, min(ts_sec) AS session_start, max(ts_sec) AS session_end,
+       count(*) AS event_count
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
 def multimodal_meta_oracle() -> str:
     return """
 SELECT doc_id, octet_length(encode(text)) AS byte_len,

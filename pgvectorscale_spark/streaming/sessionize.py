@@ -1,0 +1,146 @@
+"""Custom stateful streaming operator: gap-based user sessionization.
+
+The shape Spark's built-in windows can't express: a session ends only when
+a user goes quiet for ``gap`` — window boundaries depend on the data, so the
+operator keeps per-user state across micro-batches via
+``applyInPandasWithState`` (GroupState + event-time timeout). State per key
+is O(1) (session start / last-seen / counters), emitted and cleared when the
+watermark passes last_seen + gap — bounded state at any key cardinality.
+
+Batch twin (for tests and backfill): the classic lag/cumsum window
+formulation — identical session boundaries, so the stream is verifiable
+against a deterministic batch computation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["sessionize_stream", "sessionize_batch"]
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("event_count", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("count", LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Emit (user_id, session_start, session_end, event_count) as sessions
+    close (event-time timeout = watermark past last_seen + gap)."""
+    gap_ms = gap_seconds * 1000
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        closed: list[tuple[int, int, int, int]] = []
+        (user,) = key
+        if state.hasTimedOut:
+            start_ms, last_ms, count = state.get
+            closed.append((user, start_ms, last_ms, count))
+            state.remove()
+        else:
+            ts_ms = pd.concat([p[ts_col] for p in pdfs]).astype("int64") // 1_000_000
+            ts_ms = ts_ms.sort_values().to_numpy()
+            if state.exists:
+                start_ms, last_ms, count = state.get
+            else:
+                start_ms, last_ms, count = int(ts_ms[0]), int(ts_ms[0]), 0
+            for t in ts_ms:
+                t = int(t)
+                if t - last_ms > gap_ms:
+                    closed.append((user, start_ms, last_ms, count))
+                    start_ms, count = t, 0
+                last_ms = max(last_ms, t)
+                count += 1
+            state.update((start_ms, last_ms, count))
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime([c[1] for c in closed], unit="ms"),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="ms"),
+                    "event_count": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Batch twin: lag -> gap flag -> cumsum session id -> per-session agg.
+
+    Two window passes over (user, ts) plus one aggregate; the session
+    boundaries match sessionize_stream exactly (same strict > gap rule).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    flagged = (
+        df.withColumn("_prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (
+                    (F.col(ts_col).cast("double") - F.col("_prev").cast("double"))
+                    > float(gap_seconds)
+                )
+            ).cast("long"),
+        )
+        .withColumn("_sid", F.sum("_new").over(w))
+    )
+    return (
+        flagged.groupBy(user_col, "_sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("event_count"),
+        )
+        .drop("_sid")
+    )

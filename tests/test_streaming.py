@@ -128,3 +128,53 @@ def test_streaming_neardup_screen(spark, tmpdir, documents):
     pairs = {(r["new_doc_id"], r["dup_of"]) for r in spark.sql("SELECT * FROM neardup").collect()}
     assert (1000, 7) in pairs
     assert all(a != 1001 for a, _ in pairs)  # novel doc matches nothing
+
+
+def test_sessionize_stream_matches_batch(spark, tmpdir):
+    from pgvectorscale_spark.streaming.sessionize import sessionize_batch, sessionize_stream
+
+    rows = [
+        # user 7: two sessions separated by a 40-min gap
+        (1, _ts(9, 0), 7, "click", 1.0),
+        (2, _ts(9, 10), 7, "click", 1.0),
+        (3, _ts(9, 50), 7, "view", 1.0),
+        (4, _ts(9, 55), 7, "view", 1.0),
+        # user 8: one session
+        (5, _ts(9, 20), 8, "click", 1.0),
+        # sentinel far in the future: advances the watermark so all real
+        # sessions time out and emit within the availableNow run
+        (6, _ts(23, 0), 99, "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    path = str(tmpdir.join("sess_in"))
+    # two files -> two micro-batches: state must carry across batches
+    df.filter("event_id <= 2").coalesce(1).write.parquet(path)
+    df.filter("event_id > 2").coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    out = sessionize_stream(stream, gap_seconds=1800, watermark_delay="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmpdir.join("ckpt_sess")))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["event_count"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    exp_all = {
+        (r["user_id"], r["session_start"], r["session_end"], r["event_count"])
+        for r in sessionize_batch(df, gap_seconds=1800).collect()
+    }
+    # every emitted session must be a true session; users 7 and 8 must have
+    # fully closed (the sentinel's own session stays open past end-of-stream)
+    assert got <= exp_all
+    closed_users = {u for (u, *_rest) in got}
+    assert {7, 8} <= closed_users
+    assert sum(1 for (u, *_r) in got if u == 7) == 2  # both of user 7's sessions
