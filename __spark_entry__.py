@@ -202,6 +202,22 @@ def _diskann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diskann_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain storage layout (full-precision vectors in the graph, no
+    quantization — storage.rs:144-168 second variant). Rows-only check."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    path = tempfile.mkdtemp(prefix="diskann_plain_")
+    idx = DiskannIndex.build(emb, path, distance_type="cosine", storage_type="plain", num_shards=4)
+    return idx.search(q, k=10).select(
+        F.col("node_id").alias("vec_id"), F.round("distance", 4).alias("distance")
+    )
+
+
 def _diskann_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-filtered graph search (T4/G8: per-label start nodes, overlap
     pruning in the beam, recheck on results). Rows-only check."""
@@ -353,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search scale paths
         "ivf_search": _ivf,
         "diskann_search": _diskann_search,
+        "diskann_plain": _diskann_plain,
         "diskann_labeled": _diskann_labeled,
         "diskann_mutations": _diskann_mutations,
         # dedup family

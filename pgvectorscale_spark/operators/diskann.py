@@ -407,7 +407,15 @@ class DiskannIndex:
             d_index = md["num_dimensions_to_index"]
             for qi in range(len(qids_l)):
                 q = qmat_l[qi][:d_index] if d_index else qmat_l[qi]
-                idx, dist = g.search(q, k=limit + len(dead), search_list_size=sls, rescore=0, query_labels=qlab)
+                # rescore the ENTIRE visited pool inside the shard (exact on
+                # the walk dims — one BLAS op over shard-local vectors) and
+                # only then truncate. Truncating by *quantized* order loses
+                # true neighbors ranked past the cutoff by Hamming: measured
+                # recall@10 at 50k/16 shards was 0.83 quantized-truncated.
+                idx, dist = g.search(
+                    q, k=limit + len(dead), search_list_size=sls,
+                    rescore=1 << 30, query_labels=qlab,
+                )
                 live = [(i, dv) for i, dv in zip(idx, dist) if int(i) not in dead][:limit]
                 out_q.extend([qids_l[qi]] * len(live))
                 out_n.extend(int(gids[i]) for i, _ in live)
