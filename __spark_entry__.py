@@ -176,6 +176,19 @@ def _ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(emb, q, k=10, num_centroids=16, nprobe=4, distance_type="l2")
 
 
+def _ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with declarative k-means centroids (the quality path; iterative
+    training -> no SQL twin, rows-only check)."""
+    from pgvectorscale_spark.operators.similarity import kmeans_centroids
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 9)
+    cents = kmeans_centroids(emb, num_centroids=16, iterations=3)
+    return ivf_search(
+        emb, q, k=10, num_centroids=16, nprobe=4, distance_type="l2", centroids_df=cents
+    )
+
+
 def _full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return emb.filter(F.col("embedding").isNotNull()).agg(F.count("*").alias("n_indexed"))
@@ -368,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sbq_index_persisted": _sbq_index_persisted,
         # similarity search scale paths
         "ivf_search": _ivf,
+        "ivf_kmeans": _ivf_kmeans,
         "diskann_search": _diskann_search,
         "diskann_plain": _diskann_plain,
         "diskann_labeled": _diskann_labeled,
