@@ -189,6 +189,24 @@ def _ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF (cells = parquet partitions; probe = partition pruning).
+    Deterministic seeds (kmeans_iterations=0) make the stored layout replay
+    the same oracle as the in-memory IVF operator."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 9)
+    path = tempfile.mkdtemp(prefix="ivfidx_entry_")
+    IvfIndex.build(emb, path, num_centroids=16, kmeans_iterations=0, distance_type="l2")
+    idx = IvfIndex.load(spark, path)
+    return idx.search(q, k=10, nprobe=4).select(
+        F.col("node_id").alias("vec_id"), "distance"
+    )
+
+
 def _full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return emb.filter(F.col("embedding").isNotNull()).agg(F.count("*").alias("n_indexed"))
@@ -382,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search scale paths
         "ivf_search": _ivf,
         "ivf_kmeans": _ivf_kmeans,
+        "ivf_persisted": _ivf_persisted,
         "diskann_search": _diskann_search,
         "diskann_plain": _diskann_plain,
         "diskann_labeled": _diskann_labeled,
@@ -425,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
         "sbq_rescore": oracles.sbq_rescore_oracle(5, 50, 10),
         "sbq_index_persisted": oracles.sbq_rescore_oracle(5, 50, 10),
         "ivf_search": oracles.ivf_search_oracle(9, 10, 16, 4),
+        "ivf_persisted": oracles.ivf_search_oracle(9, 10, 16, 4),
         # diskann_search: iterative graph walk — intentionally no SQL oracle
         "dedup_exact": oracles.dedup_exact_oracle(),
         "minhash_signatures": oracles.minhash_signature_str_oracle(8, 3),
