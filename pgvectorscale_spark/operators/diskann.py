@@ -525,6 +525,14 @@ class DiskannIndex:
 
         def insert_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             qstate = b_state.value
+            # upsert: a re-inserted node_id replaces its stored row (the
+            # reference's UPDATE churn = delete+insert, build.rs:1613-1698;
+            # also makes replayed streaming micro-batches idempotent).
+            # Stale edges pointing at the id now reach the new vector —
+            # the same staleness a tombstone's surviving edges have.
+            incoming = pdf["neighbors"].isna()
+            replaced = pdf["node_id"].isin(pdf.loc[incoming, "node_id"]) & ~incoming
+            pdf = pdf[~replaced]
             pdf = pdf.sort_values("node_id").reset_index(drop=True)
             new_mask = pdf["neighbors"].isna()
             new_ids = sorted(int(x) for x in pdf.loc[new_mask, "node_id"])
@@ -553,7 +561,8 @@ class DiskannIndex:
             .applyInPandas(insert_shard, schema=_NODE_SCHEMA)
         )
         self._rewrite_partitions(updated)
-        self.meta.num_rows += src.count()
+        # recount (not +=): upserts replace rows rather than adding them
+        self.meta.num_rows = self.nodes().count()
         self.meta.save(self.path)
 
     def delete(self, ids: Sequence[int]) -> None:

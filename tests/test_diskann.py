@@ -160,3 +160,30 @@ def test_query_stats_populate(built, spark):
     assert d["shard_searches"] == idx.meta.num_shards  # every shard walked once
     assert d["candidates_scored"] > 0
     assert d["rescored"] >= 10
+
+
+def test_update_churn_upsert(spark, tmpdir):
+    """Reference UPDATE churn (build.rs:1613-1698): re-inserting existing ids
+    replaces their vectors; counts stay stable; search reflects new values."""
+    import numpy as np
+
+    from tests.conftest import make_vectors
+
+    base = make_vectors(spark, n=100, dim=8, seed=13)
+    idx = DiskannIndex.build(
+        base, f"{tmpdir}/idx_up", distance_type="l2", num_shards=2, target_shard_size=60
+    )
+    # move vectors 0..19 to a far-away cluster, same ids
+    rng = np.random.default_rng(99)
+    moved = spark.createDataFrame(
+        [(i, (rng.random(8) + 10.0).astype("float32").tolist()) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    idx.insert(moved)
+    assert idx.full_scan().count() == 100  # upsert, not append
+    q = moved.filter("vec_id = 3").first()["embedding"]
+    top = [r["node_id"] for r in idx.search(q, k=3).collect()]
+    assert top[0] == 3  # the NEW vector wins, not the stale one
+    # re-running the same batch is idempotent (streaming replay contract)
+    idx.insert(moved)
+    assert idx.full_scan().count() == 100
