@@ -187,3 +187,34 @@ def test_update_churn_upsert(spark, tmpdir):
     # re-running the same batch is idempotent (streaming replay contract)
     idx.insert(moved)
     assert idx.full_scan().count() == 100
+
+
+def test_high_dimensions_and_caps(spark, tmpdir):
+    """High-dim build (reference build.rs:1854-1917) + dim-cap validation
+    (build.rs:192-196): 4000 dims builds and searches; >16000 dims rejected;
+    plain storage rejected past 2000 dims."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    mat = rng.random((80, 4000), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(80)], "vec_id long, embedding array<float>"
+    )
+    idx = DiskannIndex.build(df, f"{tmpdir}/idx_hd", distance_type="l2", num_shards=1)
+    assert idx.meta.num_dimensions == 4000
+    assert idx.meta.bits_per_dimension == 1  # >900 dims -> 1 bit (meta_page.rs:312-323)
+    top = [r["node_id"] for r in idx.search(mat[7].tolist(), k=5).collect()]
+    assert top[0] == 7
+
+    big = spark.createDataFrame(
+        [(0, [0.0] * 16001)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="exceeds cap"):
+        DiskannIndex.build(big, f"{tmpdir}/idx_cap", num_shards=1)
+    wide = spark.createDataFrame(
+        [(0, [0.0] * 2001)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="exceeds cap"):
+        DiskannIndex.build(
+            wide, f"{tmpdir}/idx_plaincap", storage_type="plain", distance_type="l2", num_shards=1
+        )
