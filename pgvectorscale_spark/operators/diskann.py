@@ -101,7 +101,11 @@ def _node_cols() -> list[str]:
 
 
 def _shard_col(id_col, num_shards: int):
-    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).cast("int")
+    # hash the canonical long form: xxhash64 is type-sensitive in Spark
+    # (xxhash64(1 as int) != xxhash64(1 as bigint)), and node_id is stored
+    # as long — an int-typed id column on a later insert()/delete() would
+    # otherwise route the same id to a different shard than it was built in.
+    return F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(num_shards)).cast("int")
 
 
 def _to_frozenset(x) -> frozenset | None:
@@ -488,6 +492,20 @@ class DiskannIndex:
         only those shard partitions (single writer per index assumed)."""
         meta_d = _meta_dict(self.meta)
         src = df.filter(F.col(vector_col).isNotNull())
+        # dimension check up front on the driver: a mismatched vector would
+        # otherwise die deep in the executor as an opaque np.stack ragged-
+        # array error (build() validates caps; inserts must match the index)
+        dims = src.agg(
+            F.min(F.size(F.col(vector_col))).alias("lo"),
+            F.max(F.size(F.col(vector_col))).alias("hi"),
+        ).first()
+        if dims["lo"] is not None and (
+            dims["lo"] != self.meta.num_dimensions or dims["hi"] != self.meta.num_dimensions
+        ):
+            raise ValueError(
+                f"insert vectors have {dims['lo']}..{dims['hi']} dimensions; "
+                f"index expects {self.meta.num_dimensions}"
+            )
         vec = F.col(vector_col)
         if self.meta.distance_type == DistanceType.COSINE.value:
             vec = l2_normalize(vec)
@@ -532,9 +550,32 @@ class DiskannIndex:
             # the same staleness a tombstone's surviving edges have.
             incoming = pdf["neighbors"].isna()
             replaced = pdf["node_id"].isin(pdf.loc[incoming, "node_id"]) & ~incoming
+            # When the replaced row is a start node, its flags must survive
+            # on the upserted row — otherwise the rehydrated graph has no
+            # start_default, the first new node becomes a fresh start with an
+            # empty adjacency list, and the whole pre-existing shard graph
+            # goes unreachable (recall collapse until compact()). We also
+            # seed the upsert with the old adjacency so its re-insert walk
+            # (and any sibling inserts entering through it) can still reach
+            # the graph; robust_prune rewrites the list right after.
+            repl = pdf.loc[replaced].drop_duplicates("node_id").set_index("node_id")
             pdf = pdf[~replaced]
+            pdf = pdf.copy()
+            pdf["_new"] = incoming[pdf.index]
+            if len(repl):
+                for ridx in pdf.index[pdf["_new"]]:
+                    nid = int(pdf.at[ridx, "node_id"])
+                    if nid not in repl.index:
+                        continue
+                    old = repl.loc[nid]
+                    if bool(old["is_default_start"]):
+                        pdf.at[ridx, "is_default_start"] = True
+                    if old["start_labels"] is not None:
+                        pdf.at[ridx, "start_labels"] = old["start_labels"]
+                    pdf.at[ridx, "neighbors"] = old["neighbors"]
             pdf = pdf.sort_values("node_id").reset_index(drop=True)
-            new_mask = pdf["neighbors"].isna()
+            new_mask = pdf["_new"]
+            pdf = pdf.drop(columns=["_new"])
             new_ids = sorted(int(x) for x in pdf.loc[new_mask, "node_id"])
             # quantize new rows (existing rows keep their stored codes)
             if meta_d["storage_type"] == StorageType.SBQ.value and new_mask.any():
@@ -595,14 +636,23 @@ class DiskannIndex:
 
         staging = os.path.join(self.path, "_staging_nodes")
         updated.write.mode("overwrite").partitionBy("shard").parquet(staging)
+        prior = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            self.spark.read.parquet(staging)
-            .select(_node_cols())
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(os.path.join(self.path, "nodes"))
-        )
+        try:
+            (
+                self.spark.read.parquet(staging)
+                .select(_node_cols())
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(os.path.join(self.path, "nodes"))
+            )
+        finally:
+            # restore: leaking 'dynamic' would silently change the semantics
+            # of the user's own partitioned overwrites on the shared session
+            if prior is None:
+                self.spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
         shutil.rmtree(staging, ignore_errors=True)
 
     def compact(self) -> "DiskannIndex":

@@ -32,6 +32,7 @@ float32 (plain layout) or SBQ-quantized Hamming (memory_optimized layout).
 
 from __future__ import annotations
 
+import math
 from bisect import insort
 from typing import Callable, Sequence
 
@@ -86,7 +87,9 @@ class VamanaGraph:
         self.labels = list(labels) if labels is not None else None
         self.codes = codes  # (n, w) uint64 or None
         self.quantize_fn = quantize_fn
-        self.max_build_neighbors = int(self.R * NEIGHBOR_SLACK)
+        # ceil matches the reference's (num_neighbors * GRAPH_SLACK_FACTOR)
+        # .ceil() (meta_page.rs:252-255); int() would floor e.g. R=25 to 32
+        self.max_build_neighbors = math.ceil(self.R * NEIGHBOR_SLACK)
         self.adj: list[list[int]] = (
             [list(a) for a in adjacency] if adjacency is not None else [[] for _ in range(self.n)]
         )

@@ -189,6 +189,53 @@ def test_update_churn_upsert(spark, tmpdir):
     assert idx.full_scan().count() == 100
 
 
+def test_upsert_start_node_keeps_graph_reachable(spark, tmpdir):
+    """Upserting the id that is a shard's default start node must transfer
+    the start flags to the surviving row — otherwise the rehydrated graph
+    has no start and the whole pre-existing shard becomes unreachable
+    (shard-wide recall collapse until compact)."""
+    from tests.conftest import make_vectors
+
+    base = make_vectors(spark, n=120, dim=8, seed=21)
+    idx = DiskannIndex.build(
+        base, f"{tmpdir}/idx_start_up", distance_type="l2", num_shards=2, target_shard_size=80
+    )
+    starts = idx.nodes().filter(F.col("is_default_start")).select("node_id", "shard").collect()
+    assert len(starts) == 2  # one default start per shard
+    start_id = int(starts[0]["node_id"])
+    start_shard = int(starts[0]["shard"])
+    # re-insert the start id with a new far-away vector
+    rng = np.random.default_rng(5)
+    moved = spark.createDataFrame(
+        [(start_id, (rng.random(8) + 10.0).astype("float32").tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    idx.insert(moved)
+    after = idx.nodes().filter(F.col("shard") == start_shard)
+    assert after.filter(F.col("is_default_start")).count() == 1  # start survived
+    # an untouched old vector in the SAME shard must still be findable
+    victim = (
+        idx.nodes()
+        .filter((F.col("shard") == start_shard) & (F.col("node_id") != start_id))
+        .select("node_id", "vector")
+        .first()
+    )
+    top = [r["node_id"] for r in idx.search(list(victim["vector"]), k=3).collect()]
+    assert top[0] == int(victim["node_id"])
+
+
+def test_insert_dimension_validation(spark, tmpdir):
+    """Wrong-dimension inserts fail fast on the driver with a clear error,
+    not deep in an executor as a ragged np.stack."""
+    from tests.conftest import make_vectors
+
+    base = make_vectors(spark, n=50, dim=8, seed=3)
+    idx = DiskannIndex.build(base, f"{tmpdir}/idx_dimchk", distance_type="l2", num_shards=1)
+    bad = spark.createDataFrame([(999, [0.0] * 12)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dimensions"):
+        idx.insert(bad)
+
+
 def test_high_dimensions_and_caps(spark, tmpdir):
     """High-dim build (reference build.rs:1854-1917) + dim-cap validation
     (build.rs:192-196): 4000 dims builds and searches; >16000 dims rejected;
