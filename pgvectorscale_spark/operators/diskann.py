@@ -45,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pgvectorscale_spark.functions.distance import distance_expr, l2_normalize, np_normalize
+from pgvectorscale_spark.functions.distance import l2_normalize, np_distance, np_normalize
 from pgvectorscale_spark.operators.sbq import SbqQuantizer, train_quantizer
 from pgvectorscale_spark.operators.vamana import VamanaGraph
 from pgvectorscale_spark.types import (
@@ -80,6 +80,7 @@ class QueryStats:
         self.quantized_comparisons = sc.accumulator(0)
         self.rescored = sc.accumulator(0)
         self.shard_searches = sc.accumulator(0)
+        self.cache_hits = sc.accumulator(0)  # executor shard-graph cache reuse
 
     def as_dict(self) -> dict[str, int]:
         return {
@@ -87,6 +88,7 @@ class QueryStats:
             "quantized_comparisons": self.quantized_comparisons.value,
             "rescored": self.rescored.value,
             "shard_searches": self.shard_searches.value,
+            "cache_hits": self.cache_hits.value,
         }
 
 _NODE_SCHEMA = (
@@ -116,12 +118,21 @@ def _to_frozenset(x) -> frozenset | None:
 
 
 def _graph_from_pdf(pdf: pd.DataFrame, meta: dict, quantizer_state) -> tuple[VamanaGraph, np.ndarray]:
-    """Rehydrate a shard's VamanaGraph from node-table rows."""
+    """Rehydrate a shard's VamanaGraph from node-table rows.
+
+    ``pdf`` may omit the ``vector`` column (codes-only serving under SBQ —
+    the walk runs on Hamming distance; full-precision rescore happens
+    JVM-side after the walk). The graph then carries an (n, 0) matrix."""
     pdf = pdf.sort_values("node_id").reset_index(drop=True)
     gids = pdf["node_id"].to_numpy()
     pos = {int(g): i for i, g in enumerate(gids)}
-    mat = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
-    d_index = meta["num_dimensions_to_index"] or mat.shape[1]
+    if "vector" in pdf.columns:
+        mat = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
+    else:
+        mat = np.zeros((len(pdf), 0), dtype=np.float32)
+    # fall back to num_dimensions (not mat width) so codes-only rehydration
+    # still quantizes queries over the full indexed prefix
+    d_index = meta["num_dimensions_to_index"] or meta["num_dimensions"] or mat.shape[1]
     walk_mat = mat[:, :d_index]
     codes = None
     quantize_fn = None
@@ -178,6 +189,84 @@ def _emit_nodes(pdf: pd.DataFrame, g: VamanaGraph, gids: np.ndarray) -> pd.DataF
     out["is_default_start"] = is_start
     out["start_labels"] = [sorted(s) if s else None for s in start_labels]
     return out
+
+
+# Executor-side shard-graph cache (process-level; Python workers are reused
+# across tasks with spark.python.worker.reuse=true, the default). A query
+# batch therefore rehydrates each shard graph ONCE PER EXECUTOR PROCESS, not
+# once per batch — the analog of the reference keeping index pages hot in
+# shared_buffers across scans. Keyed by (path, shard, epoch): any mutation
+# bumps the index epoch, so stale entries are never served.
+_SHARD_GRAPH_CACHE: dict[tuple, tuple] = {}
+_SHARD_GRAPH_CACHE_CAP = 64
+
+
+def _stage1_columns(meta_d: dict) -> list[str]:
+    """Columns the shard probe actually reads. Under SBQ the walk runs on
+    quantized codes, so per-batch probe I/O is O(codes + adjacency) — the
+    full-precision ``vector`` column is fetched only by the JVM rescore join
+    (the reference reads only visited nodes' pages: sbq/storage.rs:125-230;
+    we go further and keep vectors out of the walk entirely)."""
+    cols = [
+        "node_id", "bq_code", "neighbors", "labels",
+        "is_default_start", "start_labels", "deleted",
+    ]
+    if meta_d["storage_type"] != StorageType.SBQ.value:
+        cols.insert(1, "vector")  # plain layout: the walk itself is exact
+    return cols
+
+
+def _load_shard_graph(
+    nodes_dir: str, shard: int, epoch: int, meta_d: dict, quantizer_state
+) -> tuple[VamanaGraph, np.ndarray, np.ndarray, np.ndarray | None, bool]:
+    """Load (or reuse) a shard's graph directly from its parquet partition.
+
+    Reads bypass Spark's scan: the worker pulls just the projected columns
+    with pyarrow from ``<nodes_dir>/shard=<s>`` (works on any pyarrow-
+    supported filesystem — local, HDFS, S3). Returns (graph, global_ids,
+    deleted_mask, full_matrix_or_None, cache_hit). The full-precision
+    matrix is resident only for plain storage (where the walk needs it
+    anyway); under SBQ the cache stays O(codes + adjacency)."""
+    key = (nodes_dir, int(shard), int(epoch))
+    hit = _SHARD_GRAPH_CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1], hit[2], hit[3], True
+    import pyarrow.dataset as pads
+
+    part = pads.dataset(os.path.join(nodes_dir, f"shard={shard}"), format="parquet")
+    pdf = part.to_table(columns=_stage1_columns(meta_d)).to_pandas()
+    pdf = pdf.sort_values("node_id").reset_index(drop=True)
+    g, gids = _graph_from_pdf(pdf, meta_d, quantizer_state)
+    dead = pdf["deleted"].fillna(False).to_numpy(dtype=bool)
+    fullmat = None
+    if "vector" in pdf.columns:
+        fullmat = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
+    if len(_SHARD_GRAPH_CACHE) >= _SHARD_GRAPH_CACHE_CAP:
+        # drop oldest entries (and anything from an older epoch of this index)
+        for k in sorted(_SHARD_GRAPH_CACHE, key=lambda k: k[2])[: len(_SHARD_GRAPH_CACHE) // 2]:
+            del _SHARD_GRAPH_CACHE[k]
+    _SHARD_GRAPH_CACHE[key] = (g, gids, dead, fullmat)
+    return g, gids, dead, fullmat, False
+
+
+def _fetch_vectors(nodes_dir: str, shard: int, node_ids: np.ndarray) -> tuple[np.ndarray, dict]:
+    """Fetch full-precision vectors for just the given node ids from the
+    shard's parquet partition — the analog of the reference reading only
+    visited nodes' pages (sbq/storage.rs:125-230). pyarrow prunes row
+    groups by node_id statistics, so per-batch vector I/O scales with the
+    visited set, not the shard."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    part = pads.dataset(os.path.join(nodes_dir, f"shard={shard}"), format="parquet")
+    t = part.to_table(
+        columns=["node_id", "vector"],
+        filter=pc.field("node_id").isin(pa.array(node_ids)),
+    )
+    ids = t.column("node_id").to_numpy()
+    mat = np.stack(t.column("vector").to_pandas().to_numpy()).astype(np.float32)
+    return mat, {int(g): i for i, g in enumerate(ids)}
 
 
 class DiskannIndex:
@@ -341,6 +430,12 @@ class DiskannIndex:
             .parquet(os.path.join(path, "nodes"))
         )
         sc.setJobDescription(None)
+        # keep the mutation epoch monotonic across rebuilds at the same path
+        # so executor-side shard caches from the old index never serve stale
+        try:
+            meta.epoch = IndexMeta.load(path).epoch + 1
+        except (OSError, ValueError, TypeError, KeyError):
+            pass
         meta.save(path)
         return cls(spark, path, meta)
 
@@ -398,7 +493,27 @@ class DiskannIndex:
         query_vec_col: str = "query_vec",
         stats: "QueryStats | None" = None,
     ) -> DataFrame:
-        """Scatter/gather batch search: (query_id, node_id, distance, rank)."""
+        """Scatter/gather batch search: (query_id, node_id, distance, rank).
+
+        Stage 1 (probe) is a tiny shard-id DataFrame fanned out one task per
+        shard; each worker loads the shard graph straight from its parquet
+        partition with pyarrow, projected to codes+adjacency only (no
+        vectors under SBQ), and keeps it in a process-level cache across
+        batches — so per-batch graph I/O is O(codes + adjacency) cold and
+        ~zero warm. The walk (Hamming under SBQ) collects the whole visited
+        pool; the probe then fetches full-precision vectors for JUST the
+        pooled nodes with a pyarrow node_id row filter (row-group pruning —
+        the reference's visited-only page reads, sbq/storage.rs:125-230),
+        exact-rescores the pool in one BLAS op (T2, scan.rs:244-305), drops
+        tombstoned rows (T1), and emits the per-shard exact top
+        max(k, rescore). Truncating by EXACT distance at ≥k per shard can
+        never drop a member of the global top-k, so recall is identical to
+        rescoring everything globally.
+
+        Stage 2 is pure JVM bookkeeping: a window top-k per query over
+        shards × queries × max(k, rescore) tiny rows. No join, no vector
+        scan, no shuffle proportional to the corpus — per-query cost is
+        independent of corpus size once shard graphs are warm."""
         meta_d = _meta_dict(self.meta)
         qrows = queries_df.select(query_id_col, query_vec_col).collect()
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -406,70 +521,73 @@ class DiskannIndex:
         if meta_d["distance_type"] == DistanceType.COSINE.value:
             qmat = np_normalize(qmat)  # query-time normalization (labels/mod.rs:209-238)
         qlabels = frozenset(int(l) for l in labels) if labels else None
-        per_shard = max(k, rescore)
+        limit = max(k, rescore)
         b = self.spark.sparkContext.broadcast(
-            (qids, qmat, meta_d, self._quantizer_state(), qlabels, per_shard, search_list_size)
+            (qids, qmat, meta_d, self._quantizer_state(), qlabels, limit, search_list_size)
         )
+        nodes_dir = os.path.join(self.path, "nodes")
+        epoch = self.meta.epoch
 
-        def shard_search(pdf: pd.DataFrame) -> pd.DataFrame:
-            qids_l, qmat_l, md, qstate, qlab, limit, sls = b.value
-            pdf = pdf.sort_values("node_id").reset_index(drop=True)
-            g, gids = _graph_from_pdf(pdf, md, qstate)
-            dead = set(np.flatnonzero(pdf["deleted"].fillna(False).to_numpy()))
-            out_q, out_n, out_d = [], [], []
+        def shard_probe(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            qids_l, qmat_l, md, qstate, qlab, lim, sls = b.value
+            g, gids, dead, fullmat, hot = _load_shard_graph(nodes_dir, shard, epoch, md, qstate)
+            if stats is not None and hot:
+                stats.cache_hits += 1
             d_index = md["num_dimensions_to_index"]
+            pools: list[np.ndarray] = []
             for qi in range(len(qids_l)):
                 q = qmat_l[qi][:d_index] if d_index else qmat_l[qi]
-                # rescore the ENTIRE visited pool inside the shard (exact on
-                # the walk dims — one BLAS op over shard-local vectors) and
-                # only then truncate. Truncating by *quantized* order loses
-                # true neighbors ranked past the cutoff by Hamming: measured
-                # recall@10 at 50k/16 shards was 0.83 quantized-truncated.
-                idx, dist = g.search(
-                    q, k=limit + len(dead), search_list_size=sls,
-                    rescore=1 << 30, query_labels=qlab,
-                )
-                live = [(i, dv) for i, dv in zip(idx, dist) if int(i) not in dead][:limit]
-                out_q.extend([qids_l[qi]] * len(live))
-                out_n.extend(int(gids[i]) for i, _ in live)
-                out_d.extend(float(dv) for _, dv in live)
+                idx, _ = g.search(q, k=0, search_list_size=sls, rescore=0, query_labels=qlab)
+                live = idx[~dead[idx]] if len(idx) else idx
+                pools.append(live)
                 if stats is not None:
                     stats.shard_searches += 1
                     stats.candidates_scored += g.last_stats.get("candidates_scored", 0)
                     stats.quantized_comparisons += g.last_stats.get("quantized_comparisons", 0)
-                    stats.rescored += len(live)  # exact rescore happens JVM-side on these
+            # visited-only vector fetch + one exact BLAS rescore per query
+            union = np.unique(np.concatenate([p for p in pools if len(p)] or [np.array([], dtype=np.int64)]))
+            if fullmat is not None:
+                vmat, vpos = fullmat, {int(i): int(i) for i in union}
+            elif len(union):
+                vmat, vpos = _fetch_vectors(nodes_dir, shard, gids[union])
+                vpos = {int(gid): r for gid, r in vpos.items()}
+            else:
+                vmat, vpos = np.zeros((0, 0), dtype=np.float32), {}
+            out_q, out_n, out_d = [], [], []
+            for qi, pool in enumerate(pools):
+                if not len(pool):
+                    continue
+                if fullmat is not None:
+                    rows = pool
+                    pool_gids = gids[pool]
+                else:
+                    pool_gids = gids[pool]
+                    rows = np.array([vpos[int(gid)] for gid in pool_gids])
+                ed = np_distance(
+                    vmat[rows], qmat_l[qi], md["distance_type"], assume_normalized=True
+                )
+                top = np.lexsort((pool_gids, ed))[:lim]
+                out_q.extend([qids_l[qi]] * len(top))
+                out_n.extend(int(x) for x in pool_gids[top])
+                out_d.extend(float(x) for x in ed[top])
+                if stats is not None:
+                    stats.rescored += len(pool)
             return pd.DataFrame({"query_id": out_q, "node_id": out_n, "wdist": out_d})
 
+        shards_df = self.spark.createDataFrame(
+            [(s,) for s in range(self.meta.num_shards)], "shard int"
+        )
         cand = (
-            self.nodes()
-            .repartition(self.meta.num_shards, "shard")  # one task per shard (see build)
+            shards_df.repartition(self.meta.num_shards, "shard")  # one task per shard
             .groupBy("shard")
-            .applyInPandas(shard_search, schema="query_id long, node_id long, wdist double")
+            .applyInPandas(shard_probe, schema="query_id long, node_id long, wdist double")
         )
-        # exact rescore (T2): broadcast-join candidates to full-precision
-        # vectors + queries, rerank JVM-side on the full dimensions.
-        nodes = self.nodes().select("node_id", "vector")
-        qsel = queries_df.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
-        )
-        qv = F.col("_qv")
-        if self.meta.distance_type == DistanceType.COSINE.value:
-            qv = l2_normalize(qv)
-        rescored = (
-            cand.join(nodes, "node_id")
-            .join(F.broadcast(qsel), "query_id")
-            .withColumn(
-                "distance",
-                distance_expr(
-                    F.col("vector"), qv, self.meta.distance_type, assume_normalized=self.meta.distance_type == "cosine"
-                ),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("node_id").asc())
+        w = Window.partitionBy("query_id").orderBy(F.col("wdist").asc(), F.col("node_id").asc())
         return (
-            rescored.withColumn("rank", F.row_number().over(w))
+            cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("query_id", "node_id", "distance", "rank")
+            .select("query_id", "node_id", F.col("wdist").alias("distance"), "rank")
         )
 
     def full_scan(self) -> DataFrame:
@@ -604,6 +722,7 @@ class DiskannIndex:
         self._rewrite_partitions(updated)
         # recount (not +=): upserts replace rows rather than adding them
         self.meta.num_rows = self.nodes().count()
+        self.meta.epoch += 1  # invalidate executor-side shard caches
         self.meta.save(self.path)
 
     def delete(self, ids: Sequence[int]) -> None:
@@ -625,6 +744,8 @@ class DiskannIndex:
             .select(_node_cols())
         )
         self._rewrite_partitions(updated)
+        self.meta.epoch += 1  # invalidate executor-side shard caches
+        self.meta.save(self.path)
 
     def _rewrite_partitions(self, updated: DataFrame) -> None:
         """Rewrite only the shard partitions present in `updated`.

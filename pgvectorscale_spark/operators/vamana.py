@@ -464,7 +464,12 @@ class VamanaGraph:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k local indices + exact distances. With codes, the walk uses
         Hamming and the top `rescore` candidates are re-ranked at full
-        precision (T2); without codes the walk is already exact."""
+        precision (T2); without codes the walk is already exact.
+
+        ``k=0`` returns the ENTIRE visited pool (walk-metric order, no
+        truncation) with the beam still bounded by ``search_list_size`` —
+        the distributed serving path emits this pool for JVM-side exact
+        rescore."""
         no_filter = not query_labels
         qcode = None
         if self.codes is not None:
@@ -498,5 +503,7 @@ class VamanaGraph:
             self.last_stats["rescored"] = len(cand)
             top = np.lexsort((cand, ed))[:k]
             return cand[top], ed[top]
-        order = np.lexsort((vidx, vd))[:k]
+        order = np.lexsort((vidx, vd))
+        if k > 0:
+            order = order[:k]
         return vidx[order], vd[order]

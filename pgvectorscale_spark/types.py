@@ -73,6 +73,9 @@ class IndexMeta:
     num_shards: int = 0
     num_rows: int = 0
     version: int = 1
+    # mutation epoch: bumped by insert/delete/compact so executor-side shard
+    # caches (diskann._SHARD_GRAPH_CACHE) invalidate without any coordination
+    epoch: int = 0
     # SBQ quantizer state (reference SbqMeans, sbq/mod.rs:79-86):
     # per-dimension mean and variance from the training pass.
     quantizer_means: list[float] = field(default_factory=list)

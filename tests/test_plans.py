@@ -118,3 +118,33 @@ def test_diskann_build_one_task_per_shard(spark, tmpdir):
     )
     nodes = idx.nodes().repartition(idx.meta.num_shards, "shard")
     assert nodes.rdd.getNumPartitions() == 4
+
+
+def test_diskann_serve_io_is_codes_and_adjacency_only(spark, tmpdir):
+    """The serving plan must not scan the corpus: stage 1 reads shard
+    graphs via pyarrow projected to codes+adjacency (no full-precision
+    vectors under SBQ — they are fetched per visited node inside the
+    probe), and stage 2 is a window over tiny candidate rows with no join
+    against the node table at all."""
+    from pgvectorscale_spark.operators.diskann import (
+        DiskannIndex,
+        _stage1_columns,
+    )
+    from tests.conftest import make_vectors
+
+    # column projection contract: SBQ probes never read `vector`
+    assert "vector" not in _stage1_columns({"storage_type": "memory_optimized"})
+    assert "vector" in _stage1_columns({"storage_type": "plain"})
+
+    idx = DiskannIndex.build(
+        make_vectors(spark, n=200, dim=8),
+        str(tmpdir.join("idx_serve_plan")),
+        distance_type="l2",
+        num_shards=2,
+    )
+    qdf = spark.createDataFrame([(0, [0.1] * 8)], "query_id long, query_vec array<float>")
+    p = plan(idx.search_batch(qdf, k=5))
+    assert "FlatMapGroupsInPandas" in p  # shard probe
+    # no corpus-sized scan or join anywhere in the serving plan
+    assert "Scan parquet" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
