@@ -216,10 +216,20 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.8)
 
 
+# DiskANN exact-parity discipline (reference's own accuracy method,
+# build.rs:1363-1414: index results vs exact scan): with search_list_size
+# >= corpus size the beam never truncates, so the greedy walk expands every
+# node reachable from the start; the whole visited pool is then exactly
+# rescored (full precision, float64) and tie-broken on (distance, id) — the
+# result provably equals the brute-force top-k, so the DuckDB knn oracle
+# hash-checks the entire graph plane (build -> persist -> walk -> rescore).
+_EXACT_SLS = 2048  # >= corpus at every driver SF (500 @ sf0.01, 2000 @ sf0.1)
+
+
 def _diskann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-index build + search — iterative, not SQL-expressible (no oracle;
-    the driver records a rows-only check). Accuracy is asserted against the
-    exact oracle in tests/test_diskann.py (recall@10 >= 0.9)."""
+    """Graph-index build + search at exact-parity settings (sls >= n):
+    hash-matches the brute-force L2 oracle — hard correctness signal for
+    G1-G9/B1-B2/S6-S8 end-to-end."""
     import tempfile
 
     from pgvectorscale_spark.operators.diskann import DiskannIndex
@@ -228,14 +238,15 @@ def _diskann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir, 0)
     path = tempfile.mkdtemp(prefix="diskann_entry_")
     idx = DiskannIndex.build(emb, path, distance_type="l2", num_shards=4)
-    return idx.search(q, k=10).select(
+    return idx.search(q, k=10, search_list_size=_EXACT_SLS).select(
         F.col("node_id").alias("vec_id"), F.round("distance", 4).alias("distance")
     )
 
 
 def _diskann_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain storage layout (full-precision vectors in the graph, no
-    quantization — storage.rs:144-168 second variant). Rows-only check."""
+    quantization — storage.rs:144-168 second variant), exact-parity
+    settings: hash-matches the cosine brute-force oracle."""
     import tempfile
 
     from pgvectorscale_spark.operators.diskann import DiskannIndex
@@ -244,14 +255,15 @@ def _diskann_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir, 0)
     path = tempfile.mkdtemp(prefix="diskann_plain_")
     idx = DiskannIndex.build(emb, path, distance_type="cosine", storage_type="plain", num_shards=4)
-    return idx.search(q, k=10).select(
+    return idx.search(q, k=10, search_list_size=_EXACT_SLS).select(
         F.col("node_id").alias("vec_id"), F.round("distance", 4).alias("distance")
     )
 
 
 def _diskann_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-filtered graph search (T4/G8: per-label start nodes, overlap
-    pruning in the beam, recheck on results). Rows-only check."""
+    pruning in the beam, recheck on results) at exact-parity settings:
+    hash-matches the label-filtered brute-force oracle."""
     import tempfile
 
     from pgvectorscale_spark.operators.diskann import DiskannIndex
@@ -261,15 +273,16 @@ def _diskann_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = _query_vec(spark, sf_dir, 0)
     path = tempfile.mkdtemp(prefix="diskann_lbl_")
-    idx = DiskannIndex.build(emb, path, distance_type="l2", num_shards=4, label_col="labels")
-    return idx.search(q, k=10, labels=[3, 4]).select(
+    idx = DiskannIndex.build(emb, path, distance_type="cosine", num_shards=4, label_col="labels")
+    return idx.search(q, k=10, search_list_size=_EXACT_SLS, labels=[3, 4]).select(
         F.col("node_id").alias("vec_id"), F.round("distance", 4).alias("distance")
     )
 
 
 def _diskann_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Insert + tombstone-delete lifecycle (B3/B4 analogs): build on ids<400,
-    stream-insert the rest, delete ids 0-4, search. Rows-only check."""
+    micro-batch insert the rest, delete ids 0-4, search at exact-parity
+    settings: hash-matches the brute-force oracle excluding tombstones."""
     import tempfile
 
     from pgvectorscale_spark.operators.diskann import DiskannIndex
@@ -280,7 +293,7 @@ def _diskann_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.insert(emb.filter("vec_id >= 400"))
     idx.delete([0, 1, 2, 3, 4])
     q = _query_vec(spark, sf_dir, 0)
-    return idx.search(q, k=10).select(
+    return idx.search(q, k=10, search_list_size=_EXACT_SLS).select(
         F.col("node_id").alias("vec_id"), F.round("distance", 4).alias("distance")
     )
 
@@ -445,7 +458,14 @@ def oracle_sql() -> dict[str, str]:
         "sbq_index_persisted": oracles.sbq_rescore_oracle(5, 50, 10),
         "ivf_search": oracles.ivf_search_oracle(9, 10, 16, 4),
         "ivf_persisted": oracles.ivf_search_oracle(9, 10, 16, 4),
-        # diskann_search: iterative graph walk — intentionally no SQL oracle
+        # diskann family at exact-parity settings (sls >= n): the walk
+        # provably returns the brute-force top-k, so the knn oracles apply
+        "diskann_search": oracles.knn_exact_oracle(0, 10, "l2"),
+        "diskann_plain": oracles.knn_exact_oracle(0, 10, "cosine"),
+        "diskann_labeled": oracles.knn_label_filtered_oracle(0, 10, [3, 4]),
+        "diskann_mutations": oracles.knn_exact_oracle(
+            0, 10, "l2", exclude_ids=[0, 1, 2, 3, 4]
+        ),
         "dedup_exact": oracles.dedup_exact_oracle(),
         "minhash_signatures": oracles.minhash_signature_str_oracle(8, 3),
         "minhash_pairs": oracles.minhash_pairs_oracle(8, 4, 3),

@@ -197,23 +197,24 @@ def simhash(
     num_bits: int = 32,
 ) -> DataFrame:
     """32-bit SimHash: bit i = sign of sum over distinct tokens of
-    ((h60(token) >> i) & 1) * 2 - 1. Relational formulation (explode +
-    two groupBys with partial agg) — identical shape in the DuckDB twin."""
-    toks = (
-        _widen(df)
-        .select(F.col(id_col), F.explode(F.array_distinct(F.expr(tokens(text_col, SPARK)))).alias("tok"))
-        .withColumn("_h", F.expr(h60("tok", SPARK)))
+    ((h60(token) >> i) & 1) * 2 - 1.
+
+    One per-row ``aggregate`` fold (like MinHash's): the accumulator holds
+    the num_bits signed counters; the finish lambda packs the sign bits.
+    Map-only — zero shuffle, each token hashed exactly once. The DuckDB twin
+    states the same math relationally; values are identical by construction.
+    """
+    toks_distinct = f"array_distinct({tokens(text_col, SPARK)})"
+    hashes = f"transform({toks_distinct}, _t -> {h60('_t', SPARK)})"
+    counters = (
+        f"aggregate({hashes}, "
+        f"array_repeat(0L, {num_bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_bits - 1}), "
+        f"(a, i) -> a + (shiftright(h, cast(i as int)) & 1) * 2 - 1), "
+        f"acc -> aggregate(zip_with(acc, sequence(0, {num_bits - 1}), "
+        f"(a, i) -> IF(a > 0, shiftleft(1L, cast(i as int)), 0L)), 0L, (s, x) -> s + x))"
     )
-    bits = (
-        toks.select(id_col, "_h")
-        .crossJoin(F.broadcast(df.sparkSession.range(num_bits).select(F.col("id").alias("i"))))
-        .groupBy(id_col, "i")
-        .agg(F.sum(F.expr("(shiftright(_h, cast(i as int)) & 1) * 2 - 1")).alias("s"))
-        .withColumn("b", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-    )
-    return bits.groupBy(id_col).agg(
-        F.sum(F.expr("b * shiftleft(cast(1 as bigint), cast(i as int))")).alias("simhash")
-    )
+    return _widen(df).select(F.col(id_col), F.expr(counters).alias("simhash"))
 
 
 def simhash_pairs(
@@ -223,15 +224,38 @@ def simhash_pairs(
     max_hamming: int = 3,
     num_bits: int = 32,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= h. O(n²) compare on the
-    32-bit fingerprints only (cheap); at 100 TB band the fingerprint bytes
-    first (same LSH trick as MinHash) to avoid the cross join."""
+    """Near-dup pairs by SimHash Hamming distance <= h, banded.
+
+    Pigeonhole LSH on the fingerprint: split the num_bits fingerprint into
+    ``max_hamming + 1`` contiguous bands — any pair within Hamming h must
+    agree EXACTLY on at least one band, so an equi-join on (band_id,
+    band_value) finds every true pair (zero false negatives) and the
+    Hamming check prunes false positives. Shuffle is proportional to
+    bucket collisions, never the n² cross product."""
     s = simhash(df, text_col, id_col, num_bits)
-    a = s.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"))
-    b = s.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"))
+    nb = max_hamming + 1
+    sizes = [num_bits // nb + (1 if i < num_bits % nb else 0) for i in range(nb)]
+    offsets = [sum(sizes[:i]) for i in range(nb)]
+    band_vals = F.array(
+        *[
+            F.expr(f"shiftright(simhash, {off}) & {(1 << sz) - 1}")
+            for off, sz in zip(offsets, sizes)
+        ]
+    )
+    buckets = s.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(band_vals).alias("band_id", "band_val")
+    )
+    a = buckets.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"), "band_id", "band_val"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"), "band_id", "band_val"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["band_id", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sa", "_sb")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

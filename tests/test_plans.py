@@ -101,9 +101,17 @@ def test_minhash_no_cartesian_and_parallel(spark, documents):
 
 
 def test_simhash_single_md5_pass(spark, documents):
-    # the token-hash subtree feeds both groupBys through one exchange
+    # per-row fold: one md5 per token, no aggregation exchange at all
     p = plan(dedup.simhash(documents, num_bits=16))
-    assert p.count("md5") <= 2  # once in partial-agg side (+1 possible reuse print)
+    assert p.count("md5") <= 2  # once in the fold (+1 possible reuse print)
+    assert "HashAggregate" not in p  # fingerprint is map-only
+
+
+def test_simhash_pairs_banded_no_cartesian(spark, documents):
+    """Pigeonhole banding: pairs come from an equi-join on (band_id,
+    band_value), never an n² fingerprint cross join."""
+    p = plan(dedup.simhash_pairs(documents, max_hamming=6))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
 def test_diskann_build_one_task_per_shard(spark, tmpdir):
