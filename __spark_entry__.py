@@ -177,8 +177,9 @@ def _ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with declarative k-means centroids (the quality path; iterative
-    training -> no SQL twin, rows-only check)."""
+    """IVF with declarative k-means centroids (the quality path). The 3
+    Lloyd rounds unroll into CTE layers in the oracle — deterministic
+    lowest-id seeds make the training replayable, so this hash-checks."""
     from pgvectorscale_spark.operators.similarity import kmeans_centroids
 
     emb = _emb(spark, sf_dir)
@@ -457,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "sbq_rescore": oracles.sbq_rescore_oracle(5, 50, 10),
         "sbq_index_persisted": oracles.sbq_rescore_oracle(5, 50, 10),
         "ivf_search": oracles.ivf_search_oracle(9, 10, 16, 4),
+        "ivf_kmeans": oracles.ivf_kmeans_oracle(9, 10, 16, 4, iterations=3),
         "ivf_persisted": oracles.ivf_search_oracle(9, 10, 16, 4),
         # diskann family at exact-parity settings (sls >= n): the walk
         # provably returns the brute-force top-k, so the knn oracles apply

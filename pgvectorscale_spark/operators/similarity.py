@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pgvectorscale_spark.functions.distance import distance_expr
@@ -51,8 +51,13 @@ def kmeans_centroids(
             scored = src.crossJoin(F.broadcast(centroids)).withColumn(
                 "_d", distance_expr(F.col(vector_col), F.col("_cv"), "l2")
             )
-            w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("centroid_id").asc())
-            assigned = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+            # min_by aggregation, not row_number-over-window: a window sorts
+            # n x centroids rows; the hash agg reduces map-side to one row
+            # per id (tie-break (distance, centroid_id) via struct ordering)
+            assigned = scored.groupBy(id_col).agg(
+                F.min_by("centroid_id", F.struct("_d", "centroid_id")).alias("centroid_id"),
+                F.first(vector_col).alias(vector_col),  # constant within the group
+            )
             centroids = (
                 assigned.select("centroid_id", F.posexplode(vector_col).alias("dim", "v"))
                 .groupBy("centroid_id", "dim")
@@ -96,11 +101,12 @@ def ivf_assign(
     scored = scored.withColumn(
         "assign_dist", distance_expr(F.col(vector_col), F.col("_cv"), distance_type)
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("assign_dist").asc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, "centroid_id", F.round("assign_dist", 6).alias("assign_dist"))
+    # min_by aggregation (map-side partial) instead of row_number-over-window:
+    # the window would sort-shuffle n x centroids rows for a 1-row-per-id
+    # answer; the hash agg collapses to n rows before the exchange
+    return scored.groupBy(id_col).agg(
+        F.min_by("centroid_id", F.struct("assign_dist", "centroid_id")).alias("centroid_id"),
+        F.round(F.min("assign_dist"), 6).alias("assign_dist"),
     )
 
 
@@ -114,13 +120,21 @@ def ivf_search(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     centroids_df: DataFrame | None = None,
+    assign_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k: probe the nprobe cells nearest the query, exact rerank.
 
     Returns (id, distance) — distance rounded to 6dp for oracle parity.
+    Pass ``assign_df`` (from a cached/persisted ``ivf_assign``) to reuse one
+    corpus assignment across a query workload instead of recomputing it per
+    call — the persisted ``IvfIndex`` does this with parquet partitions.
     """
     qlit = F.array([F.lit(float(x)) for x in query_vec])
-    assign = ivf_assign(df, num_centroids, distance_type, vector_col, id_col, centroids_df)
+    assign = (
+        assign_df
+        if assign_df is not None
+        else ivf_assign(df, num_centroids, distance_type, vector_col, id_col, centroids_df)
+    )
     if centroids_df is not None:
         centroids = centroids_df.select("centroid_id", F.col("centroid").alias("_cv"))
     else:

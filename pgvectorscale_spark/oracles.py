@@ -262,6 +262,51 @@ ORDER BY round(distance, 6), vec_id LIMIT {k}
 """
 
 
+def ivf_kmeans_oracle(
+    query_id: int, k: int, num_centroids: int, nprobe: int, iterations: int
+) -> str:
+    """IVF with Lloyd-trained centroids: the `iterations` rounds unroll into
+    CTE layers of the same assignment SQL (deterministic lowest-id seeds make
+    the whole training replayable — mirrors similarity.kmeans_centroids)."""
+    layers = [
+        f"""c0 AS (SELECT vec_id AS centroid_id, i, v FROM e
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {num_centroids}))"""
+    ]
+    for it in range(iterations):
+        prev, cur = f"c{it}", f"c{it + 1}"
+        layers.append(f"""a{it}d AS (
+  SELECT e.vec_id, c.centroid_id, sum((e.v - c.v) * (e.v - c.v)) AS ad
+  FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.centroid_id),
+a{it} AS (
+  SELECT vec_id, centroid_id FROM a{it}d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ad, centroid_id) = 1),
+{cur} AS (
+  SELECT a.centroid_id, e.i, avg(e.v) AS v
+  FROM e JOIN a{it} a USING (vec_id) GROUP BY a.centroid_id, e.i)""")
+    final = f"c{iterations}"
+    return f"""
+WITH e AS ({_UNNEST}),
+{", ".join(layers)},
+assign_d AS (
+  SELECT e.vec_id, c.centroid_id, sum((e.v - c.v) * (e.v - c.v)) AS ad
+  FROM e JOIN {final} c USING (i) GROUP BY e.vec_id, c.centroid_id),
+assign AS (
+  SELECT vec_id, centroid_id FROM assign_d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ad, centroid_id) = 1),
+q AS ({_query_unnest(query_id)}),
+probe AS (
+  SELECT c.centroid_id, sum((c.v - q.v) * (c.v - q.v)) AS qd
+  FROM {final} c JOIN q USING (i) GROUP BY c.centroid_id
+  ORDER BY qd, centroid_id LIMIT {nprobe}),
+cand AS (SELECT vec_id FROM assign JOIN probe USING (centroid_id)),
+d AS (
+  SELECT e.vec_id, sum((e.v - q.v) * (e.v - q.v)) AS distance
+  FROM e JOIN q USING (i) JOIN cand ON e.vec_id = cand.vec_id GROUP BY e.vec_id)
+SELECT vec_id, round(distance, 6) AS distance FROM d
+ORDER BY round(distance, 6), vec_id LIMIT {k}
+"""
+
+
 def embedding_neardup_oracle(threshold: float) -> str:
     """Exact cosine near-dup pairs over the embeddings table."""
     return f"""
