@@ -137,11 +137,17 @@ def _sbq2_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("distance").cast("long").alias("hamming"))
 
 
+# testdata embeddings are random (max pairwise cosine ~0.51 at sf0.01), so
+# near-dup thresholds in the 0.8+ range return empty sets — a vacuous check.
+# 0.45 yields 14 exact pairs / 12 LSH pairs at sf0.01: real value signal.
+_NEARDUP_THRESHOLD = 0.45
+
+
 def _embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH near-dup (scale path). The hyperplanes are
-    numpy-seeded so there is no SQL twin; the exact operator
-    (embedding_neardup) is the oracle-checked one. Rows-only."""
-    return dedup.embedding_neardup_lsh(_emb(spark, sf_dir), threshold=0.8)
+    """Random-hyperplane LSH near-dup (scale path). The seeded hyperplanes
+    inline into the oracle as literals, so the bucketing — including its
+    misses — replays exactly in SQL and the path hash-checks."""
+    return dedup.embedding_neardup_lsh(_emb(spark, sf_dir), threshold=_NEARDUP_THRESHOLD)
 
 
 def _sbq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,7 +220,7 @@ def _full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.8)
+    return dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=_NEARDUP_THRESHOLD)
 
 
 # DiskANN exact-parity discipline (reference's own accuracy method,
@@ -474,7 +480,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": oracles.ngram_jaccard_oracle(3, 0.2),
         "simhash": oracles.simhash_oracle(32),
         "simhash_pairs": oracles.simhash_pairs_oracle(32, 6),
-        "embedding_neardup": oracles.embedding_neardup_oracle(0.8),
+        "embedding_neardup": oracles.embedding_neardup_oracle(_NEARDUP_THRESHOLD),
+        # d=64 is the driver embeddings schema at every SF (TESTDATA.md)
+        "embedding_neardup_lsh": oracles.embedding_neardup_lsh_oracle(
+            _NEARDUP_THRESHOLD, dedup.lsh_planes(64)
+        ),
         "text_features": oracles.text_features_oracle(),
         "multimodal_meta": oracles.multimodal_meta_oracle(),
         "pricing_summary": relational.pricing_summary_sql(),

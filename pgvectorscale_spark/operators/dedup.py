@@ -44,6 +44,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
+    "lsh_planes",
 ]
 
 
@@ -281,6 +282,16 @@ def embedding_neardup_pairs(
     )
 
 
+def lsh_planes(d: int, bands: int = 8, rows_per_band: int = 4, seed: int = 42):
+    """Seeded random hyperplanes for sign-bucket LSH — shared by the Spark
+    operator and the oracle builder (which inlines them as SQL literals),
+    so the bucketing is replayable on both engines."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(bands * rows_per_band, d))
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     threshold: float = 0.95,
@@ -291,15 +302,15 @@ def embedding_neardup_lsh(
     seed: int = 42,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH. Sign bits of projections onto
-    bands*rows_per_band seeded hyperplanes; docs sharing a band bucket are
-    candidates; candidates verified with exact cosine. Never materializes
-    the n² cross product — the join key is the bucket."""
-    import numpy as np
-
+    bands*rows_per_band seeded hyperplanes, packed into one integer band
+    value per band (single posexplode — one map stage regardless of band
+    count); ids sharing a (band_id, band_val) bucket are candidates;
+    candidate id pairs (ids ONLY — vectors rejoin once after the distinct)
+    are verified with exact cosine. Never materializes the n² cross
+    product — the join key is the bucket."""
     first = df.select(F.size(vector_col).alias("d")).first()
     d = int(first["d"])
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(bands * rows_per_band, d))
+    planes = lsh_planes(d, bands, rows_per_band, seed)
 
     proj_cols = []
     for p in range(planes.shape[0]):
@@ -310,28 +321,33 @@ def embedding_neardup_lsh(
             lambda acc, v: acc + v,
         )
         proj_cols.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
-    bits = df.select(F.col(id_col), F.col(vector_col), F.array(*proj_cols).alias("_bits"))
-    bucket_rows = []
-    for bnd in range(bands):
-        key = F.concat_ws(
-            ",", *[F.element_at("_bits", bnd * rows_per_band + r + 1) for r in range(rows_per_band)]
-        )
-        bucket_rows.append(
-            bits.select(F.col(id_col), F.col(vector_col), F.lit(bnd).alias("band_id"), key.alias("bucket"))
-        )
-    buckets = bucket_rows[0]
-    for p in bucket_rows[1:]:
-        buckets = buckets.unionByName(p)
-    a = buckets.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"), "band_id", "bucket")
-    b = buckets.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"), "band_id", "bucket")
+    bits = df.select(F.col(id_col), F.array(*proj_cols).alias("_bits"))
+    # pack each band's bits into an integer: band_val = sum_r bit_r * 2^r
+    band_vals = F.array(
+        *[
+            F.expr(
+                f"aggregate(zip_with(slice(_bits, {bnd * rows_per_band + 1}, {rows_per_band}), "
+                f"sequence(0, {rows_per_band - 1}), "
+                f"(bb, r) -> shiftleft(cast(bb as bigint), cast(r as int))), 0L, (acc, x) -> acc + x)"
+            )
+            for bnd in range(bands)
+        ]
+    )
+    buckets = bits.select(F.col(id_col), F.posexplode(band_vals).alias("band_id", "band_val"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
     cand = (
-        a.join(b, ["band_id", "bucket"])
+        a.join(b, ["band_id", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
     return (
-        cand.withColumn("cosine_sim", F.round(1.0 - cosine_distance(F.col("_va"), F.col("_vb")), 6))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine_sim", F.round(1.0 - cosine_distance(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -324,6 +324,46 @@ ORDER BY id_a, id_b
 """
 
 
+def embedding_neardup_lsh_oracle(
+    threshold: float, planes, bands: int = 8, rows_per_band: int = 4
+) -> str:
+    """SQL twin of the random-hyperplane LSH: the seeded planes inline as
+    literals (dedup.lsh_planes — same seed on both engines), sign bits pack
+    into per-band integers, ids sharing a bucket become candidates, and the
+    exact cosine filter verifies. Replays the LSH bucketing exactly,
+    including its misses — so the hash check covers the whole scale path."""
+    values = ", ".join(
+        f"({p}, {i + 1}, {w!r})"
+        for p, row in enumerate(planes)
+        for i, w in enumerate(row)
+    )
+    return f"""
+WITH e AS ({_UNNEST}),
+w(p, i, wv) AS (SELECT * FROM (VALUES {values})),
+bits AS (
+  SELECT e.vec_id, w.p, CASE WHEN sum(e.v * w.wv) > 0 THEN 1 ELSE 0 END AS b
+  FROM e JOIN w USING (i) GROUP BY e.vec_id, w.p),
+buckets AS (
+  SELECT vec_id, p // {rows_per_band} AS band_id,
+         sum(b::BIGINT << (p % {rows_per_band})::INT) AS band_val
+  FROM bits GROUP BY vec_id, p // {rows_per_band}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b USING (band_id, band_val)
+  WHERE a.vec_id < b.vec_id),
+en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+d AS (
+  SELECT c.id_a, c.id_b, sum((x.v / na.nrm) * (y.v / nb.nrm)) AS dot
+  FROM cand c
+  JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b AND x.i = y.i
+  JOIN en na ON na.vec_id = c.id_a JOIN en nb ON nb.vec_id = c.id_b
+  GROUP BY c.id_a, c.id_b, na.nrm, nb.nrm)
+SELECT id_a, id_b, round(least(dot, 1.0), 6) AS cosine_sim
+FROM d WHERE round(least(dot, 1.0), 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents-table oracles (doc_id, text, lang, source, n_chars)
 # ---------------------------------------------------------------------------
