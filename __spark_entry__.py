@@ -305,6 +305,61 @@ def _diskann_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vs.sql() front-end (SURVEY M7): the reference's `ORDER BY embedding
+    <-> $q LIMIT k` SQL surface routed to a registered DiskANN index
+    (mod.rs:207-263, cost_estimate.rs:6-50). Exact-parity sls makes it
+    hash-match the brute-force oracle."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+    from pgvectorscale_spark.plans import VectorSql
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    path = tempfile.mkdtemp(prefix="sqlann_")
+    idx = DiskannIndex.build(emb, path, distance_type="l2", num_shards=2)
+    vs = VectorSql(spark)
+    vs.register_table("embeddings_sql", emb)
+    vs.register_index(
+        "embeddings_sql", "embedding", idx, id_col="vec_id", search_list_size=_EXACT_SLS
+    )
+    qlit = ", ".join(repr(float(x)) for x in q)
+    res = vs.sql(
+        f"SELECT vec_id, embedding <-> [{qlit}] AS distance "
+        f"FROM embeddings_sql ORDER BY embedding <-> [{qlit}] LIMIT 10"
+    )
+    return res.select("vec_id", F.round("distance", 4).alias("distance"))
+
+
+def _sql_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vs.sql() with a residual WHERE: the index over-fetches k x epsilon
+    and refills until k rows survive the post-filter (the reference's
+    amgettuple stream-more semantics, README.md:291-303, scan.rs:370-436).
+    Exact-parity sls makes it hash-match the filtered brute-force oracle."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+    from pgvectorscale_spark.plans import VectorSql
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    path = tempfile.mkdtemp(prefix="sqlannf_")
+    idx = DiskannIndex.build(emb, path, distance_type="l2", num_shards=2)
+    vs = VectorSql(spark)
+    vs.register_table("embeddings_sqlf", emb)
+    vs.register_index(
+        "embeddings_sqlf", "embedding", idx, id_col="vec_id", search_list_size=_EXACT_SLS
+    )
+    qlit = ", ".join(repr(float(x)) for x in q)
+    res = vs.sql(
+        f"SELECT vec_id, embedding <-> [{qlit}] AS distance "
+        f"FROM embeddings_sqlf WHERE vec_id % 2 = 0 "
+        f"ORDER BY embedding <-> [{qlit}] LIMIT 10"
+    )
+    return res.select("vec_id", F.round("distance", 4).alias("distance"))
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(_docs(spark, sf_dir))
 
@@ -425,6 +480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diskann_plain": _diskann_plain,
         "diskann_labeled": _diskann_labeled,
         "diskann_mutations": _diskann_mutations,
+        # SQL surface (SURVEY M7): ORDER BY distance LIMIT k -> index scan
+        "sql_ann": _sql_ann,
+        "sql_ann_filtered": _sql_ann_filtered,
         # dedup family
         "dedup_exact": _dedup_exact,
         "minhash_signatures": _minhash_signatures,
@@ -474,6 +532,8 @@ def oracle_sql() -> dict[str, str]:
         "diskann_mutations": oracles.knn_exact_oracle(
             0, 10, "l2", exclude_ids=[0, 1, 2, 3, 4]
         ),
+        "sql_ann": oracles.knn_exact_oracle(0, 10, "l2"),
+        "sql_ann_filtered": oracles.knn_exact_oracle(0, 10, "l2", where_sql="vec_id % 2 = 0"),
         "dedup_exact": oracles.dedup_exact_oracle(),
         "minhash_signatures": oracles.minhash_signature_str_oracle(8, 3),
         "minhash_pairs": oracles.minhash_pairs_oracle(8, 4, 3),

@@ -40,6 +40,11 @@ __all__ = [
     "l2_normalize",
     "matryoshka_slice",
     "distance_expr",
+    "dot_product_sql",
+    "l2_distance_squared_sql",
+    "cosine_distance_sql",
+    "inner_product_distance_sql",
+    "distance_sql",
     "np_l2_squared",
     "np_cosine_distance",
     "np_inner_product_distance",
@@ -115,6 +120,58 @@ def distance_expr(a: Column, b: Column, distance_type: str, assume_normalized: b
         return l2_distance_squared(a, b)
     if distance_type == "inner_product":
         return inner_product_distance(a, b)
+    raise ValueError(f"unknown distance type: {distance_type}")
+
+
+# ---------------------------------------------------------------------------
+# SQL-text twins of the column expressions — used by the vs.sql() front-end
+# to rewrite `a <=> b` / `cosine_distance(a, b)` spellings into built-in
+# higher-order-function SQL that Catalyst plans JVM-side (plans/sql_frontend).
+# Math identical to the Column builders above: float64 sequential fold.
+# ---------------------------------------------------------------------------
+
+
+def dot_product_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _l2_normalize_sql(a: str) -> str:
+    norm = f"sqrt({dot_product_sql(a, a)})"
+    return (
+        f"CASE WHEN {norm} = 0.0 THEN cast({a} as array<double>) "
+        f"ELSE transform({a}, x -> cast(x as double) / {norm}) END"
+    )
+
+
+def l2_distance_squared_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_distance_sql(a: str, b: str) -> str:
+    return (
+        f"greatest(cast(0.0 as double), cast(1.0 as double) - "
+        f"{dot_product_sql(_l2_normalize_sql(a), _l2_normalize_sql(b))})"
+    )
+
+
+def inner_product_distance_sql(a: str, b: str) -> str:
+    return f"-{dot_product_sql(a, b)}"
+
+
+def distance_sql(a: str, b: str, distance_type: str) -> str:
+    if distance_type == "cosine":
+        return cosine_distance_sql(a, b)
+    if distance_type == "l2":
+        return l2_distance_squared_sql(a, b)
+    if distance_type == "inner_product":
+        return inner_product_distance_sql(a, b)
     raise ValueError(f"unknown distance type: {distance_type}")
 
 

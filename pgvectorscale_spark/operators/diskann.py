@@ -465,11 +465,21 @@ class DiskannIndex:
         rescore: int = DEFAULT_QUERY_RESCORE,
         labels: Sequence[int] | None = None,
         stats: "QueryStats | None" = None,
+        post_filter: str | None = None,
+        overfetch: float = 2.0,
     ) -> DataFrame:
         """Single-query top-k → DataFrame (node_id, distance).
 
         A NULL query degrades to a full scan in arbitrary order
         (labels/mod.rs:214-216).
+
+        ``post_filter`` is a SQL predicate over the node row (node_id,
+        vector, labels) applied AFTER the index search — the residual-WHERE
+        case. The index over-fetches ``k * overfetch`` and refills
+        geometrically until k rows survive the filter (or the corpus is
+        exhausted), so arbitrarily selective predicates still yield k rows —
+        the reference's amgettuple "stream more results" semantics
+        (README.md:291-303, scan.rs:370-436).
         """
         if query_vec is None:
             out = self.full_scan().withColumn("distance", F.lit(0.0))
@@ -477,10 +487,30 @@ class DiskannIndex:
         qdf = self.spark.createDataFrame(
             [(0, [float(x) for x in query_vec])], "query_id long, query_vec array<float>"
         )
-        res = self.search_batch(
-            qdf, k=k, search_list_size=search_list_size, rescore=rescore, labels=labels, stats=stats
-        )
-        return res.select("node_id", "distance").orderBy("rank")
+
+        def run(fetch_k: int) -> DataFrame:
+            res = self.search_batch(
+                qdf, k=fetch_k, search_list_size=search_list_size, rescore=rescore,
+                labels=labels, stats=stats,
+            )
+            return res.select("node_id", "distance").orderBy("rank")
+
+        if post_filter is None:
+            return run(k)
+        import math
+
+        total = self.meta.num_rows
+        fetch = min(total, max(k, math.ceil(k * overfetch)))
+        nodes = self.full_scan()
+        while True:
+            survivors = run(fetch).join(nodes, "node_id").filter(post_filter)
+            if fetch >= total or survivors.count() >= k:
+                return (
+                    survivors.orderBy(F.col("distance").asc(), F.col("node_id").asc())
+                    .limit(k)
+                    .select("node_id", "distance")
+                )
+            fetch = min(total, fetch * 4)
 
     def search_batch(
         self,

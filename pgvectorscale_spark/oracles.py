@@ -47,12 +47,16 @@ def _query_unnest(query_id: int) -> str:
     )
 
 
-def _cand_filter(max_dim: int | None, exclude_ids: list[int] | None) -> str:
+def _cand_filter(
+    max_dim: int | None, exclude_ids: list[int] | None, where_sql: str | None = None
+) -> str:
     conds = []
     if max_dim:
         conds.append(f"i <= {max_dim}")
     if exclude_ids:
         conds.append(f"vec_id NOT IN ({', '.join(str(x) for x in exclude_ids)})")
+    if where_sql:
+        conds.append(f"({where_sql})")
     return ("WHERE " + " AND ".join(conds)) if conds else ""
 
 
@@ -62,19 +66,22 @@ def knn_exact_oracle(
     distance_type: str,
     max_dim: int | None = None,
     exclude_ids: list[int] | None = None,
+    where_sql: str | None = None,
 ) -> str:
     """Exact top-k by distance to the embedding of `query_id`.
 
     ``exclude_ids`` drops candidates (tombstoned rows in the mutation
-    parity check) — the query vector itself may still be an excluded id."""
-    cand_filter = _cand_filter(max_dim, exclude_ids)
+    parity check) — the query vector itself may still be an excluded id.
+    ``where_sql`` is a residual predicate on candidate rows (the
+    post-filter over-fetch parity check)."""
+    cand_filter = _cand_filter(max_dim, exclude_ids, where_sql)
     dim_filter = f"WHERE i <= {max_dim}" if max_dim else ""
     if distance_type == "l2":
         dist = "sum((e.v - q.v) * (e.v - q.v))"
     elif distance_type == "inner_product":
         dist = "-sum(e.v * q.v)"
     else:  # cosine over normalized vectors
-        return _knn_cosine_oracle(query_id, k, max_dim, exclude_ids)
+        return _knn_cosine_oracle(query_id, k, max_dim, exclude_ids, where_sql)
     return f"""
 WITH e AS (SELECT * FROM ({_UNNEST}) {cand_filter}),
 q AS (SELECT * FROM ({_query_unnest(query_id)}) {dim_filter}),
@@ -85,11 +92,15 @@ ORDER BY round(distance, 4), vec_id LIMIT {k}
 
 
 def _knn_cosine_oracle(
-    query_id: int, k: int, max_dim: int | None = None, exclude_ids: list[int] | None = None
+    query_id: int,
+    k: int,
+    max_dim: int | None = None,
+    exclude_ids: list[int] | None = None,
+    where_sql: str | None = None,
 ) -> str:
     dim_filter = f"WHERE i <= {max_dim}" if max_dim else ""
     return f"""
-WITH e AS (SELECT * FROM ({_UNNEST}) {_cand_filter(max_dim, exclude_ids)}),
+WITH e AS (SELECT * FROM ({_UNNEST}) {_cand_filter(max_dim, exclude_ids, where_sql)}),
 q AS (SELECT * FROM ({_query_unnest(query_id)}) {dim_filter}),
 en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
 qn AS (SELECT sqrt(sum(v * v)) AS nrm FROM q),

@@ -1,0 +1,232 @@
+"""vs.sql() — the SQL surface for ANN queries (SURVEY M7).
+
+The reference's only user interface is SQL: ``ORDER BY embedding <=> $q
+LIMIT k`` is recognized by the planner through the distance opclasses and
+``amcostestimate`` and becomes an index scan
+(/root/reference/pgvectorscale/src/access_method/mod.rs:207-263,
+cost_estimate.rs:6-50). Spark has no Python hook for custom Catalyst
+strategies, so the same contract is a thin SQL front-end:
+
+1. The pgvector operator spellings ``<=>`` (cosine), ``<->`` (L2),
+   ``<#>`` (inner product) and bracket vector literals ``[0.1, 0.2]``
+   are rewritten into built-in higher-order-function SQL
+   (functions/distance.py *_sql builders) — every query stays fully
+   declarative and JVM-side whether or not an index exists.
+2. If the statement ends in the ANN shape
+   ``ORDER BY <dist>(col, <vector literal>) [ASC] LIMIT k``
+   over a table with a registered index on that column (the
+   CREATE INDEX analog), the scan is routed to the index:
+   ``index.search_batch`` produces (node_id, distance) candidates, the
+   row set joins back to the table for the residual columns, and any
+   residual WHERE runs as a post-filter with an over-fetch + refill loop
+   (k' = k x epsilon, retried geometrically) so arbitrarily selective
+   predicates still yield k rows — the reference's amgettuple "stream
+   more results" semantics (/root/reference/README.md:291-303,
+   scan.rs:370-436).
+3. Everything else falls through to ``spark.sql`` after step 1's rewrite.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.functions.distance import distance_sql
+
+__all__ = ["VectorSql"]
+
+_OP_TO_DTYPE = {"<=>": "cosine", "<->": "l2", "<#>": "inner_product"}
+_FN_TO_DTYPE = {
+    "cosine_distance": "cosine",
+    "l2_distance": "l2",
+    "inner_product_distance": "inner_product",
+}
+
+# `col <OP> [1.0, 2.0]` or `col <OP> array(1.0, 2.0)` (either operand order)
+_VEC_LIT = r"(?:\[[^\]]+\]|array\s*\([^)]+\))"
+_IDENT = r"[A-Za-z_][A-Za-z_0-9.]*"
+# vector-literal alternative MUST precede the identifier one: regex
+# alternation is ordered and _IDENT would otherwise match the bare `array`
+_OP_RE = re.compile(
+    rf"({_VEC_LIT}|{_IDENT})\s*(<=>|<->|<#>)\s*({_VEC_LIT}|{_IDENT})", re.IGNORECASE
+)
+_BRACKET_RE = re.compile(r"\[\s*(-?\d[^\]]*)\]")
+
+_ANN_TAIL_RE = re.compile(
+    rf"\border\s+by\s+(?P<fn>{'|'.join(_FN_TO_DTYPE)})\s*\(\s*(?P<col>{_IDENT})\s*,\s*"
+    r"array\s*\((?P<vec>[^)]+)\)\s*\)\s*(?:asc\s*)?limit\s+(?P<k>\d+)\s*$",
+    re.IGNORECASE,
+)
+_FROM_RE = re.compile(rf"\bfrom\s+(?P<table>{_IDENT})\b", re.IGNORECASE)
+_WHERE_RE = re.compile(r"\bwhere\b(?P<pred>.*?)(?=\border\s+by\b)", re.IGNORECASE | re.DOTALL)
+_SELECT_RE = re.compile(r"^\s*select\s+(?P<items>.*?)\bfrom\b", re.IGNORECASE | re.DOTALL)
+
+
+@dataclass
+class _IndexEntry:
+    index: object  # DiskannIndex | SbqFlatIndex | IvfIndex (duck-typed search)
+    id_col: str
+    search_kwargs: dict  # GUC query-knob analog (S11): e.g. search_list_size
+
+
+def _split_select(items: str) -> list[str]:
+    """Split a SELECT list on top-level commas (paren-aware)."""
+    out, depth, cur = [], 0, []
+    for ch in items:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+class VectorSql:
+    """SQL session wrapper: operator rewrite + ANN index routing.
+
+    >>> vs = VectorSql(spark)
+    >>> vs.register_table("embeddings", emb_df)
+    >>> vs.register_index("embeddings", "embedding", idx, id_col="vec_id")
+    >>> vs.sql("SELECT vec_id FROM embeddings ORDER BY embedding <-> [0.1, ...] LIMIT 10")
+    """
+
+    OVERFETCH_EPSILON = 2.0  # first fetch = k * epsilon when a post-filter exists
+    REFILL_FACTOR = 4  # geometric growth per refill round
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, DataFrame] = {}
+        self._indexes: dict[tuple[str, str], _IndexEntry] = {}
+
+    # -- registration (CREATE INDEX analog) ---------------------------------
+
+    def register_table(self, name: str, df: DataFrame) -> None:
+        self._tables[name.lower()] = df
+        df.createOrReplaceTempView(name)
+
+    def register_index(
+        self, table: str, column: str, index, id_col: str = "vec_id", **search_kwargs
+    ) -> None:
+        """Attach an ANN index (DiskannIndex / SbqFlatIndex / IvfIndex) to
+        (table, column); ORDER BY distance LIMIT k over that column routes
+        to it — the AM registration analog (mod.rs:207-263). Extra kwargs
+        (e.g. ``search_list_size=200``) pass through to every routed
+        ``index.search`` call — the GUC query-knob analog (guc.rs:3-4)."""
+        self._indexes[(table.lower(), column.lower())] = _IndexEntry(index, id_col, search_kwargs)
+
+    # -- rewrite ------------------------------------------------------------
+
+    @staticmethod
+    def _rewrite_ops(sql: str) -> str:
+        """``a <=> b`` -> ``cosine_distance(a, b)``; ``[1, 2]`` -> ``array(1, 2)``."""
+        sql = _BRACKET_RE.sub(lambda m: f"array({m.group(1)})", sql)
+        fn_names = {"cosine": "cosine_distance", "l2": "l2_distance", "inner_product": "inner_product_distance"}
+        while True:
+            m = _OP_RE.search(sql)
+            if m is None:
+                return sql
+            fn = fn_names[_OP_TO_DTYPE[m.group(2)]]
+            sql = sql[: m.start()] + f"{fn}({m.group(1)}, {m.group(3)})" + sql[m.end() :]
+
+    @staticmethod
+    def _expand_distance_fns(sql: str) -> str:
+        """Replace named distance calls with built-in higher-order-function
+        SQL so the fallback path runs on vanilla spark.sql."""
+        pattern = re.compile(
+            rf"\b(?P<fn>{'|'.join(_FN_TO_DTYPE)})\s*\(\s*(?P<a>array\s*\([^)]*\)|{_IDENT})\s*,"
+            rf"\s*(?P<b>array\s*\([^)]*\)|{_IDENT})\s*\)",
+            re.IGNORECASE,
+        )
+        while True:
+            m = pattern.search(sql)
+            if m is None:
+                return sql
+            frag = distance_sql(m.group("a"), m.group("b"), _FN_TO_DTYPE[m.group("fn").lower()])
+            sql = sql[: m.start()] + frag + sql[m.end() :]
+
+    # -- execution ----------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        rewritten = self._rewrite_ops(query.strip().rstrip(";").strip())
+        routed = self._try_index_route(rewritten)
+        if routed is not None:
+            return routed
+        return self.spark.sql(self._expand_distance_fns(rewritten))
+
+    def _try_index_route(self, sql: str) -> DataFrame | None:
+        tail = _ANN_TAIL_RE.search(sql)
+        frm = _FROM_RE.search(sql)
+        if tail is None or frm is None:
+            return None
+        table = frm.group("table").lower()
+        col = tail.group("col").lower()
+        entry = self._indexes.get((table, col))
+        df = self._tables.get(table)
+        if entry is None or df is None:
+            return None
+        dtype = _FN_TO_DTYPE[tail.group("fn").lower()]
+        if getattr(entry.index, "meta", None) is not None and hasattr(entry.index.meta, "distance_type"):
+            if entry.index.meta.distance_type != dtype:
+                return None  # index can't serve a different metric — fall back
+        qvec = [float(x) for x in tail.group("vec").split(",")]
+        k = int(tail.group("k"))
+        wm = _WHERE_RE.search(sql)
+        predicate = wm.group("pred").strip() if wm else None
+        sm = _SELECT_RE.match(sql)
+        items = sm.group("items").strip() if sm else "*"
+
+        res = self._index_topk(entry, df, qvec, k, predicate)
+        # expose requested columns: join candidates back to the table rows
+        joined = res.join(df, res["node_id"] == df[entry.id_col], "inner").drop("node_id")
+        ordered = joined.orderBy(F.col("distance").asc(), F.col(entry.id_col).asc()).limit(k)
+        if items == "*":
+            return ordered
+        cols = []
+        for item in _split_select(items):
+            am = re.match(r"(?is)^(.+?)\s+as\s+(\w+)$", item)
+            expr_text = (am.group(1) if am else item).strip()
+            alias = am.group(2) if am else None
+            if expr_text.lower().startswith(tuple(_FN_TO_DTYPE)):
+                # the distance expression re-selected: the index already
+                # computed the exact value — reuse it, don't re-evaluate
+                col = F.col("distance")
+            elif re.fullmatch(_IDENT, expr_text):
+                col = F.col(expr_text)
+            else:
+                col = F.expr(expr_text)
+            cols.append(col.alias(alias) if alias else col)
+        return ordered.select(*cols)
+
+    def _index_topk(
+        self, entry: _IndexEntry, df: DataFrame, qvec: list[float], k: int, predicate: str | None
+    ) -> DataFrame:
+        """Index search with post-filter over-fetch + refill (README.md:291-303)."""
+        import math
+
+        if predicate is None:
+            return entry.index.search(qvec, k=k, **entry.search_kwargs).select(
+                "node_id", "distance"
+            )
+        total = getattr(getattr(entry.index, "meta", None), "num_rows", None) or df.count()
+        fetch = min(total, max(k, math.ceil(k * self.OVERFETCH_EPSILON)))
+        while True:
+            res = entry.index.search(qvec, k=fetch, **entry.search_kwargs).select(
+                "node_id", "distance"
+            )
+            filtered = (
+                res.join(df, res["node_id"] == df[entry.id_col], "inner")
+                .filter(predicate)
+                .select("node_id", "distance")
+            )
+            if fetch >= total or filtered.count() >= k:
+                return filtered
+            fetch = min(total, fetch * self.REFILL_FACTOR)
