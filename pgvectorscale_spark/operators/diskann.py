@@ -110,6 +110,20 @@ def _shard_col(id_col, num_shards: int):
     return F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(num_shards)).cast("int")
 
 
+def _validate_label_bounds(src: DataFrame, label_col: str) -> None:
+    """Labels are smallint in the reference (labels/mod.rs); out-of-range
+    values must fail loudly, not silently cast to NULL (filtering_tests.rs
+    test_label_size_bounds)."""
+    bounds = src.agg(
+        F.min(F.array_min(F.col(label_col))).alias("lo"),
+        F.max(F.array_max(F.col(label_col))).alias("hi"),
+    ).first()
+    if bounds["hi"] is not None and (int(bounds["hi"]) > 32767 or int(bounds["lo"]) < -32768):
+        raise ValueError(
+            f"label out of smallint range [-32768, 32767]: {bounds['lo']}..{bounds['hi']}"
+        )
+
+
 def _to_frozenset(x) -> frozenset | None:
     if x is None:
         return None
@@ -312,6 +326,8 @@ class DiskannIndex:
                 raise ValueError("plain storage does not support labels")
 
         src = df.filter(F.col(vector_col).isNotNull())  # NULLs never indexed (build.rs:493-497)
+        if label_col is not None:
+            _validate_label_bounds(src, label_col)
         row = src.agg(
             F.count("*").alias("n"), F.first(F.size(F.col(vector_col))).alias("d")
         ).first()
@@ -550,6 +566,12 @@ class DiskannIndex:
         qmat = np.array([r[1] for r in qrows], dtype=np.float64)
         if meta_d["distance_type"] == DistanceType.COSINE.value:
             qmat = np_normalize(qmat)  # query-time normalization (labels/mod.rs:209-238)
+        # `labels && '{}'` is always false (filtering_tests.rs:60-74):
+        # an explicit empty filter returns nothing, while None = unfiltered
+        if labels is not None and len(list(labels)) == 0:
+            return self.spark.createDataFrame(
+                [], "query_id long, node_id long, distance double, rank integer"
+            )
         qlabels = frozenset(int(l) for l in labels) if labels else None
         limit = max(k, rescore)
         b = self.spark.sparkContext.broadcast(
@@ -654,6 +676,8 @@ class DiskannIndex:
                 f"insert vectors have {dims['lo']}..{dims['hi']} dimensions; "
                 f"index expects {self.meta.num_dimensions}"
             )
+        if label_col is not None:
+            _validate_label_bounds(src, label_col)
         vec = F.col(vector_col)
         if self.meta.distance_type == DistanceType.COSINE.value:
             vec = l2_normalize(vec)
@@ -711,16 +735,33 @@ class DiskannIndex:
             pdf = pdf.copy()
             pdf["_new"] = incoming[pdf.index]
             if len(repl):
+                # NOTE: list-valued cells must be replaced column-wise — a
+                # pandas .at assignment of a list/array broadcasts instead
+                # of storing the object.
+                start_flag, start_lab, neigh = {}, {}, {}
                 for ridx in pdf.index[pdf["_new"]]:
                     nid = int(pdf.at[ridx, "node_id"])
                     if nid not in repl.index:
                         continue
                     old = repl.loc[nid]
                     if bool(old["is_default_start"]):
-                        pdf.at[ridx, "is_default_start"] = True
+                        start_flag[ridx] = True
                     if old["start_labels"] is not None:
-                        pdf.at[ridx, "start_labels"] = old["start_labels"]
-                    pdf.at[ridx, "neighbors"] = old["neighbors"]
+                        start_lab[ridx] = list(old["start_labels"])
+                    if old["neighbors"] is not None:
+                        neigh[ridx] = list(old["neighbors"])
+                if start_flag:
+                    pdf["is_default_start"] = [
+                        start_flag.get(i, v) for i, v in zip(pdf.index, pdf["is_default_start"])
+                    ]
+                if start_lab:
+                    pdf["start_labels"] = [
+                        start_lab.get(i, v) for i, v in zip(pdf.index, pdf["start_labels"])
+                    ]
+                if neigh:
+                    pdf["neighbors"] = [
+                        neigh.get(i, v) for i, v in zip(pdf.index, pdf["neighbors"])
+                    ]
             pdf = pdf.sort_values("node_id").reset_index(drop=True)
             new_mask = pdf["_new"]
             pdf = pdf.drop(columns=["_new"])
