@@ -38,6 +38,7 @@ surface in results (vacuum.rs:23-136); compact() rebuilds from live rows.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from typing import Iterable, Sequence
 
 import numpy as np
@@ -61,7 +62,16 @@ from pgvectorscale_spark.types import (
     StorageType,
 )
 
-__all__ = ["DiskannIndex", "QueryStats"]
+__all__ = ["DiskannIndex", "QueryStats", "ConcurrentWriterError"]
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another writer holds the index's writer lock.
+
+    The reference serializes writers with a transaction-scoped advisory lock
+    (ports.rs:160, regression-tested by tests/test_concurrent_inserts.py);
+    the parquet-backed analog is an atomically-created lock file per index.
+    """
 
 
 class QueryStats:
@@ -650,6 +660,37 @@ class DiskannIndex:
 
     # -- mutations ---------------------------------------------------------------
 
+    @contextmanager
+    def _writer_lock(self):
+        """Exclusive writer guard: O_CREAT|O_EXCL lock file (atomic on local
+        and network POSIX filesystems; on object stores swap in a
+        conditional-put). A second concurrent writer fails fast with
+        ConcurrentWriterError instead of silently interleaving partition
+        rewrites — the advisory-lock semantics of the reference
+        (ports.rs:160)."""
+        lock_path = os.path.join(self.path, "_writer.lock")
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(lock_path) as f:
+                    holder = f.read().strip()
+            except OSError:
+                holder = "unknown"
+            raise ConcurrentWriterError(
+                f"index at {self.path} is locked by another writer ({holder}); "
+                f"retry after it finishes, or remove {lock_path} if it crashed"
+            ) from None
+        try:
+            os.write(fd, f"pid={os.getpid()}".encode())
+            os.close(fd)
+            yield
+        finally:
+            try:
+                os.remove(lock_path)
+            except OSError:
+                pass
+
     def insert(
         self,
         df: DataFrame,
@@ -659,7 +700,18 @@ class DiskannIndex:
     ) -> None:
         """Micro-batch insert (aminsert analog): run the same graph-insert
         algorithm per affected shard against the stored graph, then rewrite
-        only those shard partitions (single writer per index assumed)."""
+        only those shard partitions. Writers are serialized by the index
+        lock file; a concurrent writer raises ConcurrentWriterError."""
+        with self._writer_lock():
+            self._insert_locked(df, vector_col, id_col, label_col)
+
+    def _insert_locked(
+        self,
+        df: DataFrame,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+        label_col: str | None = None,
+    ) -> None:
         meta_d = _meta_dict(self.meta)
         src = df.filter(F.col(vector_col).isNotNull())
         # dimension check up front on the driver: a mismatched vector would
@@ -798,7 +850,12 @@ class DiskannIndex:
 
     def delete(self, ids: Sequence[int]) -> None:
         """Tombstone delete (ambulkdelete analog): flip the deleted flag;
-        edges remain for traversal (vacuum.rs:23-136)."""
+        edges remain for traversal (vacuum.rs:23-136). Serialized by the
+        writer lock."""
+        with self._writer_lock():
+            self._delete_locked(ids)
+
+    def _delete_locked(self, ids: Sequence[int]) -> None:
         ids_df = self.spark.createDataFrame([(int(i),) for i in ids], "node_id long")
         shards = [
             r["shard"]
@@ -848,7 +905,12 @@ class DiskannIndex:
         shutil.rmtree(staging, ignore_errors=True)
 
     def compact(self) -> "DiskannIndex":
-        """Rebuild from live rows, dropping tombstones (periodic compaction)."""
+        """Rebuild from live rows, dropping tombstones (periodic compaction).
+        Serialized by the writer lock."""
+        with self._writer_lock():
+            return self._compact_locked()
+
+    def _compact_locked(self) -> "DiskannIndex":
         import shutil
 
         staging = os.path.join(self.path, "_staging_live")

@@ -236,6 +236,69 @@ def test_insert_dimension_validation(spark, tmpdir):
         idx.insert(bad)
 
 
+def test_writer_lock_rejects_second_writer(spark, tmpdir):
+    """Reference: advisory lock serializes writers (ports.rs:160;
+    tests/test_concurrent_inserts.py). A second writer fails cleanly with
+    ConcurrentWriterError while the lock is held, and succeeds after
+    release. Crashed-writer recovery = removing the named lock file."""
+    import os
+
+    from pgvectorscale_spark.operators.diskann import ConcurrentWriterError
+    from tests.conftest import make_vectors
+
+    base = make_vectors(spark, n=60, dim=8, seed=11)
+    idx = DiskannIndex.build(base, f"{tmpdir}/idx_lock", distance_type="l2", num_shards=1)
+    new = spark.createDataFrame([(100, [0.5] * 8)], "vec_id long, embedding array<float>")
+    # simulate another in-flight writer holding the lock
+    with idx._writer_lock():
+        with pytest.raises(ConcurrentWriterError, match="locked by another writer"):
+            idx.insert(new)
+        with pytest.raises(ConcurrentWriterError):
+            idx.delete([0])
+        with pytest.raises(ConcurrentWriterError):
+            idx.compact()
+    # lock released -> mutations proceed, and the lock file is cleaned up
+    idx.insert(new)
+    assert idx.full_scan().count() == 61
+    assert not os.path.exists(os.path.join(idx.path, "_writer.lock"))
+
+
+def test_writer_lock_two_threads_one_wins(spark, tmpdir):
+    """Two genuinely concurrent inserts: both complete in total (the loser
+    retries after the winner releases) and no update is lost."""
+    import threading
+
+    from pgvectorscale_spark.operators.diskann import ConcurrentWriterError
+    from tests.conftest import make_vectors
+
+    base = make_vectors(spark, n=60, dim=8, seed=12)
+    idx = DiskannIndex.build(base, f"{tmpdir}/idx_race", distance_type="l2", num_shards=1)
+    batches = [
+        spark.createDataFrame([(200 + i, [float(i)] * 8)], "vec_id long, embedding array<float>")
+        for i in range(2)
+    ]
+    errors: list[Exception] = []
+
+    def writer(b):
+        for _ in range(60):  # retry-on-conflict loop, like any real client
+            try:
+                idx.insert(b)
+                return
+            except ConcurrentWriterError:
+                import time
+
+                time.sleep(0.25)
+        errors.append(TimeoutError("writer starved"))
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in batches]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert idx.full_scan().count() == 62  # both inserts landed exactly once
+
+
 def test_high_dimensions_and_caps(spark, tmpdir):
     """High-dim build (reference build.rs:1854-1917) + dim-cap validation
     (build.rs:192-196): 4000 dims builds and searches; >16000 dims rejected;
