@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pgvectorscale_spark.functions.distance import cosine_distance
+from pgvectorscale_spark.functions.distance import dot_product, l2_norm
 from pgvectorscale_spark.functions.hashing import (
     SPARK,
     band_hash,
@@ -263,6 +263,16 @@ def simhash_pairs(
     )
 
 
+def _pair_cosine_sim(va, vb, na, nb):
+    """least(dot/(na*nb), 1.0): ONE fold per pair — norms are precomputed
+    per row before pairing, not re-folded inside every pair (3x fewer
+    interpreted higher-order-function evaluations than normalizing inside
+    the pair expression). Zero-norm rows score 0 (never near-dups)."""
+    return F.when(
+        (na == 0.0) | (nb == 0.0), F.lit(0.0)
+    ).otherwise(F.least(dot_product(va, vb) / (na * nb), F.lit(1.0)))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -271,12 +281,18 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Exact cosine near-dup pairs (sim >= threshold). O(n²) — the oracle
     form; use embedding_neardup_lsh as the scale path."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
+    src = df.select(
+        F.col(id_col), F.col(vector_col), l2_norm(F.col(vector_col)).alias("_n")
+    )
+    a = src.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"), F.col("_n").alias("_na"))
+    b = src.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"), F.col("_n").alias("_nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(1.0 - cosine_distance(F.col("_va"), F.col("_vb")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(_pair_cosine_sim(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -342,12 +358,18 @@ def embedding_neardup_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
+    src = df.select(
+        F.col(id_col), F.col(vector_col), l2_norm(F.col(vector_col)).alias("_n")
+    )
+    va = src.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"), F.col("_n").alias("_na"))
+    vb = src.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"), F.col("_n").alias("_nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine_sim", F.round(1.0 - cosine_distance(F.col("_va"), F.col("_vb")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(_pair_cosine_sim(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -319,18 +319,21 @@ ORDER BY round(distance, 6), vec_id LIMIT {k}
 
 
 def embedding_neardup_oracle(threshold: float) -> str:
-    """Exact cosine near-dup pairs over the embeddings table."""
+    """Exact cosine near-dup pairs over the embeddings table.
+
+    Same formula as the Spark operator (dedup._pair_cosine_sim):
+    least(dot/(na*nb), 1.0) with a sequential dot product — DuckDB's
+    list_dot_product folds in element order, like Spark's aggregate."""
     return f"""
-WITH e AS ({_UNNEST}),
-en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
 d AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         sum((a.v / na.nrm) * (b.v / nb.nrm)) AS dot
-  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-  JOIN en na ON a.vec_id = na.vec_id JOIN en nb ON b.vec_id = nb.vec_id
-  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm)
-SELECT id_a, id_b, round(least(dot, 1.0), 6) AS cosine_sim
-FROM d WHERE round(least(dot, 1.0), 6) >= {threshold}
+         CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+              ELSE least(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 1.0) END AS sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(sim, 6) AS cosine_sim
+FROM d WHERE round(sim, 6) >= {threshold}
 ORDER BY id_a, id_b
 """
 
@@ -362,15 +365,16 @@ cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b USING (band_id, band_val)
   WHERE a.vec_id < b.vec_id),
-en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
 d AS (
-  SELECT c.id_a, c.id_b, sum((x.v / na.nrm) * (y.v / nb.nrm)) AS dot
-  FROM cand c
-  JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b AND x.i = y.i
-  JOIN en na ON na.vec_id = c.id_a JOIN en nb ON nb.vec_id = c.id_b
-  GROUP BY c.id_a, c.id_b, na.nrm, nb.nrm)
-SELECT id_a, id_b, round(least(dot, 1.0), 6) AS cosine_sim
-FROM d WHERE round(least(dot, 1.0), 6) >= {threshold}
+  SELECT c.id_a, c.id_b,
+         CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0.0
+              ELSE least(list_dot_product(na.ev, nb.ev) / (na.nrm * nb.nrm), 1.0) END AS sim
+  FROM cand c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b)
+SELECT id_a, id_b, round(sim, 6) AS cosine_sim
+FROM d WHERE round(sim, 6) >= {threshold}
 ORDER BY id_a, id_b
 """
 

@@ -52,6 +52,10 @@ MAX_DIMENSIONS_PLAIN = 2_000  # build.rs:196
 SBQ_NBIT_DIM_CAP = 900  # meta_page.rs:312-323
 
 
+# on-disk index meta format revision this reader understands
+CURRENT_META_VERSION = 1
+
+
 def default_bits_per_dimension(num_dimensions: int) -> int:
     """2 bits/dim below 900 dims, else 1 (meta_page.rs:312-323)."""
     return 2 if num_dimensions < SBQ_NBIT_DIM_CAP else 1
@@ -100,5 +104,21 @@ class IndexMeta:
 
     @classmethod
     def load(cls, index_path: str) -> "IndexMeta":
+        """Version-tolerant read path (the reference migrates old meta-page
+        formats on read, upgrade_test.rs:25-337): fields added in newer
+        writers fall back to dataclass defaults when absent, unknown fields
+        from older writers of a FUTURE minor revision are ignored, and a
+        meta whose declared version is beyond this reader fails loudly
+        instead of mis-reading."""
+        import dataclasses
+
         with open(os.path.join(index_path, "_index_meta.json")) as f:
-            return cls(**json.load(f))
+            raw = json.load(f)
+        version = int(raw.get("version", 1))
+        if version > CURRENT_META_VERSION:
+            raise ValueError(
+                f"index meta version {version} is newer than this reader "
+                f"(supports <= {CURRENT_META_VERSION}); upgrade the library"
+            )
+        known = {fld.name for fld in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in known})

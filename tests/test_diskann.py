@@ -236,6 +236,41 @@ def test_insert_dimension_validation(spark, tmpdir):
         idx.insert(bad)
 
 
+def test_meta_version_migration(tmpdir):
+    """Read-path migration (reference upgrade_test.rs:25-337): metas written
+    by older revisions (missing newer fields) load with defaults; unknown
+    fields are ignored; a meta from a NEWER format fails loudly."""
+    import json
+    import os
+
+    from pgvectorscale_spark.types import IndexMeta
+
+    old_dir = f"{tmpdir}/meta_old"
+    os.makedirs(old_dir, exist_ok=True)
+    old = {
+        "distance_type": "l2",
+        "storage_type": "memory_optimized",
+        "num_dimensions": 8,
+        "num_neighbors": 50,
+        "num_shards": 2,
+        "num_rows": 100,
+        "version": 1,
+        # no `epoch` (added later), plus a field this reader never knew
+        "some_future_minor_field": 42,
+    }
+    with open(os.path.join(old_dir, "_index_meta.json"), "w") as f:
+        json.dump(old, f)
+    meta = IndexMeta.load(old_dir)
+    assert meta.epoch == 0 and meta.num_rows == 100
+
+    new_dir = f"{tmpdir}/meta_new"
+    os.makedirs(new_dir, exist_ok=True)
+    with open(os.path.join(new_dir, "_index_meta.json"), "w") as f:
+        json.dump({**old, "version": 99}, f)
+    with pytest.raises(ValueError, match="newer than this reader"):
+        IndexMeta.load(new_dir)
+
+
 def test_writer_lock_rejects_second_writer(spark, tmpdir):
     """Reference: advisory lock serializes writers (ports.rs:160;
     tests/test_concurrent_inserts.py). A second writer fails cleanly with
