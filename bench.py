@@ -92,6 +92,11 @@ def main() -> None:
     def q_diskann_serve():
         return built_idx["idx"].search(q0, k=10).collect()
 
+    def q_diskann_serve_batch16():
+        # batch throughput: the serving design amortizes shard-graph loads
+        # (executor-cached) and runs ONE window over all queries' candidates
+        return built_idx["idx"].search_batch(qvecs, k=10).collect()
+
     def q_dedup_exact():
         return dedup.dedup_exact(docs).count()
 
@@ -126,6 +131,7 @@ def main() -> None:
         ("q_ivf", q_ivf, 2),
         ("q_diskann_build", q_diskann_build, 1),
         ("q_diskann_serve", q_diskann_serve, 2),
+        ("q_diskann_serve_batch16", q_diskann_serve_batch16, 2),
         ("q_dedup_exact", q_dedup_exact, 2),
         ("q_minhash_pairs", q_minhash_pairs, 2),
         ("q_simhash", q_simhash, 2),

@@ -46,7 +46,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pgvectorscale_spark.functions.distance import l2_normalize, np_distance, np_normalize
+from pgvectorscale_spark.functions.distance import (
+    distance_expr,
+    l2_normalize,
+    np_distance,
+    np_normalize,
+)
 from pgvectorscale_spark.operators.sbq import SbqQuantizer, train_quantizer
 from pgvectorscale_spark.operators.vamana import VamanaGraph
 from pgvectorscale_spark.types import (
@@ -257,8 +262,16 @@ def _load_shard_graph(
         return hit[0], hit[1], hit[2], hit[3], True
     import pyarrow.dataset as pads
 
-    part = pads.dataset(os.path.join(nodes_dir, f"shard={shard}"), format="parquet")
-    pdf = part.to_table(columns=_stage1_columns(meta_d)).to_pandas()
+    try:
+        part = pads.dataset(os.path.join(nodes_dir, f"shard={shard}"), format="parquet")
+        pdf = part.to_table(columns=_stage1_columns(meta_d)).to_pandas()
+    except FileNotFoundError:
+        # a kmeans-assigned shard can be empty (no rows near its centroid)
+        pdf = pd.DataFrame({c: [] for c in _stage1_columns(meta_d)})
+    if not len(pdf):
+        empty = (None, np.array([], dtype=np.int64), np.array([], dtype=bool), None)
+        _SHARD_GRAPH_CACHE[key] = empty
+        return empty[0], empty[1], empty[2], empty[3], False
     pdf = pdf.sort_values("node_id").reset_index(drop=True)
     g, gids = _graph_from_pdf(pdf, meta_d, quantizer_state)
     dead = pdf["deleted"].fillna(False).to_numpy(dtype=bool)
@@ -321,12 +334,21 @@ class DiskannIndex:
         id_col: str = "vec_id",
         label_col: str | None = None,
         build_mode: str = "bulk",
+        shard_assignment: str = "hash",
     ) -> "DiskannIndex":
         """``build_mode='bulk'`` (default): exact-prefix BLAS candidates per
         chunk — ~3x the throughput of per-insert beam walks at equal/better
         recall; O(n²d) per shard bounds shard size (target_shard_size is
         sized for it). ``build_mode='streaming'``: the reference's
-        insert-at-a-time path (same code as incremental insert)."""
+        insert-at-a-time path (same code as incremental insert).
+
+        ``shard_assignment='hash'`` (default) balances shards perfectly but
+        makes them geometric mirrors of each other — every query must probe
+        every shard. ``'kmeans'`` assigns shards by nearest k-means centroid
+        (the SPANN / IVF-of-graphs layout): shards become Voronoi cells, so
+        ``search_batch(probe_shards=p)`` can route each query to its p
+        nearest shards and per-query cost stops growing with shard count.
+        Trade-off: cluster sizes skew with the data distribution."""
         spark = df.sparkSession
         # reloption validation (build.rs:264-290, :192-196)
         if storage_type == StorageType.PLAIN.value:
@@ -361,6 +383,9 @@ class DiskannIndex:
             num_rows=n,
         )
 
+        if shard_assignment not in ("hash", "kmeans"):
+            raise ValueError(f"unknown shard_assignment: {shard_assignment}")
+        meta.shard_assignment = shard_assignment
         vec = F.col(vector_col)
         if distance_type == DistanceType.COSINE.value:
             vec = l2_normalize(vec)  # ingest-time normalization (pg_vector.rs:153-155)
@@ -388,6 +413,34 @@ class DiskannIndex:
         # build phases surface in the Spark UI like the reference's
         # ambuildphasename progress (build.rs:1154-1166)
         sc = spark.sparkContext
+        if shard_assignment == "kmeans":
+            # Voronoi sharding: train num_shards centroids (declarative
+            # Lloyd over the corpus), then reassign each row to its nearest
+            # centroid's shard via broadcast + min_by agg — one shuffle of
+            # n rows, exactly like the hash path's repartition.
+            from pgvectorscale_spark.operators.similarity import kmeans_centroids
+
+            sc.setJobDescription("diskann build: training shard centroids")
+            cents = kmeans_centroids(
+                base.select("node_id", "vector"), num_centroids=num_shards,
+                iterations=2, vector_col="vector", id_col="node_id",
+            ).collect()
+            cdf = spark.createDataFrame(
+                [(i, [float(x) for x in r["centroid"]]) for i, r in enumerate(cents)],
+                "shard int, _cv array<double>",
+            )
+            other = [c for c in base.columns if c not in ("node_id", "shard")]
+            base = (
+                base.drop("shard")
+                .crossJoin(F.broadcast(cdf))
+                .withColumn("_cd", distance_expr(F.col("vector"), F.col("_cv"), distance_type))
+                .groupBy("node_id")
+                .agg(
+                    F.min_by("shard", F.struct("_cd", "shard")).alias("shard"),
+                    *[F.first(c).alias(c) for c in other],
+                )
+                .select("node_id", "shard", *other)
+            )
         quantizer_state = None
         if storage_type == StorageType.SBQ.value:
             sc.setJobDescription("diskann build: training quantizer")
@@ -463,7 +516,9 @@ class DiskannIndex:
         except (OSError, ValueError, TypeError, KeyError):
             pass
         meta.save(path)
-        return cls(spark, path, meta)
+        idx = cls(spark, path, meta)
+        idx._write_routing()
+        return idx
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "DiskannIndex":
@@ -471,6 +526,38 @@ class DiskannIndex:
 
     def nodes(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "nodes"))
+
+    # -- shard routing -----------------------------------------------------------
+
+    def _write_routing(self) -> None:
+        """Persist one centroid per shard (the routing table).
+
+        One declarative pass over the node table — posexplode + partial-agg
+        per (shard, dim), so the shuffle carries num_shards x dims partial
+        sums, never rows. At 1000 shards x 768 dims the table is ~3 MB:
+        small enough to collect on the driver per query batch."""
+        cent = (
+            self.nodes()
+            .select("shard", F.posexplode("vector").alias("dim", "v"))
+            .groupBy("shard", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("shard")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_s"))
+            .select("shard", F.expr("transform(_s, x -> cast(x.m as float))").alias("centroid"))
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(os.path.join(self.path, "routing"))
+
+    def _routing_table(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """(shard_ids, centroid_matrix) or None for pre-routing indexes."""
+        rdir = os.path.join(self.path, "routing")
+        if not os.path.isdir(rdir):
+            return None
+        rows = self.spark.read.parquet(rdir).collect()
+        if not rows:
+            return None
+        sids = np.array([r["shard"] for r in rows], dtype=np.int64)
+        cents = np.stack([np.array(r["centroid"], dtype=np.float64) for r in rows])
+        return sids, cents
 
     # -- serving ---------------------------------------------------------------
 
@@ -548,8 +635,15 @@ class DiskannIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
         stats: "QueryStats | None" = None,
+        probe_shards: int | None = None,
     ) -> DataFrame:
         """Scatter/gather batch search: (query_id, node_id, distance, rank).
+
+        ``probe_shards=p`` routes each query to only its p nearest shards
+        by the per-shard centroid table written at build — per-query cost
+        then stops growing with shard count (the IVF trick applied at the
+        shard level; without it, 1000 shards means a 1000-way fan-out per
+        query). None (default) probes every shard: exact scatter/gather.
 
         Stage 1 (probe) is a tiny shard-id DataFrame fanned out one task per
         shard; each worker loads the shard graph straight from its parquet
@@ -584,21 +678,57 @@ class DiskannIndex:
             )
         qlabels = frozenset(int(l) for l in labels) if labels else None
         limit = max(k, rescore)
+        # shard routing: per-query top-p shards by centroid distance. The
+        # routing table is tiny (num_shards rows) and computed driver-side.
+        route: dict[int, np.ndarray] | None = None
+        if probe_shards is not None and probe_shards < self.meta.num_shards:
+            table = self._routing_table()
+            if table is not None:
+                sids, cents = table
+                if meta_d["distance_type"] == DistanceType.COSINE.value:
+                    # centroids of unit vectors are not unit — normalize so
+                    # routing ranks by angle, not centroid magnitude
+                    cents = np_normalize(cents)
+                route = {}
+                cd = np.stack(
+                    [
+                        np_distance(cents, qmat[qi], meta_d["distance_type"], assume_normalized=True)
+                        for qi in range(len(qmat))
+                    ]
+                )  # (queries, shards)
+                nearest = np.argsort(cd, axis=1)[:, :probe_shards]
+                for qi in range(len(qmat)):
+                    for col in nearest[qi]:
+                        route.setdefault(int(sids[col]), []).append(qi)
+                route = {s: np.array(v, dtype=np.int64) for s, v in route.items()}
         b = self.spark.sparkContext.broadcast(
-            (qids, qmat, meta_d, self._quantizer_state(), qlabels, limit, search_list_size)
+            (qids, qmat, meta_d, self._quantizer_state(), qlabels, limit, search_list_size, route)
         )
         nodes_dir = os.path.join(self.path, "nodes")
         epoch = self.meta.epoch
 
         def shard_probe(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
-            qids_l, qmat_l, md, qstate, qlab, lim, sls = b.value
+            qids_l, qmat_l, md, qstate, qlab, lim, sls, route_l = b.value
+            my_queries = (
+                route_l.get(shard, np.array([], dtype=np.int64))
+                if route_l is not None
+                else np.arange(len(qids_l))
+            )
+            if route_l is not None and not len(my_queries):
+                return pd.DataFrame({"query_id": [], "node_id": [], "wdist": []}).astype(
+                    {"query_id": "int64", "node_id": "int64", "wdist": "float64"}
+                )
             g, gids, dead, fullmat, hot = _load_shard_graph(nodes_dir, shard, epoch, md, qstate)
+            if g is None:  # empty shard
+                return pd.DataFrame({"query_id": [], "node_id": [], "wdist": []}).astype(
+                    {"query_id": "int64", "node_id": "int64", "wdist": "float64"}
+                )
             if stats is not None and hot:
                 stats.cache_hits += 1
             d_index = md["num_dimensions_to_index"]
             pools: list[np.ndarray] = []
-            for qi in range(len(qids_l)):
+            for qi in my_queries:
                 q = qmat_l[qi][:d_index] if d_index else qmat_l[qi]
                 idx, _ = g.search(q, k=0, search_list_size=sls, rescore=0, query_labels=qlab)
                 live = idx[~dead[idx]] if len(idx) else idx
@@ -617,7 +747,7 @@ class DiskannIndex:
             else:
                 vmat, vpos = np.zeros((0, 0), dtype=np.float32), {}
             out_q, out_n, out_d = [], [], []
-            for qi, pool in enumerate(pools):
+            for qi, pool in zip(my_queries, pools):
                 if not len(pool):
                     continue
                 if fullmat is not None:
@@ -735,7 +865,6 @@ class DiskannIndex:
             vec = l2_normalize(vec)
         sel = [
             F.col(id_col).cast("long").alias("node_id"),
-            _shard_col(id_col, self.meta.num_shards).alias("shard"),
             vec.cast("array<float>").alias("vector"),
         ]
         if label_col is not None:
@@ -751,8 +880,50 @@ class DiskannIndex:
             )
         else:
             sel.append(F.lit(None).cast("array<smallint>").alias("labels"))
+        newbase = src.select(*sel)
+        # shard routing mirrors the build's assignment: an upsert of an
+        # existing id must land in the shard that already stores it
+        if self.meta.shard_assignment == "kmeans":
+            table = self._routing_table()
+            if table is None:
+                raise ValueError("kmeans-sharded index is missing its routing table")
+            sids, cents = table
+            cdf = self.spark.createDataFrame(
+                [(int(s), [float(x) for x in c]) for s, c in zip(sids, cents)],
+                "shard int, _cv array<double>",
+            )
+            newbase = (
+                newbase.crossJoin(F.broadcast(cdf))
+                .withColumn(
+                    "_cd", distance_expr(F.col("vector"), F.col("_cv"), self.meta.distance_type)
+                )
+                .groupBy("node_id")
+                .agg(
+                    F.min_by("shard", F.struct("_cd", "shard")).alias("shard"),
+                    F.first("vector").alias("vector"),
+                    F.first("labels").alias("labels"),
+                )
+            )
+            # an upsert must stay in the shard that already stores its id —
+            # re-routing a moved vector to its new nearest cell would leave
+            # a duplicate node_id behind in the old shard
+            stored = (
+                self.nodes()
+                .join(F.broadcast(newbase.select("node_id")), "node_id")
+                .select("node_id", F.col("shard").alias("_stored_shard"))
+                .distinct()
+            )
+            newbase = (
+                newbase.join(F.broadcast(stored), "node_id", "left")
+                .withColumn("shard", F.coalesce("_stored_shard", "shard"))
+                .drop("_stored_shard")
+            )
+        else:
+            newbase = newbase.withColumn(
+                "shard", F.pmod(F.xxhash64(F.col("node_id")), F.lit(self.meta.num_shards)).cast("int")
+            )
         new = (
-            src.select(*sel)
+            newbase
             .withColumn("bq_code", F.lit(None).cast("array<long>"))
             .withColumn("neighbors", F.lit(None).cast("array<long>"))
             .withColumn("is_default_start", F.lit(None).cast("boolean"))
@@ -847,6 +1018,7 @@ class DiskannIndex:
         self.meta.num_rows = self.nodes().count()
         self.meta.epoch += 1  # invalidate executor-side shard caches
         self.meta.save(self.path)
+        self._write_routing()  # inserted vectors shift shard centroids
 
     def delete(self, ids: Sequence[int]) -> None:
         """Tombstone delete (ambulkdelete analog): flip the deleted flag;
@@ -930,6 +1102,7 @@ class DiskannIndex:
             bits_per_dimension=self.meta.bits_per_dimension,
             num_shards=self.meta.num_shards,
             label_col="labels" if self.meta.has_labels else None,
+            shard_assignment=self.meta.shard_assignment,
         )
         shutil.rmtree(staging, ignore_errors=True)
         self.meta = idx.meta

@@ -80,6 +80,8 @@ class IndexMeta:
     # mutation epoch: bumped by insert/delete/compact so executor-side shard
     # caches (diskann._SHARD_GRAPH_CACHE) invalidate without any coordination
     epoch: int = 0
+    # 'hash' (balanced, no routing) or 'kmeans' (Voronoi shards, routable)
+    shard_assignment: str = "hash"
     # SBQ quantizer state (reference SbqMeans, sbq/mod.rs:79-86):
     # per-dimension mean and variance from the training pass.
     quantizer_means: list[float] = field(default_factory=list)

@@ -236,6 +236,58 @@ def test_insert_dimension_validation(spark, tmpdir):
         idx.insert(bad)
 
 
+def test_kmeans_sharding_and_routed_search(spark, tmpdir):
+    """Voronoi (kmeans) shard assignment + probe_shards routing: on
+    clustered data, probing only each query's 2 nearest of 8 shards keeps
+    recall@10 >= 0.9 while touching a quarter of the shards — per-query
+    cost stops growing with shard count (the SPANN / IVF-of-graphs
+    layout)."""
+    from pgvectorscale_spark.operators.diskann import QueryStats
+
+    rng = np.random.default_rng(31)
+    n_clusters, per, d = 8, 250, 16
+    centers = rng.normal(scale=5.0, size=(n_clusters, d))
+    mat = np.concatenate(
+        [centers[c] + rng.normal(scale=0.5, size=(per, d)) for c in range(n_clusters)]
+    ).astype(np.float32)
+    n = len(mat)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/idx_voronoi", distance_type="l2", num_shards=8,
+        shard_assignment="kmeans",
+    )
+    assert idx.meta.shard_assignment == "kmeans"
+    assert idx.full_scan().count() == n  # reassignment loses nothing
+    queries = mat[rng.integers(0, n, size=20)] + rng.normal(scale=0.2, size=(20, d)).astype(
+        np.float32
+    )
+    qdf = spark.createDataFrame(
+        [(i, queries[i].tolist()) for i in range(20)], "query_id long, query_vec array<float>"
+    )
+    stats = QueryStats(spark)
+    routed = idx.search_batch(qdf, k=10, probe_shards=2, stats=stats).collect()
+    # routing actually pruned the fan-out: <= 2 shards walked per query
+    assert stats.as_dict()["shard_searches"] <= 20 * 2
+    got = {}
+    for r in routed:
+        got.setdefault(r["query_id"], set()).add(r["node_id"])
+    hits = 0
+    for qi in range(20):
+        dvec = ((mat.astype(np.float64) - queries[qi].astype(np.float64)) ** 2).sum(axis=1)
+        true = set(np.lexsort((np.arange(n), dvec))[:10].tolist())
+        hits += len(true & got.get(qi, set()))
+    assert hits / 200 >= 0.9, f"routed recall {hits/200}"
+    # kmeans upsert: a moved vector stays in its stored shard (no dupes)
+    moved = spark.createDataFrame(
+        [(0, (mat[0] + 20.0).tolist())], "vec_id long, embedding array<float>"
+    )
+    idx.insert(moved)
+    assert idx.nodes().filter("node_id = 0").count() == 1
+    assert idx.full_scan().count() == n
+
+
 def test_meta_version_migration(tmpdir):
     """Read-path migration (reference upgrade_test.rs:25-337): metas written
     by older revisions (missing newer fields) load with defaults; unknown
