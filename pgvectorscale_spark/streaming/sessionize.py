@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StructField,
     StructType,
@@ -37,6 +38,7 @@ _OUT_SCHEMA = StructType(
         StructField("event_count", LongType()),
     ]
 )
+_OUT_SCHEMA_UPDATE = StructType(_OUT_SCHEMA.fields + [StructField("is_final", BooleanType())])
 _STATE_SCHEMA = StructType(
     [
         StructField("start_ms", LongType()),
@@ -52,9 +54,19 @@ def sessionize_stream(
     ts_col: str = "ts",
     user_col: str = "user_id",
     watermark_delay: str = "1 hour",
+    emit: str = "final",
 ) -> DataFrame:
     """Emit (user_id, session_start, session_end, event_count) as sessions
-    close (event-time timeout = watermark past last_seen + gap)."""
+    close (event-time timeout = watermark past last_seen + gap).
+
+    ``emit='final'`` (default): one row per session, on close — append
+    output. ``emit='update'``: additionally emits the OPEN session's
+    current snapshot every micro-batch that touches it (an ``is_final``
+    column distinguishes snapshots from closed sessions) — for dashboards
+    that want live session state rather than waiting out the gap."""
+    if emit not in ("final", "update"):
+        raise ValueError(f"unknown emit mode: {emit}")
+    snapshots = emit == "update"
     gap_ms = gap_seconds * 1000
 
     def update(
@@ -62,11 +74,11 @@ def sessionize_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        closed: list[tuple[int, int, int, int]] = []
+        out: list[tuple[int, int, int, int, bool]] = []
         (user,) = key
         if state.hasTimedOut:
             start_ms, last_ms, count = state.get
-            closed.append((user, start_ms, last_ms, count))
+            out.append((user, start_ms, last_ms, count, True))
             state.remove()
         else:
             ts_ms = pd.concat([p[ts_col] for p in pdfs]).astype("int64") // 1_000_000
@@ -78,30 +90,35 @@ def sessionize_stream(
             for t in ts_ms:
                 t = int(t)
                 if t - last_ms > gap_ms:
-                    closed.append((user, start_ms, last_ms, count))
+                    out.append((user, start_ms, last_ms, count, True))
                     start_ms, count = t, 0
                 last_ms = max(last_ms, t)
                 count += 1
             state.update((start_ms, last_ms, count))
             state.setTimeoutTimestamp(last_ms + gap_ms)
-        if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [c[0] for c in closed],
-                    "session_start": pd.to_datetime([c[1] for c in closed], unit="ms"),
-                    "session_end": pd.to_datetime([c[2] for c in closed], unit="ms"),
-                    "event_count": [c[3] for c in closed],
-                }
-            )
+            if snapshots:
+                out.append((user, start_ms, last_ms, count, False))
+        if not snapshots:
+            out = [c for c in out if c[4]]
+        if out:
+            frame = {
+                "user_id": [c[0] for c in out],
+                "session_start": pd.to_datetime([c[1] for c in out], unit="ms"),
+                "session_end": pd.to_datetime([c[2] for c in out], unit="ms"),
+                "event_count": [c[3] for c in out],
+            }
+            if snapshots:
+                frame["is_final"] = [c[4] for c in out]
+            yield pd.DataFrame(frame)
 
     return (
         stream_df.withWatermark(ts_col, watermark_delay)
         .groupBy(F.col(user_col))
         .applyInPandasWithState(
             update,
-            outputStructType=_OUT_SCHEMA,
+            outputStructType=_OUT_SCHEMA_UPDATE if snapshots else _OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
-            outputMode="append",
+            outputMode="update" if snapshots else "append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -178,3 +178,52 @@ def test_sessionize_stream_matches_batch(spark, tmpdir):
     closed_users = {u for (u, *_rest) in got}
     assert {7, 8} <= closed_users
     assert sum(1 for (u, *_r) in got if u == 7) == 2  # both of user 7's sessions
+
+
+def test_sessionize_stream_update_mode(spark, tmpdir):
+    """emit='update': open sessions surface a live snapshot every
+    micro-batch (is_final=False) before the closing row (is_final=True) —
+    the outputMode=update variant for live-session dashboards."""
+    from pgvectorscale_spark.streaming.sessionize import sessionize_batch, sessionize_stream
+
+    rows = [
+        (1, _ts(9, 0), 7, "click", 1.0),
+        (2, _ts(9, 10), 7, "click", 1.0),
+        (3, _ts(9, 50), 7, "view", 1.0),
+        (4, _ts(9, 55), 7, "view", 1.0),
+        (5, _ts(23, 0), 99, "click", 1.0),  # watermark sentinel
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    path = str(tmpdir.join("sessu_in"))
+    df.filter("event_id <= 2").coalesce(1).write.parquet(path)
+    df.filter("event_id > 2").coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    out = sessionize_stream(stream, gap_seconds=1800, watermark_delay="0 seconds", emit="update")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_upd")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmpdir.join("ckpt_sessu")))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows_out = spark.sql("SELECT * FROM sessions_upd").collect()
+    snaps = [r for r in rows_out if not r["is_final"] and r["user_id"] == 7]
+    finals = {
+        (r["user_id"], r["session_start"], r["session_end"], r["event_count"])
+        for r in rows_out
+        if r["is_final"]
+    }
+    # batch 1 saw only user 7's first two events: a live snapshot at count 2
+    assert any(r["event_count"] == 2 for r in snaps), snaps
+    # every closed session is a true session from the batch twin
+    exp_all = {
+        (r["user_id"], r["session_start"], r["session_end"], r["event_count"])
+        for r in sessionize_batch(df, gap_seconds=1800).collect()
+    }
+    assert finals <= exp_all
+    assert sum(1 for (u, *_r) in finals if u == 7) == 2
