@@ -559,6 +559,22 @@ class DiskannIndex:
         cents = np.stack([np.array(r["centroid"], dtype=np.float64) for r in rows])
         return sids, cents
 
+    def _label_shards(self, labels) -> set[int] | None:
+        """Shards that contain at least one row bearing any of `labels` —
+        keeps centroid routing from silently skipping the only shard(s)
+        holding a rare label. One tiny distinct over (shard, label)."""
+        if not self.meta.has_labels:
+            return None
+        rows = (
+            self.nodes()
+            .select("shard", F.explode("labels").alias("_l"))
+            .filter(F.col("_l").isin([int(x) for x in labels]))
+            .select("shard")
+            .distinct()
+            .collect()
+        )
+        return {int(r["shard"]) for r in rows}
+
     # -- serving ---------------------------------------------------------------
 
     def _quantizer_state(self):
@@ -580,6 +596,7 @@ class DiskannIndex:
         stats: "QueryStats | None" = None,
         post_filter: str | None = None,
         overfetch: float = 2.0,
+        probe_shards: int | None = None,
     ) -> DataFrame:
         """Single-query top-k → DataFrame (node_id, distance).
 
@@ -604,7 +621,7 @@ class DiskannIndex:
         def run(fetch_k: int) -> DataFrame:
             res = self.search_batch(
                 qdf, k=fetch_k, search_list_size=search_list_size, rescore=rescore,
-                labels=labels, stats=stats,
+                labels=labels, stats=stats, probe_shards=probe_shards,
             )
             return res.select("node_id", "distance").orderBy("rank")
 
@@ -697,9 +714,16 @@ class DiskannIndex:
                     ]
                 )  # (queries, shards)
                 nearest = np.argsort(cd, axis=1)[:, :probe_shards]
+                # label-aware widening: a filtered query must also probe
+                # every shard that holds its labels, or a rare label
+                # concentrated in an unprobed cell silently disappears
+                extra = self._label_shards(labels) if qlabels else None
                 for qi in range(len(qmat)):
-                    for col in nearest[qi]:
-                        route.setdefault(int(sids[col]), []).append(qi)
+                    probed = {int(sids[col]) for col in nearest[qi]}
+                    if extra:
+                        probed |= extra
+                    for s in probed:
+                        route.setdefault(s, []).append(qi)
                 route = {s: np.array(v, dtype=np.int64) for s, v in route.items()}
         b = self.spark.sparkContext.broadcast(
             (qids, qmat, meta_d, self._quantizer_state(), qlabels, limit, search_list_size, route)

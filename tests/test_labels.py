@@ -282,6 +282,33 @@ def test_exact_scan_label_overlap_matches_index(spark, tmpdir):
         assert via_index == via_scan, f"labels={labels}"
 
 
+def test_routed_search_widens_to_label_shards(spark, tmpdir):
+    """probe_shards routing + label filter: a rare label living only in a
+    geometrically FAR shard must still be found — routing widens to every
+    shard containing the query's labels."""
+    rng = np.random.default_rng(17)
+    d = 8
+    # two far-apart clusters; label 9 exists ONLY in cluster B
+    a = rng.normal(loc=0.0, scale=0.3, size=(200, d)).astype(np.float32)
+    bvecs = rng.normal(loc=10.0, scale=0.3, size=(200, d)).astype(np.float32)
+    rows = [(i, a[i].tolist(), [1]) for i in range(200)] + [
+        (200 + j, bvecs[j].tolist(), [9]) for j in range(200)
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/idx_lblroute", distance_type="l2", num_shards=4,
+        id_col="id", label_col="labels", shard_assignment="kmeans",
+    )
+    # query near cluster A (its nearest shards hold only label 1), filter
+    # on label 9: results must come from the far shard anyway
+    q = a[0]
+    res = idx.search(
+        q.tolist(), k=5, search_list_size=256, labels=[9], probe_shards=1
+    ).collect()
+    assert len(res) == 5
+    assert all(r["node_id"] >= 200 for r in res)  # only label-9 rows
+
+
 def test_labeled_recall(spark, tmpdir):
     """filtering_tests.rs:882-1026: 1000 x 128d with random single labels in
     [1,32]; recall@10 >= 0.9 at reference defaults for no-filter, single-
