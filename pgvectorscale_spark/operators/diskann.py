@@ -441,6 +441,43 @@ class DiskannIndex:
                 )
                 .select("node_id", "shard", *other)
             )
+            # the assignment feeds three jobs (skew counts, quantizer
+            # training, the build itself) — compute the crossJoin+min_by once
+            base = base.persist()
+            # Skew cap: Voronoi cells follow the data distribution, and one
+            # oversized cell breaks the per-shard O(n²) build bound (and
+            # executor memory) at scale. Cells beyond 2x the target split
+            # into hash sub-shards; sub-shards inherit the cell's geometry,
+            # get near-identical centroids in the routing table, and are
+            # therefore probed together by routing — same recall, bounded
+            # shard size. (SPANN solves this with balanced k-means; the
+            # hash split is the shuffle-free Spark analog.)
+            cap = max(target_shard_size * 2, 1)
+            counts = {r["shard"]: r["cnt"] for r in base.groupBy("shard").agg(F.count("*").alias("cnt")).collect()}
+            splits = {s: -(-c // cap) for s, c in counts.items() if c > cap}
+            if splits:
+                offsets, nxt = {}, num_shards
+                for s, m in sorted(splits.items()):
+                    offsets[s] = nxt
+                    nxt += m - 1  # first sub-shard keeps the original id
+                split_map = F.create_map(
+                    *[x for s, m in sorted(splits.items()) for x in (F.lit(s), F.lit(m))]
+                )
+                off_map = F.create_map(
+                    *[x for s, o in sorted(offsets.items()) for x in (F.lit(s), F.lit(o))]
+                )
+                sub = F.pmod(F.xxhash64("node_id"), split_map[F.col("shard")]).cast("int")
+                base = base.withColumn(
+                    "shard",
+                    F.when(
+                        split_map[F.col("shard")].isNotNull(),
+                        F.when(sub == 0, F.col("shard")).otherwise(
+                            off_map[F.col("shard")] + sub - 1
+                        ),
+                    ).otherwise(F.col("shard")),
+                )
+                num_shards = nxt
+                meta.num_shards = num_shards
         quantizer_state = None
         if storage_type == StorageType.SBQ.value:
             sc.setJobDescription("diskann build: training quantizer")
@@ -508,6 +545,8 @@ class DiskannIndex:
             .partitionBy("shard")
             .parquet(os.path.join(path, "nodes"))
         )
+        if shard_assignment == "kmeans":
+            base.unpersist()
         sc.setJobDescription(None)
         # keep the mutation epoch monotonic across rebuilds at the same path
         # so executor-side shard caches from the old index never serve stale

@@ -288,6 +288,38 @@ def test_kmeans_sharding_and_routed_search(spark, tmpdir):
     assert idx.full_scan().count() == n
 
 
+def test_kmeans_shard_skew_cap(spark, tmpdir):
+    """A dominant cluster (skewed Voronoi cell) splits into hash sub-shards
+    bounded by 2x target_shard_size; searches still see every row and
+    routing probes the sub-shards together (near-identical centroids)."""
+    rng = np.random.default_rng(41)
+    d = 8
+    # 90% of rows in one tight cluster, 10% far away
+    big = rng.normal(loc=0.0, scale=0.2, size=(900, d)).astype(np.float32)
+    small = rng.normal(loc=15.0, scale=0.2, size=(100, d)).astype(np.float32)
+    mat = np.concatenate([big, small])
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(1000)], "vec_id long, embedding array<float>"
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/idx_skew", distance_type="l2", num_shards=2,
+        target_shard_size=200, shard_assignment="kmeans",
+    )
+    sizes = {
+        r["shard"]: r["cnt"]
+        for r in idx.nodes().groupBy("shard").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert idx.full_scan().count() == 1000
+    assert max(sizes.values()) <= 400, sizes  # 2x target cap enforced
+    assert idx.meta.num_shards == len(sizes) > 2  # the big cell split
+    # routed search still finds neighbors inside the split cluster
+    q = big[5]
+    got = [r["node_id"] for r in idx.search(q.tolist(), k=5, probe_shards=3).collect()]
+    dvec = ((mat.astype(np.float64) - q.astype(np.float64)) ** 2).sum(axis=1)
+    true = set(np.lexsort((np.arange(1000), dvec))[:5].tolist())
+    assert len(set(got) & true) >= 4, (got, true)
+
+
 def test_meta_version_migration(tmpdir):
     """Read-path migration (reference upgrade_test.rs:25-337): metas written
     by older revisions (missing newer fields) load with defaults; unknown
