@@ -53,6 +53,11 @@ _IDENT = r"[A-Za-z_][A-Za-z_0-9.]*"
 _OP_RE = re.compile(
     rf"({_VEC_LIT}|{_IDENT})\s*(<=>|<->|<#>)\s*({_VEC_LIT}|{_IDENT})", re.IGNORECASE
 )
+# `labels && [1, 2]` / `labels && array(1, 2)` — the S4 overlap operator
+# (mod.rs:236-263) becomes the built-in arrays_overlap
+_OVERLAP_RE = re.compile(
+    rf"({_VEC_LIT}|{_IDENT})\s*&&\s*({_VEC_LIT}|{_IDENT})", re.IGNORECASE
+)
 _BRACKET_RE = re.compile(r"\[\s*(-?\d[^\]]*)\]")
 
 _ANN_TAIL_RE = re.compile(
@@ -127,15 +132,25 @@ class VectorSql:
 
     @staticmethod
     def _rewrite_ops(sql: str) -> str:
-        """``a <=> b`` -> ``cosine_distance(a, b)``; ``[1, 2]`` -> ``array(1, 2)``."""
+        """``a <=> b`` -> ``cosine_distance(a, b)``; ``a && b`` ->
+        ``arrays_overlap(a, b)``; ``[1, 2]`` -> ``array(1, 2)``."""
         sql = _BRACKET_RE.sub(lambda m: f"array({m.group(1)})", sql)
         fn_names = {"cosine": "cosine_distance", "l2": "l2_distance", "inner_product": "inner_product_distance"}
         while True:
             m = _OP_RE.search(sql)
             if m is None:
-                return sql
+                break
             fn = fn_names[_OP_TO_DTYPE[m.group(2)]]
             sql = sql[: m.start()] + f"{fn}({m.group(1)}, {m.group(3)})" + sql[m.end() :]
+        while True:
+            m = _OVERLAP_RE.search(sql)
+            if m is None:
+                return sql
+            sql = (
+                sql[: m.start()]
+                + f"arrays_overlap({m.group(1)}, {m.group(2)})"
+                + sql[m.end() :]
+            )
 
     @staticmethod
     def _expand_distance_fns(sql: str) -> str:

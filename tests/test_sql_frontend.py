@@ -111,6 +111,39 @@ def test_post_filter_overfetch_yields_k_rows(ctx):
     assert got == _true_topk_l2(mat, q, 10, pred=lambda i: i % 2 == 0)
 
 
+def test_label_overlap_operator_in_sql(spark, tmpdir):
+    """The reference's canonical filtered shape `WHERE labels && '{..}'
+    ORDER BY embedding <=> q LIMIT k` (filtering_tests.rs) runs through
+    vs.sql: && rewrites to arrays_overlap and the residual predicate goes
+    through the post-filter refill loop on the index route."""
+    rows = [
+        (1, [1.0, 2.0, 3.0], [1, 2]),
+        (2, [4.0, 5.0, 6.0], [1, 3]),
+        (3, [7.0, 8.0, 9.0], [2, 3]),
+        (4, [1.5, 2.5, 3.5], [3]),
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>, labels array<smallint>")
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/idx_ovl", distance_type="l2", num_shards=1,
+        id_col="id", label_col="labels",
+    )
+    vs = VectorSql(spark)
+    vs.register_table("lvecs", df)
+    vs.register_index("lvecs", "embedding", idx, id_col="id", search_list_size=64)
+    res = vs.sql(
+        "SELECT id FROM lvecs WHERE labels && [3] "
+        "ORDER BY embedding <-> [1.0, 2.0, 3.0] LIMIT 2"
+    )
+    assert [r["id"] for r in res.collect()] == [4, 2]  # label-3 rows by distance
+    # fallback path (no index): same operator, plain spark.sql
+    df.createOrReplaceTempView("lvecs_noidx")
+    res2 = vs.sql(
+        "SELECT id FROM lvecs_noidx WHERE labels && [2] "
+        "ORDER BY embedding <-> [1.0, 2.0, 3.0] LIMIT 2"
+    )
+    assert [r["id"] for r in res2.collect()] == [1, 3]
+
+
 def test_search_post_filter_api(spark, tmpdir):
     """DiskannIndex.search(post_filter=...) refills until k survivors."""
     df, mat = make_fixture_f1(spark, n=200, d=8)

@@ -130,6 +130,40 @@ def test_streaming_neardup_screen(spark, tmpdir, documents):
     assert all(a != 1001 for a, _ in pairs)  # novel doc matches nothing
 
 
+def test_stream_insert_into_kmeans_index(spark, tmpdir):
+    """Streaming ingest into a Voronoi-sharded index: micro-batch inserts
+    route by the centroid table, searches see every streamed vector."""
+    import numpy as np
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+    from pgvectorscale_spark.streaming.ingest import stream_insert
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(120, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(120)], "vec_id long, embedding array<float>"
+    )
+    idx = DiskannIndex.build(
+        df, str(tmpdir.join("idx_kstream")), distance_type="l2", num_shards=2,
+        shard_assignment="kmeans",
+    )
+    new = rng.normal(size=(10, 8)).astype(np.float32)
+    src = str(tmpdir.join("kstream_in"))
+    ndf = spark.createDataFrame(
+        [(200 + i, new[i].tolist()) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    ndf.filter("vec_id < 205").coalesce(1).write.parquet(src)
+    ndf.filter("vec_id >= 205").coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ndf.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_insert(
+        idx, stream, checkpoint_dir=str(tmpdir.join("ckpt_kstream"))
+    )
+    q.awaitTermination(120)
+    assert idx.full_scan().count() == 130
+    got = [r["node_id"] for r in idx.search(new[3].tolist(), k=3, search_list_size=256).collect()]
+    assert got[0] == 203  # streamed vector findable, routed to the right cell
+
+
 def test_sessionize_stream_matches_batch(spark, tmpdir):
     from pgvectorscale_spark.streaming.sessionize import sessionize_batch, sessionize_stream
 
