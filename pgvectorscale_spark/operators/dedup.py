@@ -21,7 +21,7 @@ functions/hashing.py (so each has a DuckDB oracle twin):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pgvectorscale_spark.functions.distance import dot_product, l2_norm

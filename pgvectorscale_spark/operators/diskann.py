@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import os
 from contextlib import contextmanager
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
@@ -123,6 +123,17 @@ def _shard_col(id_col, num_shards: int):
     # as long — an int-typed id column on a later insert()/delete() would
     # otherwise route the same id to a different shard than it was built in.
     return F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(num_shards)).cast("int")
+
+
+def _conf_knob(spark: SparkSession, name: str, fallback: int) -> int:
+    """Session-level query knob: `spark.conf.set("spark.pgvectorscale.<name>", v)`
+    — the GUC analog (`SET diskann.query_search_list_size / query_rescore`,
+    guc.rs:3-4). Explicit call kwargs always win; the conf supplies the
+    session default; the reference default is the floor."""
+    try:
+        return int(spark.conf.get(f"spark.pgvectorscale.{name}"))
+    except Exception:  # unset or non-integer -> reference default
+        return fallback
 
 
 def _validate_label_bounds(src: DataFrame, label_col: str) -> None:
@@ -629,8 +640,8 @@ class DiskannIndex:
         self,
         query_vec: Sequence[float] | None,
         k: int = 10,
-        search_list_size: int = DEFAULT_QUERY_SEARCH_LIST_SIZE,
-        rescore: int = DEFAULT_QUERY_RESCORE,
+        search_list_size: int | None = None,
+        rescore: int | None = None,
         labels: Sequence[int] | None = None,
         stats: "QueryStats | None" = None,
         post_filter: str | None = None,
@@ -638,6 +649,10 @@ class DiskannIndex:
         probe_shards: int | None = None,
     ) -> DataFrame:
         """Single-query top-k → DataFrame (node_id, distance).
+
+        ``search_list_size``/``rescore`` default to the session confs
+        ``spark.pgvectorscale.query_search_list_size`` / ``query_rescore``
+        (the GUC analogs), then to the reference defaults (100 / 50).
 
         A NULL query degrades to a full scan in arbitrary order
         (labels/mod.rs:214-216).
@@ -685,8 +700,8 @@ class DiskannIndex:
         self,
         queries_df: DataFrame,
         k: int = 10,
-        search_list_size: int = DEFAULT_QUERY_SEARCH_LIST_SIZE,
-        rescore: int = DEFAULT_QUERY_RESCORE,
+        search_list_size: int | None = None,
+        rescore: int | None = None,
         labels: Sequence[int] | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
@@ -720,6 +735,12 @@ class DiskannIndex:
         shards × queries × max(k, rescore) tiny rows. No join, no vector
         scan, no shuffle proportional to the corpus — per-query cost is
         independent of corpus size once shard graphs are warm."""
+        if search_list_size is None:
+            search_list_size = _conf_knob(
+                self.spark, "query_search_list_size", DEFAULT_QUERY_SEARCH_LIST_SIZE
+            )
+        if rescore is None:
+            rescore = _conf_knob(self.spark, "query_rescore", DEFAULT_QUERY_RESCORE)
         meta_d = _meta_dict(self.meta)
         qrows = queries_df.select(query_id_col, query_vec_col).collect()
         qids = np.array([r[0] for r in qrows], dtype=np.int64)

@@ -162,6 +162,21 @@ def test_query_stats_populate(built, spark):
     assert d["rescored"] >= 10
 
 
+def test_query_knob_session_confs(spark, built):
+    """GUC analog (guc.rs:3-4): session confs set the query knobs; at
+    sls >= n the walk is exhaustive so the result is provably exact."""
+    idx, mat = built
+    spark.conf.set("spark.pgvectorscale.query_search_list_size", "400")
+    spark.conf.set("spark.pgvectorscale.query_rescore", "400")
+    try:
+        q = mat[5]
+        got = {r["node_id"] for r in idx.search(q.tolist(), k=10).collect()}
+        assert got == _true_topk(mat, q, 10)
+    finally:
+        spark.conf.unset("spark.pgvectorscale.query_search_list_size")
+        spark.conf.unset("spark.pgvectorscale.query_rescore")
+
+
 def test_update_churn_upsert(spark, tmpdir):
     """Reference UPDATE churn (build.rs:1613-1698): re-inserting existing ids
     replaces their vectors; counts stay stable; search reflects new values."""
