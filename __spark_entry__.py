@@ -305,6 +305,44 @@ def _diskann_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diskann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka index (num_dimensions=32: graph walks the 32-dim prefix,
+    rescore runs on the full vector — pg_vector.rs:143-148). At sls >= n
+    the pool is the whole corpus and the full-dim rescore makes the result
+    exactly the full-dim brute-force top-k."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 3)
+    path = tempfile.mkdtemp(prefix="diskann_mat_")
+    idx = DiskannIndex.build(emb, path, distance_type="l2", num_shards=2, num_dimensions=32)
+    return idx.search(q, k=10, search_list_size=_EXACT_SLS).select(
+        F.col("node_id").alias("vec_id"), F.round("distance", 4).alias("distance")
+    )
+
+
+def _diskann_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voronoi (kmeans) shard assignment with full fan-out: geometric
+    shards change WHERE rows live, not WHAT the search returns — at
+    exact-parity settings this hash-matches the same brute-force oracle
+    as the hash-sharded index."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    path = tempfile.mkdtemp(prefix="diskann_vor_")
+    idx = DiskannIndex.build(
+        emb, path, distance_type="l2", num_shards=4, shard_assignment="kmeans"
+    )
+    return idx.search(q, k=10, search_list_size=_EXACT_SLS).select(
+        F.col("node_id").alias("vec_id"), F.round("distance", 4).alias("distance")
+    )
+
+
 def _sql_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vs.sql() front-end (SURVEY M7): the reference's `ORDER BY embedding
     <-> $q LIMIT k` SQL surface routed to a registered DiskANN index
@@ -480,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diskann_plain": _diskann_plain,
         "diskann_labeled": _diskann_labeled,
         "diskann_mutations": _diskann_mutations,
+        "diskann_matryoshka": _diskann_matryoshka,
+        "diskann_voronoi": _diskann_voronoi,
         # SQL surface (SURVEY M7): ORDER BY distance LIMIT k -> index scan
         "sql_ann": _sql_ann,
         "sql_ann_filtered": _sql_ann_filtered,
@@ -532,6 +572,10 @@ def oracle_sql() -> dict[str, str]:
         "diskann_mutations": oracles.knn_exact_oracle(
             0, 10, "l2", exclude_ids=[0, 1, 2, 3, 4]
         ),
+        # matryoshka: the walk is prefix-dim but the rescore is full-dim,
+        # so the exact-parity result matches the FULL-dimension oracle
+        "diskann_matryoshka": oracles.knn_exact_oracle(3, 10, "l2"),
+        "diskann_voronoi": oracles.knn_exact_oracle(0, 10, "l2"),
         "sql_ann": oracles.knn_exact_oracle(0, 10, "l2"),
         "sql_ann_filtered": oracles.knn_exact_oracle(0, 10, "l2", where_sql="vec_id % 2 = 0"),
         "dedup_exact": oracles.dedup_exact_oracle(),
