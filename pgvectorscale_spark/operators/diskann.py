@@ -380,6 +380,40 @@ class DiskannIndex:
             raise ValueError(f"{dims} dimensions exceeds cap {cap} for {storage_type}")
         num_shards = num_shards or max(1, -(-n // target_shard_size))
 
+        if n == 0:
+            # CREATE INDEX on an empty table is the reference's standard
+            # lifecycle (filtering_tests create the index first, then
+            # INSERT). Persist a schema-bearing empty node table; the first
+            # insert() bootstraps the real build (dimensions and quantizer
+            # come from that first batch).
+            if shard_assignment not in ("hash", "kmeans"):
+                raise ValueError(f"unknown shard_assignment: {shard_assignment}")
+            meta = IndexMeta(
+                distance_type=distance_type,
+                storage_type=storage_type,
+                num_neighbors=num_neighbors,
+                search_list_size=search_list_size,
+                max_alpha=max_alpha,
+                bits_per_dimension=bits_per_dimension,
+                num_dimensions_to_index=num_dimensions,
+                has_labels=label_col is not None,
+                num_shards=1,
+                num_rows=0,
+                shard_assignment=shard_assignment,
+            )
+            (
+                spark.createDataFrame([], _NODE_SCHEMA)
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "nodes"))
+            )
+            try:
+                meta.epoch = IndexMeta.load(path).epoch + 1
+            except (OSError, ValueError, TypeError, KeyError):
+                pass
+            meta.save(path)
+            return cls(spark, path, meta)
+
         meta = IndexMeta(
             distance_type=distance_type,
             storage_type=storage_type,
@@ -602,7 +636,10 @@ class DiskannIndex:
         rdir = os.path.join(self.path, "routing")
         if not os.path.isdir(rdir):
             return None
-        rows = self.spark.read.parquet(rdir).collect()
+        try:
+            rows = self.spark.read.parquet(rdir).collect()
+        except Exception:  # e.g. schema-less dir from an empty-table build
+            return None
         if not rows:
             return None
         sids = np.array([r["shard"] for r in rows], dtype=np.int64)
@@ -926,6 +963,27 @@ class DiskannIndex:
         id_col: str = "vec_id",
         label_col: str | None = None,
     ) -> None:
+        if self.meta.num_dimensions == 0:
+            # first insert into an index created on an empty table: bootstrap
+            # the real build from this batch (dimensions, quantizer, shard
+            # count all derive from it) — the aminsert-on-fresh-index path
+            idx = DiskannIndex.build(
+                df,
+                self.path,
+                distance_type=self.meta.distance_type,
+                storage_type=self.meta.storage_type,
+                num_neighbors=self.meta.num_neighbors,
+                search_list_size=self.meta.search_list_size,
+                max_alpha=self.meta.max_alpha,
+                num_dimensions=self.meta.num_dimensions_to_index,
+                bits_per_dimension=self.meta.bits_per_dimension,
+                vector_col=vector_col,
+                id_col=id_col,
+                label_col=label_col,
+                shard_assignment=self.meta.shard_assignment,
+            )
+            self.meta = idx.meta
+            return
         meta_d = _meta_dict(self.meta)
         src = df.filter(F.col(vector_col).isNotNull())
         # dimension check up front on the driver: a mismatched vector would

@@ -162,6 +162,45 @@ def test_query_stats_populate(built, spark):
     assert d["rescored"] >= 10
 
 
+def test_build_on_empty_table_then_insert(spark, tmpdir):
+    """CREATE INDEX on an empty table then INSERT — the reference's
+    standard lifecycle (its filtering tests create the index before any
+    rows exist). The empty build persists a schema-bearing node table; the
+    first insert bootstraps dimensions/quantizer/shards from its batch;
+    subsequent inserts take the normal incremental path."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    idx = DiskannIndex.build(empty, f"{tmpdir}/idx_empty", distance_type="l2")
+    assert idx.meta.num_rows == 0
+    assert idx.search([0.0] * 4, k=3).count() == 0  # searchable while empty
+    first = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 8), (3, [5.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    idx.insert(first)
+    assert idx.meta.num_dimensions == 8  # bootstrapped from the batch
+    assert idx.full_scan().count() == 3
+    assert [r["node_id"] for r in idx.search([0.11] * 8, k=1).collect()] == [1]
+    idx.insert(
+        spark.createDataFrame([(4, [0.3] * 8)], "vec_id long, embedding array<float>")
+    )
+    assert idx.full_scan().count() == 4
+    # labeled variant of the same lifecycle
+    emptyl = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, labels array<smallint>"
+    )
+    idx2 = DiskannIndex.build(
+        emptyl, f"{tmpdir}/idx_empty_lbl", distance_type="cosine", label_col="labels"
+    )
+    idx2.insert(
+        spark.createDataFrame(
+            [(1, [0.1] * 4, [1]), (2, [0.9] * 4, [2])],
+            "vec_id long, embedding array<float>, labels array<smallint>",
+        ),
+        label_col="labels",
+    )
+    assert [r["node_id"] for r in idx2.search([0.1] * 4, k=2, labels=[2]).collect()] == [2]
+
+
 def test_query_knob_session_confs(spark, built):
     """GUC analog (guc.rs:3-4): session confs set the query knobs; at
     sls >= n the walk is exhaustive so the result is provably exact."""
