@@ -104,6 +104,8 @@ class IvfIndex:
     def probe_cells(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
         """Driver-side probe planning over the (tiny) centroid table."""
         rows = self.centroids().collect()
+        if not rows:  # index built over an empty table: nothing to probe
+            return []
         ids = np.array([r["centroid_id"] for r in rows])
         mat = np.array([r["centroid"] for r in rows], dtype=np.float64)
         d = np_distance(mat, np.asarray(query_vec, dtype=np.float64), self.meta.distance_type)
@@ -123,6 +125,8 @@ class IvfIndex:
         PushedFilters needed; unprobed cell files are never read.
         """
         cells = self.probe_cells(query_vec, nprobe)
+        if not cells:
+            return self.spark.createDataFrame([], "node_id long, distance double")
         qlit = F.array([F.lit(float(x)) for x in query_vec])
         return (
             self.nodes()
@@ -151,6 +155,10 @@ class IvfIndex:
         for r in qrows:
             for c in self.probe_cells(r[1], nprobe):
                 probe_pairs.append((int(r[0]), c))
+        if not probe_pairs:
+            return self.spark.createDataFrame(
+                [], "query_id long, node_id long, distance double, rank integer"
+            )
         probes = self.spark.createDataFrame(probe_pairs, "query_id long, centroid_id int")
         qsel = queries_df.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
