@@ -985,6 +985,18 @@ class DiskannIndex:
             self.meta = idx.meta
             return
         meta_d = _meta_dict(self.meta)
+        # UPDATE to NULL removes the row from the index (NULL vectors are
+        # never indexed, build.rs:493-497; the reference's update-with-null
+        # scaffold, vacuum.rs:378-460): tombstone any id arriving with a
+        # NULL vector so its stale previous vector stops surfacing.
+        null_ids = [
+            int(r[0])
+            for r in df.filter(F.col(vector_col).isNull())
+            .select(F.col(id_col).cast("long"))
+            .collect()
+        ]
+        if null_ids:
+            self._delete_locked(null_ids)
         src = df.filter(F.col(vector_col).isNotNull())
         # dimension check up front on the driver: a mismatched vector would
         # otherwise die deep in the executor as an opaque np.stack ragged-
@@ -993,9 +1005,9 @@ class DiskannIndex:
             F.min(F.size(F.col(vector_col))).alias("lo"),
             F.max(F.size(F.col(vector_col))).alias("hi"),
         ).first()
-        if dims["lo"] is not None and (
-            dims["lo"] != self.meta.num_dimensions or dims["hi"] != self.meta.num_dimensions
-        ):
+        if dims["lo"] is None:
+            return  # no non-NULL vectors in the batch: nothing to insert
+        if dims["lo"] != self.meta.num_dimensions or dims["hi"] != self.meta.num_dimensions:
             raise ValueError(
                 f"insert vectors have {dims['lo']}..{dims['hi']} dimensions; "
                 f"index expects {self.meta.num_dimensions}"

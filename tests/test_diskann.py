@@ -201,6 +201,29 @@ def test_build_on_empty_table_then_insert(spark, tmpdir):
     assert [r["node_id"] for r in idx2.search([0.1] * 4, k=2, labels=[2]).collect()] == [2]
 
 
+def test_update_to_null_and_empty_batches(spark, tmpdir):
+    """Reference update-with-null scaffold (vacuum.rs:378-460): an UPDATE
+    setting the vector to NULL removes the row from the index (NULL is
+    never indexed); empty / all-NULL insert batches are clean no-ops."""
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    idx = DiskannIndex.build(df, f"{tmpdir}/idx_nulls", distance_type="l2", num_shards=2)
+    idx.insert(spark.createDataFrame([], "vec_id long, embedding array<float>"))
+    assert idx.full_scan().count() == 20  # empty batch: no-op
+    idx.insert(spark.createDataFrame([(3, None)], "vec_id long, embedding array<float>"))
+    assert idx.full_scan().filter("node_id = 3").count() == 0  # tombstoned
+    top = [r["node_id"] for r in idx.search([3.0] * 8, k=2, search_list_size=64).collect()]
+    assert 3 not in top
+    # mixed batch: NULL deletes, real vector upserts — in one call
+    mixed = spark.createDataFrame(
+        [(5, None), (21, [21.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    idx.insert(mixed)
+    assert idx.full_scan().filter("node_id = 5").count() == 0
+    assert idx.full_scan().filter("node_id = 21").count() == 1
+
+
 def test_query_knob_session_confs(spark, built):
     """GUC analog (guc.rs:3-4): session confs set the query knobs; at
     sls >= n the walk is exhaustive so the result is provably exact."""
