@@ -67,16 +67,9 @@ from pgvectorscale_spark.types import (
     StorageType,
 )
 
+from pgvectorscale_spark.operators.index_util import ConcurrentWriterError, writer_lock
+
 __all__ = ["DiskannIndex", "QueryStats", "ConcurrentWriterError"]
-
-
-class ConcurrentWriterError(RuntimeError):
-    """Another writer holds the index's writer lock.
-
-    The reference serializes writers with a transaction-scoped advisory lock
-    (ports.rs:160, regression-tested by tests/test_concurrent_inserts.py);
-    the parquet-backed analog is an atomically-created lock file per index.
-    """
 
 
 class QueryStats:
@@ -913,34 +906,11 @@ class DiskannIndex:
 
     @contextmanager
     def _writer_lock(self):
-        """Exclusive writer guard: O_CREAT|O_EXCL lock file (atomic on local
-        and network POSIX filesystems; on object stores swap in a
-        conditional-put). A second concurrent writer fails fast with
-        ConcurrentWriterError instead of silently interleaving partition
-        rewrites — the advisory-lock semantics of the reference
-        (ports.rs:160)."""
-        lock_path = os.path.join(self.path, "_writer.lock")
-        try:
-            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            try:
-                with open(lock_path) as f:
-                    holder = f.read().strip()
-            except OSError:
-                holder = "unknown"
-            raise ConcurrentWriterError(
-                f"index at {self.path} is locked by another writer ({holder}); "
-                f"retry after it finishes, or remove {lock_path} if it crashed"
-            ) from None
-        try:
-            os.write(fd, f"pid={os.getpid()}".encode())
-            os.close(fd)
+        """Exclusive writer guard (shared lock-file mechanism,
+        index_util.writer_lock) — the advisory-lock semantics of the
+        reference (ports.rs:160)."""
+        with writer_lock(self.path):
             yield
-        finally:
-            try:
-                os.remove(lock_path)
-            except OSError:
-                pass
 
     def insert(
         self,

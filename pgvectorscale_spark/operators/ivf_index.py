@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgvectorscale_spark.functions.distance import distance_expr, np_distance
+from pgvectorscale_spark.operators.index_util import writer_lock
 from pgvectorscale_spark.operators.similarity import ivf_assign, kmeans_centroids
 from pgvectorscale_spark.types import DistanceType, IndexMeta
 
@@ -139,6 +140,105 @@ class IvfIndex:
             .limit(k)
             .select("node_id", "distance")
         )
+
+    # -- mutations ---------------------------------------------------------
+
+    def insert(
+        self, df: DataFrame, vector_col: str = "embedding", id_col: str = "vec_id"
+    ) -> None:
+        """Micro-batch upsert: new rows are assigned to their nearest
+        (fixed) centroid's cell and the affected cell partitions are
+        rewritten; re-inserted ids replace their stored rows wherever they
+        previously lived (the old cell is rewritten too, so a moved vector
+        never leaves a duplicate behind). Centroids stay fixed after
+        training — standard IVF; retrain by rebuilding when cell quality
+        drifts. Writers are serialized by the index lock file."""
+        with writer_lock(self.path):
+            src = df.filter(F.col(vector_col).isNotNull())
+            cents = self.centroids().select("centroid_id", F.col("centroid").alias("_cv"))
+            new = (
+                src.select(
+                    F.col(id_col).cast("long").alias("node_id"),
+                    F.col(vector_col).alias("vector"),
+                )
+                .crossJoin(F.broadcast(cents))
+                .withColumn(
+                    "_d", distance_expr(F.col("vector"), F.col("_cv"), self.meta.distance_type)
+                )
+                .groupBy("node_id")
+                .agg(
+                    F.min_by("centroid_id", F.struct("_d", "centroid_id")).alias("centroid_id"),
+                    F.first("vector").alias("vector"),
+                )
+                .select("node_id", "vector", "centroid_id")
+            )
+            new_ids = new.select("node_id").distinct()
+            # cells to rewrite: where the new rows land + where their ids
+            # previously lived (upsert must erase the old copy)
+            old_cells = (
+                self.nodes().join(F.broadcast(new_ids), "node_id").select("centroid_id").distinct()
+            )
+            cells = [
+                int(r["centroid_id"])
+                for r in new.select("centroid_id").distinct().union(old_cells).distinct().collect()
+            ]
+            kept = (
+                self.nodes()
+                .filter(F.col("centroid_id").isin(cells))
+                .join(F.broadcast(new_ids), "node_id", "left_anti")
+                .select("node_id", "vector", "centroid_id")
+            )
+            self._rewrite_cells(kept.unionByName(new))
+            self.meta.num_rows = self.nodes().count()
+            self.meta.save(self.path)
+
+    def delete(self, ids: Sequence[int]) -> None:
+        """Remove rows by id (cell partitions rewritten without them)."""
+        with writer_lock(self.path):
+            ids_df = self.spark.createDataFrame([(int(i),) for i in ids], "node_id long")
+            cells = [
+                int(r["centroid_id"])
+                for r in self.nodes()
+                .join(F.broadcast(ids_df), "node_id")
+                .select("centroid_id")
+                .distinct()
+                .collect()
+            ]
+            if not cells:
+                return
+            kept = (
+                self.nodes()
+                .filter(F.col("centroid_id").isin(cells))
+                .join(F.broadcast(ids_df), "node_id", "left_anti")
+                .select("node_id", "vector", "centroid_id")
+            )
+            self._rewrite_cells(kept)
+            self.meta.num_rows = self.nodes().count()
+            self.meta.save(self.path)
+
+    def _rewrite_cells(self, updated: DataFrame) -> None:
+        """Dynamic-partition-overwrite of just the touched cell partitions
+        (staged first: Spark cannot overwrite a path it is reading)."""
+        import shutil
+
+        staging = os.path.join(self.path, "_staging_nodes")
+        updated.write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+        prior = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                self.spark.read.parquet(staging)
+                .select("node_id", "vector", "centroid_id")
+                .write.mode("overwrite")
+                .partitionBy("centroid_id")
+                .parquet(os.path.join(self.path, "nodes"))
+            )
+        finally:
+            if prior is None:
+                self.spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        shutil.rmtree(staging, ignore_errors=True)
 
     def search_batch(
         self,

@@ -48,6 +48,44 @@ def test_partial_probe_recall(spark, built):
     assert hits / 100 >= 0.8
 
 
+def test_insert_delete_lifecycle(spark, tmpd):
+    """IVF mutations: inserts land in their nearest cell (probing finds
+    them), upserts of moved vectors erase the old copy from its previous
+    cell, deletes drop rows — and a concurrent writer is rejected."""
+    from pgvectorscale_spark.operators.index_util import (
+        ConcurrentWriterError,
+        writer_lock,
+    )
+
+    df = make_vectors(spark, n=300, dim=8, seed=33)
+    mat = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()], dtype=np.float64)
+    idx = IvfIndex.build(df, f"{tmpd}/idx_mut", num_centroids=8, kmeans_iterations=1)
+    new = spark.createDataFrame(
+        [(500, mat[7].tolist())], "vec_id long, embedding array<float>"
+    )
+    idx.insert(new)
+    assert idx.meta.num_rows == 301
+    got = [r["node_id"] for r in idx.search(mat[7].tolist(), k=2, nprobe=8).collect()]
+    assert set(got) == {7, 500}  # the clone ties with the original
+    # move vector 500 far away: the upsert must erase the old-cell copy
+    moved = spark.createDataFrame(
+        [(500, (mat[3] * 100.0).tolist())], "vec_id long, embedding array<float>"
+    )
+    idx.insert(moved)
+    assert idx.meta.num_rows == 301  # upsert, not append
+    assert idx.nodes().filter("node_id = 500").count() == 1
+    idx.delete([500, 7])
+    assert idx.meta.num_rows == 299
+    got2 = [r["node_id"] for r in idx.search(mat[7].tolist(), k=2, nprobe=8).collect()]
+    assert 7 not in got2 and 500 not in got2
+    # writer lock shared with the other index types
+    with writer_lock(idx.path):
+        import pytest as _pytest
+
+        with _pytest.raises(ConcurrentWriterError):
+            idx.delete([1])
+
+
 def test_probe_is_partition_filter(spark, built):
     idx, mat = built
     df = idx.search(mat[0].tolist(), k=5, nprobe=4)
