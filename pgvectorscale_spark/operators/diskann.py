@@ -38,6 +38,9 @@ surface in results (vacuum.rs:23-136); compact() rebuilds from live rows.
 from __future__ import annotations
 
 import os
+import uuid
+import warnings
+from collections import OrderedDict
 from contextlib import contextmanager
 from typing import Sequence
 
@@ -228,10 +231,45 @@ def _emit_nodes(pdf: pd.DataFrame, g: VamanaGraph, gids: np.ndarray) -> pd.DataF
 # across tasks with spark.python.worker.reuse=true, the default). A query
 # batch therefore rehydrates each shard graph ONCE PER EXECUTOR PROCESS, not
 # once per batch — the analog of the reference keeping index pages hot in
-# shared_buffers across scans. Keyed by (path, shard, epoch): any mutation
-# bumps the index epoch, so stale entries are never served.
-_SHARD_GRAPH_CACHE: dict[tuple, tuple] = {}
-_SHARD_GRAPH_CACHE_CAP = 64
+# shared_buffers across scans. Keyed by (path, shard, build_id, epoch):
+# mutations bump the epoch, rebuilds mint a fresh build_id, so stale entries
+# are never served (even after an out-of-band directory wipe resets epochs).
+# Eviction is last-access LRU under a byte budget (plain-storage entries pin
+# full-precision matrices, so an entry-count cap alone leaves memory use
+# unbounded in bytes) plus an entry-count backstop.
+_SHARD_GRAPH_CACHE: OrderedDict[tuple, tuple] = OrderedDict()
+_SHARD_GRAPH_CACHE_CAP = 256
+_SHARD_GRAPH_CACHE_MAX_BYTES = int(
+    os.environ.get("PGVS_SHARD_CACHE_BYTES", 8 << 30)  # 8 GiB per worker proc
+)
+
+
+def _entry_nbytes(g, gids: np.ndarray, dead: np.ndarray, fullmat) -> int:
+    total = int(gids.nbytes) + int(dead.nbytes) + 512  # tuple/dict overhead
+    if fullmat is not None:
+        total += int(fullmat.nbytes)
+    if g is not None:
+        total += int(g.mat.nbytes)
+        if g.codes is not None:
+            total += int(g.codes.nbytes)
+        # adjacency lists hold boxed Python ints: ~32 bytes per edge
+        total += 32 * sum(len(a) for a in g.adj)
+    return total
+
+
+def _cache_put(key: tuple, entry: tuple, nbytes: int) -> None:
+    _SHARD_GRAPH_CACHE[key] = (*entry, nbytes)
+    _SHARD_GRAPH_CACHE.move_to_end(key)
+    used = sum(e[-1] for e in _SHARD_GRAPH_CACHE.values())
+    while _SHARD_GRAPH_CACHE and (
+        len(_SHARD_GRAPH_CACHE) > _SHARD_GRAPH_CACHE_CAP
+        or used > _SHARD_GRAPH_CACHE_MAX_BYTES
+    ):
+        old_key, old = _SHARD_GRAPH_CACHE.popitem(last=False)
+        if old_key == key:  # never evict the entry just inserted
+            _SHARD_GRAPH_CACHE[key] = old
+            break
+        used -= old[-1]
 
 
 def _stage1_columns(meta_d: dict) -> list[str]:
@@ -250,19 +288,21 @@ def _stage1_columns(meta_d: dict) -> list[str]:
 
 
 def _load_shard_graph(
-    nodes_dir: str, shard: int, epoch: int, meta_d: dict, quantizer_state
+    nodes_dir: str, shard: int, token: tuple, meta_d: dict, quantizer_state
 ) -> tuple[VamanaGraph, np.ndarray, np.ndarray, np.ndarray | None, bool]:
     """Load (or reuse) a shard's graph directly from its parquet partition.
 
     Reads bypass Spark's scan: the worker pulls just the projected columns
     with pyarrow from ``<nodes_dir>/shard=<s>`` (works on any pyarrow-
-    supported filesystem — local, HDFS, S3). Returns (graph, global_ids,
+    supported filesystem — local, HDFS, S3). ``token`` is the index's
+    (build_id, epoch) cache-freshness pair. Returns (graph, global_ids,
     deleted_mask, full_matrix_or_None, cache_hit). The full-precision
     matrix is resident only for plain storage (where the walk needs it
     anyway); under SBQ the cache stays O(codes + adjacency)."""
-    key = (nodes_dir, int(shard), int(epoch))
+    key = (nodes_dir, int(shard), token)
     hit = _SHARD_GRAPH_CACHE.get(key)
     if hit is not None:
+        _SHARD_GRAPH_CACHE.move_to_end(key)
         return hit[0], hit[1], hit[2], hit[3], True
     import pyarrow.dataset as pads
 
@@ -274,7 +314,7 @@ def _load_shard_graph(
         pdf = pd.DataFrame({c: [] for c in _stage1_columns(meta_d)})
     if not len(pdf):
         empty = (None, np.array([], dtype=np.int64), np.array([], dtype=bool), None)
-        _SHARD_GRAPH_CACHE[key] = empty
+        _cache_put(key, empty, _entry_nbytes(None, empty[1], empty[2], None))
         return empty[0], empty[1], empty[2], empty[3], False
     pdf = pdf.sort_values("node_id").reset_index(drop=True)
     g, gids = _graph_from_pdf(pdf, meta_d, quantizer_state)
@@ -282,11 +322,7 @@ def _load_shard_graph(
     fullmat = None
     if "vector" in pdf.columns:
         fullmat = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
-    if len(_SHARD_GRAPH_CACHE) >= _SHARD_GRAPH_CACHE_CAP:
-        # drop oldest entries (and anything from an older epoch of this index)
-        for k in sorted(_SHARD_GRAPH_CACHE, key=lambda k: k[2])[: len(_SHARD_GRAPH_CACHE) // 2]:
-            del _SHARD_GRAPH_CACHE[k]
-    _SHARD_GRAPH_CACHE[key] = (g, gids, dead, fullmat)
+    _cache_put(key, (g, gids, dead, fullmat), _entry_nbytes(g, gids, dead, fullmat))
     return g, gids, dead, fullmat, False
 
 
@@ -339,6 +375,7 @@ class DiskannIndex:
         label_col: str | None = None,
         build_mode: str = "bulk",
         shard_assignment: str = "hash",
+        _locked: bool = False,
     ) -> "DiskannIndex":
         """``build_mode='bulk'`` (default): exact-prefix BLAS candidates per
         chunk — ~3x the throughput of per-insert beam walks at equal/better
@@ -353,6 +390,25 @@ class DiskannIndex:
         ``search_batch(probe_shards=p)`` can route each query to its p
         nearest shards and per-query cost stops growing with shard count.
         Trade-off: cluster sizes skew with the data distribution."""
+        if not _locked:
+            # build is a writer like insert/delete/compact: a concurrent
+            # build vs mutation at one path must be serialized, not raced
+            # (the reference holds the same advisory lock across CREATE
+            # INDEX, ports.rs:160). _locked=True marks nested calls from
+            # _insert_locked (bootstrap) / _compact_locked that already
+            # hold the lock — the file lock is not re-entrant.
+            with writer_lock(path):
+                return cls.build(
+                    df, path, distance_type=distance_type,
+                    storage_type=storage_type, num_neighbors=num_neighbors,
+                    search_list_size=search_list_size, max_alpha=max_alpha,
+                    num_dimensions=num_dimensions,
+                    bits_per_dimension=bits_per_dimension,
+                    num_shards=num_shards, target_shard_size=target_shard_size,
+                    vector_col=vector_col, id_col=id_col, label_col=label_col,
+                    build_mode=build_mode, shard_assignment=shard_assignment,
+                    _locked=True,
+                )
         spark = df.sparkSession
         # reloption validation (build.rs:264-290, :192-196)
         if storage_type == StorageType.PLAIN.value:
@@ -393,6 +449,7 @@ class DiskannIndex:
                 num_shards=1,
                 num_rows=0,
                 shard_assignment=shard_assignment,
+                build_id=uuid.uuid4().hex,
             )
             (
                 spark.createDataFrame([], _NODE_SCHEMA)
@@ -419,6 +476,7 @@ class DiskannIndex:
             has_labels=label_col is not None,
             num_shards=num_shards,
             num_rows=n,
+            build_id=uuid.uuid4().hex,
         )
 
         if shard_assignment not in ("hash", "kmeans"):
@@ -702,10 +760,11 @@ class DiskannIndex:
             [(0, [float(x) for x in query_vec])], "query_id long, query_vec array<float>"
         )
 
-        def run(fetch_k: int) -> DataFrame:
+        def run(fetch_k: int, sls: int | None = None) -> DataFrame:
             res = self.search_batch(
-                qdf, k=fetch_k, search_list_size=search_list_size, rescore=rescore,
-                labels=labels, stats=stats, probe_shards=probe_shards,
+                qdf, k=fetch_k,
+                search_list_size=sls if sls is not None else search_list_size,
+                rescore=rescore, labels=labels, stats=stats, probe_shards=probe_shards,
             )
             return res.select("node_id", "distance").orderBy("rank")
 
@@ -714,17 +773,55 @@ class DiskannIndex:
         import math
 
         total = self.meta.num_rows
+        base_sls = (
+            search_list_size
+            if search_list_size is not None
+            else _conf_knob(self.spark, "query_search_list_size", DEFAULT_QUERY_SEARCH_LIST_SIZE)
+        )
         fetch = min(total, max(k, math.ceil(k * overfetch)))
         nodes = self.full_scan()
         while True:
-            survivors = run(fetch).join(nodes, "node_id").filter(post_filter)
-            if fetch >= total or survivors.count() >= k:
+            # the candidate pool is bounded by the beam's visited set, not by
+            # fetch — search_list_size must grow along with fetch, or a
+            # selective predicate exhausts the pool long before the corpus
+            # (the reference's amgettuple stream keeps walking: scan.rs:370-436)
+            survivors = (
+                run(fetch, max(base_sls, fetch)).join(nodes, "node_id").filter(post_filter)
+            )
+            if survivors.count() >= k:
                 return (
                     survivors.orderBy(F.col("distance").asc(), F.col("node_id").asc())
                     .limit(k)
                     .select("node_id", "distance")
                 )
+            if fetch >= total:
+                break
             fetch = min(total, fetch * 4)
+        # corpus exhausted through the graph with < k survivors: close the
+        # stream-more contract with one exact scan over live rows, so matches
+        # the walk cannot reach (e.g. a disconnected component) still surface.
+        # Fewer than k matching rows in the corpus returns all of them — the
+        # reference's exhausted-stream behavior.
+        qlit = F.array([F.lit(float(x)) for x in query_vec])
+        scored = nodes.withColumn(
+            "distance", distance_expr(F.col("vector"), qlit, self.meta.distance_type)
+        )
+        if labels:
+            scored = scored.filter(
+                F.coalesce(
+                    F.arrays_overlap(
+                        "labels",
+                        F.array([F.lit(int(x)) for x in labels]).cast("array<smallint>"),
+                    ),
+                    F.lit(False),
+                )
+            )
+        return (
+            scored.filter(post_filter)
+            .orderBy(F.col("distance").asc(), F.col("node_id").asc())
+            .limit(k)
+            .select("node_id", "distance")
+        )
 
     def search_batch(
         self,
@@ -787,6 +884,18 @@ class DiskannIndex:
         limit = max(k, rescore)
         # shard routing: per-query top-p shards by centroid distance. The
         # routing table is tiny (num_shards rows) and computed driver-side.
+        # Routing is only meaningful on Voronoi (kmeans) shards: hash shards
+        # are geometric mirrors of each other, so their centroids all sit at
+        # the global mean and routing would pick shards near-arbitrarily —
+        # silently collapsing recall. Fall back to the exact full fan-out.
+        if probe_shards is not None and self.meta.shard_assignment != "kmeans":
+            warnings.warn(
+                f"probe_shards ignored: index at {self.path} is "
+                f"'{self.meta.shard_assignment}'-sharded (no geometric routing); "
+                "probing all shards. Build with shard_assignment='kmeans' to route.",
+                stacklevel=2,
+            )
+            probe_shards = None
         route: dict[int, np.ndarray] | None = None
         if probe_shards is not None and probe_shards < self.meta.num_shards:
             table = self._routing_table()
@@ -819,7 +928,7 @@ class DiskannIndex:
             (qids, qmat, meta_d, self._quantizer_state(), qlabels, limit, search_list_size, route)
         )
         nodes_dir = os.path.join(self.path, "nodes")
-        epoch = self.meta.epoch
+        cache_token = (self.meta.build_id, self.meta.epoch)
 
         def shard_probe(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
@@ -833,7 +942,7 @@ class DiskannIndex:
                 return pd.DataFrame({"query_id": [], "node_id": [], "wdist": []}).astype(
                     {"query_id": "int64", "node_id": "int64", "wdist": "float64"}
                 )
-            g, gids, dead, fullmat, hot = _load_shard_graph(nodes_dir, shard, epoch, md, qstate)
+            g, gids, dead, fullmat, hot = _load_shard_graph(nodes_dir, shard, cache_token, md, qstate)
             if g is None:  # empty shard
                 return pd.DataFrame({"query_id": [], "node_id": [], "wdist": []}).astype(
                     {"query_id": "int64", "node_id": "int64", "wdist": "float64"}
@@ -951,6 +1060,7 @@ class DiskannIndex:
                 id_col=id_col,
                 label_col=label_col,
                 shard_assignment=self.meta.shard_assignment,
+                _locked=True,  # caller already holds the writer lock
             )
             self.meta = idx.meta
             return
@@ -1227,6 +1337,7 @@ class DiskannIndex:
             num_shards=self.meta.num_shards,
             label_col="labels" if self.meta.has_labels else None,
             shard_assignment=self.meta.shard_assignment,
+            _locked=True,  # caller already holds the writer lock
         )
         shutil.rmtree(staging, ignore_errors=True)
         self.meta = idx.meta

@@ -23,6 +23,7 @@ class ConcurrentWriterError(RuntimeError):
 @contextmanager
 def writer_lock(index_path: str):
     lock_path = os.path.join(index_path, "_writer.lock")
+    os.makedirs(index_path, exist_ok=True)  # build() locks before first write
     try:
         fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:

@@ -75,6 +75,7 @@ class _IndexEntry:
     index: object  # DiskannIndex | SbqFlatIndex | IvfIndex (duck-typed search)
     id_col: str
     search_kwargs: dict  # GUC query-knob analog (S11): e.g. search_list_size
+    column: str = ""  # indexed vector column (for the exact-scan fallback)
 
 
 def _split_select(items: str) -> list[str]:
@@ -126,14 +127,38 @@ class VectorSql:
         to it — the AM registration analog (mod.rs:207-263). Extra kwargs
         (e.g. ``search_list_size=200``) pass through to every routed
         ``index.search`` call — the GUC query-knob analog (guc.rs:3-4)."""
-        self._indexes[(table.lower(), column.lower())] = _IndexEntry(index, id_col, search_kwargs)
+        self._indexes[(table.lower(), column.lower())] = _IndexEntry(
+            index, id_col, search_kwargs, column.lower()
+        )
 
     # -- rewrite ------------------------------------------------------------
 
-    @staticmethod
-    def _rewrite_ops(sql: str) -> str:
+    def _array_columns(self) -> set[str]:
+        """Lower-cased names of array-typed columns across registered tables."""
+        cols: set[str] = set()
+        for df in self._tables.values():
+            for fld in df.schema.fields:
+                if fld.dataType.typeName() == "array":
+                    cols.add(fld.name.lower())
+        return cols
+
+    def _is_array_operand(self, operand: str, array_cols: set[str]) -> bool:
+        if re.match(r"array\s*\(", operand, re.IGNORECASE):
+            return True  # vector/array literal ([..] is already rewritten)
+        return operand.split(".")[-1].lower() in array_cols
+
+    def _rewrite_ops(self, sql: str) -> str:
         """``a <=> b`` -> ``cosine_distance(a, b)``; ``a && b`` ->
-        ``arrays_overlap(a, b)``; ``[1, 2]`` -> ``array(1, 2)``."""
+        ``arrays_overlap(a, b)``; ``[1, 2]`` -> ``array(1, 2)``.
+
+        ``&&`` doubles as a logical-AND spelling in several SQL dialects
+        (and Spark's parser rejects it outright), so the overlap rewrite
+        (S4, mod.rs:236-263) only fires when an operand is provably
+        array-shaped: an array literal, or an identifier naming an
+        array-typed column of a registered table. Every other ``&&``
+        becomes logical ``AND`` — ``flag_a && flag_b`` on boolean columns
+        keeps its conjunction meaning instead of mis-evaluating as an
+        array overlap."""
         sql = _BRACKET_RE.sub(lambda m: f"array({m.group(1)})", sql)
         fn_names = {"cosine": "cosine_distance", "l2": "l2_distance", "inner_product": "inner_product_distance"}
         while True:
@@ -142,15 +167,25 @@ class VectorSql:
                 break
             fn = fn_names[_OP_TO_DTYPE[m.group(2)]]
             sql = sql[: m.start()] + f"{fn}({m.group(1)}, {m.group(3)})" + sql[m.end() :]
+        array_cols = self._array_columns()
+        pos = 0
         while True:
-            m = _OVERLAP_RE.search(sql)
+            m = _OVERLAP_RE.search(sql, pos)
             if m is None:
-                return sql
-            sql = (
-                sql[: m.start()]
-                + f"arrays_overlap({m.group(1)}, {m.group(2)})"
-                + sql[m.end() :]
-            )
+                break
+            a, b = m.group(1), m.group(2)
+            if self._is_array_operand(a, array_cols) or self._is_array_operand(b, array_cols):
+                repl = f"arrays_overlap({a}, {b})"
+                sql = sql[: m.start()] + repl + sql[m.end() :]
+                pos = m.start() + len(repl)
+            else:
+                pos = m.end()  # logical AND — handled below
+        # any && still standing is a conjunction (Spark's parser has no &&);
+        # rewrite it to AND, skipping single-quoted string literals
+        parts = re.split(r"('(?:[^']|'')*')", sql)
+        return "".join(
+            p if i % 2 else re.sub(r"&&", " AND ", p) for i, p in enumerate(parts)
+        )
 
     @staticmethod
     def _expand_distance_fns(sql: str) -> str:
@@ -199,7 +234,7 @@ class VectorSql:
         sm = _SELECT_RE.match(sql)
         items = sm.group("items").strip() if sm else "*"
 
-        res = self._index_topk(entry, df, qvec, k, predicate)
+        res = self._index_topk(entry, df, qvec, k, predicate, dtype)
         # expose requested columns: join candidates back to the table rows
         joined = res.join(df, res["node_id"] == df[entry.id_col], "inner").drop("node_id")
         ordered = joined.orderBy(F.col("distance").asc(), F.col(entry.id_col).asc()).limit(k)
@@ -222,9 +257,16 @@ class VectorSql:
         return ordered.select(*cols)
 
     def _index_topk(
-        self, entry: _IndexEntry, df: DataFrame, qvec: list[float], k: int, predicate: str | None
+        self,
+        entry: _IndexEntry,
+        df: DataFrame,
+        qvec: list[float],
+        k: int,
+        predicate: str | None,
+        dtype: str,
     ) -> DataFrame:
         """Index search with post-filter over-fetch + refill (README.md:291-303)."""
+        import inspect
         import math
 
         if predicate is None:
@@ -233,15 +275,48 @@ class VectorSql:
             )
         total = getattr(getattr(entry.index, "meta", None), "num_rows", None) or df.count()
         fetch = min(total, max(k, math.ceil(k * self.OVERFETCH_EPSILON)))
+        # graph indexes bound their candidate pool by the beam, not by k —
+        # the refill must widen search_list_size along with fetch or the
+        # stream dries up at ~sls survivors regardless of fetch
+        grows_sls = "search_list_size" in inspect.signature(entry.index.search).parameters
+        # never pass a beam SMALLER than what the index would use anyway
+        # (explicit kwarg > session conf > reference default)
+        from pgvectorscale_spark.types import DEFAULT_QUERY_SEARCH_LIST_SIZE
+
+        floor = entry.search_kwargs.get("search_list_size") or 0
+        if not floor:
+            try:
+                floor = int(
+                    entry.index.spark.conf.get("spark.pgvectorscale.query_search_list_size")
+                )
+            except Exception:
+                floor = DEFAULT_QUERY_SEARCH_LIST_SIZE
         while True:
-            res = entry.index.search(qvec, k=fetch, **entry.search_kwargs).select(
-                "node_id", "distance"
-            )
+            kw = dict(entry.search_kwargs)
+            if grows_sls and fetch > floor:
+                kw["search_list_size"] = fetch
+            res = entry.index.search(qvec, k=fetch, **kw).select("node_id", "distance")
             filtered = (
                 res.join(df, res["node_id"] == df[entry.id_col], "inner")
                 .filter(predicate)
                 .select("node_id", "distance")
             )
-            if fetch >= total or filtered.count() >= k:
+            if filtered.count() >= k:
                 return filtered
+            if fetch >= total:
+                break
             fetch = min(total, fetch * self.REFILL_FACTOR)
+        # exhausted the index stream with < k survivors: finish with one
+        # exact scan so any matching rows the index cannot surface (IVF
+        # probe misses, unreachable graph nodes) still stream out — the
+        # reference's amgettuple never stops short while matches remain
+        from pgvectorscale_spark.operators.knn import search_exact
+
+        return search_exact(
+            df.filter(predicate),
+            qvec,
+            k=k,
+            distance_type=dtype,
+            vector_col=entry.column,
+            id_col=entry.id_col,
+        ).select(F.col(entry.id_col).alias("node_id"), "distance")

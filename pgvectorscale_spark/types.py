@@ -80,6 +80,10 @@ class IndexMeta:
     # mutation epoch: bumped by insert/delete/compact so executor-side shard
     # caches (diskann._SHARD_GRAPH_CACHE) invalidate without any coordination
     epoch: int = 0
+    # random id minted per build(): executor cache keys include it, so a
+    # rebuild after an out-of-band directory wipe (which resets the epoch
+    # counter) can never be served stale entries from long-lived workers
+    build_id: str = ""
     # 'hash' (balanced, no routing) or 'kmeans' (Voronoi shards, routable)
     shard_assignment: str = "hash"
     # SBQ quantizer state (reference SbqMeans, sbq/mod.rs:79-86):
