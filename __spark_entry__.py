@@ -466,12 +466,13 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the stateful streaming op,
-    streaming/sessionize.py). Nanos -> epoch seconds via exact long division."""
+    streaming/sessionize.py). Epoch seconds via exact integer division,
+    layout-agnostic (nanos-as-long or native timestamp)."""
+    from pgvectorscale_spark.operators.relational import ts_epoch_seconds
     from pgvectorscale_spark.streaming.sessionize import sessionize_batch
 
-    events = load_table(spark, "events", sf_dir).withColumn(
-        "ts_sec", F.expr("ts div 1000000000")
-    )
+    raw = load_table(spark, "events", sf_dir)
+    events = raw.withColumn("ts_sec", ts_epoch_seconds(raw))
     return sessionize_batch(events, gap_seconds=1800, ts_col="ts_sec").select(
         "user_id", "session_start", "session_end", "event_count"
     )

@@ -112,9 +112,10 @@ def main() -> None:
         ).collect()
 
     def q_sessionize():
+        from pgvectorscale_spark.operators.relational import ts_epoch_seconds
         from pgvectorscale_spark.streaming.sessionize import sessionize_batch
 
-        ev = events.withColumn("ts_sec", F.expr("ts div 1000000000"))
+        ev = events.withColumn("ts_sec", ts_epoch_seconds(events))
         return sessionize_batch(ev, gap_seconds=1800, ts_col="ts_sec").count()
 
     # (name, fn, runs): steady-state queries run twice and report the best —

@@ -94,6 +94,19 @@ ORDER BY revenue_cents DESC, c_custkey LIMIT {k}
 """
 
 
+def ts_epoch_seconds(events: DataFrame, ts_col: str = "ts"):
+    """Epoch seconds (bigint) from the events timestamp, whatever layout the
+    driver generated: TIMESTAMP(NANOS) read as raw longs
+    (spark.sql.legacy.parquet.nanosAsLong) or a native timestamp[us]/ntz
+    column. Integer `div` throughout — float division would lose precision
+    at 1e18 ns, and truncation matches DuckDB's floor(epoch(ts)) for the
+    post-1970 driver data. Session timezone is UTC (session.get_spark), so
+    the NTZ cast matches DuckDB's naive epoch()."""
+    if dict(events.dtypes)[ts_col] == "bigint":  # nanos-as-long read path
+        return F.expr(f"{ts_col} div 1000000000")
+    return F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 1000000")
+
+
 def events_hourly(events: DataFrame) -> DataFrame:
     """Per-type hourly rollup — the batch shape of a streaming windowed agg.
 

@@ -145,14 +145,17 @@ class VamanaGraph:
             from pgvectorscale_spark.functions.distance import _POPCOUNT_LUT
 
             return _POPCOUNT_LUT[b].sum(axis=2).astype(np.float64)
+        # float32 throughout: build-side candidate geometry only (serving
+        # rescore stays float64); f32 GEMMs are ~2x the f64 throughput and
+        # the downstream prune/argpartition are dtype-agnostic
         sub = self.mat[idxs]
         g = sub @ sub.T
         if self.distance_type == "l2":
             n = self._sqnorms[idxs]
-            return np.maximum(n[:, None] + n[None, :] - 2.0 * g, 0.0).astype(np.float64)
+            return np.maximum(n[:, None] + n[None, :] - 2.0 * g, 0.0)
         if self.distance_type == "cosine":
-            return np.maximum(1.0 - g, 0.0).astype(np.float64)
-        return (-g).astype(np.float64)
+            return np.maximum(1.0 - g, 0.0)
+        return -g
 
     # -- greedy search (G1/G2/G3) -------------------------------------------
 
@@ -244,9 +247,9 @@ class VamanaGraph:
         _, first = np.unique(cand_idx, return_index=True)
         mask = np.zeros(len(cand_idx), dtype=bool)
         mask[first] = True
+        # mask keeps first occurrences of the (dist, id)-sorted array, so
+        # the result is still sorted — no re-sort needed
         cand_idx, cand_dist = cand_idx[mask], cand_dist[mask]
-        order = np.lexsort((cand_idx, cand_dist))
-        cand_idx, cand_dist = cand_idx[order], cand_dist[order]
 
         m = len(cand_idx)
         if m == 0:
@@ -259,6 +262,32 @@ class VamanaGraph:
         results: list[int] = []
         alpha = 1.0
         labeled = point_labels is not None and self.labels is not None
+        if not labeled:
+            # fast path: the occlusion factor of candidate j under selected i
+            # depends only on (i, j), so the whole factor matrix vectorizes
+            # up front — each selection is then ONE np.maximum over the tail
+            # instead of ~8 numpy calls (the build's Python floor, ~25 µs ->
+            # ~2 µs per selection)
+            pos = D > 0  # the inner where guards the division: no 0-divide
+            Fm = np.where(
+                pos,
+                cand_dist[None, :] / np.where(pos, D, 1.0),
+                np.where(cand_dist[None, :] > 0, np.inf, 1.0),
+            )
+            while alpha <= self.max_alpha and len(results) < self.R:
+                for i in range(m):
+                    if max_factors[i] > alpha:
+                        continue
+                    max_factors[i] = np.inf
+                    results.append(int(cand_idx[i]))
+                    if len(results) >= self.R:
+                        return results
+                    if i + 1 < m:
+                        np.maximum(
+                            max_factors[i + 1 :], Fm[i, i + 1 :], out=max_factors[i + 1 :]
+                        )
+                alpha *= 1.2
+            return results
         while alpha <= self.max_alpha and len(results) < self.R:
             for i in range(m):
                 if len(results) >= self.R:
@@ -363,15 +392,23 @@ class VamanaGraph:
                 self.start_by_label.setdefault(l, i)
 
     def _block_dists(self, bm: np.ndarray, pm: np.ndarray) -> np.ndarray:
-        """(w, m) exact distance matrix block x prefix — one float32 GEMM."""
+        """(w, m) exact distance matrix block x prefix — one float32 GEMM.
+
+        Stays float32: these are build-side candidate distances (the prune
+        is dtype-agnostic); converting the O(n²/chunk)-element outputs to
+        f64 measurably dominates a large shard build."""
         g = bm @ pm.T
         if self.distance_type == "l2":
             nb = np.einsum("ij,ij->i", bm, bm)
             npf = np.einsum("ij,ij->i", pm, pm)
-            return np.maximum(nb[:, None] + npf[None, :] - 2.0 * g, 0.0).astype(np.float64)
+            g *= -2.0
+            g += nb[:, None]
+            g += npf[None, :]
+            return np.maximum(g, 0.0, out=g)
         if self.distance_type == "cosine":
-            return np.maximum(1.0 - g, 0.0).astype(np.float64)
-        return (-g).astype(np.float64)
+            np.subtract(1.0, g, out=g)
+            return np.maximum(g, 0.0, out=g)
+        return np.negative(g, out=g)
 
     def build_bulk(self, chunk: int = 512) -> None:
         """Bulk build: exact-prefix candidates instead of graph walks.
