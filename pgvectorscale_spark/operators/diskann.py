@@ -1166,12 +1166,35 @@ class DiskannIndex:
             .select(_node_cols())
         )
         shards = [r["shard"] for r in new.select("shard").distinct().collect()]
-        existing = self.nodes().filter(F.col("shard").isin(shards))
-        combined = existing.unionByName(new)
         b_state = self.spark.sparkContext.broadcast(self._quantizer_state())
+        nodes_dir = os.path.join(self.path, "nodes")
+        # the post-mutation cache token: the driver commits meta.epoch += 1
+        # only after the job succeeds, so pre-populating executor caches
+        # under this token is safe — a failed job's entries are never read
+        next_token = (self.meta.build_id, self.meta.epoch + 1)
 
         def insert_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            # ``pdf`` carries ONLY the micro-batch's new rows: the stored
+            # shard is read executor-locally with pyarrow (same I/O path as
+            # serving), so the corpus never moves through a shuffle — at
+            # 100 TB a streaming micro-batch shuffles the batch, not the
+            # shards it touches.
             qstate = b_state.value
+            shard = int(pdf["shard"].iloc[0])
+            import pyarrow.dataset as pads
+
+            try:
+                part = pads.dataset(
+                    os.path.join(nodes_dir, f"shard={shard}"), format="parquet"
+                )
+                existing = part.to_table(
+                    columns=[c for c in _node_cols() if c != "shard"]
+                ).to_pandas()
+                existing["shard"] = shard
+            except FileNotFoundError:
+                # first rows ever routed to this shard (e.g. an empty cell)
+                existing = pd.DataFrame({c: [] for c in _node_cols()})
+            pdf = pd.concat([existing[_node_cols()], pdf[_node_cols()]], ignore_index=True)
             # upsert: a re-inserted node_id replaces its stored row (the
             # reference's UPDATE churn = delete+insert, build.rs:1613-1698;
             # also makes replayed streaming micro-batches idempotent).
@@ -1240,10 +1263,30 @@ class DiskannIndex:
                 g.insert(pos[nid])
             g.finalize()
             pdf["deleted"] = pdf["deleted"].fillna(False)
-            return _emit_nodes(pdf, g, gids)
+            out = _emit_nodes(pdf, g, gids)
+            # pre-populate this worker's serving cache with the post-insert
+            # graph under the post-mutation token: the next search (or the
+            # next micro-batch) on this worker skips the reload entirely —
+            # streaming ingest keeps hot shards hot. Content equals what the
+            # partition rewrite persists (same rows, same graph).
+            dead = out["deleted"].fillna(False).to_numpy(dtype=bool)
+            fullmat = None
+            if meta_d["storage_type"] != StorageType.SBQ.value:
+                fullmat = np.stack(out["vector"].to_numpy()).astype(np.float32)
+            else:
+                # serving graphs under SBQ are codes-only: drop the walk
+                # matrix so the cached entry stays O(codes + adjacency)
+                g.mat = np.zeros((g.n, 0), dtype=np.float32)
+                g._sqnorms = None
+            _cache_put(
+                (nodes_dir, shard, next_token),
+                (g, gids, dead, fullmat),
+                _entry_nbytes(g, gids, dead, fullmat),
+            )
+            return out
 
         updated = (
-            combined.repartition(max(len(shards), 1), "shard")  # one task per shard
+            new.repartition(max(len(shards), 1), "shard")  # one task per shard
             .groupBy("shard")
             .applyInPandas(insert_shard, schema=_NODE_SCHEMA)
         )

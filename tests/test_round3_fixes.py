@@ -116,6 +116,44 @@ def test_rebuild_after_wipe_is_not_stale(spark, tmpdir):
     assert got[0]["node_id"] == 77, "stale shard graph served after rebuild"
 
 
+def test_insert_chain_serves_fresh_rows_warm(spark, tmpdir):
+    """search → insert → search → insert → search across reused workers:
+    every search must see exactly the rows present at that moment (a stale
+    pre-populated cache entry would hide fresh rows or resurrect replaced
+    vectors). Inserts shuffle only the micro-batch; stored rows are read
+    executor-locally."""
+    rng = np.random.default_rng(21)
+    d = 16
+    mat = rng.random((60, d), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(60)], "vec_id long, embedding array<float>"
+    )
+    path = f"{tmpdir}/chain"
+    idx = DiskannIndex.build(
+        df, path, distance_type="l2", num_shards=2, id_col="vec_id",
+        vector_col="embedding",
+    )
+    probe = mat[0] + 0.001
+    assert idx.search(probe.tolist(), k=1, search_list_size=100).first()["node_id"] == 0
+
+    # micro-batch 1: a brand-new exact twin of the probe at id 100
+    b1 = spark.createDataFrame([(100, probe.tolist())], "vec_id long, embedding array<float>")
+    idx.insert(b1)
+    assert idx.search(probe.tolist(), k=1, search_list_size=100).first()["node_id"] == 100
+
+    # micro-batch 2: UPSERT moves id 100 far away; id 0 is closest again
+    b2 = spark.createDataFrame(
+        [(100, (1.0 - probe).tolist())], "vec_id long, embedding array<float>"
+    )
+    idx.insert(b2)
+    got = idx.search(probe.tolist(), k=2, search_list_size=100).collect()
+    assert got[0]["node_id"] == 0, f"stale vector for upserted id: {got}"
+    # a reloaded index (cold meta) agrees with the in-session one
+    reloaded = DiskannIndex.load(spark, path)
+    cold = reloaded.search(probe.tolist(), k=2, search_list_size=100).collect()
+    assert [r["node_id"] for r in cold] == [r["node_id"] for r in got]
+
+
 # -- 3. build() is a writer --------------------------------------------------
 
 
