@@ -412,6 +412,16 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(_docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3)
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: LSH pairs -> connected components ->
+    (doc_id, cluster_id, is_canonical). The scale path is iterative min-label
+    propagation with pointer halving (O(log diameter) join rounds); the
+    oracle replays it as a DuckDB recursive CTE."""
+    return dedup.dedup_clusters(
+        _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3
+    )
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=3, threshold=0.2)
 
@@ -528,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "minhash_signatures": _minhash_signatures,
         "minhash_pairs": _minhash_pairs,
+        "dedup_clusters": _dedup_clusters,
         "ngram_jaccard": _ngram_jaccard,
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
@@ -582,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.dedup_exact_oracle(),
         "minhash_signatures": oracles.minhash_signature_str_oracle(8, 3),
         "minhash_pairs": oracles.minhash_pairs_oracle(8, 4, 3),
+        "dedup_clusters": oracles.dedup_clusters_oracle(8, 4, 3),
         "ngram_jaccard": oracles.ngram_jaccard_oracle(3, 0.2),
         "simhash": oracles.simhash_oracle(32),
         "simhash_pairs": oracles.simhash_pairs_oracle(32, 6),

@@ -45,6 +45,8 @@ __all__ = [
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "lsh_planes",
+    "connected_components",
+    "dedup_clusters",
 ]
 
 
@@ -372,4 +374,89 @@ def embedding_neardup_lsh(
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``; component = the
+    smallest id reachable through the (undirected) pair graph.
+
+    Iterative min-label propagation with pointer halving: each round every
+    node adopts the smallest label among itself and its one-hop neighbors,
+    then labels compose through their own label (comp := min(comp,
+    comp[comp])). The halving step collapses chains geometrically, so even a
+    pathological path component converges in O(log diameter) rounds — each
+    round is a broadcast-free join + partial-agg groupBy, no driver-side
+    graph state, so the operator scales with the cluster rather than the
+    driver (the alternating-star trick from the MapReduce CC literature).
+    Deterministic: min() labels, no randomness.
+    """
+    e = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
+    # localCheckpoint (not just persist) per round: iterative self-joins
+    # grow the logical plan exponentially and Catalyst re-analyzes the whole
+    # tree every iteration — lineage must be truncated, not merely cached
+    lab = (
+        e.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    # labels only ever decrease, so an unchanged sum(comp) IS convergence —
+    # one agg per round, no comparison join
+    prev_sum = lab.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iterations):
+        nbr = (
+            e.join(lab.select(F.col("id").alias("v"), F.col("comp").alias("_vc")), "v")
+            .groupBy("u")
+            .agg(F.min("_vc").alias("_nc"))
+            .select(F.col("u").alias("id"), "_nc")
+        )
+        step = lab.join(nbr, "id", "left").select(
+            "id", F.least("comp", F.coalesce("_nc", "comp")).alias("comp")
+        )
+        parent = step.select(F.col("id").alias("_pid"), F.col("comp").alias("_pc"))
+        lab = (
+            step.join(parent, step["comp"] == parent["_pid"], "left")
+            .select("id", F.least("comp", F.coalesce("_pc", "comp")).alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = lab.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    e.unpersist()
+    return lab.select("id", F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup clustering: every document labeled with its
+    cluster and a canonical-survivor flag.
+
+    MinHash-LSH candidate pairs -> connected components -> cluster_id = the
+    smallest doc id in the component (documents with no near-dup are their
+    own singleton cluster). This is the complete dedup pass a training
+    pipeline runs: ``filter(is_canonical)`` keeps exactly one document per
+    near-duplicate cluster. Returns (doc_id, cluster_id, is_canonical)."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    comp = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed("id", id_col)
+    ids = df.select(F.col(id_col).cast("long").alias(id_col))
+    return ids.join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
     )

@@ -452,6 +452,34 @@ WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b
 """
 
 
+def dedup_clusters_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
+    """Recursive-CTE twin of dedup.dedup_clusters: minhash-LSH candidate
+    pairs (identical CTEs to minhash_pairs_oracle) -> per-document smallest
+    reachable id through the undirected pair graph (UNION dedups the
+    frontier, so the recursion terminates on cycles)."""
+    rows = num_hashes // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {band_hash('signature', b, rows, DUCKDB)} AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE {_minhash_sig_ctes(num_hashes, shingle_n)},
+buckets AS ({band_rows}),
+pair AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM buckets a JOIN buckets b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id),
+edge AS (SELECT u, v FROM pair UNION SELECT v, u FROM pair),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, edge.v FROM reach JOIN edge ON reach.r = edge.u)
+SELECT id AS doc_id, min(r)::BIGINT AS cluster_id,
+       (min(r) = id) AS is_canonical
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 def ngram_jaccard_oracle(shingle_n: int, threshold: float) -> str:
     toks = tokens("text", DUCKDB)
     sh = word_shingles(toks, shingle_n, DUCKDB)

@@ -106,3 +106,50 @@ def test_kmeans_ivf_quality(spark, embeddings):
         embeddings, q.tolist(), k=10, num_centroids=8, nprobe=8, centroids_df=cents
     ).collect()}
     assert got_all == true
+
+
+def test_connected_components_shapes(spark):
+    """Chain, cycle, singleton pair: every node labels with the smallest
+    reachable id; pointer halving converges a 20-node path in few rounds."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)]
+        + [(100 + i, 101 + i) for i in range(20)],  # a long path component
+        "doc_a long, doc_b long",
+    )
+    got = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    want.update({100 + i: 100 for i in range(21)})
+    assert got == want
+
+
+def test_dedup_clusters_end_to_end(spark, documents):
+    """Every doc appears exactly once; cluster_id = min doc in its LSH
+    component; canonical flags mark exactly one doc per cluster; clusters
+    agree with a driver-side union-find over the candidate pairs."""
+    out = dedup.dedup_clusters(documents, num_hashes=8, bands=4, shingle_n=3).collect()
+    assert len(out) == documents.count()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        assert min(r["doc_id"] for r in rows) == cid
+        assert sum(r["is_canonical"] for r in rows) == 1
+
+    pairs = dedup.minhash_candidate_pairs(
+        documents, num_hashes=8, bands=4, shingle_n=3
+    ).collect()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        a, b = find(p["doc_a"]), find(p["doc_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    for r in out:
+        expected = find(r["doc_id"]) if r["doc_id"] in parent else r["doc_id"]
+        assert r["cluster_id"] == expected, r
