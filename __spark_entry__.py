@@ -449,6 +449,34 @@ def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (the video-frame-extraction
+    shape): JVM-side sequence+substring, one row per frame, md5-identified."""
+    from pgvectorscale_spark.operators.multimodal import attach_binary_payload, frame_sample_plan
+
+    frames = frame_sample_plan(attach_binary_payload(_docs(spark, sf_dir)), every_n_bytes=64)
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.md5("frame_bytes").alias("frame_md5"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+    )
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (the CLIP-embedder shape, deterministic fake model), exploded to one
+    row per (doc, lane) so the oracle hash-compares scalar doubles."""
+    from pgvectorscale_spark.operators.multimodal import attach_binary_payload, fake_feature_extract
+
+    feats = fake_feature_extract(attach_binary_payload(_docs(spark, sf_dir)), dim=4)
+    return feats.select("doc_id", F.posexplode("feature").alias("dim", "feature")).select(
+        "doc_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("feature").cast("double"), 6).alias("feature"),
+    )
+
+
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvectorscale_spark.operators.multimodal import attach_binary_payload, binary_metadata
 
@@ -547,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis + multimodal
         "text_features": _text_features,
         "multimodal_meta": _multimodal_meta,
+        "multimodal_frames": _multimodal_frames,
+        "multimodal_features": _multimodal_features,
         # relational surface (inherited from Spark, §2.7)
         "pricing_summary": _pricing_summary,
         "top_customers": _top_customers,
@@ -604,6 +634,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_features": oracles.text_features_oracle(),
         "multimodal_meta": oracles.multimodal_meta_oracle(),
+        "multimodal_frames": oracles.multimodal_frames_oracle(64),
+        "multimodal_features": oracles.multimodal_features_oracle(4),
         "pricing_summary": relational.pricing_summary_sql(),
         "top_customers": relational.top_customers_sql(10),
         "events_hourly": relational.events_hourly_sql(),

@@ -572,3 +572,51 @@ SELECT doc_id, octet_length(encode(text)) AS byte_len,
        md5(text) AS payload_md5
 FROM documents ORDER BY doc_id
 """
+
+
+def multimodal_frames_oracle(every_n: int) -> str:
+    """Twin of multimodal.frame_sample_plan over the fake payload: one row
+    per sampled frame, identified by md5. DuckDB cannot substring BLOBs, so
+    the slicing runs on the text (the documents corpus is pure ASCII: char
+    slices == byte slices, verified by octet_length == length)."""
+    return f"""
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(cast(floor((length(text) - 1) / {every_n}) as int), 0))) AS frame_no
+  FROM documents
+),
+f AS (
+  SELECT doc_id, frame_no, substr(text, frame_no * {every_n} + 1, {every_n}) AS frag
+  FROM g
+)
+SELECT doc_id, frame_no::BIGINT AS frame_no, md5(frag) AS frame_md5,
+       length(frag)::BIGINT AS frame_len
+FROM f ORDER BY doc_id, frame_no
+"""
+
+
+def multimodal_features_oracle(dim: int = 4) -> str:
+    """Twin of multimodal.fake_feature_extract (dim <= 4: the md5 digest's
+    16 bytes yield exactly 4 little-endian uint32 lanes): feature[i] =
+    float32(le_uint32(md5_bytes[4i..4i+4)) / uint32_max). The ::FLOAT cast
+    replays the operator's float32 storage so rounding agrees bit-for-bit."""
+
+    def nib(pos: int) -> str:  # 1-based hex-char position -> nibble value
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:  # 0-based byte index into the digest
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    lanes = []
+    for i in range(dim):
+        b = [byte(4 * i + j) for j in range(4)]
+        u = f"({b[0]} + {b[1]} * 256 + {b[2]} * 65536 + {b[3]} * 16777216)"
+        lanes.append(
+            f"SELECT doc_id, CAST({i} AS BIGINT) AS dim, "
+            f"round((({u} / 4294967295.0)::FLOAT)::DOUBLE, 6) AS feature FROM m"
+        )
+    union = " UNION ALL ".join(lanes)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, dim
+"""

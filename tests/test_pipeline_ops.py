@@ -153,3 +153,29 @@ def test_dedup_clusters_end_to_end(spark, documents):
     for r in out:
         expected = find(r["doc_id"]) if r["doc_id"] in parent else r["doc_id"]
         assert r["cluster_id"] == expected, r
+
+
+def test_frame_sample_reassembles_payload(spark, documents):
+    """Frames are a lossless partition of the payload: concatenating a
+    doc's frames in frame_no order reproduces the original bytes, and
+    every frame but the last is exactly every_n bytes."""
+    payloads = attach_binary_payload(documents.limit(20))
+    frames = frame_sample_plan(payloads, every_n_bytes=64)
+    rows = frames.orderBy("doc_id", "frame_no").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(bytes(r["frame_bytes"]))
+    originals = {r["doc_id"]: bytes(r["payload"]) for r in payloads.collect()}
+    for doc_id, frs in by_doc.items():
+        assert b"".join(frs) == originals[doc_id]
+        assert all(len(f) == 64 for f in frs[:-1])
+
+
+def test_fake_feature_extract_deterministic(spark, documents):
+    """Two runs produce identical features (the oracle depends on it), and
+    every lane is a [0, 1] float."""
+    payloads = attach_binary_payload(documents.limit(10))
+    a = {r["doc_id"]: r["feature"] for r in fake_feature_extract(payloads, dim=4).collect()}
+    b = {r["doc_id"]: r["feature"] for r in fake_feature_extract(payloads, dim=4).collect()}
+    assert a == b
+    assert all(0.0 <= v <= 1.0 for feats in a.values() for v in feats)
