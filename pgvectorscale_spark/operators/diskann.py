@@ -756,15 +756,16 @@ class DiskannIndex:
         if query_vec is None:
             out = self.full_scan().withColumn("distance", F.lit(0.0))
             return out.select("node_id", "distance").limit(max(k, self.meta.num_rows))
-        qdf = self.spark.createDataFrame(
-            [(0, [float(x) for x in query_vec])], "query_id long, query_vec array<float>"
-        )
+        # single queries skip the DataFrame round-trip (createDataFrame +
+        # collect = two driver jobs just to rebuild the same python list)
+        qrows = [(0, [float(x) for x in query_vec])]
 
         def run(fetch_k: int, sls: int | None = None) -> DataFrame:
             res = self.search_batch(
-                qdf, k=fetch_k,
+                None, k=fetch_k,
                 search_list_size=sls if sls is not None else search_list_size,
                 rescore=rescore, labels=labels, stats=stats, probe_shards=probe_shards,
+                _qrows=qrows,
             )
             return res.select("node_id", "distance").orderBy("rank")
 
@@ -825,7 +826,7 @@ class DiskannIndex:
 
     def search_batch(
         self,
-        queries_df: DataFrame,
+        queries_df: DataFrame | None,
         k: int = 10,
         search_list_size: int | None = None,
         rescore: int | None = None,
@@ -834,6 +835,7 @@ class DiskannIndex:
         query_vec_col: str = "query_vec",
         stats: "QueryStats | None" = None,
         probe_shards: int | None = None,
+        _qrows: list | None = None,
     ) -> DataFrame:
         """Scatter/gather batch search: (query_id, node_id, distance, rank).
 
@@ -869,7 +871,11 @@ class DiskannIndex:
         if rescore is None:
             rescore = _conf_knob(self.spark, "query_rescore", DEFAULT_QUERY_RESCORE)
         meta_d = _meta_dict(self.meta)
-        qrows = queries_df.select(query_id_col, query_vec_col).collect()
+        qrows = (
+            _qrows
+            if _qrows is not None
+            else queries_df.select(query_id_col, query_vec_col).collect()
+        )
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         qmat = np.array([r[1] for r in qrows], dtype=np.float64)
         if meta_d["distance_type"] == DistanceType.COSINE.value:
