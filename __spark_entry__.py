@@ -412,6 +412,34 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(_docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3)
 
 
+def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pass a training-data pipeline runs over raw documents:
+    quality + language gate AND one canonical survivor per near-dup cluster,
+    with exact BPE token counts on the survivors — the curated corpus that
+    gets materialized for training. Pure composition of the engine's text,
+    dedup, and clustering operators; every stage is the one the individual
+    oracle-checked entries run."""
+    from pgvectorscale_spark.functions.text import bpe_token_count_sql
+
+    docs = _docs(spark, sf_dir)
+    feats = docs.select(
+        "doc_id",
+        F.expr(quality_score_sql("text", SPARK)).alias("quality_micro"),
+        F.expr(lang_id_sql("text", SPARK)).alias("lang_id"),
+        F.expr(bpe_token_count_sql("text", SPARK)).alias("bpe_tokens"),
+    )
+    clusters = dedup.dedup_clusters(docs, num_hashes=8, bands=4, shingle_n=3)
+    return (
+        feats.join(clusters, "doc_id")
+        .filter(
+            (F.col("is_canonical"))
+            & (F.col("quality_micro") >= 400000)
+            & (F.col("lang_id") != "unknown")
+        )
+        .select("doc_id", "lang_id", "quality_micro", "bpe_tokens", "cluster_id")
+    )
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup clustering: LSH pairs -> connected components ->
     (doc_id, cluster_id, is_canonical). The scale path is iterative min-label
@@ -567,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _minhash_signatures,
         "minhash_pairs": _minhash_pairs,
         "dedup_clusters": _dedup_clusters,
+        "corpus_curation": _corpus_curation,
         "ngram_jaccard": _ngram_jaccard,
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
@@ -624,6 +653,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": oracles.minhash_signature_str_oracle(8, 3),
         "minhash_pairs": oracles.minhash_pairs_oracle(8, 4, 3),
         "dedup_clusters": oracles.dedup_clusters_oracle(8, 4, 3),
+        "corpus_curation": oracles.corpus_curation_oracle(8, 4, 3, 400000),
         "ngram_jaccard": oracles.ngram_jaccard_oracle(3, 0.2),
         "simhash": oracles.simhash_oracle(32),
         "simhash_pairs": oracles.simhash_pairs_oracle(32, 6),

@@ -452,18 +452,17 @@ WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b
 """
 
 
-def dedup_clusters_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
-    """Recursive-CTE twin of dedup.dedup_clusters: minhash-LSH candidate
-    pairs (identical CTEs to minhash_pairs_oracle) -> per-document smallest
-    reachable id through the undirected pair graph (UNION dedups the
-    frontier, so the recursion terminates on cycles)."""
+def _cluster_ctes(num_hashes: int, bands: int, shingle_n: int) -> str:
+    """CTE chain ending in clusters(doc_id, cluster_id, is_canonical) —
+    minhash-LSH pairs -> recursive min-reachable-id (UNION dedups the
+    frontier, so the recursion terminates on cycles). Callers must prefix
+    the statement with WITH RECURSIVE."""
     rows = num_hashes // bands
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, {band_hash('signature', b, rows, DUCKDB)} AS band_hash FROM sig"
         for b in range(bands)
     )
-    return f"""
-WITH RECURSIVE {_minhash_sig_ctes(num_hashes, shingle_n)},
+    return f"""{_minhash_sig_ctes(num_hashes, shingle_n)},
 buckets AS ({band_rows}),
 pair AS (
   SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
@@ -473,10 +472,44 @@ edge AS (SELECT u, v FROM pair UNION SELECT v, u FROM pair),
 reach(id, r) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
-  SELECT reach.id, edge.v FROM reach JOIN edge ON reach.r = edge.u)
-SELECT id AS doc_id, min(r)::BIGINT AS cluster_id,
-       (min(r) = id) AS is_canonical
-FROM reach GROUP BY id ORDER BY doc_id
+  SELECT reach.id, edge.v FROM reach JOIN edge ON reach.r = edge.u),
+clusters AS (
+  SELECT id AS doc_id, min(r)::BIGINT AS cluster_id, (min(r) = id) AS is_canonical
+  FROM reach GROUP BY id)"""
+
+
+def dedup_clusters_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
+    """Recursive-CTE twin of dedup.dedup_clusters."""
+    return f"""
+WITH RECURSIVE {_cluster_ctes(num_hashes, bands, shingle_n)}
+SELECT doc_id, cluster_id, is_canonical FROM clusters ORDER BY doc_id
+"""
+
+
+def corpus_curation_oracle(
+    num_hashes: int, bands: int, shingle_n: int, min_quality: int
+) -> str:
+    """Twin of the end-to-end corpus-curation pass: quality + language gate,
+    one canonical survivor per near-dup cluster, exact BPE token counts —
+    the curated corpus a training pipeline materializes."""
+    from pgvectorscale_spark.functions.text import (
+        bpe_token_count_sql,
+        lang_id_sql,
+        quality_score_sql,
+    )
+
+    return f"""
+WITH RECURSIVE {_cluster_ctes(num_hashes, bands, shingle_n)},
+feats AS (
+  SELECT doc_id,
+         {quality_score_sql('text', DUCKDB)} AS quality_micro,
+         {lang_id_sql('text', DUCKDB)} AS lang_id,
+         {bpe_token_count_sql('text', DUCKDB)} AS bpe_tokens
+  FROM documents)
+SELECT f.doc_id, f.lang_id, f.quality_micro, f.bpe_tokens, c.cluster_id
+FROM feats f JOIN clusters c USING (doc_id)
+WHERE c.is_canonical AND f.quality_micro >= {min_quality} AND f.lang_id <> 'unknown'
+ORDER BY f.doc_id
 """
 
 
