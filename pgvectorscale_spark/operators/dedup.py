@@ -76,9 +76,19 @@ def _widen(df: DataFrame) -> DataFrame:
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    # prefer file-count metadata over df.rdd.getNumPartitions(): the .rdd
+    # conversion forces a full plan analysis + RDD translation on the driver
+    # per operator call. inputFiles() is catalog metadata — for file-backed
+    # frames (the 100 TB case) many files means the scan is already wide.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= max(2, target // 2):
+        return df
+    if n_files == 0 and df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df  # non-file source (e.g. createDataFrame) already wide
+    return df.repartition(target)
 
 
 def _with_shingles(df: DataFrame, text_col: str, shingle_n: int) -> DataFrame:
@@ -412,6 +422,7 @@ def connected_components(
     # labels only ever decrease, so an unchanged sum(comp) IS convergence —
     # one agg per round, no comparison join
     prev_sum = lab.agg(F.sum("comp")).first()[0]
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             e.join(lab.select(F.col("id").alias("v"), F.col("comp").alias("_vc")), "v")
@@ -430,9 +441,25 @@ def connected_components(
         )
         cur_sum = lab.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     e.unpersist()
+    if not converged:
+        # exhausting the budget mid-merge would silently emit split
+        # components (multiple "canonical" survivors per true cluster) —
+        # surface it instead. Pointer halving converges in O(log diameter)
+        # rounds, so hitting this means a pathological graph or a budget
+        # set far too low for it.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations; returned components may be partially merged. "
+            "Raise max_iterations.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return lab.select("id", F.col("comp").alias("component"))
 
 

@@ -787,7 +787,12 @@ class DiskannIndex:
             # selective predicate exhausts the pool long before the corpus
             # (the reference's amgettuple stream keeps walking: scan.rs:370-436)
             survivors = (
-                run(fetch, max(base_sls, fetch)).join(nodes, "node_id").filter(post_filter)
+                run(fetch, max(base_sls, fetch))
+                .join(nodes, "node_id")
+                .filter(post_filter)
+                # materialize once: count() + the returned top-k would each
+                # re-run the whole index search otherwise
+                .localCheckpoint()
             )
             if survivors.count() >= k:
                 return (

@@ -133,10 +133,28 @@ class VectorSql:
 
     # -- rewrite ------------------------------------------------------------
 
-    def _array_columns(self) -> set[str]:
-        """Lower-cased names of array-typed columns across registered tables."""
+    def _array_columns(self, sql: str | None = None) -> set[str]:
+        """Lower-cased names of array-typed columns, scoped to the registered
+        tables the query actually references (FROM/JOIN). Pooling across ALL
+        registered tables would let a boolean column in one table that shares
+        a name with an array column in another be mis-rewritten to
+        arrays_overlap. Falls back to every registered table when the query
+        references none of them (e.g. a view created outside this wrapper)."""
+        scope = None
+        if sql is not None:
+            refs = {
+                m.group("table").lower()
+                for m in re.finditer(
+                    rf"\b(?:from|join)\s+(?P<table>{_IDENT})\b", sql, re.IGNORECASE
+                )
+            }
+            matched = refs & self._tables.keys()
+            if matched:
+                scope = matched
         cols: set[str] = set()
-        for df in self._tables.values():
+        for name, df in self._tables.items():
+            if scope is not None and name not in scope:
+                continue
             for fld in df.schema.fields:
                 if fld.dataType.typeName() == "array":
                     cols.add(fld.name.lower())
@@ -158,34 +176,40 @@ class VectorSql:
         array-typed column of a registered table. Every other ``&&``
         becomes logical ``AND`` — ``flag_a && flag_b`` on boolean columns
         keeps its conjunction meaning instead of mis-evaluating as an
-        array overlap."""
-        sql = _BRACKET_RE.sub(lambda m: f"array({m.group(1)})", sql)
+        array overlap.
+
+        Every rewrite runs segment-wise over the quote-aware split, so
+        operators, brackets, and ``&&`` inside single-quoted string literals
+        are never touched (operands are identifiers or vector literals — a
+        match can never legitimately span a literal boundary)."""
+        array_cols = self._array_columns(sql)
         fn_names = {"cosine": "cosine_distance", "l2": "l2_distance", "inner_product": "inner_product_distance"}
-        while True:
-            m = _OP_RE.search(sql)
-            if m is None:
-                break
-            fn = fn_names[_OP_TO_DTYPE[m.group(2)]]
-            sql = sql[: m.start()] + f"{fn}({m.group(1)}, {m.group(3)})" + sql[m.end() :]
-        array_cols = self._array_columns()
-        pos = 0
-        while True:
-            m = _OVERLAP_RE.search(sql, pos)
-            if m is None:
-                break
-            a, b = m.group(1), m.group(2)
-            if self._is_array_operand(a, array_cols) or self._is_array_operand(b, array_cols):
-                repl = f"arrays_overlap({a}, {b})"
-                sql = sql[: m.start()] + repl + sql[m.end() :]
-                pos = m.start() + len(repl)
-            else:
-                pos = m.end()  # logical AND — handled below
-        # any && still standing is a conjunction (Spark's parser has no &&);
-        # rewrite it to AND, skipping single-quoted string literals
+
+        def rewrite_segment(seg: str) -> str:
+            seg = _BRACKET_RE.sub(lambda m: f"array({m.group(1)})", seg)
+            while True:
+                m = _OP_RE.search(seg)
+                if m is None:
+                    break
+                fn = fn_names[_OP_TO_DTYPE[m.group(2)]]
+                seg = seg[: m.start()] + f"{fn}({m.group(1)}, {m.group(3)})" + seg[m.end() :]
+            pos = 0
+            while True:
+                m = _OVERLAP_RE.search(seg, pos)
+                if m is None:
+                    break
+                a, b = m.group(1), m.group(2)
+                if self._is_array_operand(a, array_cols) or self._is_array_operand(b, array_cols):
+                    repl = f"arrays_overlap({a}, {b})"
+                    seg = seg[: m.start()] + repl + seg[m.end() :]
+                    pos = m.start() + len(repl)
+                else:
+                    pos = m.end()  # logical AND — handled below
+            # any && still standing is a conjunction (Spark's parser has no &&)
+            return re.sub(r"&&", " AND ", seg)
+
         parts = re.split(r"('(?:[^']|'')*')", sql)
-        return "".join(
-            p if i % 2 else re.sub(r"&&", " AND ", p) for i, p in enumerate(parts)
-        )
+        return "".join(p if i % 2 else rewrite_segment(p) for i, p in enumerate(parts))
 
     @staticmethod
     def _expand_distance_fns(sql: str) -> str:
@@ -300,6 +324,9 @@ class VectorSql:
                 res.join(df, res["node_id"] == df[entry.id_col], "inner")
                 .filter(predicate)
                 .select("node_id", "distance")
+                # materialize once: the count() below and the returned frame
+                # would otherwise each re-run the index search
+                .localCheckpoint()
             )
             if filtered.count() >= k:
                 return filtered
