@@ -231,9 +231,11 @@ def _emit_nodes(pdf: pd.DataFrame, g: VamanaGraph, gids: np.ndarray) -> pd.DataF
 # across tasks with spark.python.worker.reuse=true, the default). A query
 # batch therefore rehydrates each shard graph ONCE PER EXECUTOR PROCESS, not
 # once per batch — the analog of the reference keeping index pages hot in
-# shared_buffers across scans. Keyed by (path, shard, build_id, epoch):
-# mutations bump the epoch, rebuilds mint a fresh build_id, so stale entries
-# are never served (even after an out-of-band directory wipe resets epochs).
+# shared_buffers across scans. Keyed by (path, shard, build_id, mutation_id):
+# every committed mutation installs a fresh random nonce, rebuilds mint a
+# fresh build_id, so stale (or never-committed) entries are never served —
+# even after an out-of-band directory wipe, and even when a mutation job
+# fails after pre-populating some workers.
 # Eviction is last-access LRU under a byte budget (plain-storage entries pin
 # full-precision matrices, so an entry-count cap alone leaves memory use
 # unbounded in bytes) plus an entry-count backstop.
@@ -295,7 +297,7 @@ def _load_shard_graph(
     Reads bypass Spark's scan: the worker pulls just the projected columns
     with pyarrow from ``<nodes_dir>/shard=<s>`` (works on any pyarrow-
     supported filesystem — local, HDFS, S3). ``token`` is the index's
-    (build_id, epoch) cache-freshness pair. Returns (graph, global_ids,
+    (build_id, mutation_id) cache-freshness pair. Returns (graph, global_ids,
     deleted_mask, full_matrix_or_None, cache_hit). The full-precision
     matrix is resident only for plain storage (where the walk needs it
     anyway); under SBQ the cache stays O(codes + adjacency)."""
@@ -450,6 +452,7 @@ class DiskannIndex:
                 num_rows=0,
                 shard_assignment=shard_assignment,
                 build_id=uuid.uuid4().hex,
+                mutation_id=uuid.uuid4().hex,
             )
             (
                 spark.createDataFrame([], _NODE_SCHEMA)
@@ -477,6 +480,7 @@ class DiskannIndex:
             num_shards=num_shards,
             num_rows=n,
             build_id=uuid.uuid4().hex,
+            mutation_id=uuid.uuid4().hex,
         )
 
         if shard_assignment not in ("hash", "kmeans"):
@@ -939,7 +943,7 @@ class DiskannIndex:
             (qids, qmat, meta_d, self._quantizer_state(), qlabels, limit, search_list_size, route)
         )
         nodes_dir = os.path.join(self.path, "nodes")
-        cache_token = (self.meta.build_id, self.meta.epoch)
+        cache_token = (self.meta.build_id, self.meta.mutation_id)
 
         def shard_probe(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
@@ -1179,10 +1183,14 @@ class DiskannIndex:
         shards = [r["shard"] for r in new.select("shard").distinct().collect()]
         b_state = self.spark.sparkContext.broadcast(self._quantizer_state())
         nodes_dir = os.path.join(self.path, "nodes")
-        # the post-mutation cache token: the driver commits meta.epoch += 1
-        # only after the job succeeds, so pre-populating executor caches
-        # under this token is safe — a failed job's entries are never read
-        next_token = (self.meta.build_id, self.meta.epoch + 1)
+        # the post-mutation cache token: a nonce minted PER MUTATION ATTEMPT
+        # and committed to the meta only after the job succeeds. Pre-populating
+        # executor caches under it is safe against partial failure: a failed
+        # job's entries sit under a nonce no later mutation can ever commit
+        # (an epoch counter would collide — the next successful mutation would
+        # commit the failed job's epoch+1 and serve its uncommitted graphs)
+        mutation_nonce = uuid.uuid4().hex
+        next_token = (self.meta.build_id, mutation_nonce)
 
         def insert_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             # ``pdf`` carries ONLY the micro-batch's new rows: the stored
@@ -1304,7 +1312,8 @@ class DiskannIndex:
         self._rewrite_partitions(updated)
         # recount (not +=): upserts replace rows rather than adding them
         self.meta.num_rows = self.nodes().count()
-        self.meta.epoch += 1  # invalidate executor-side shard caches
+        self.meta.epoch += 1  # informational mutation counter
+        self.meta.mutation_id = mutation_nonce  # commit: caches switch tokens
         self.meta.save(self.path)
         self._write_routing()  # inserted vectors shift shard centroids
 
@@ -1332,7 +1341,8 @@ class DiskannIndex:
             .select(_node_cols())
         )
         self._rewrite_partitions(updated)
-        self.meta.epoch += 1  # invalidate executor-side shard caches
+        self.meta.epoch += 1  # informational mutation counter
+        self.meta.mutation_id = uuid.uuid4().hex  # invalidate executor caches
         self.meta.save(self.path)
 
     def _rewrite_partitions(self, updated: DataFrame) -> None:

@@ -52,8 +52,28 @@ MAX_DIMENSIONS_PLAIN = 2_000  # build.rs:196
 SBQ_NBIT_DIM_CAP = 900  # meta_page.rs:312-323
 
 
-# on-disk index meta format revision this reader understands
-CURRENT_META_VERSION = 1
+# on-disk index meta format revision this reader understands.
+# V1 -> V2: added `mutation_id`, the per-mutation cache nonce (V1 used the
+# integer `epoch` alone, which a failed mutation job could collide with).
+CURRENT_META_VERSION = 2
+
+
+def _migrate_v1(raw: dict) -> dict:
+    """V1 -> V2: synthesize a deterministic mutation_id from the epoch
+    counter. Deterministic (not random) on purpose: two readers loading the
+    same V1 index must agree on the cache token, exactly as they agree on
+    the epoch it encodes."""
+    raw = dict(raw)
+    raw.setdefault("mutation_id", f"v1:{int(raw.get('epoch', 0))}")
+    raw["version"] = 2
+    return raw
+
+
+# version -> migration to the NEXT version; applied in sequence on read,
+# mirroring the reference's meta-page auto-migration chain
+# (/root/reference/pgvectorscale/src/access_method/meta_page.rs:29-162,
+# upgrade_test.rs:25-337)
+_META_MIGRATIONS = {1: _migrate_v1}
 
 
 def default_bits_per_dimension(num_dimensions: int) -> int:
@@ -76,7 +96,7 @@ class IndexMeta:
     has_labels: bool = False
     num_shards: int = 0
     num_rows: int = 0
-    version: int = 1
+    version: int = CURRENT_META_VERSION
     # mutation epoch: bumped by insert/delete/compact so executor-side shard
     # caches (diskann._SHARD_GRAPH_CACHE) invalidate without any coordination
     epoch: int = 0
@@ -84,6 +104,12 @@ class IndexMeta:
     # rebuild after an out-of-band directory wipe (which resets the epoch
     # counter) can never be served stale entries from long-lived workers
     build_id: str = ""
+    # random nonce minted per mutation ATTEMPT and committed only on job
+    # success. Executor caches key on (build_id, mutation_id): entries a
+    # failed job pre-populated sit under a nonce no later mutation can ever
+    # commit (an epoch counter would collide — the next successful mutation
+    # would commit the failed job's epoch+1 and serve its graphs)
+    mutation_id: str = ""
     # 'hash' (balanced, no routing) or 'kmeans' (Voronoi shards, routable)
     shard_assignment: str = "hash"
     # SBQ quantizer state (reference SbqMeans, sbq/mod.rs:79-86):
@@ -110,12 +136,14 @@ class IndexMeta:
 
     @classmethod
     def load(cls, index_path: str) -> "IndexMeta":
-        """Version-tolerant read path (the reference migrates old meta-page
-        formats on read, upgrade_test.rs:25-337): fields added in newer
-        writers fall back to dataclass defaults when absent, unknown fields
-        from older writers of a FUTURE minor revision are ignored, and a
-        meta whose declared version is beyond this reader fails loudly
-        instead of mis-reading."""
+        """Versioned read path (the reference migrates old meta-page formats
+        on read, meta_page.rs:29-162, upgrade_test.rs:25-337): an old-format
+        meta is migrated forward through the `_META_MIGRATIONS` chain before
+        construction (a V1 index is readable by this V2 reader, and the next
+        save() rewrites it in the current format), unknown fields from
+        writers of a FUTURE minor revision are ignored, and a meta whose
+        declared version is beyond this reader fails loudly instead of
+        mis-reading."""
         import dataclasses
 
         with open(os.path.join(index_path, "_index_meta.json")) as f:
@@ -126,5 +154,8 @@ class IndexMeta:
                 f"index meta version {version} is newer than this reader "
                 f"(supports <= {CURRENT_META_VERSION}); upgrade the library"
             )
+        while version < CURRENT_META_VERSION:
+            raw = _META_MIGRATIONS[version](raw)
+            version = int(raw["version"])
         known = {fld.name for fld in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in raw.items() if k in known})

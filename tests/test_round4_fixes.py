@@ -90,6 +90,131 @@ def test_connected_components_warns_on_budget_exhaustion(spark):
     assert any("did not converge" in str(w.message) for w in caught)
 
 
+def _corpus(spark, n=120, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    mat = rng.random((n, d), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    return df, mat
+
+
+# -- 4. per-mutation cache nonces ---------------------------------------------
+
+
+def test_mutation_ids_are_fresh_nonces(spark, tmpdir):
+    """Every committed mutation installs a brand-new random mutation_id, so
+    a FAILED mutation attempt's pre-populated executor cache entries (keyed
+    by its own never-committed nonce) can never be read by a later mutation
+    — the epoch-counter collision from the round-3 review is structurally
+    impossible."""
+    import numpy as np
+    from pgvectorscale_spark.operators import diskann as diskann_mod
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    df, mat = _corpus(spark)
+    path = f"{tmpdir}/nonces"
+    idx = DiskannIndex.build(
+        df, path, distance_type="l2", num_shards=2, id_col="vec_id",
+        vector_col="embedding",
+    )
+    seen = {idx.meta.mutation_id}
+    assert idx.meta.mutation_id, "build must mint a mutation_id"
+
+    # simulate the debris a failed insert attempt leaves behind: a poisoned
+    # graph cached under a nonce that was never committed
+    poisoned_token = (idx.meta.build_id, "attempt-that-failed")
+    nodes_dir = f"{path}/nodes"
+    diskann_mod._cache_put(
+        (nodes_dir, 0, poisoned_token),
+        (None, np.array([], dtype=np.int64), np.array([], dtype=bool), None),
+        100,
+    )
+
+    b1 = spark.createDataFrame([(500, mat[0].tolist())], "vec_id long, embedding array<float>")
+    idx.insert(b1)
+    assert idx.meta.mutation_id not in seen
+    seen.add(idx.meta.mutation_id)
+
+    idx.delete([500])
+    assert idx.meta.mutation_id not in seen
+    seen.add(idx.meta.mutation_id)
+
+    # serving reads only the committed token — never the failed attempt's
+    assert (nodes_dir, 0, poisoned_token) not in {
+        (nodes_dir, s, (idx.meta.build_id, idx.meta.mutation_id)) for s in range(2)
+    }
+    got = idx.search(mat[0].tolist(), k=1, search_list_size=200).first()
+    assert got["node_id"] == 0  # id 500 deleted again; original id 0 wins
+
+
+# -- 5. versioned meta read path (V1 shim) ------------------------------------
+
+
+def test_v1_meta_reads_forward_and_search_matches(spark, tmpdir):
+    """A V1-written index (no mutation_id, version=1) loads through the V2
+    reader via the migration chain and serves identical results."""
+    import json
+    import os
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+    from pgvectorscale_spark.types import CURRENT_META_VERSION, IndexMeta
+
+    df, mat = _corpus(spark, seed=9)
+    path = f"{tmpdir}/v1meta"
+    idx = DiskannIndex.build(
+        df, path, distance_type="cosine", num_shards=2, id_col="vec_id",
+        vector_col="embedding",
+    )
+    q = mat[7].tolist()
+    want = [(r["node_id"], round(r["distance"], 6)) for r in idx.search(q, k=5).collect()]
+
+    # rewrite the sidecar to the V1 shape: no mutation_id, version=1
+    meta_path = os.path.join(path, "_index_meta.json")
+    with open(meta_path) as f:
+        raw = json.load(f)
+    raw.pop("mutation_id")
+    raw["version"] = 1
+    with open(meta_path, "w") as f:
+        json.dump(raw, f)
+
+    reloaded = DiskannIndex.load(spark, path)
+    assert reloaded.meta.version == CURRENT_META_VERSION
+    assert reloaded.meta.mutation_id == f"v1:{raw['epoch']}"
+    got = [(r["node_id"], round(r["distance"], 6)) for r in reloaded.search(q, k=5).collect()]
+    assert got == want
+
+    # two independent readers of the same V1 index agree on the cache token
+    again = IndexMeta.load(path)
+    assert again.mutation_id == reloaded.meta.mutation_id
+
+    # a mutation through the migrated reader rewrites the sidecar as V2
+    reloaded.delete([3])
+    with open(meta_path) as f:
+        saved = json.load(f)
+    assert saved["version"] == CURRENT_META_VERSION
+    assert saved["mutation_id"] not in ("", f"v1:{raw['epoch']}")
+
+
+def test_future_meta_version_fails_loudly(spark, tmpdir):
+    import json
+    import os
+
+    from pgvectorscale_spark.types import IndexMeta
+
+    path = f"{tmpdir}/futuremeta"
+    os.makedirs(path, exist_ok=True)
+    meta = IndexMeta(num_dimensions=8)
+    meta.save(path)
+    with open(os.path.join(path, "_index_meta.json")) as f:
+        raw = json.load(f)
+    raw["version"] = 99
+    with open(os.path.join(path, "_index_meta.json"), "w") as f:
+        json.dump(raw, f)
+    with pytest.raises(ValueError, match="newer than this reader"):
+        IndexMeta.load(path)
+
+
 def test_connected_components_no_warning_when_converged(spark):
     edges = [(0, 1), (1, 2), (5, 6)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
