@@ -199,6 +199,7 @@ def _graph_from_pdf(pdf: pd.DataFrame, meta: dict, quantizer_state) -> tuple[Vam
         codes=codes,
         adjacency=adjacency,
         quantize_fn=quantize_fn,
+        ids=gids,  # G9 ties on global ids: grow() parity with rehydration
     )
     dflt = pdf.index[pdf["is_default_start"].eq(True)].tolist()
     if dflt:
@@ -311,8 +312,10 @@ def _load_shard_graph(
     try:
         part = pads.dataset(os.path.join(nodes_dir, f"shard={shard}"), format="parquet")
         pdf = part.to_table(columns=_stage1_columns(meta_d)).to_pandas()
-    except FileNotFoundError:
-        # a kmeans-assigned shard can be empty (no rows near its centroid)
+    except (FileNotFoundError, OSError):
+        # a kmeans-assigned shard can be empty (no rows near its centroid);
+        # OSError included — non-local pyarrow filesystems surface missing
+        # paths as OSError subclasses other than FileNotFoundError
         pdf = pd.DataFrame({c: [] for c in _stage1_columns(meta_d)})
     if not len(pdf):
         empty = (None, np.array([], dtype=np.int64), np.array([], dtype=bool), None)
@@ -326,6 +329,235 @@ def _load_shard_graph(
         fullmat = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
     _cache_put(key, (g, gids, dead, fullmat), _entry_nbytes(g, gids, dead, fullmat))
     return g, gids, dead, fullmat, False
+
+
+def _empty_nodes_pdf() -> pd.DataFrame:
+    """Schema-typed empty node frame (first rows routed to a never-populated
+    shard, e.g. an empty kmeans cell): node_id/shard keep integer dtypes so
+    the concat with the batch never upcasts ids to object."""
+    data: dict[str, pd.Series] = {}
+    for c in _node_cols():
+        if c == "node_id":
+            data[c] = pd.Series([], dtype="int64")
+        elif c == "shard":
+            data[c] = pd.Series([], dtype="int32")
+        else:
+            data[c] = pd.Series([], dtype="object")
+    return pd.DataFrame(data)
+
+
+def _insert_shard_cold(
+    pdf: pd.DataFrame, nodes_dir: str, shard: int, meta_d: dict, qstate
+) -> tuple[pd.DataFrame, tuple]:
+    """Cold-path micro-batch insert: merge the batch with the stored shard
+    (read executor-locally with pyarrow — the corpus never moves through a
+    shuffle), rehydrate the graph, run the insert algorithm, emit the full
+    shard. Returns (node rows, cache entry (g, gids, dead, fullmat))."""
+    import pyarrow.dataset as pads
+
+    try:
+        part = pads.dataset(os.path.join(nodes_dir, f"shard={shard}"), format="parquet")
+        existing = part.to_table(
+            columns=[c for c in _node_cols() if c != "shard"]
+        ).to_pandas()
+        existing["shard"] = shard
+    except (FileNotFoundError, OSError):
+        # first rows ever routed to this shard (e.g. an empty kmeans cell);
+        # OSError included: non-local pyarrow filesystems surface missing
+        # paths as OSError subclasses other than FileNotFoundError
+        existing = _empty_nodes_pdf()
+    pdf = pd.concat([existing[_node_cols()], pdf[_node_cols()]], ignore_index=True)
+    # upsert: a re-inserted node_id replaces its stored row (the
+    # reference's UPDATE churn = delete+insert, build.rs:1613-1698;
+    # also makes replayed streaming micro-batches idempotent).
+    # Stale edges pointing at the id now reach the new vector —
+    # the same staleness a tombstone's surviving edges have.
+    incoming = pdf["neighbors"].isna()
+    replaced = pdf["node_id"].isin(pdf.loc[incoming, "node_id"]) & ~incoming
+    # When the replaced row is a start node, its flags must survive
+    # on the upserted row — otherwise the rehydrated graph has no
+    # start_default, the first new node becomes a fresh start with an
+    # empty adjacency list, and the whole pre-existing shard graph
+    # goes unreachable (recall collapse until compact()). We also
+    # seed the upsert with the old adjacency so its re-insert walk
+    # (and any sibling inserts entering through it) can still reach
+    # the graph; robust_prune rewrites the list right after.
+    repl = pdf.loc[replaced].drop_duplicates("node_id").set_index("node_id")
+    pdf = pdf[~replaced]
+    pdf = pdf.copy()
+    pdf["_new"] = incoming[pdf.index]
+    if len(repl):
+        # NOTE: list-valued cells must be replaced column-wise — a
+        # pandas .at assignment of a list/array broadcasts instead
+        # of storing the object.
+        start_flag, start_lab, neigh = {}, {}, {}
+        for ridx in pdf.index[pdf["_new"]]:
+            nid = int(pdf.at[ridx, "node_id"])
+            if nid not in repl.index:
+                continue
+            old = repl.loc[nid]
+            if bool(old["is_default_start"]):
+                start_flag[ridx] = True
+            if old["start_labels"] is not None:
+                start_lab[ridx] = list(old["start_labels"])
+            if old["neighbors"] is not None:
+                neigh[ridx] = list(old["neighbors"])
+        if start_flag:
+            pdf["is_default_start"] = [
+                start_flag.get(i, v) for i, v in zip(pdf.index, pdf["is_default_start"])
+            ]
+        if start_lab:
+            pdf["start_labels"] = [
+                start_lab.get(i, v) for i, v in zip(pdf.index, pdf["start_labels"])
+            ]
+        if neigh:
+            pdf["neighbors"] = [
+                neigh.get(i, v) for i, v in zip(pdf.index, pdf["neighbors"])
+            ]
+    pdf = pdf.sort_values("node_id").reset_index(drop=True)
+    new_mask = pdf["_new"]
+    pdf = pdf.drop(columns=["_new"])
+    new_ids = sorted(int(x) for x in pdf.loc[new_mask, "node_id"])
+    # quantize new rows (existing rows keep their stored codes)
+    if meta_d["storage_type"] == StorageType.SBQ.value and new_mask.any():
+        means, variances, bits = qstate
+        lq = SbqQuantizer(means, variances, bits)
+        d_index = meta_d["num_dimensions_to_index"]
+        for ridx in pdf.index[new_mask]:
+            v = np.asarray(pdf.at[ridx, "vector"], dtype=np.float64)
+            if d_index:
+                v = v[:d_index]
+            pdf.at[ridx, "bq_code"] = lq.quantize(v).view(np.int64).tolist()
+    pdf["neighbors"] = pdf["neighbors"].map(lambda x: [] if x is None else x)
+    g, gids = _graph_from_pdf(pdf, meta_d, qstate)
+    pos = {int(gid): i for i, gid in enumerate(gids)}
+    for nid in new_ids:
+        g.insert(pos[nid])
+    g.finalize()
+    pdf["deleted"] = [bool(x) if x is not None and x == x else False for x in pdf["deleted"]]
+    out = _emit_nodes(pdf, g, gids)
+    dead = out["deleted"].fillna(False).to_numpy(dtype=bool)
+    fullmat = None
+    if meta_d["storage_type"] != StorageType.SBQ.value:
+        fullmat = np.stack(out["vector"].to_numpy()).astype(np.float32)
+    else:
+        # serving graphs under SBQ are codes-only: drop the walk
+        # matrix so the cached entry stays O(codes + adjacency)
+        g.mat = np.zeros((g.n, 0), dtype=np.float32)
+        g._sqnorms = None
+    return out, (g, gids, dead, fullmat)
+
+
+def _insert_shard_warm(
+    entry: tuple, pdf: pd.DataFrame, nodes_dir: str, shard: int, meta_d: dict, qstate
+) -> tuple[pd.DataFrame, tuple]:
+    """Warm-path micro-batch insert: GROW the cached shard graph in place —
+    append the batch's codes/adjacency, overwrite upserted rows, run the
+    normal per-row insert walks — so per-batch CPU is O(batch · walk), not
+    O(shard) rehydration (the round-3 scale gap). Global-id tie-breaking
+    makes the grown graph bit-identical to a freshly rehydrated node_id-
+    sorted one, so warm and cold paths emit identical node tables.
+
+    The only O(shard) work left is serialization of the rewritten partition
+    (unavoidable: parquet partitions rewrite whole) and, under SBQ, one
+    executor-local pyarrow read of the stored full-precision vectors for
+    that emit (the serving cache is codes-only by design)."""
+    g, gids, dead, fullmat = entry
+    d_index = meta_d["num_dimensions_to_index"] or meta_d["num_dimensions"]
+    width = g.mat.shape[1]  # walk width: 0 under SBQ (codes-only graph)
+    quantizer = None
+    if meta_d["storage_type"] == StorageType.SBQ.value:
+        means, variances, bits = qstate
+        quantizer = SbqQuantizer(means, variances, bits)
+    pos = {int(x): i for i, x in enumerate(gids)}
+    batch = pdf.sort_values("node_id").reset_index(drop=True)
+    bvec: dict[int, object] = {}
+    blab: dict[int, object] = {}
+    new_ids, new_rows, new_full, new_codes, new_labels = [], [], [], [], []
+    targets: dict[int, int] = {}  # node_id -> local index to insert
+    for r in batch.itertuples(index=False):
+        nid = int(r.node_id)
+        vec = np.asarray(r.vector, dtype=np.float64)
+        code = quantizer.quantize(vec[:d_index]) if quantizer is not None else None
+        lab = _to_frozenset(r.labels) if meta_d["has_labels"] else None
+        bvec[nid] = r.vector
+        blab[nid] = r.labels
+        li = pos.get(nid)
+        if li is not None:
+            # upsert: overwrite payload in place; old adjacency and start
+            # flags survive (same as the cold merge) until insert re-prunes
+            g.replace(li, vec, code, lab)
+            dead[li] = False
+            if fullmat is not None:
+                fullmat[li] = vec.astype(np.float32)
+            targets[nid] = li
+        else:
+            new_ids.append(nid)
+            new_rows.append(vec[:width].astype(np.float32))
+            new_full.append(vec.astype(np.float32))
+            if code is not None:
+                new_codes.append(code)
+            new_labels.append(lab)
+    if new_ids:
+        ids_arr = np.array(new_ids, dtype=np.int64)
+        new_local = g.grow(
+            np.stack(new_rows) if width else np.zeros((len(new_ids), 0), dtype=np.float32),
+            ids_arr,
+            codes=np.stack(new_codes) if g.codes is not None else None,
+            labels=new_labels if g.labels is not None else None,
+        )
+        gids = np.concatenate([gids, ids_arr])
+        dead = np.concatenate([dead, np.zeros(len(new_ids), dtype=bool)])
+        if fullmat is not None:
+            fullmat = np.vstack([fullmat, np.stack(new_full)])
+        targets.update(zip(new_ids, new_local))
+    for nid in sorted(targets):  # same order as the cold path's new_ids loop
+        g.insert(targets[nid])
+    g.finalize()  # prunes only the nodes this batch overflowed
+
+    # emit the full shard. Old rows' full-precision vectors (+ labels) are
+    # resident for plain storage; under SBQ read them executor-locally.
+    n = g.n
+    if fullmat is not None:
+        vectors = list(fullmat)
+        svec, slab = {}, {}
+    else:
+        import pyarrow.dataset as pads
+
+        cols = ["node_id", "vector"] + (["labels"] if meta_d["has_labels"] else [])
+        part = pads.dataset(os.path.join(nodes_dir, f"shard={shard}"), format="parquet")
+        st = part.to_table(columns=cols).to_pandas()
+        svec = dict(zip(st["node_id"].astype("int64"), st["vector"]))
+        slab = (
+            dict(zip(st["node_id"].astype("int64"), st["labels"]))
+            if meta_d["has_labels"]
+            else {}
+        )
+        vectors = [
+            bvec[int(nid)] if int(nid) in bvec else svec[int(nid)] for nid in gids
+        ]
+    if meta_d["has_labels"]:
+        labels_col = [
+            blab[int(nid)] if int(nid) in blab else slab.get(int(nid)) for nid in gids
+        ]
+    else:
+        labels_col = [None] * n
+    out = pd.DataFrame(
+        {
+            "node_id": gids.astype("int64"),
+            "shard": np.full(n, shard, dtype="int32"),
+            "vector": vectors,
+            "bq_code": (
+                [c.view(np.int64).tolist() for c in g.codes]
+                if g.codes is not None
+                else [None] * n
+            ),
+            "labels": labels_col,
+            "deleted": dead.astype(bool),
+        }
+    )
+    out = _emit_nodes(out, g, gids)[_node_cols()]
+    return out, (g, gids, dead, fullmat)
 
 
 def _fetch_vectors(nodes_dir: str, shard: int, node_ids: np.ndarray) -> tuple[np.ndarray, dict]:
@@ -617,6 +849,7 @@ class DiskannIndex:
                 labels=labels,
                 codes=codes,
                 quantize_fn=qfn,
+                ids=gids,
             )
             if build_mode == "bulk":
                 g.build_bulk()
@@ -1191,117 +1424,34 @@ class DiskannIndex:
         # commit the failed job's epoch+1 and serve its uncommitted graphs)
         mutation_nonce = uuid.uuid4().hex
         next_token = (self.meta.build_id, mutation_nonce)
+        cur_token = (self.meta.build_id, self.meta.mutation_id)
 
         def insert_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            # ``pdf`` carries ONLY the micro-batch's new rows: the stored
-            # shard is read executor-locally with pyarrow (same I/O path as
-            # serving), so the corpus never moves through a shuffle — at
-            # 100 TB a streaming micro-batch shuffles the batch, not the
-            # shards it touches.
+            # ``pdf`` carries ONLY the micro-batch's new rows: stored shard
+            # state comes from this worker's graph cache when hot (grow in
+            # place — O(batch) CPU) or an executor-local pyarrow read when
+            # cold, so the corpus never moves through a shuffle — at 100 TB
+            # a streaming micro-batch shuffles the batch, not the shards it
+            # touches, and a warm shard doesn't even reload.
             qstate = b_state.value
             shard = int(pdf["shard"].iloc[0])
-            import pyarrow.dataset as pads
-
-            try:
-                part = pads.dataset(
-                    os.path.join(nodes_dir, f"shard={shard}"), format="parquet"
+            # POP (not get): the grow path mutates the graph in place, and
+            # the entry under the committed token must not be corrupted if
+            # this task later fails — a popped entry just reloads from the
+            # committed parquet next time.
+            hit = _SHARD_GRAPH_CACHE.pop((nodes_dir, shard, cur_token), None)
+            if hit is not None and hit[0] is not None:
+                out, entry = _insert_shard_warm(
+                    (hit[0], hit[1], hit[2], hit[3]), pdf, nodes_dir, shard, meta_d, qstate
                 )
-                existing = part.to_table(
-                    columns=[c for c in _node_cols() if c != "shard"]
-                ).to_pandas()
-                existing["shard"] = shard
-            except FileNotFoundError:
-                # first rows ever routed to this shard (e.g. an empty cell)
-                existing = pd.DataFrame({c: [] for c in _node_cols()})
-            pdf = pd.concat([existing[_node_cols()], pdf[_node_cols()]], ignore_index=True)
-            # upsert: a re-inserted node_id replaces its stored row (the
-            # reference's UPDATE churn = delete+insert, build.rs:1613-1698;
-            # also makes replayed streaming micro-batches idempotent).
-            # Stale edges pointing at the id now reach the new vector —
-            # the same staleness a tombstone's surviving edges have.
-            incoming = pdf["neighbors"].isna()
-            replaced = pdf["node_id"].isin(pdf.loc[incoming, "node_id"]) & ~incoming
-            # When the replaced row is a start node, its flags must survive
-            # on the upserted row — otherwise the rehydrated graph has no
-            # start_default, the first new node becomes a fresh start with an
-            # empty adjacency list, and the whole pre-existing shard graph
-            # goes unreachable (recall collapse until compact()). We also
-            # seed the upsert with the old adjacency so its re-insert walk
-            # (and any sibling inserts entering through it) can still reach
-            # the graph; robust_prune rewrites the list right after.
-            repl = pdf.loc[replaced].drop_duplicates("node_id").set_index("node_id")
-            pdf = pdf[~replaced]
-            pdf = pdf.copy()
-            pdf["_new"] = incoming[pdf.index]
-            if len(repl):
-                # NOTE: list-valued cells must be replaced column-wise — a
-                # pandas .at assignment of a list/array broadcasts instead
-                # of storing the object.
-                start_flag, start_lab, neigh = {}, {}, {}
-                for ridx in pdf.index[pdf["_new"]]:
-                    nid = int(pdf.at[ridx, "node_id"])
-                    if nid not in repl.index:
-                        continue
-                    old = repl.loc[nid]
-                    if bool(old["is_default_start"]):
-                        start_flag[ridx] = True
-                    if old["start_labels"] is not None:
-                        start_lab[ridx] = list(old["start_labels"])
-                    if old["neighbors"] is not None:
-                        neigh[ridx] = list(old["neighbors"])
-                if start_flag:
-                    pdf["is_default_start"] = [
-                        start_flag.get(i, v) for i, v in zip(pdf.index, pdf["is_default_start"])
-                    ]
-                if start_lab:
-                    pdf["start_labels"] = [
-                        start_lab.get(i, v) for i, v in zip(pdf.index, pdf["start_labels"])
-                    ]
-                if neigh:
-                    pdf["neighbors"] = [
-                        neigh.get(i, v) for i, v in zip(pdf.index, pdf["neighbors"])
-                    ]
-            pdf = pdf.sort_values("node_id").reset_index(drop=True)
-            new_mask = pdf["_new"]
-            pdf = pdf.drop(columns=["_new"])
-            new_ids = sorted(int(x) for x in pdf.loc[new_mask, "node_id"])
-            # quantize new rows (existing rows keep their stored codes)
-            if meta_d["storage_type"] == StorageType.SBQ.value and new_mask.any():
-                means, variances, bits = qstate
-                lq = SbqQuantizer(means, variances, bits)
-                d_index = meta_d["num_dimensions_to_index"]
-                for ridx in pdf.index[new_mask]:
-                    v = np.asarray(pdf.at[ridx, "vector"], dtype=np.float64)
-                    if d_index:
-                        v = v[:d_index]
-                    pdf.at[ridx, "bq_code"] = lq.quantize(v).view(np.int64).tolist()
-            pdf["neighbors"] = pdf["neighbors"].map(lambda x: [] if x is None else x)
-            g, gids = _graph_from_pdf(pdf, meta_d, qstate)
-            pos = {int(gid): i for i, gid in enumerate(gids)}
-            for nid in new_ids:
-                g.insert(pos[nid])
-            g.finalize()
-            pdf["deleted"] = pdf["deleted"].fillna(False)
-            out = _emit_nodes(pdf, g, gids)
+            else:
+                out, entry = _insert_shard_cold(pdf, nodes_dir, shard, meta_d, qstate)
             # pre-populate this worker's serving cache with the post-insert
             # graph under the post-mutation token: the next search (or the
             # next micro-batch) on this worker skips the reload entirely —
             # streaming ingest keeps hot shards hot. Content equals what the
             # partition rewrite persists (same rows, same graph).
-            dead = out["deleted"].fillna(False).to_numpy(dtype=bool)
-            fullmat = None
-            if meta_d["storage_type"] != StorageType.SBQ.value:
-                fullmat = np.stack(out["vector"].to_numpy()).astype(np.float32)
-            else:
-                # serving graphs under SBQ are codes-only: drop the walk
-                # matrix so the cached entry stays O(codes + adjacency)
-                g.mat = np.zeros((g.n, 0), dtype=np.float32)
-                g._sqnorms = None
-            _cache_put(
-                (nodes_dir, shard, next_token),
-                (g, gids, dead, fullmat),
-                _entry_nbytes(g, gids, dead, fullmat),
-            )
+            _cache_put((nodes_dir, shard, next_token), entry, _entry_nbytes(*entry))
             return out
 
         updated = (

@@ -75,6 +75,7 @@ class VamanaGraph:
         codes: np.ndarray | None = None,
         adjacency: list[np.ndarray] | None = None,
         quantize_fn: Callable[[np.ndarray], np.ndarray] | None = None,
+        ids: np.ndarray | None = None,
     ):
         # cosine inputs must be pre-normalized by the caller (ingest-time
         # normalization, pg_vector.rs:153-155)
@@ -96,6 +97,14 @@ class VamanaGraph:
         self.start_default: int | None = None
         self.start_by_label: dict[int, int] = {}
         self.last_stats: dict[str, int] = {}
+        # tie-break identities (G9): all orderings use (distance, ids[i]).
+        # Callers that rehydrate node_id-sorted shards pass their global ids
+        # (ascending — identical ordering to local indices); grow() appends
+        # rows OUT of id order, and id-based ties keep every walk, prune, and
+        # top-k bit-identical to a freshly rehydrated (sorted) graph.
+        self.ids = (
+            np.asarray(ids, dtype=np.int64) if ids is not None else np.arange(self.n, dtype=np.int64)
+        )
         # precomputed squared norms: in-graph L2 via |a|²+|b|²-2a·b keeps the
         # hot path a single float32 BLAS matvec (the walk makes ~100k tiny
         # distance calls per 1k inserts — per-call numpy overhead dominates
@@ -165,7 +174,7 @@ class VamanaGraph:
         if query_labels:
             starts = [self.start_by_label[l] for l in sorted(query_labels) if l in self.start_by_label]
             if starts:
-                return sorted(set(starts))
+                return sorted(set(starts), key=lambda i: self.ids[i])
         return [self.start_default]
 
     def greedy_search(
@@ -191,19 +200,22 @@ class VamanaGraph:
         q32 = np.asarray(q, dtype=np.float32)
         sidx = np.array(starts)
         sd = self._dists_to_query(q32, sidx, qcode)
-        # candidate list: sorted (dist, idx, expanded) capped at L. Python
+        # candidate list: sorted (dist, id, idx, expanded) capped at L. Python
         # insort beats array re-sorts here: ~30 O(len) inserts per expansion
         # are cheaper than a lexsort + 3 concatenates of the whole beam.
-        cand: list[list] = sorted([d, i, False] for d, i in zip(sd.tolist(), starts))
+        # Ties break on the global id (G9), not the local slot.
+        cand: list[list] = sorted(
+            [d, int(self.ids[i]), i, False] for d, i in zip(sd.tolist(), starts)
+        )
         seen = set(starts)
         visited: list[int] = []
         visited_d: list[float] = []
         while True:
-            nxt = next((c for c in cand[:L] if not c[2]), None)
+            nxt = next((c for c in cand[:L] if not c[3]), None)
             if nxt is None:
                 break
-            nxt[2] = True
-            d_u, u = nxt[0], nxt[1]
+            nxt[3] = True
+            d_u, u = nxt[0], nxt[2]
             visited.append(u)
             visited_d.append(d_u)
             neigh = [v for v in self.adj[u] if v not in seen]
@@ -216,13 +228,13 @@ class VamanaGraph:
             nidx = np.array(neigh)
             nd = self._dists_to_query(q32, nidx, qcode)
             for d, v in zip(nd.tolist(), neigh):
-                insort(cand, [d, v, False])
+                insort(cand, [d, int(self.ids[v]), v, False])
             if len(cand) > 4 * L:
                 # drop hopeless tail but never drop expanded entries' record
                 cand = cand[: 2 * L]
         if include_frontier:
             vset = set(visited)
-            for d, v, _ in cand:
+            for d, _, v, _ in cand:
                 if v not in vset:
                     visited.append(v)
                     visited_d.append(d)
@@ -239,8 +251,8 @@ class VamanaGraph:
         point_labels: frozenset | None = None,
     ) -> list[int]:
         """Reference prune_neighbors (graph/mod.rs:392-488), vectorized."""
-        # dedupe + drop self-loops, sort by (distance, id)
-        order = np.lexsort((cand_idx, cand_dist))
+        # dedupe + drop self-loops, sort by (distance, global id)
+        order = np.lexsort((self.ids[cand_idx], cand_dist))
         cand_idx, cand_dist = cand_idx[order], cand_dist[order]
         keep = cand_idx != point
         cand_idx, cand_dist = cand_idx[keep], cand_dist[keep]
@@ -427,7 +439,7 @@ class VamanaGraph:
             return
         centroid = self.mat.astype(np.float64).mean(axis=0)
         d0 = np_distance(self.mat, centroid, self.distance_type, assume_normalized=True)
-        medoid = int(np.lexsort((np.arange(self.n), d0))[0])
+        medoid = int(np.lexsort((self.ids, d0))[0])
         order = [medoid] + [i for i in range(self.n) if i != medoid]
         self.start_default = medoid
         pl0 = self._point_labels(medoid)
@@ -475,19 +487,78 @@ class VamanaGraph:
         if medoid_first and self.start_default is None:
             centroid = self.mat.astype(np.float64).mean(axis=0)
             d = np_distance(self.mat, centroid, self.distance_type, assume_normalized=True)
-            medoid = int(np.lexsort((np.arange(self.n), d))[0])
+            medoid = int(np.lexsort((self.ids, d))[0])
             order.remove(medoid)
             order.insert(0, medoid)
         for i in order:
             self.insert(i)
 
     def finalize(self) -> None:
-        """Final prune pass: enforce |adj| <= R (build.rs:905-960)."""
+        """Final prune pass: enforce |adj| <= R (build.rs:905-960).
+
+        A no-op for any node whose list already fits, so calling it after an
+        incremental insert batch touches only the overflowed (i.e. actually
+        modified) nodes — the len() scan itself is O(n) but trivial."""
         for i in range(self.n):
             if len(self.adj[i]) > self.R:
                 idx = np.array(self.adj[i])
                 d = self._dists_to_point(i, idx)
                 self.adj[i] = self.robust_prune(i, idx, d, point_labels=self._point_labels(i))
+
+    # -- incremental growth (warm-path micro-batch insert) ---------------------
+
+    def grow(
+        self,
+        mat_rows: np.ndarray,
+        ids: np.ndarray,
+        codes: np.ndarray | None = None,
+        labels: Sequence[frozenset | None] | None = None,
+    ) -> list[int]:
+        """Append rows to the graph's storage WITHOUT linking them — the
+        warm-insert path appends, then runs the normal ``insert`` per new
+        row, so per-micro-batch CPU is O(batch · walk), never O(shard).
+        Appended rows land at local indices n..n+m-1 (out of global-id
+        order); id-based tie-breaking keeps every subsequent walk/prune
+        identical to a freshly rehydrated node_id-sorted graph. Returns the
+        new local indices."""
+        mat_rows = np.ascontiguousarray(mat_rows, dtype=np.float32).reshape(
+            len(ids), self.mat.shape[1]
+        )
+        start = self.n
+        self.mat = np.ascontiguousarray(np.vstack([self.mat, mat_rows]))
+        if self._sqnorms is not None:
+            self._sqnorms = np.concatenate(
+                [self._sqnorms, np.einsum("ij,ij->i", mat_rows, mat_rows)]
+            )
+        if self.codes is not None:
+            self.codes = np.vstack([self.codes, np.asarray(codes)])
+        if self.labels is not None:
+            new_labels = list(labels) if labels is not None else [None] * len(ids)
+            self.labels.extend(new_labels)
+        self.adj.extend([] for _ in range(len(ids)))
+        self.ids = np.concatenate([self.ids, np.asarray(ids, dtype=np.int64)])
+        self.n += len(ids)
+        return list(range(start, self.n))
+
+    def replace(
+        self,
+        i: int,
+        vec_row: np.ndarray | None = None,
+        code: np.ndarray | None = None,
+        labels_i: frozenset | None = None,
+    ) -> None:
+        """Overwrite stored row i's payload in place (upsert). The old
+        adjacency and start flags survive — exactly what the cold path's
+        merge keeps for an upserted row — and the caller re-runs ``insert``
+        so the prune rewrites the neighbor list for the new geometry."""
+        if vec_row is not None and self.mat.shape[1]:
+            self.mat[i] = np.asarray(vec_row, dtype=np.float32)[: self.mat.shape[1]]
+            if self._sqnorms is not None:
+                self._sqnorms[i] = float(self.mat[i] @ self.mat[i])
+        if self.codes is not None and code is not None:
+            self.codes[i] = code
+        if self.labels is not None:
+            self.labels[i] = labels_i
 
     # -- serving --------------------------------------------------------------
 
@@ -534,13 +605,13 @@ class VamanaGraph:
             if len(vidx) == 0:
                 return np.array([], dtype=np.int64), np.array([])
         if self.codes is not None and rescore > 0:
-            order = np.lexsort((vidx, vd))[: max(rescore, k)]
+            order = np.lexsort((self.ids[vidx], vd))[: max(rescore, k)]
             cand = vidx[order]
             ed = self.exact_dists(q, cand)
             self.last_stats["rescored"] = len(cand)
-            top = np.lexsort((cand, ed))[:k]
+            top = np.lexsort((self.ids[cand], ed))[:k]
             return cand[top], ed[top]
-        order = np.lexsort((vidx, vd))
+        order = np.lexsort((self.ids[vidx], vd))
         if k > 0:
             order = order[:k]
         return vidx[order], vd[order]
