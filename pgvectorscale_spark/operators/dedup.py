@@ -164,6 +164,55 @@ def minhash_candidate_pairs(
     )
 
 
+def _ngram_prefix_candidates(
+    sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Candidate pairs by PREFIX FILTERING (exact, skew-bounded).
+
+    Order every shingle by ascending global document frequency (ties by
+    shingle value — one deterministic total order for all docs); index only
+    each doc's first ``|d| - ceil(t·|d|) + 1`` shingles under that order.
+    Any pair with Jaccard >= t MUST share a prefix shingle (the standard
+    prefix-filter theorem), so candidates are complete — and hot "stop
+    shingles" sort LAST, so a shingle appearing in c docs no longer puts
+    c² rows on one reducer (the round-3 skew finding): it enters the
+    inverted index only for docs whose entire tail is hotter still.
+
+    ``sh`` = (id, _sh array of distinct shingles). Returns (doc_a, doc_b).
+    """
+    ex = sh.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
+    # per-doc rarest-first prefix: sort by (df, shingle), keep the first
+    # n - ceil(t*n) + 1. One groupBy(doc) with a map-side-light agg; the
+    # struct sort keeps everything JVM-side.
+    prefix = (
+        ex.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "shingle"))).alias("_ord"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.slice(
+                    F.expr("transform(_ord, x -> x.shingle)"),
+                    1,
+                    F.greatest(
+                        F.lit(1),
+                        (F.size("_ord") - F.ceil(F.size("_ord") * F.lit(float(threshold))) + 1).cast("int"),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+    )
+    a = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -171,30 +220,31 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs sharing >= 1 shingle (inverted index
-    join). Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6dp."""
+    """Exact n-gram Jaccard pairs (jaccard >= threshold), 6dp rounded.
+
+    Candidate generation uses prefix filtering (_ngram_prefix_candidates):
+    exact — every qualifying pair shares a rarest-first prefix shingle —
+    while keeping any high-frequency stop-shingle out of the inverted-index
+    self-join, so no reducer ever sees c² rows for a shingle appearing in c
+    docs. Candidates then verify with ONE exact set intersection per pair
+    over the full shingle arrays (array_intersect, hash-based, JVM-side) —
+    the intersection is over ALL shingles, so the returned jaccard value is
+    identical to the unfiltered inverted-index formulation."""
     sh = _with_shingles(df, text_col, shingle_n).select(
         F.col(id_col), F.array_distinct("_shingles").alias("_sh")
     )
-    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
-    ex = sh.select(F.col(id_col), F.explode("_sh").alias("shingle"))
-    a = ex.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = ex.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("_inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"))
+    cand = _ngram_prefix_candidates(sh, id_col, threshold)
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
         .withColumn(
             "jaccard",
             F.round(
-                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+                F.col("_inter")
+                / (F.size("_sha") + F.size("_shb") - F.col("_inter")).cast("double"),
                 6,
             ),
         )

@@ -13,6 +13,7 @@ shape (assign → probe → rerank) is unchanged.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -21,6 +22,54 @@ from pyspark.sql import functions as F
 from pgvectorscale_spark.functions.distance import distance_expr
 
 __all__ = ["ivf_assign", "ivf_search", "kmeans_centroids"]
+
+
+# Per-session memo of corpus→centroid assignments, keyed by the LOGICAL PLAN
+# (Dataset.semanticHash) of the corpus + centroid frames and the assignment
+# params. A query workload over one corpus pays the corpus × centroids
+# assignment ONCE, not per query — the ivf_search default path then costs
+# O(probed cells) per call like the persisted IvfIndex (which remains the
+# durable scale path; this memo is its in-session twin). Entries hold
+# persisted DataFrames; eviction unpersists.
+_ASSIGN_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_ASSIGN_CACHE_CAP = 4
+
+
+def _assign_cached(
+    df: DataFrame,
+    num_centroids: int,
+    distance_type: str,
+    vector_col: str,
+    id_col: str,
+    centroids_df: DataFrame | None,
+) -> DataFrame:
+    try:
+        key = (
+            df._jdf.semanticHash(),
+            centroids_df._jdf.semanticHash() if centroids_df is not None else None,
+            num_centroids,
+            distance_type,
+            vector_col,
+            id_col,
+        )
+    except Exception:
+        # no stable plan identity (e.g. a mocked frame): compute fresh
+        return ivf_assign(df, num_centroids, distance_type, vector_col, id_col, centroids_df)
+    hit = _ASSIGN_CACHE.get(key)
+    if hit is not None:
+        _ASSIGN_CACHE.move_to_end(key)
+        return hit
+    assign = ivf_assign(
+        df, num_centroids, distance_type, vector_col, id_col, centroids_df
+    ).persist()
+    _ASSIGN_CACHE[key] = assign
+    while len(_ASSIGN_CACHE) > _ASSIGN_CACHE_CAP:
+        _, old = _ASSIGN_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return assign
 
 
 def kmeans_centroids(
@@ -121,20 +170,26 @@ def ivf_search(
     id_col: str = "vec_id",
     centroids_df: DataFrame | None = None,
     assign_df: DataFrame | None = None,
+    cache_assignment: bool = True,
 ) -> DataFrame:
     """IVF top-k: probe the nprobe cells nearest the query, exact rerank.
 
     Returns (id, distance) — distance rounded to 6dp for oracle parity.
-    Pass ``assign_df`` (from a cached/persisted ``ivf_assign``) to reuse one
-    corpus assignment across a query workload instead of recomputing it per
-    call — the persisted ``IvfIndex`` does this with parquet partitions.
+    The corpus→centroid assignment (the only corpus-sized stage) is memoized
+    per (corpus plan, centroid plan, params) for the session, so a query
+    workload pays it once — per-query cost is then proportional to the
+    probed cells, matching the persisted ``IvfIndex`` (the durable scale
+    path). Pass ``assign_df`` (from your own ``ivf_assign``) to manage reuse
+    explicitly, or ``cache_assignment=False`` to force a fresh assignment
+    (e.g. when the underlying files changed beneath an identical plan).
     """
     qlit = F.array([F.lit(float(x)) for x in query_vec])
-    assign = (
-        assign_df
-        if assign_df is not None
-        else ivf_assign(df, num_centroids, distance_type, vector_col, id_col, centroids_df)
-    )
+    if assign_df is not None:
+        assign = assign_df
+    elif cache_assignment:
+        assign = _assign_cached(df, num_centroids, distance_type, vector_col, id_col, centroids_df)
+    else:
+        assign = ivf_assign(df, num_centroids, distance_type, vector_col, id_col, centroids_df)
     if centroids_df is not None:
         centroids = centroids_df.select("centroid_id", F.col("centroid").alias("_cv"))
     else:

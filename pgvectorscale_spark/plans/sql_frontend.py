@@ -76,6 +76,7 @@ class _IndexEntry:
     id_col: str
     search_kwargs: dict  # GUC query-knob analog (S11): e.g. search_list_size
     column: str = ""  # indexed vector column (for the exact-scan fallback)
+    min_index_rows: int = 0  # 0 = session conf / default (cost-based routing)
 
 
 def _split_select(items: str) -> list[str]:
@@ -107,6 +108,16 @@ class VectorSql:
 
     OVERFETCH_EPSILON = 2.0  # first fetch = k * epsilon when a post-filter exists
     REFILL_FACTOR = 4  # geometric growth per refill round
+    # cost-based routing default (the amcostestimate freedom,
+    # cost_estimate.rs:6-50): below this corpus size a single declarative
+    # exact scan beats the index's scatter/gather overhead, so the planner
+    # skips the index — what Postgres does for tiny tables. The default is
+    # deliberately conservative (≤128 rows is one broadcast-sized chunk;
+    # beyond that, trust the user's CREATE INDEX): raise it per session
+    # (spark.conf `spark.pgvectorscale.min_index_rows`) or per index
+    # (register_index(min_index_rows=...)) when exact scans are cheap —
+    # `k >= corpus` always routes to the exact scan regardless.
+    MIN_INDEX_ROWS = 128
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -126,9 +137,12 @@ class VectorSql:
         (table, column); ORDER BY distance LIMIT k over that column routes
         to it — the AM registration analog (mod.rs:207-263). Extra kwargs
         (e.g. ``search_list_size=200``) pass through to every routed
-        ``index.search`` call — the GUC query-knob analog (guc.rs:3-4)."""
+        ``index.search`` call — the GUC query-knob analog (guc.rs:3-4).
+        ``min_index_rows`` is consumed here (not passed to search): corpora
+        below it route to the exact scan instead of the index."""
+        min_rows = int(search_kwargs.pop("min_index_rows", 0) or 0)
         self._indexes[(table.lower(), column.lower())] = _IndexEntry(
-            index, id_col, search_kwargs, column.lower()
+            index, id_col, search_kwargs, column.lower(), min_rows
         )
 
     # -- rewrite ------------------------------------------------------------
@@ -253,6 +267,19 @@ class VectorSql:
                 return None  # index can't serve a different metric — fall back
         qvec = [float(x) for x in tail.group("vec").split(",")]
         k = int(tail.group("k"))
+        # cost-based index-vs-scan choice (cost_estimate.rs:6-50): for a
+        # tiny corpus, or k covering (nearly) all of it, the graph walk's
+        # scatter/gather overhead loses to one exact declarative scan —
+        # fall through to spark.sql, which IS that scan after the rewrite.
+        total = int(getattr(getattr(entry.index, "meta", None), "num_rows", 0) or 0)
+        min_rows = entry.min_index_rows
+        if not min_rows:
+            try:
+                min_rows = int(self.spark.conf.get("spark.pgvectorscale.min_index_rows"))
+            except Exception:
+                min_rows = self.MIN_INDEX_ROWS
+        if total and (total < min_rows or k >= total):
+            return None
         wm = _WHERE_RE.search(sql)
         predicate = wm.group("pred").strip() if wm else None
         sm = _SELECT_RE.match(sql)

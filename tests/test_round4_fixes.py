@@ -17,6 +17,7 @@
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import warnings
@@ -213,6 +214,221 @@ def test_future_meta_version_fails_loudly(spark, tmpdir):
         json.dump(raw, f)
     with pytest.raises(ValueError, match="newer than this reader"):
         IndexMeta.load(path)
+
+
+# -- 8. cost-based index-vs-scan routing in vs.sql ----------------------------
+
+
+def test_sql_skips_index_for_tiny_or_full_k(spark, tmpdir):
+    """amcostestimate freedom (cost_estimate.rs:6-50): a tiny corpus, or a
+    k covering the corpus, routes to the exact declarative scan instead of
+    the index; a larger corpus still routes to the index. Results are
+    correct either way."""
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    rng = np.random.default_rng(31)
+    for n, expect_index, k in ((60, False, 5), (300, True, 5), (300, False, 300)):
+        mat = rng.random((n, 8), dtype=np.float32)
+        df = spark.createDataFrame(
+            [(i, mat[i].tolist()) for i in range(n)], "id long, embedding array<float>"
+        )
+        idx = DiskannIndex.build(
+            df, f"{tmpdir}/cost_{n}_{k}", distance_type="l2", num_shards=1,
+            id_col="id", vector_col="embedding",
+        )
+        vs = VectorSql(spark)
+        vs.register_table(f"cost_t_{n}_{k}", df)
+        vs.register_index(f"cost_t_{n}_{k}", "embedding", idx, id_col="id")
+        q = ", ".join(str(float(x)) for x in mat[0])
+        res = vs.sql(
+            f"SELECT id FROM cost_t_{n}_{k} ORDER BY embedding <-> [{q}] LIMIT {k}"
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        routed = "FlatMapGroupsInPandas" in plan
+        assert routed == expect_index, f"n={n} k={k}: routed={routed}, plan head: {plan[:200]}"
+        assert res.first()["id"] == 0  # nearest is the query's own row
+
+    # an explicit per-index override beats the default threshold
+    mat = rng.random((60, 8), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(60)], "id long, embedding array<float>"
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/cost_override", distance_type="l2", num_shards=1,
+        id_col="id", vector_col="embedding",
+    )
+    vs = VectorSql(spark)
+    vs.register_table("cost_small", df)
+    vs.register_index("cost_small", "embedding", idx, id_col="id", min_index_rows=1)
+    q = ", ".join(str(float(x)) for x in mat[0])
+    res = vs.sql(f"SELECT id FROM cost_small ORDER BY embedding <-> [{q}] LIMIT 5")
+    assert "FlatMapGroupsInPandas" in res._jdf.queryExecution().executedPlan().toString()
+
+
+# -- 9. two-process writer race ------------------------------------------------
+
+
+def test_concurrent_writer_across_processes(spark, tmpdir):
+    """A real second OS process holds the writer lock (a build/compact in
+    progress); mutations from this process fail with a clean
+    ConcurrentWriterError and succeed once the other writer exits
+    (reference regression: tests/test_concurrent_inserts.py)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from pgvectorscale_spark.operators.diskann import ConcurrentWriterError, DiskannIndex
+
+    rng = np.random.default_rng(41)
+    mat = rng.random((150, 8), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(150)], "vec_id long, embedding array<float>"
+    )
+    path = f"{tmpdir}/race"
+    idx = DiskannIndex.build(
+        df, path, distance_type="l2", num_shards=1, id_col="vec_id",
+        vector_col="embedding",
+    )
+    child_src = textwrap.dedent(
+        f"""
+        import sys, time
+        sys.path.insert(0, {repr(str(os.getcwd()))})
+        from pgvectorscale_spark.operators.index_util import writer_lock
+        with writer_lock({path!r}):
+            print("HELD", flush=True)
+            time.sleep(10)
+        """
+    )
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_src], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        assert child.stdout.readline().strip() == "HELD"
+        batch = spark.createDataFrame(
+            [(900, mat[0].tolist())], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ConcurrentWriterError):
+            idx.insert(batch)
+        with pytest.raises(ConcurrentWriterError):
+            idx.delete([3])
+    finally:
+        child.terminate()
+        child.wait()
+    # lock file removed on child termination? terminate() skips the finally
+    # in the child only if killed mid-write; reap then retry cleanly
+    lock = os.path.join(path, "_writer.lock")
+    if os.path.exists(lock):
+        os.remove(lock)  # crashed-writer recovery, as the error message says
+    idx.insert(
+        spark.createDataFrame([(900, mat[0].tolist())], "vec_id long, embedding array<float>")
+    )
+    assert idx.meta.num_rows == 151
+
+
+# -- 7. ivf_search memoizes the corpus assignment -----------------------------
+
+
+def test_ivf_search_assignment_memoized(spark):
+    """Two searches over the same corpus reuse one persisted assignment
+    (the corpus × centroids stage runs once per session, not per query),
+    and results equal the uncached path."""
+    from pgvectorscale_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(23)
+    mat = rng.random((200, 8))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(200)], "vec_id long, embedding array<float>"
+    )
+    sim._ASSIGN_CACHE.clear()
+    q1, q2 = mat[3].tolist(), mat[9].tolist()
+    r1 = sim.ivf_search(df, q1, k=5, num_centroids=8, nprobe=3).collect()
+    assert len(sim._ASSIGN_CACHE) == 1
+    r2 = sim.ivf_search(df, q2, k=5, num_centroids=8, nprobe=3).collect()
+    assert len(sim._ASSIGN_CACHE) == 1  # second query hit the memo
+    cold1 = sim.ivf_search(df, q1, k=5, num_centroids=8, nprobe=3, cache_assignment=False).collect()
+    cold2 = sim.ivf_search(df, q2, k=5, num_centroids=8, nprobe=3, cache_assignment=False).collect()
+    assert [(r["vec_id"], r["distance"]) for r in r1] == [
+        (r["vec_id"], r["distance"]) for r in cold1
+    ]
+    assert [(r["vec_id"], r["distance"]) for r in r2] == [
+        (r["vec_id"], r["distance"]) for r in cold2
+    ]
+    # different params never collide in the memo
+    sim.ivf_search(df, q1, k=5, num_centroids=4, nprobe=2).collect()
+    assert len(sim._ASSIGN_CACHE) == 2
+
+
+# -- 6. ngram jaccard: prefix filtering bounds hot-shingle skew ---------------
+
+
+def test_ngram_hot_shingle_produces_no_candidate_blowup(spark):
+    """500 docs sharing one stop-shingle: the old inverted-index self-join
+    put C(500,2) ≈ 125k rows on one reducer. Rarest-first prefix filtering
+    keeps the hot shingle out of every doc's prefix (each doc has rarer
+    shingles), so candidates collapse to zero — and the output (no pair
+    reaches jaccard 0.8) is unchanged."""
+    from pgvectorscale_spark.functions.hashing import SPARK, tokens, word_shingles
+    from pgvectorscale_spark.operators.dedup import (
+        _ngram_prefix_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = [
+        (i, f"the quick brown unique{i} token{i} word{i}") for i in range(500)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = tokens("text", SPARK)
+    sh = df.selectExpr(
+        "doc_id", f"array_distinct({word_shingles(toks, 3, SPARK)}) AS _sh"
+    )
+    n_cand = _ngram_prefix_candidates(sh, "doc_id", 0.8).count()
+    assert n_cand == 0, f"hot shingle leaked into prefixes: {n_cand} candidates"
+    assert ngram_jaccard_pairs(df, threshold=0.8).count() == 0
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    """Prefix filtering is EXACT: results equal the brute-force all-pairs
+    jaccard over the same shingle sets, values included."""
+    from pgvectorscale_spark.functions.hashing import SPARK, tokens, word_shingles
+    from pgvectorscale_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{j}" for j in range(30)]
+    docs = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=12))
+        docs.append((i, " ".join(words)))
+    # seed guaranteed near-dups: copies and one-word edits
+    docs.append((100, docs[0][1]))
+    edited = docs[1][1].split()
+    edited[5] = "EDIT"
+    docs.append((101, " ".join(edited)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    toks = tokens("text", SPARK)
+    sets = {
+        r["doc_id"]: frozenset(r["_sh"])
+        for r in df.selectExpr(
+            "doc_id", f"array_distinct({word_shingles(toks, 3, SPARK)}) AS _sh"
+        ).collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = round(inter / len(sets[a] | sets[b]), 6)
+            if j >= 0.6:
+                want[(a, b)] = j
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.6).collect()
+    }
+    assert got == want
+    assert (0, 100) in got and got[(0, 100)] == 1.0
 
 
 def test_connected_components_no_warning_when_converged(spark):
