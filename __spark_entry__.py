@@ -343,6 +343,41 @@ def _diskann_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diskann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPROXIMATE regime — the production configuration — made
+    oracle-visible. Build at reference defaults, search 20 queries with the
+    reference's query GUC defaults (search_list_size=100, rescore=50,
+    guc.rs:3-4; genuinely approximate: the beam is far below the corpus),
+    score recall@10 against the exact scan, and emit ONE deterministic row
+    whose `passed` asserts recall >= 0.9 — the reference's own accuracy
+    scaffold bar (build.rs:1390-1414). The oracle pins the expected row, so
+    any recall collapse in the walk/prune/rescore pipeline shows up as a
+    hash mismatch, not just a slow degradation nobody measures."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    emb = _emb(spark, sf_dir)
+    n_queries, k = 20, 10
+    path = tempfile.mkdtemp(prefix="diskann_recall_")
+    idx = DiskannIndex.build(emb, path, distance_type="l2", num_shards=4)
+    qdf = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = idx.search_batch(qdf, k=k, search_list_size=100, rescore=50).select(
+        "query_id", F.col("node_id").alias("vec_id")
+    )
+    exact = search_exact_batch(emb, qdf, k=k, distance_type="l2").select(
+        "query_id", "vec_id"
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"]).count()
+    recall = hits / float(n_queries * k)
+    return spark.createDataFrame(
+        [("diskann_recall_at_10", k, n_queries, bool(recall >= 0.9))],
+        "metric string, k int, n_queries int, passed boolean",
+    )
+
+
 def _sql_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vs.sql() front-end (SURVEY M7): the reference's `ORDER BY embedding
     <-> $q LIMIT k` SQL surface routed to a registered DiskANN index
@@ -587,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diskann_mutations": _diskann_mutations,
         "diskann_matryoshka": _diskann_matryoshka,
         "diskann_voronoi": _diskann_voronoi,
+        "diskann_recall": _diskann_recall,
         # SQL surface (SURVEY M7): ORDER BY distance LIMIT k -> index scan
         "sql_ann": _sql_ann,
         "sql_ann_filtered": _sql_ann_filtered,
@@ -647,6 +683,14 @@ def oracle_sql() -> dict[str, str]:
         # so the exact-parity result matches the FULL-dimension oracle
         "diskann_matryoshka": oracles.knn_exact_oracle(3, 10, "l2"),
         "diskann_voronoi": oracles.knn_exact_oracle(0, 10, "l2"),
+        # the approximate-regime gate: the Spark side emits passed=TRUE only
+        # when measured recall@10 >= 0.9 at reference query defaults
+        # (sls=100/rescore=50); the oracle pins the expected row, so a
+        # recall collapse is a hash mismatch, not an unmeasured drift
+        "diskann_recall": (
+            "SELECT 'diskann_recall_at_10' AS metric, 10 AS k, "
+            "20 AS n_queries, TRUE AS passed"
+        ),
         "sql_ann": oracles.knn_exact_oracle(0, 10, "l2"),
         "sql_ann_filtered": oracles.knn_exact_oracle(0, 10, "l2", where_sql="vec_id % 2 = 0"),
         "dedup_exact": oracles.dedup_exact_oracle(),

@@ -118,35 +118,40 @@ def main() -> None:
         ev = events.withColumn("ts_sec", ts_epoch_seconds(events))
         return sessionize_batch(ev, gap_seconds=1800, ts_col="ts_sec").count()
 
-    # (name, fn, runs): steady-state queries run twice and report the best —
-    # a one-off ~0.5-1s whole-stage-codegen compile per distinct plan is JVM
-    # warmup, not operator cost (the reference's published numbers are
-    # steady-state too). One-shot entries (index build) run once.
+    # (name, fn, runs): steady-state queries run three times and report the
+    # MEDIAN — host variance on interpreted-expression queries is ±30-50%,
+    # so round-over-round comparisons on single runs are noise (the
+    # q_minhash_pairs "regression" chased across rounds 1-3 was exactly
+    # this); the median also absorbs the one-off ~0.5-1s whole-stage-codegen
+    # compile on the first run of each distinct plan. One-shot entries
+    # (index build) run once.
     queries = [
-        ("q_pricing", q_pricing, 2),
-        ("q_top_customers", q_top_customers, 2),
-        ("q_events_hourly", q_events_hourly, 2),
-        ("q_sessionize", q_sessionize, 2),
-        ("q_knn_batch", q_knn_batch, 2),
-        ("q_sbq_rescore", q_sbq_rescore, 2),
-        ("q_ivf", q_ivf, 2),
+        ("q_pricing", q_pricing, 3),
+        ("q_top_customers", q_top_customers, 3),
+        ("q_events_hourly", q_events_hourly, 3),
+        ("q_sessionize", q_sessionize, 3),
+        ("q_knn_batch", q_knn_batch, 3),
+        ("q_sbq_rescore", q_sbq_rescore, 3),
+        ("q_ivf", q_ivf, 3),
         ("q_diskann_build", q_diskann_build, 1),
-        ("q_diskann_serve", q_diskann_serve, 2),
-        ("q_diskann_serve_batch16", q_diskann_serve_batch16, 2),
-        ("q_dedup_exact", q_dedup_exact, 2),
-        ("q_minhash_pairs", q_minhash_pairs, 2),
-        ("q_simhash", q_simhash, 2),
-        ("q_text_features", q_text_features, 2),
+        ("q_diskann_serve", q_diskann_serve, 3),
+        ("q_diskann_serve_batch16", q_diskann_serve_batch16, 3),
+        ("q_dedup_exact", q_dedup_exact, 3),
+        ("q_minhash_pairs", q_minhash_pairs, 3),
+        ("q_simhash", q_simhash, 3),
+        ("q_text_features", q_text_features, 3),
     ]
+
+    import statistics
 
     timings: dict[str, float] = {}
     for name, fn, runs in queries:
-        best = float("inf")
+        samples = []
         for _ in range(runs):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     encoded.unpersist()
     shutil.rmtree(tmp_index, ignore_errors=True)
