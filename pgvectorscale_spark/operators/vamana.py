@@ -334,6 +334,74 @@ class VamanaGraph:
             alpha *= 1.2
         return results
 
+    def _batch_prune_unlabeled(
+        self, cand_idx: np.ndarray, cand_dist: np.ndarray
+    ) -> list[list[int]]:
+        """robust_prune for a whole BLOCK of points at once (unlabeled fast
+        path): one batched (B, K, K) pairwise GEMM + one vectorized
+        selection sweep, instead of B independent Python prune loops — the
+        bulk build's remaining CPU floor (~45% at 20k was per-selection
+        bookkeeping). Row b's output is IDENTICAL to
+        ``robust_prune(point_b, cand_idx[b], cand_dist[b])`` given rows of
+        unique non-self candidates (which exact top-K over the processed
+        prefix guarantees by construction).
+        """
+        B, K = cand_idx.shape
+        ids = self.ids
+        order = np.stack(
+            [np.lexsort((ids[cand_idx[b]], cand_dist[b])) for b in range(B)]
+        )
+        ci = np.take_along_axis(cand_idx, order, axis=1)
+        cd = np.take_along_axis(cand_dist, order, axis=1)
+        # batched pairwise geometry among each row's candidates. matmul (one
+        # BLAS gemm per slice — the same kernel the serial prune's gram
+        # uses) rather than einsum: einsum's different accumulation order
+        # can flip f32 occlusion factors sitting exactly on an alpha
+        # boundary, breaking bit-parity with robust_prune.
+        sub = self.mat[ci]  # (B, K, d)
+        G = sub @ sub.transpose(0, 2, 1)
+        if self.distance_type == "l2":
+            nn = self._sqnorms[ci]
+            D = np.maximum(nn[:, :, None] + nn[:, None, :] - 2.0 * G, 0.0)
+        elif self.distance_type == "cosine":
+            D = np.maximum(1.0 - G, 0.0)
+        else:
+            D = -G
+        pos = D > 0
+        # occlusion factor selecting candidate i imposes on candidate j:
+        # Fm[b, i, j] (same formula as the serial fast path)
+        Fm = np.where(
+            pos,
+            cd[:, None, :] / np.where(pos, D, 1.0),
+            np.where(cd[:, None, :] > 0, np.inf, 1.0),
+        )
+        maxf = np.zeros((B, K))
+        counts = np.zeros(B, dtype=np.int64)
+        sel_round = np.full((B, K), -1, dtype=np.int32)
+        alpha, rnd = 1.0, 0
+        limit = min(self.R, K)
+        while alpha <= self.max_alpha and (counts < limit).any():
+            for i in range(K):
+                sel = (counts < self.R) & (maxf[:, i] <= alpha)
+                if not sel.any():
+                    continue
+                b = np.nonzero(sel)[0]
+                maxf[b, i] = np.inf
+                counts[b] += 1
+                sel_round[b, i] = rnd
+                if i + 1 < K:
+                    maxf[b, i + 1 :] = np.maximum(maxf[b, i + 1 :], Fm[b, i, i + 1 :])
+            alpha *= 1.2
+            rnd += 1
+        out: list[list[int]] = []
+        for b in range(B):
+            chosen = np.nonzero(sel_round[b] >= 0)[0]
+            # selection order = (round, position) ascending, like the serial
+            # loop appends
+            chosen = chosen[np.lexsort((chosen, sel_round[b, chosen]))]
+            out.append([int(x) for x in ci[b, chosen]])
+        return out
+
     # -- insertion (G5/G6/G7/G8) ---------------------------------------------
 
     def _point_labels(self, i: int) -> frozenset | None:
@@ -472,10 +540,34 @@ class VamanaGraph:
             prefix = np.array(processed)
             D = self._block_dists(self.mat[block], self.mat[prefix])
             kk = min(K, len(prefix))
-            for bi, i in enumerate(block):
-                row = D[bi]
-                top = np.argpartition(row, kk - 1)[:kk]
-                self._attach(i, prefix[top], row[top])
+            # per-row argpartition (measured faster than the axis=1 form)
+            tops = np.stack(
+                [np.argpartition(D[bi], kk - 1)[:kk] for bi in range(len(block))]
+            )
+            if self.labels is None:
+                # unlabeled fast path: ONE batched prune for the whole chunk
+                # (identical per-row output to robust_prune), then the same
+                # sequential back-edge application — the prune reads only
+                # candidate geometry, never adj, so batching is exact
+                ci = prefix[tops]
+                cd = np.take_along_axis(D, tops, axis=1)
+                lists = self._batch_prune_unlabeled(ci, cd)
+                threshold = self._prune_threshold
+                for bi, i in enumerate(block):
+                    neighbors = lists[bi]
+                    self.adj[i] = neighbors
+                    for b in neighbors:
+                        # no membership check needed here: i attaches for
+                        # the first time and candidates come only from the
+                        # processed prefix, so adj[b] cannot contain i yet
+                        self.adj[b].append(i)
+                        if len(self.adj[b]) > threshold:
+                            bidx = np.array(self.adj[b])
+                            bd = self._dists_to_point(b, bidx)
+                            self.adj[b] = self.robust_prune(b, bidx, bd)
+            else:
+                for bi, i in enumerate(block):
+                    self._attach(i, prefix[tops[bi]], D[bi][tops[bi]])
             processed.extend(block)
         self.codes = stashed_codes
         del self._prune_threshold
@@ -498,12 +590,44 @@ class VamanaGraph:
 
         A no-op for any node whose list already fits, so calling it after an
         incremental insert batch touches only the overflowed (i.e. actually
-        modified) nodes — the len() scan itself is O(n) but trivial."""
-        for i in range(self.n):
-            if len(self.adj[i]) > self.R:
+        modified) nodes — the len() scan itself is O(n) but trivial.
+
+        Unlabeled full-precision graphs batch the prunes (grouped by list
+        length so each group is one rectangular ``_batch_prune_unlabeled``
+        call): every per-node prune here is independent — it reads only the
+        node's own frozen list — so batching is exact, and it removes the
+        dominant Python floor of the bulk build (~1/3 of 20k-shard CPU was
+        one robust_prune call per overflowed node)."""
+        over = [i for i in range(self.n) if len(self.adj[i]) > self.R]
+        if not over:
+            return
+        if self.labels is not None or self.codes is not None:
+            # labeled occlusion / Hamming geometry: per-node path
+            for i in over:
                 idx = np.array(self.adj[i])
                 d = self._dists_to_point(i, idx)
                 self.adj[i] = self.robust_prune(i, idx, d, point_labels=self._point_labels(i))
+            return
+        groups: dict[int, list[int]] = {}
+        for i in over:
+            groups.setdefault(len(self.adj[i]), []).append(i)
+        for _, nodes in sorted(groups.items()):
+            pts = np.array(nodes)
+            ci = np.array([self.adj[i] for i in nodes])  # (B, K)
+            sub = self.mat[ci]
+            # per-slice gemv — the same kernel _dists_fast uses per node,
+            # so candidate distances are bit-identical to the serial pass
+            dots = (sub @ self.mat[pts][:, :, None])[:, :, 0]
+            if self.distance_type == "l2":
+                cd = np.maximum(
+                    self._sqnorms[ci] + self._sqnorms[pts][:, None] - 2.0 * dots, 0.0
+                ).astype(np.float64)
+            elif self.distance_type == "cosine":
+                cd = np.maximum(1.0 - dots, 0.0).astype(np.float64)
+            else:
+                cd = (-dots).astype(np.float64)
+            for i, lst in zip(nodes, self._batch_prune_unlabeled(ci, cd)):
+                self.adj[i] = lst
 
     # -- incremental growth (warm-path micro-batch insert) ---------------------
 

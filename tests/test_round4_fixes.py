@@ -216,6 +216,56 @@ def test_future_meta_version_fails_loudly(spark, tmpdir):
         IndexMeta.load(path)
 
 
+# -- 10. batched prune is bit-identical to the serial prune -------------------
+
+
+def test_batch_prune_matches_robust_prune_rowwise():
+    from pgvectorscale_spark.operators.vamana import VamanaGraph
+
+    rng = np.random.default_rng(5)
+    for dist in ("l2", "cosine", "inner_product"):
+        n, d = 400, 16
+        mat = rng.random((n, d), dtype=np.float32)
+        if dist == "cosine":
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        g = VamanaGraph(mat, distance_type=dist, num_neighbors=8, max_alpha=1.2)
+        for _ in range(10):
+            B, K = 16, 24
+            ci = np.stack([rng.choice(n, size=K, replace=False) for _ in range(B)])
+            cd = np.stack(
+                [g._dists_to_point(int(rng.integers(n)), ci[b]) for b in range(B)]
+            )
+            batch = g._batch_prune_unlabeled(ci.copy(), cd.copy())
+            for b in range(B):
+                serial = g.robust_prune(-1, ci[b].copy(), cd[b].copy())
+                assert batch[b] == serial, (dist, b)
+
+
+def test_bulk_build_batched_equals_per_row():
+    """build_bulk with the chunk-batched prune (and batched finalize)
+    produces an adjacency structure identical, edge order included, to the
+    per-row serial prunes it replaced."""
+    from pgvectorscale_spark.operators.vamana import VamanaGraph
+
+    rng = np.random.default_rng(8)
+    mat = rng.random((2500, 24), dtype=np.float32)
+
+    def build(per_row: bool):
+        g = VamanaGraph(
+            mat, distance_type="l2", num_neighbors=16, search_list_size=32,
+            ids=np.arange(len(mat), dtype=np.int64),
+        )
+        if per_row:
+            g._batch_prune_unlabeled = lambda ci, cd: [
+                g.robust_prune(-1, ci[b], cd[b]) for b in range(len(ci))
+            ]
+        g.build_bulk()
+        g.finalize()
+        return g
+
+    assert build(False).adj == build(True).adj
+
+
 # -- 8. cost-based index-vs-scan routing in vs.sql ----------------------------
 
 
