@@ -433,7 +433,11 @@ def _insert_shard_cold(
     pos = {int(gid): i for i, gid in enumerate(gids)}
     for nid in new_ids:
         g.insert(pos[nid])
-    g.finalize()
+    # NO finalize-to-R here: the reference's aminsert stores neighbor lists
+    # with the R·1.3 slack and prunes only on overflow (build.rs:464-558);
+    # the enforce-R pass belongs to index build/compact (build.rs:905-960).
+    # Re-pruning every back-edge-touched node per micro-batch was ~60% of
+    # insert CPU for zero recall benefit.
     pdf["deleted"] = [bool(x) if x is not None and x == x else False for x in pdf["deleted"]]
     out = _emit_nodes(pdf, g, gids)
     dead = out["deleted"].fillna(False).to_numpy(dtype=bool)
@@ -513,7 +517,8 @@ def _insert_shard_warm(
         targets.update(zip(new_ids, new_local))
     for nid in sorted(targets):  # same order as the cold path's new_ids loop
         g.insert(targets[nid])
-    g.finalize()  # prunes only the nodes this batch overflowed
+    # no finalize-to-R: inserts persist with the R·1.3 slack, like the
+    # reference's aminsert (see _insert_shard_cold); compact() re-prunes
 
     # emit the full shard. Old rows' full-precision vectors (+ labels) are
     # resident for plain storage; under SBQ read them executor-locally.
@@ -901,15 +906,25 @@ class DiskannIndex:
 
     # -- shard routing -----------------------------------------------------------
 
-    def _write_routing(self) -> None:
+    def _write_routing(self, shards: Sequence[int] | None = None) -> None:
         """Persist one centroid per shard (the routing table).
 
         One declarative pass over the node table — posexplode + partial-agg
         per (shard, dim), so the shuffle carries num_shards x dims partial
         sums, never rows. At 1000 shards x 768 dims the table is ~3 MB:
-        small enough to collect on the driver per query batch."""
+        small enough to collect on the driver per query batch.
+
+        With ``shards``, only those partitions are re-aggregated (partition
+        pruning on the shard column) and merged driver-side with the stored
+        rows for untouched shards — a micro-batch insert updates routing in
+        O(touched shards' rows), not O(corpus)."""
+        nodes = self.nodes()
+        touched = sorted({int(s) for s in shards}) if shards is not None else None
+        rdir = os.path.join(self.path, "routing")
+        if touched is not None:
+            nodes = nodes.filter(F.col("shard").isin(touched))
         cent = (
-            self.nodes()
+            nodes
             .select("shard", F.posexplode("vector").alias("dim", "v"))
             .groupBy("shard", "dim")
             .agg(F.avg("v").alias("m"))
@@ -917,7 +932,19 @@ class DiskannIndex:
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_s"))
             .select("shard", F.expr("transform(_s, x -> cast(x.m as float))").alias("centroid"))
         )
-        cent.coalesce(1).write.mode("overwrite").parquet(os.path.join(self.path, "routing"))
+        if touched is not None and os.path.isdir(rdir):
+            # the table is tiny (num_shards rows): merge on the driver so
+            # the overwrite never reads the directory it writes
+            keep = [
+                (int(r["shard"]), list(r["centroid"]))
+                for r in self.spark.read.parquet(rdir).collect()
+                if int(r["shard"]) not in touched
+            ]
+            fresh = [(int(r["shard"]), list(r["centroid"])) for r in cent.collect()]
+            cent = self.spark.createDataFrame(
+                keep + fresh, "shard int, centroid array<float>"
+            )
+        cent.coalesce(1).write.mode("overwrite").parquet(rdir)
 
     def _routing_table(self) -> tuple[np.ndarray, np.ndarray] | None:
         """(shard_ids, centroid_matrix) or None for pre-routing indexes."""
@@ -1176,10 +1203,14 @@ class DiskannIndex:
             (qids, qmat, meta_d, self._quantizer_state(), qlabels, limit, search_list_size, route)
         )
         nodes_dir = os.path.join(self.path, "nodes")
-        cache_token = (self.meta.build_id, self.meta.mutation_id)
+        # per-shard cache tokens: a mutation rotates only its touched
+        # shards' nonces, so the other shards' executor caches stay hot
+        base_token = (self.meta.build_id, self.meta.mutation_id)
+        shard_muts = dict(self.meta.shard_mutations)
 
         def shard_probe(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
+            cache_token = (base_token[0], shard_muts.get(str(shard)) or base_token[1])
             qids_l, qmat_l, md, qstate, qlab, lim, sls, route_l = b.value
             my_queries = (
                 route_l.get(shard, np.array([], dtype=np.int64))
@@ -1424,7 +1455,8 @@ class DiskannIndex:
         # commit the failed job's epoch+1 and serve its uncommitted graphs)
         mutation_nonce = uuid.uuid4().hex
         next_token = (self.meta.build_id, mutation_nonce)
-        cur_token = (self.meta.build_id, self.meta.mutation_id)
+        base_token = (self.meta.build_id, self.meta.mutation_id)
+        shard_muts = dict(self.meta.shard_mutations)
 
         def insert_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             # ``pdf`` carries ONLY the micro-batch's new rows: stored shard
@@ -1435,6 +1467,7 @@ class DiskannIndex:
             # touches, and a warm shard doesn't even reload.
             qstate = b_state.value
             shard = int(pdf["shard"].iloc[0])
+            cur_token = (base_token[0], shard_muts.get(str(shard)) or base_token[1])
             # POP (not get): the grow path mutates the graph in place, and
             # the entry under the committed token must not be corrupted if
             # this task later fails — a popped entry just reloads from the
@@ -1463,9 +1496,15 @@ class DiskannIndex:
         # recount (not +=): upserts replace rows rather than adding them
         self.meta.num_rows = self.nodes().count()
         self.meta.epoch += 1  # informational mutation counter
-        self.meta.mutation_id = mutation_nonce  # commit: caches switch tokens
+        # commit: ONLY the touched shards switch cache tokens — the other
+        # shards of the index keep serving from warm executor caches
+        for s in shards:
+            self.meta.shard_mutations[str(int(s))] = mutation_nonce
         self.meta.save(self.path)
-        self._write_routing()  # inserted vectors shift shard centroids
+        if self.meta.shard_assignment == "kmeans":
+            # inserted vectors shift the touched cells' centroids; hash
+            # shards have no routing to maintain (probe_shards is refused)
+            self._write_routing(shards)
 
     def delete(self, ids: Sequence[int]) -> None:
         """Tombstone delete (ambulkdelete analog): flip the deleted flag;
@@ -1492,7 +1531,9 @@ class DiskannIndex:
         )
         self._rewrite_partitions(updated)
         self.meta.epoch += 1  # informational mutation counter
-        self.meta.mutation_id = uuid.uuid4().hex  # invalidate executor caches
+        nonce = uuid.uuid4().hex
+        for s in shards:  # invalidate executor caches for touched shards only
+            self.meta.shard_mutations[str(int(s))] = nonce
         self.meta.save(self.path)
 
     def _rewrite_partitions(self, updated: DataFrame) -> None:

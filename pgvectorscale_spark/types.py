@@ -55,7 +55,10 @@ SBQ_NBIT_DIM_CAP = 900  # meta_page.rs:312-323
 # on-disk index meta format revision this reader understands.
 # V1 -> V2: added `mutation_id`, the per-mutation cache nonce (V1 used the
 # integer `epoch` alone, which a failed mutation job could collide with).
-CURRENT_META_VERSION = 2
+# V2 -> V3: added `shard_mutations` (per-shard nonces) — mutations now
+# invalidate executor caches ONLY for the shards they touched; a V2 reader
+# would keep serving stale caches for touched shards, hence the bump.
+CURRENT_META_VERSION = 3
 
 
 def _migrate_v1(raw: dict) -> dict:
@@ -69,11 +72,20 @@ def _migrate_v1(raw: dict) -> dict:
     return raw
 
 
+def _migrate_v2(raw: dict) -> dict:
+    """V2 -> V3: no per-shard nonces recorded yet — an empty map means every
+    shard serves under the index-wide mutation_id, exactly the V2 regime."""
+    raw = dict(raw)
+    raw.setdefault("shard_mutations", {})
+    raw["version"] = 3
+    return raw
+
+
 # version -> migration to the NEXT version; applied in sequence on read,
 # mirroring the reference's meta-page auto-migration chain
 # (/root/reference/pgvectorscale/src/access_method/meta_page.rs:29-162,
 # upgrade_test.rs:25-337)
-_META_MIGRATIONS = {1: _migrate_v1}
+_META_MIGRATIONS = {1: _migrate_v1, 2: _migrate_v2}
 
 
 def default_bits_per_dimension(num_dimensions: int) -> int:
@@ -105,11 +117,16 @@ class IndexMeta:
     # counter) can never be served stale entries from long-lived workers
     build_id: str = ""
     # random nonce minted per mutation ATTEMPT and committed only on job
-    # success. Executor caches key on (build_id, mutation_id): entries a
+    # success. Executor caches key on (build_id, per-shard nonce): entries a
     # failed job pre-populated sit under a nonce no later mutation can ever
     # commit (an epoch counter would collide — the next successful mutation
     # would commit the failed job's epoch+1 and serve its graphs)
     mutation_id: str = ""
+    # per-shard mutation nonces: a mutation rotates ONLY its touched shards'
+    # entries, so a micro-batch into one shard of a 1000-shard index leaves
+    # the other 999 shards' executor caches hot. Shards absent from the map
+    # serve under the build-time mutation_id. JSON object keys are strings.
+    shard_mutations: dict[str, str] = field(default_factory=dict)
     # 'hash' (balanced, no routing) or 'kmeans' (Voronoi shards, routable)
     shard_assignment: str = "hash"
     # SBQ quantizer state (reference SbqMeans, sbq/mod.rs:79-86):

@@ -103,12 +103,18 @@ def _corpus(spark, n=120, d=16, seed=5):
 # -- 4. per-mutation cache nonces ---------------------------------------------
 
 
+def _token(meta, shard: int) -> tuple:
+    return (meta.build_id, meta.shard_mutations.get(str(shard)) or meta.mutation_id)
+
+
 def test_mutation_ids_are_fresh_nonces(spark, tmpdir):
-    """Every committed mutation installs a brand-new random mutation_id, so
-    a FAILED mutation attempt's pre-populated executor cache entries (keyed
-    by its own never-committed nonce) can never be read by a later mutation
-    — the epoch-counter collision from the round-3 review is structurally
-    impossible."""
+    """Every committed mutation installs a brand-new random nonce for the
+    shards it touched, so a FAILED mutation attempt's pre-populated
+    executor cache entries (keyed by its own never-committed nonce) can
+    never be read by a later mutation — the epoch-counter collision from
+    the round-3 review is structurally impossible. Untouched shards keep
+    their token (their executor caches stay hot across other shards'
+    mutations)."""
     import numpy as np
     from pgvectorscale_spark.operators import diskann as diskann_mod
     from pgvectorscale_spark.operators.diskann import DiskannIndex
@@ -119,8 +125,8 @@ def test_mutation_ids_are_fresh_nonces(spark, tmpdir):
         df, path, distance_type="l2", num_shards=2, id_col="vec_id",
         vector_col="embedding",
     )
-    seen = {idx.meta.mutation_id}
     assert idx.meta.mutation_id, "build must mint a mutation_id"
+    seen = {idx.meta.mutation_id}
 
     # simulate the debris a failed insert attempt leaves behind: a poisoned
     # graph cached under a nonce that was never committed
@@ -132,19 +138,25 @@ def test_mutation_ids_are_fresh_nonces(spark, tmpdir):
         100,
     )
 
+    # id 500 hashes to exactly one shard: the OTHER shard's token must
+    # survive the mutation untouched
     b1 = spark.createDataFrame([(500, mat[0].tolist())], "vec_id long, embedding array<float>")
+    tok_before = {s: _token(idx.meta, s) for s in range(2)}
     idx.insert(b1)
-    assert idx.meta.mutation_id not in seen
-    seen.add(idx.meta.mutation_id)
+    touched = {int(k) for k in idx.meta.shard_mutations}
+    assert len(touched) == 1, "a 1-row batch touches exactly one shard"
+    (ts,) = touched
+    assert _token(idx.meta, ts) != tok_before[ts]
+    assert _token(idx.meta, ts)[1] not in seen
+    seen.add(_token(idx.meta, ts)[1])
+    other = 1 - ts
+    assert _token(idx.meta, other) == tok_before[other], "untouched shard rotated"
 
     idx.delete([500])
-    assert idx.meta.mutation_id not in seen
-    seen.add(idx.meta.mutation_id)
+    assert _token(idx.meta, ts)[1] not in seen, "delete must mint a fresh nonce"
 
-    # serving reads only the committed token — never the failed attempt's
-    assert (nodes_dir, 0, poisoned_token) not in {
-        (nodes_dir, s, (idx.meta.build_id, idx.meta.mutation_id)) for s in range(2)
-    }
+    # serving reads only committed tokens — never the failed attempt's
+    assert poisoned_token not in {_token(idx.meta, s) for s in range(2)}
     got = idx.search(mat[0].tolist(), k=1, search_list_size=200).first()
     assert got["node_id"] == 0  # id 500 deleted again; original id 0 wins
 
@@ -189,12 +201,44 @@ def test_v1_meta_reads_forward_and_search_matches(spark, tmpdir):
     again = IndexMeta.load(path)
     assert again.mutation_id == reloaded.meta.mutation_id
 
-    # a mutation through the migrated reader rewrites the sidecar as V2
+    # a mutation through the migrated reader rewrites the sidecar in the
+    # current format, with fresh per-shard nonces for the touched shards
     reloaded.delete([3])
     with open(meta_path) as f:
         saved = json.load(f)
     assert saved["version"] == CURRENT_META_VERSION
-    assert saved["mutation_id"] not in ("", f"v1:{raw['epoch']}")
+    assert saved["shard_mutations"], "delete must record per-shard nonces"
+
+
+def test_v2_meta_reads_forward(spark, tmpdir):
+    """A V2 sidecar (mutation_id but no shard_mutations) migrates through
+    the V2->V3 hop: empty per-shard map = every shard serves under the
+    index-wide mutation_id, exactly the V2 regime."""
+    import json
+    import os
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+    from pgvectorscale_spark.types import CURRENT_META_VERSION
+
+    df, mat = _corpus(spark, seed=19)
+    path = f"{tmpdir}/v2meta"
+    idx = DiskannIndex.build(
+        df, path, distance_type="l2", num_shards=2, id_col="vec_id",
+        vector_col="embedding",
+    )
+    q = mat[4].tolist()
+    want = [r["node_id"] for r in idx.search(q, k=5).collect()]
+    meta_path = os.path.join(path, "_index_meta.json")
+    with open(meta_path) as f:
+        raw = json.load(f)
+    raw.pop("shard_mutations")
+    raw["version"] = 2
+    with open(meta_path, "w") as f:
+        json.dump(raw, f)
+    reloaded = DiskannIndex.load(spark, path)
+    assert reloaded.meta.version == CURRENT_META_VERSION
+    assert reloaded.meta.shard_mutations == {}
+    assert [r["node_id"] for r in reloaded.search(q, k=5).collect()] == want
 
 
 def test_future_meta_version_fails_loudly(spark, tmpdir):
@@ -214,6 +258,73 @@ def test_future_meta_version_fails_loudly(spark, tmpdir):
         json.dump(raw, f)
     with pytest.raises(ValueError, match="newer than this reader"):
         IndexMeta.load(path)
+
+
+# -- 11. per-shard tokens keep untouched caches hot; routing is incremental ---
+
+
+def test_untouched_shard_cache_entry_stays_keyed_valid(spark, tmpdir):
+    """After a search warms the caches, inserting into one shard leaves the
+    other shard's cached entry under exactly the token the next search
+    computes — at 1000 shards, a micro-batch no longer cold-reloads 999
+    unrelated graphs."""
+    from pgvectorscale_spark.operators import diskann as diskann_mod
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    df, mat = _corpus(spark, seed=29)
+    path = f"{tmpdir}/hotshards"
+    idx = DiskannIndex.build(
+        df, path, distance_type="l2", num_shards=2, id_col="vec_id",
+        vector_col="embedding",
+    )
+    idx.search(mat[0].tolist(), k=3).collect()  # warms worker caches
+    nodes_dir = os.path.join(path, "nodes")
+    b1 = spark.createDataFrame([(700, mat[1].tolist())], "vec_id long, embedding array<float>")
+    idx.insert(b1)
+    (ts,) = {int(k) for k in idx.meta.shard_mutations}
+    other = 1 - ts
+    # the token the next search will use for the untouched shard still
+    # matches at least one populated cache key (worker processes share this
+    # test process's module state under local mode only for the driver's
+    # own cache; assert on key construction instead of physical residency)
+    expected_other = (nodes_dir, other, _token(idx.meta, other))
+    expected_touched = (nodes_dir, ts, _token(idx.meta, ts))
+    assert expected_other[2][1] == idx.meta.mutation_id  # base token survives
+    assert expected_touched[2][1] == idx.meta.shard_mutations[str(ts)]
+    # and search still returns correct results under the mixed tokens
+    got = idx.search(mat[1].tolist(), k=2, search_list_size=200).collect()
+    assert got[0]["node_id"] in (1, 700)
+
+
+def test_incremental_routing_matches_full_recompute(spark, tmpdir):
+    """The touched-shards routing merge equals a full centroid recompute."""
+    import numpy as np
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    df, mat = _corpus(spark, n=150, seed=37)
+    path = f"{tmpdir}/increm_routing"
+    idx = DiskannIndex.build(
+        df, path, distance_type="l2", num_shards=3, id_col="vec_id",
+        vector_col="embedding", shard_assignment="kmeans",
+    )
+    rng = np.random.default_rng(2)
+    batch = spark.createDataFrame(
+        [(800 + j, rng.random(16).astype(np.float32).tolist()) for j in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    idx.insert(batch)  # incremental: re-aggregates only touched cells
+    incr = {
+        int(r["shard"]): np.array(r["centroid"])
+        for r in spark.read.parquet(f"{path}/routing").collect()
+    }
+    idx._write_routing()  # full recompute over every shard
+    full = {
+        int(r["shard"]): np.array(r["centroid"])
+        for r in spark.read.parquet(f"{path}/routing").collect()
+    }
+    assert sorted(incr) == sorted(full)
+    for s in full:
+        np.testing.assert_allclose(incr[s], full[s], rtol=1e-5, atol=1e-6)
 
 
 # -- 10. batched prune is bit-identical to the serial prune -------------------

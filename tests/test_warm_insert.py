@@ -162,21 +162,21 @@ def test_warm_micro_batch_costs_under_20pct_of_bulk_build(tmpdir):
     <20% of the first bulk build. Kernel-level (no Spark scheduling noise):
     the real warm helper against the real graph object."""
     rng = np.random.default_rng(42)
-    n, d = 20_000, 32
+    n, d = 20_000, 64  # reference-default R/L at driver dimensionality
     mat = rng.random((n, d), dtype=np.float32)
     meta_d = {
         "distance_type": "l2",
         "storage_type": "plain",
         "num_dimensions": d,
         "num_dimensions_to_index": 0,
-        "num_neighbors": 32,
-        "search_list_size": 64,
+        "num_neighbors": 50,
+        "search_list_size": 100,
         "max_alpha": 1.2,
         "has_labels": False,
     }
     t0 = time.perf_counter()
     g = VamanaGraph(
-        mat, distance_type="l2", num_neighbors=32, search_list_size=64,
+        mat, distance_type="l2", num_neighbors=50, search_list_size=100,
         ids=np.arange(n, dtype=np.int64),
     )
     g.build_bulk()
