@@ -378,6 +378,30 @@ def _diskann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (dataset assembly): documents fill fixed 2048-token
+    windows in id order via a distributed two-phase prefix sum — no global
+    sort, no single-task window. The oracle is the plain global running
+    total, so the bucketed scan's exactness is hash-checked."""
+    from pgvectorscale_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    tc = docs.selectExpr("doc_id", f"{token_count_sql('text', SPARK)} AS token_count")
+    return pack_sequences(tc, window_tokens=2048)
+
+
+def _hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by salted id hash —
+    stable across runs, row order, and engines (DuckDB replays the same
+    md5-h60 bucket)."""
+    from pgvectorscale_spark.operators.packing import hash_split
+
+    docs = _docs(spark, sf_dir)
+    return hash_split(
+        docs, {"train": 0.98, "valid": 0.01, "test": 0.01}, id_col="doc_id"
+    ).select("doc_id", "split")
+
+
 def _sql_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vs.sql() front-end (SURVEY M7): the reference's `ORDER BY embedding
     <-> $q LIMIT k` SQL surface routed to a registered DiskANN index
@@ -650,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _sessionize,
         "top_orders_per_customer": _top_orders_per_customer,
         "tokenize_bpe": _tokenize_bpe,
+        "pack_sequences": _pack_sequences,
+        "hash_split": _hash_split,
     }
 
 
@@ -717,4 +743,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oracles.sessionize_oracle(1800),
         "top_orders_per_customer": relational.top_orders_per_customer_sql(3),
         "tokenize_bpe": oracles.tokenize_bpe_oracle(),
+        "pack_sequences": oracles.pack_sequences_oracle(2048),
+        "hash_split": oracles.hash_split_oracle(
+            {"train": 0.98, "valid": 0.01, "test": 0.01}
+        ),
     }

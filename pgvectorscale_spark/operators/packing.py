@@ -1,0 +1,126 @@
+"""Dataset-assembly operators for training pipelines: sequence packing and
+deterministic splits.
+
+Two operations every large-scale training-data pipeline runs after curation:
+
+- **Sequence packing** (``pack_sequences``): assign documents to fixed-size
+  token windows (the concat-then-chunk packing used to build training
+  batches). The deterministic contiguous form — documents in id order, a
+  running token total, window w holds tokens [k·w, (k+1)·w) — is a prefix
+  sum, which at 100 TB must NOT be a single global window (Spark executes
+  an un-partitioned ``ORDER BY`` window in ONE task). It is implemented as
+  the classic two-phase distributed scan: range-bucket by id, cumsum inside
+  each bucket (a partitioned window), add the broadcast running totals of
+  the preceding buckets.
+- **Deterministic hash split** (``hash_split``): train/valid/test assignment
+  by salted content-free id hash — stable across runs, machines, and
+  engines (the md5-based h60 family from functions/hashing.py, so DuckDB
+  reproduces the exact assignment), independent of row order, and safe to
+  re-run incrementally as new data arrives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.functions.hashing import SPARK, h60
+
+__all__ = ["pack_sequences", "hash_split"]
+
+
+def pack_sequences(
+    df: DataFrame,
+    window_tokens: int,
+    id_col: str = "doc_id",
+    count_col: str = "token_count",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Contiguous sequence packing: documents in ``id_col`` order fill
+    fixed-size token windows; a document starts at global token offset
+    ``cum - count`` and lands in ``bin_id = (cum - count) // window``.
+
+    Returns (id, token_count, bin_id, bin_offset). A document longer than
+    the window still gets the bin its first token falls in (the trainer's
+    chunker splits it downstream) — offsets are global-exact either way.
+
+    Scale shape: one tiny agg for the id span, one shuffle into
+    ``num_buckets`` range buckets (each bucket's cumsum is a partitioned
+    window — parallel, sorted only within buckets), one num_buckets-row
+    aggregate whose running totals broadcast back. No global sort, no
+    single-task window, no driver-side data beyond num_buckets rows.
+    """
+    span = df.agg(
+        F.min(F.col(id_col).cast("long")).alias("lo"),
+        F.max(F.col(id_col).cast("long")).alias("hi"),
+    ).first()
+    if span["lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, {count_col} long, bin_id long, bin_offset long"
+        )
+    lo, hi = int(span["lo"]), int(span["hi"])
+    if num_buckets is None:
+        num_buckets = max(1, df.sparkSession.sparkContext.defaultParallelism * 2)
+    width = max(1, -(-(hi - lo + 1) // num_buckets))
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(count_col).cast("long").alias(count_col),
+    ).withColumn("_bucket", ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("long"))
+    # phase 1: per-bucket totals -> running offset of every PRECEDING
+    # bucket. The totals are num_buckets rows (never data-scale), so the
+    # running sum is an explicit driver-side scan — no un-partitioned
+    # window (which Spark would execute in a single task) anywhere.
+    totals = base.groupBy("_bucket").agg(F.sum(count_col).alias("_tot")).collect()
+    acc, prior = 0, []
+    for r in sorted(totals, key=lambda r: int(r["_bucket"])):
+        prior.append((int(r["_bucket"]), acc))
+        acc += int(r["_tot"])
+    offsets = df.sparkSession.createDataFrame(prior, "_bucket long, _prior long")
+    # phase 2: in-bucket cumsum (partitioned window — parallel across
+    # buckets) + the bucket's prior total = exact global prefix sum
+    win = Window.partitionBy("_bucket").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        base.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_cum", F.sum(count_col).over(win) + F.col("_prior"))
+        .withColumn("_start", F.col("_cum") - F.col(count_col))
+    )
+    return cum.select(
+        id_col,
+        count_col,
+        (F.col("_start") / F.lit(int(window_tokens))).cast("long").alias("bin_id"),
+        F.pmod(F.col("_start"), F.lit(int(window_tokens))).cast("long").alias("bin_offset"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic split assignment: bucket = h60(salt || id) mod
+    resolution, split = the first label whose cumulative weight covers the
+    bucket. Returns the input plus a ``split`` string column.
+
+    Pure map-side expression — zero shuffle, stable under reordering and
+    re-runs, and reproducible in DuckDB from the same md5 fragment (change
+    ``salt`` to draw an independent split)."""
+    weights = weights or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    total = float(sum(weights.values()))
+    # h60 is 60-bit (15 hex chars) — always non-negative, so plain % works
+    bucket = F.expr(
+        h60(f"concat('{salt}:', cast({id_col} as string))", SPARK)
+    ) % F.lit(resolution)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += float(w) / total
+        cond = bucket < F.lit(int(acc * resolution))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", split)

@@ -653,3 +653,43 @@ def multimodal_features_oracle(dim: int = 4) -> str:
 WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
 SELECT * FROM ({union}) ORDER BY doc_id, dim
 """
+
+
+def pack_sequences_oracle(window_tokens: int) -> str:
+    """Twin of packing.pack_sequences over documents: the distributed
+    two-phase prefix sum must equal the plain global running total."""
+    from pgvectorscale_spark.functions.text import token_count_sql
+    from pgvectorscale_spark.functions.hashing import DUCKDB
+
+    tc = token_count_sql("text", DUCKDB)
+    return f"""
+WITH tc AS (SELECT doc_id, ({tc})::BIGINT AS token_count FROM documents),
+c AS (SELECT doc_id, token_count,
+             sum(token_count) OVER (ORDER BY doc_id) AS cum FROM tc)
+SELECT doc_id, token_count,
+       ((cum - token_count) // {window_tokens})::BIGINT AS bin_id,
+       ((cum - token_count) % {window_tokens})::BIGINT AS bin_offset
+FROM c ORDER BY doc_id
+"""
+
+
+def hash_split_oracle(
+    weights: dict[str, float], salt: str = "split", resolution: int = 1_000_000
+) -> str:
+    """Twin of packing.hash_split: identical md5-h60 bucket and identical
+    cumulative thresholds, so assignment reproduces exactly."""
+    from pgvectorscale_spark.functions.hashing import DUCKDB, h60
+
+    salted = f"concat('{salt}:', cast(doc_id AS VARCHAR))"
+    bucket = f"({h60(salted, DUCKDB)}) % {resolution}"
+    total = float(sum(weights.values()))
+    items = list(weights.items())
+    acc, cases = 0.0, []
+    for name, w in items[:-1]:
+        acc += float(w) / total
+        cases.append(f"WHEN b < {int(acc * resolution)} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{items[-1][0]}' END"
+    return f"""
+WITH b AS (SELECT doc_id, {bucket} AS b FROM documents)
+SELECT doc_id, {case} AS split FROM b ORDER BY doc_id
+"""
