@@ -1293,11 +1293,12 @@ class DiskannIndex:
     # -- mutations ---------------------------------------------------------------
 
     @contextmanager
-    def _writer_lock(self):
+    def _writer_lock(self, wait: float = 0.0):
         """Exclusive writer guard (shared lock-file mechanism,
         index_util.writer_lock) — the advisory-lock semantics of the
-        reference (ports.rs:160)."""
-        with writer_lock(self.path):
+        reference (ports.rs:160). ``wait`` > 0 queues on the lock like the
+        reference's racing INSERTs instead of failing fast."""
+        with writer_lock(self.path, wait=wait):
             yield
 
     def insert(
@@ -1306,12 +1307,15 @@ class DiskannIndex:
         vector_col: str = "embedding",
         id_col: str = "vec_id",
         label_col: str | None = None,
+        lock_wait: float = 0.0,
     ) -> None:
         """Micro-batch insert (aminsert analog): run the same graph-insert
         algorithm per affected shard against the stored graph, then rewrite
         only those shard partitions. Writers are serialized by the index
-        lock file; a concurrent writer raises ConcurrentWriterError."""
-        with self._writer_lock():
+        lock file; a concurrent writer raises ConcurrentWriterError, or
+        queues up to ``lock_wait`` seconds first (the reference's blocking
+        advisory-lock behavior)."""
+        with self._writer_lock(wait=lock_wait):
             self._insert_locked(df, vector_col, id_col, label_col)
 
     def _insert_locked(
@@ -1506,11 +1510,11 @@ class DiskannIndex:
             # shards have no routing to maintain (probe_shards is refused)
             self._write_routing(shards)
 
-    def delete(self, ids: Sequence[int]) -> None:
+    def delete(self, ids: Sequence[int], lock_wait: float = 0.0) -> None:
         """Tombstone delete (ambulkdelete analog): flip the deleted flag;
         edges remain for traversal (vacuum.rs:23-136). Serialized by the
         writer lock."""
-        with self._writer_lock():
+        with self._writer_lock(wait=lock_wait):
             self._delete_locked(ids)
 
     def _delete_locked(self, ids: Sequence[int]) -> None:
@@ -1565,10 +1569,10 @@ class DiskannIndex:
                 self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
         shutil.rmtree(staging, ignore_errors=True)
 
-    def compact(self) -> "DiskannIndex":
+    def compact(self, lock_wait: float = 0.0) -> "DiskannIndex":
         """Rebuild from live rows, dropping tombstones (periodic compaction).
         Serialized by the writer lock."""
-        with self._writer_lock():
+        with self._writer_lock(wait=lock_wait):
             return self._compact_locked()
 
     def _compact_locked(self) -> "DiskannIndex":

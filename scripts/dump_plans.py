@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pgvectorscale_spark.functions.text import with_text_features
 from pgvectorscale_spark.operators import dedup, relational
 from pgvectorscale_spark.operators.knn import search_exact, search_exact_batch
+from pgvectorscale_spark.operators.packing import pack_sequences
 from pgvectorscale_spark.session import get_spark
 from pgvectorscale_spark.sources.tables import load_table
 
@@ -85,6 +86,27 @@ def main() -> None:
             "fingerprint) — all JVM expressions over one scan; zero Python, "
             "zero shuffles. Map-only at any scale.",
             with_text_features(docs),
+        ),
+        (
+            "ngram_jaccard_pairs (exact verify, prefix-filtered)",
+            "No `CartesianProduct`: candidates come from an equi-join on "
+            "rarest-first PREFIX shingles (hot stop-shingles sort last and "
+            "drop out of the inverted index — no c² rows on one reducer), "
+            "then ONE `array_intersect` per candidate pair computes the "
+            "exact jaccard over the full shingle sets.",
+            dedup.ngram_jaccard_pairs(docs, threshold=0.8),
+        ),
+        (
+            "pack_sequences (distributed prefix sum)",
+            "The running token total is a two-phase scan: the only `Window` "
+            "is PARTITIONED by range bucket (parallel, sorted within buckets "
+            "only); bucket offsets arrive via a num_buckets-row "
+            "`BroadcastHashJoin`. No un-partitioned window, no global sort — "
+            "the single-task `WindowExec` trap never appears.",
+            pack_sequences(
+                docs.selectExpr("doc_id", "size(split(text, ' ')) AS token_count"),
+                window_tokens=2048,
+            ),
         ),
     ]
 

@@ -486,6 +486,52 @@ def test_concurrent_writer_across_processes(spark, tmpdir):
     assert idx.meta.num_rows == 151
 
 
+def test_racing_writers_queue_with_lock_wait(spark, tmpdir):
+    """The reference's concurrent-insert regression: racing INSERTs queue
+    on the advisory lock and ALL land (ports.rs:160,
+    tests/test_concurrent_inserts.py). With lock_wait > 0, a mutation
+    issued while a real second process holds the lock waits it out and
+    then succeeds."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    rng = np.random.default_rng(47)
+    mat = rng.random((120, 8), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(120)], "vec_id long, embedding array<float>"
+    )
+    path = f"{tmpdir}/queue"
+    idx = DiskannIndex.build(
+        df, path, distance_type="l2", num_shards=1, id_col="vec_id",
+        vector_col="embedding",
+    )
+    child_src = textwrap.dedent(
+        f"""
+        import sys, time
+        sys.path.insert(0, {repr(str(os.getcwd()))})
+        from pgvectorscale_spark.operators.index_util import writer_lock
+        with writer_lock({path!r}):
+            print("HELD", flush=True)
+            time.sleep(3)
+        """
+    )
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_src], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        assert child.stdout.readline().strip() == "HELD"
+        batch = spark.createDataFrame(
+            [(901, mat[0].tolist())], "vec_id long, embedding array<float>"
+        )
+        idx.insert(batch, lock_wait=30.0)  # queues ~3s, then proceeds
+        assert idx.meta.num_rows == 121
+    finally:
+        child.wait()
+
+
 # -- 7. ivf_search memoizes the corpus assignment -----------------------------
 
 
