@@ -945,6 +945,31 @@ class DiskannIndex:
                 keep + fresh, "shard int, centroid array<float>"
             )
         cent.coalesce(1).write.mode("overwrite").parquet(rdir)
+        if self.meta.has_labels and self.meta.shard_assignment == "kmeans":
+            # label -> shards sidecar: serving's label-aware routing widening
+            # reads THIS (labels x shards rows) instead of running a distinct
+            # over the corpus per query batch. Maintained with the same
+            # touched-shard merge (kmeans only — hash shards never route, so
+            # the sidecar would be dead weight AND go stale on hash inserts,
+            # which skip _write_routing entirely); tombstones only ever
+            # over-include a shard (recall-safe).
+            ldir = os.path.join(self.path, "label_routing")
+            lab = (
+                nodes.select("shard", F.explode("labels").alias("label"))
+                .distinct()
+            )
+            if touched is not None and os.path.isdir(ldir):
+                keep_l = [
+                    (int(r["shard"]), int(r["label"]))
+                    for r in self.spark.read.parquet(ldir).collect()
+                    if int(r["shard"]) not in touched
+                ]
+                fresh_l = [(int(r["shard"]), int(r["label"])) for r in lab.collect()]
+                lab = self.spark.createDataFrame(
+                    keep_l + fresh_l, "shard int, label int"
+                )
+            lab.coalesce(1).write.mode("overwrite").parquet(ldir)
+            self._label_routing_memo = None  # invalidate the driver memo
 
     def _routing_table(self) -> tuple[np.ndarray, np.ndarray] | None:
         """(shard_ids, centroid_matrix) or None for pre-routing indexes."""
@@ -964,13 +989,35 @@ class DiskannIndex:
     def _label_shards(self, labels) -> set[int] | None:
         """Shards that contain at least one row bearing any of `labels` —
         keeps centroid routing from silently skipping the only shard(s)
-        holding a rare label. One tiny distinct over (shard, label)."""
+        holding a rare label.
+
+        Served from the tiny ``label_routing`` sidecar (labels x shards
+        rows, maintained by ``_write_routing`` per mutation) with a
+        per-epoch driver memo — NOT a per-query-batch distinct over the
+        corpus, which at 100 TB would put a full node-table scan in every
+        labeled routed query. Falls back to that scan only when the sidecar
+        is absent (e.g. an index built before it existed)."""
         if not self.meta.has_labels:
             return None
+        want = [int(x) for x in labels]
+        ldir = os.path.join(self.path, "label_routing")
+        memo = getattr(self, "_label_routing_memo", None)
+        token = (self.meta.build_id, self.meta.epoch)
+        if memo is not None and memo[0] == token:
+            mapping = memo[1]
+        elif os.path.isdir(ldir):
+            mapping: dict[int, set[int]] = {}
+            for r in self.spark.read.parquet(ldir).collect():
+                mapping.setdefault(int(r["label"]), set()).add(int(r["shard"]))
+            self._label_routing_memo = (token, mapping)
+        else:
+            mapping = None
+        if mapping is not None:
+            return {s for l in want for s in mapping.get(l, ())}
         rows = (
             self.nodes()
             .select("shard", F.explode("labels").alias("_l"))
-            .filter(F.col("_l").isin([int(x) for x in labels]))
+            .filter(F.col("_l").isin(want))
             .select("shard")
             .distinct()
             .collect()

@@ -327,6 +327,51 @@ def test_incremental_routing_matches_full_recompute(spark, tmpdir):
         np.testing.assert_allclose(incr[s], full[s], rtol=1e-5, atol=1e-6)
 
 
+# -- 12. label routing sidecar -------------------------------------------------
+
+
+def test_label_routing_sidecar_widens_probes_and_tracks_inserts(spark, tmpdir):
+    """Label-aware routing widening reads the labels x shards sidecar, not
+    a per-query corpus scan. A rare label concentrated in a geometrically
+    far cell is still found with probe_shards=1, and a micro-batch insert
+    introducing a brand-new label updates the sidecar so routed queries
+    see it immediately."""
+    import numpy as np
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    rng = np.random.default_rng(53)
+    d = 8
+    # two well-separated blobs -> kmeans cells; the rare label 9 lives ONLY
+    # in the far blob
+    near = rng.normal(0.0, 0.05, size=(80, d)).astype(np.float32)
+    far = rng.normal(5.0, 0.05, size=(80, d)).astype(np.float32)
+    rows = [(i, near[i].tolist(), [1]) for i in range(80)]
+    rows += [(100 + i, far[i].tolist(), [9] if i < 3 else [2]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, labels array<smallint>")
+    path = f"{tmpdir}/label_routing"
+    idx = DiskannIndex.build(
+        df, path, distance_type="l2", num_shards=2, id_col="vec_id",
+        vector_col="embedding", label_col="labels", shard_assignment="kmeans",
+    )
+    assert os.path.isdir(os.path.join(path, "label_routing"))
+    # query at the NEAR blob, filter by the far-only label: routing alone
+    # would probe the near cell; the sidecar widening must add the far cell
+    q = near[0].tolist()
+    got = idx.search(q, k=3, labels=[9], probe_shards=1, search_list_size=500).collect()
+    assert {r["node_id"] for r in got} == {100, 101, 102}
+    # the memo was used (populated for this epoch)
+    assert getattr(idx, "_label_routing_memo", None) is not None
+
+    # insert a brand-new label into the near cell; routed search for it
+    # from the FAR side must widen into the near cell via the updated sidecar
+    b = spark.createDataFrame(
+        [(500, near[1].tolist(), [7])], "vec_id long, embedding array<float>, labels array<smallint>"
+    )
+    idx.insert(b, label_col="labels")
+    got = idx.search(far[0].tolist(), k=1, labels=[7], probe_shards=1, search_list_size=500).collect()
+    assert [r["node_id"] for r in got] == [500]
+
+
 # -- 10. batched prune is bit-identical to the serial prune -------------------
 
 
