@@ -343,6 +343,28 @@ def _diskann_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diskann_null_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-to-NULL semantics (the reference's update-with-null scaffold,
+    vacuum.rs:378-460; NULL vectors are never indexed, build.rs:493-497):
+    upserting ids 1 and 2 with NULL vectors tombstones their stored rows,
+    so the exact-parity search hash-matches the oracle excluding them."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="diskann_nullup_")
+    idx = DiskannIndex.build(emb, path, distance_type="l2", num_shards=2)
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    )
+    idx.insert(nulls)
+    q = _query_vec(spark, sf_dir, 1)  # query BY the removed row's old vector
+    return idx.search(q, k=10, search_list_size=_EXACT_SLS).select(
+        F.col("node_id").alias("vec_id"), F.round("distance", 4).alias("distance")
+    )
+
+
 def _diskann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPROXIMATE regime — the production configuration — made
     oracle-visible. Build at reference defaults, search 20 queries with the
@@ -647,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diskann_matryoshka": _diskann_matryoshka,
         "diskann_voronoi": _diskann_voronoi,
         "diskann_recall": _diskann_recall,
+        "diskann_null_update": _diskann_null_update,
         # SQL surface (SURVEY M7): ORDER BY distance LIMIT k -> index scan
         "sql_ann": _sql_ann,
         "sql_ann_filtered": _sql_ann_filtered,
@@ -716,6 +739,9 @@ def oracle_sql() -> dict[str, str]:
         "diskann_recall": (
             "SELECT 'diskann_recall_at_10' AS metric, 10 AS k, "
             "20 AS n_queries, TRUE AS passed"
+        ),
+        "diskann_null_update": oracles.knn_exact_oracle(
+            1, 10, "l2", exclude_ids=[1, 2]
         ),
         "sql_ann": oracles.knn_exact_oracle(0, 10, "l2"),
         "sql_ann_filtered": oracles.knn_exact_oracle(0, 10, "l2", where_sql="vec_id % 2 = 0"),

@@ -611,23 +611,29 @@ class VamanaGraph:
         groups: dict[int, list[int]] = {}
         for i in over:
             groups.setdefault(len(self.adj[i]), []).append(i)
+        # chunk each length-group: the (B, K, K) factor tensor is the only
+        # sizeable intermediate (B=1024, K=65 -> ~35 MB f64), so per-task
+        # memory stays bounded even when one group holds most of a shard
         for _, nodes in sorted(groups.items()):
-            pts = np.array(nodes)
-            ci = np.array([self.adj[i] for i in nodes])  # (B, K)
-            sub = self.mat[ci]
-            # per-slice gemv — the same kernel _dists_fast uses per node,
-            # so candidate distances are bit-identical to the serial pass
-            dots = (sub @ self.mat[pts][:, :, None])[:, :, 0]
-            if self.distance_type == "l2":
-                cd = np.maximum(
-                    self._sqnorms[ci] + self._sqnorms[pts][:, None] - 2.0 * dots, 0.0
-                ).astype(np.float64)
-            elif self.distance_type == "cosine":
-                cd = np.maximum(1.0 - dots, 0.0).astype(np.float64)
-            else:
-                cd = (-dots).astype(np.float64)
-            for i, lst in zip(nodes, self._batch_prune_unlabeled(ci, cd)):
-                self.adj[i] = lst
+            for c0 in range(0, len(nodes), 1024):
+                chunk = nodes[c0 : c0 + 1024]
+                pts = np.array(chunk)
+                ci = np.array([self.adj[i] for i in chunk])  # (B, K)
+                sub = self.mat[ci]
+                # per-slice gemv — the same kernel _dists_fast uses per
+                # node, so candidate distances are bit-identical to the
+                # serial pass
+                dots = (sub @ self.mat[pts][:, :, None])[:, :, 0]
+                if self.distance_type == "l2":
+                    cd = np.maximum(
+                        self._sqnorms[ci] + self._sqnorms[pts][:, None] - 2.0 * dots, 0.0
+                    ).astype(np.float64)
+                elif self.distance_type == "cosine":
+                    cd = np.maximum(1.0 - dots, 0.0).astype(np.float64)
+                else:
+                    cd = (-dots).astype(np.float64)
+                for i, lst in zip(chunk, self._batch_prune_unlabeled(ci, cd)):
+                    self.adj[i] = lst
 
     # -- incremental growth (warm-path micro-batch insert) ---------------------
 
