@@ -85,9 +85,13 @@ def _widen(df: DataFrame) -> DataFrame:
     except Exception:
         n_files = 0
     if n_files >= max(2, target // 2):
+        return df  # wide file-backed scan: skip without any .rdd cost
+    # few/no input files: the frame may still be wide (downstream of a
+    # repartition/join, or an in-memory source) — check the actual
+    # partition count before adding a shuffle. The .rdd conversion cost is
+    # paid only on this narrow-input path, never on the 100 TB scan shape.
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
-    if n_files == 0 and df.rdd.getNumPartitions() >= max(2, target // 2):
-        return df  # non-file source (e.g. createDataFrame) already wide
     return df.repartition(target)
 
 
@@ -182,6 +186,11 @@ def _ngram_prefix_candidates(
     """
     ex = sh.select(F.col(id_col), F.explode("_sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
+    # the caller's final filter compares the 6dp-ROUNDED jaccard against
+    # the threshold, so a pair with true J in [t - 5e-7, t) still passes it
+    # — widen the prefix guarantee by that rounding slack so candidate
+    # generation can never drop a pair the rounded comparison would keep
+    threshold = max(0.0, float(threshold) - 1e-6)
     # per-doc rarest-first prefix: sort by (df, shingle), keep the first
     # n - ceil(t*n) + 1. One groupBy(doc) with a map-side-light agg; the
     # struct sort keeps everything JVM-side.

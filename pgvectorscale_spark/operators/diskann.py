@@ -309,13 +309,17 @@ def _load_shard_graph(
         return hit[0], hit[1], hit[2], hit[3], True
     import pyarrow.dataset as pads
 
+    shard_dir = os.path.join(nodes_dir, f"shard={shard}")
     try:
-        part = pads.dataset(os.path.join(nodes_dir, f"shard={shard}"), format="parquet")
+        part = pads.dataset(shard_dir, format="parquet")
         pdf = part.to_table(columns=_stage1_columns(meta_d)).to_pandas()
     except (FileNotFoundError, OSError):
-        # a kmeans-assigned shard can be empty (no rows near its centroid);
-        # OSError included — non-local pyarrow filesystems surface missing
-        # paths as OSError subclasses other than FileNotFoundError
+        # a kmeans-assigned shard can be empty (no rows near its centroid),
+        # and non-local pyarrow filesystems surface missing paths as OSError
+        # subclasses other than FileNotFoundError — but a TRANSIENT error on
+        # an existing shard must raise, not silently serve a partial index
+        if not _shard_dir_missing(shard_dir):
+            raise
         pdf = pd.DataFrame({c: [] for c in _stage1_columns(meta_d)})
     if not len(pdf):
         empty = (None, np.array([], dtype=np.int64), np.array([], dtype=bool), None)
@@ -329,6 +333,28 @@ def _load_shard_graph(
         fullmat = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
     _cache_put(key, (g, gids, dead, fullmat), _entry_nbytes(g, gids, dead, fullmat))
     return g, gids, dead, fullmat, False
+
+
+def _shard_dir_missing(shard_dir: str) -> bool:
+    """True iff the shard partition directory genuinely does not exist.
+
+    Load paths must distinguish 'never populated' (legitimate: empty kmeans
+    cell — substitute an empty frame) from 'exists but unreadable'
+    (transient I/O error — MUST raise: treating it as empty would serve
+    partial results, or worse let an insert overwrite the shard with only
+    its batch). One metadata call on the dataset's own filesystem, so the
+    probe works on any pyarrow-supported store, not just local paths."""
+    from pyarrow import fs as pafs
+
+    try:
+        if "://" in shard_dir:
+            fsys, p = pafs.FileSystem.from_uri(shard_dir)
+        else:
+            fsys, p = pafs.LocalFileSystem(), shard_dir
+        return fsys.get_file_info(p).type == pafs.FileType.NotFound
+    except Exception:
+        # the probe itself failing is an I/O problem, not a missing shard
+        return False
 
 
 def _empty_nodes_pdf() -> pd.DataFrame:
@@ -355,8 +381,9 @@ def _insert_shard_cold(
     shard. Returns (node rows, cache entry (g, gids, dead, fullmat))."""
     import pyarrow.dataset as pads
 
+    shard_dir = os.path.join(nodes_dir, f"shard={shard}")
     try:
-        part = pads.dataset(os.path.join(nodes_dir, f"shard={shard}"), format="parquet")
+        part = pads.dataset(shard_dir, format="parquet")
         existing = part.to_table(
             columns=[c for c in _node_cols() if c != "shard"]
         ).to_pandas()
@@ -364,7 +391,12 @@ def _insert_shard_cold(
     except (FileNotFoundError, OSError):
         # first rows ever routed to this shard (e.g. an empty kmeans cell);
         # OSError included: non-local pyarrow filesystems surface missing
-        # paths as OSError subclasses other than FileNotFoundError
+        # paths as OSError subclasses other than FileNotFoundError. An
+        # EXISTING shard whose read failed transiently must raise instead —
+        # merging the batch against an empty frame would overwrite the
+        # shard partition with only the batch rows (silent data loss).
+        if not _shard_dir_missing(shard_dir):
+            raise
         existing = _empty_nodes_pdf()
     pdf = pd.concat([existing[_node_cols()], pdf[_node_cols()]], ignore_index=True)
     # upsert: a re-inserted node_id replaces its stored row (the
@@ -520,24 +552,28 @@ def _insert_shard_warm(
     # no finalize-to-R: inserts persist with the R·1.3 slack, like the
     # reference's aminsert (see _insert_shard_cold); compact() re-prunes
 
-    # emit the full shard. Old rows' full-precision vectors (+ labels) are
-    # resident for plain storage; under SBQ read them executor-locally.
+    # emit the full shard. Old rows' full-precision vectors are resident
+    # for plain storage; anything not resident in the cache entry (vectors
+    # under SBQ, stored label arrays whenever the index is labeled) is read
+    # executor-locally from the committed partition.
     n = g.n
-    if fullmat is not None:
-        vectors = list(fullmat)
-        svec, slab = {}, {}
-    else:
+    slab: dict[int, object] = {}
+    need_cols = [] if fullmat is not None else ["vector"]
+    if meta_d["has_labels"]:
+        need_cols.append("labels")
+    if need_cols:
         import pyarrow.dataset as pads
 
-        cols = ["node_id", "vector"] + (["labels"] if meta_d["has_labels"] else [])
         part = pads.dataset(os.path.join(nodes_dir, f"shard={shard}"), format="parquet")
-        st = part.to_table(columns=cols).to_pandas()
-        svec = dict(zip(st["node_id"].astype("int64"), st["vector"]))
-        slab = (
-            dict(zip(st["node_id"].astype("int64"), st["labels"]))
-            if meta_d["has_labels"]
-            else {}
-        )
+        st = part.to_table(columns=["node_id"] + need_cols).to_pandas()
+        sids = st["node_id"].astype("int64")
+        if "labels" in need_cols:
+            slab = dict(zip(sids, st["labels"]))
+        if "vector" in need_cols:
+            svec = dict(zip(sids, st["vector"]))
+    if fullmat is not None:
+        vectors = list(fullmat)
+    else:
         vectors = [
             bvec[int(nid)] if int(nid) in bvec else svec[int(nid)] for nid in gids
         ]
@@ -921,6 +957,10 @@ class DiskannIndex:
         nodes = self.nodes()
         touched = sorted({int(s) for s in shards}) if shards is not None else None
         rdir = os.path.join(self.path, "routing")
+        if touched is not None and not os.path.isdir(rdir):
+            # no stored table to merge with: an incremental update must
+            # degrade to the full recompute, never write a partial table
+            touched = None
         if touched is not None:
             nodes = nodes.filter(F.col("shard").isin(touched))
         cent = (
@@ -954,10 +994,12 @@ class DiskannIndex:
             # which skip _write_routing entirely); tombstones only ever
             # over-include a shard (recall-safe).
             ldir = os.path.join(self.path, "label_routing")
-            lab = (
-                nodes.select("shard", F.explode("labels").alias("label"))
-                .distinct()
-            )
+            # an incremental update with NO stored sidecar (e.g. the first
+            # mutation on an index migrated from a pre-sidecar format) must
+            # aggregate ALL shards — writing only the touched shards' labels
+            # would make _label_shards unroute every other shard's labels
+            lab_src = nodes if touched is not None and os.path.isdir(ldir) else self.nodes()
+            lab = lab_src.select("shard", F.explode("labels").alias("label")).distinct()
             if touched is not None and os.path.isdir(ldir):
                 keep_l = [
                     (int(r["shard"]), int(r["label"]))
@@ -1582,6 +1624,7 @@ class DiskannIndex:
         )
         self._rewrite_partitions(updated)
         self.meta.epoch += 1  # informational mutation counter
+        self.meta.has_tombstones = True  # cost routing must keep using the index
         nonce = uuid.uuid4().hex
         for s in shards:  # invalidate executor caches for touched shards only
             self.meta.shard_mutations[str(int(s))] = nonce

@@ -214,6 +214,9 @@ class IvfIndex:
             )
             self._rewrite_cells(kept)
             self.meta.num_rows = self.nodes().count()
+            # the registered table may still hold these rows: cost-based
+            # SQL routing must keep using the index, not an exact table scan
+            self.meta.has_tombstones = True
             self.meta.save(self.path)
 
     def _rewrite_cells(self, updated: DataFrame) -> None:

@@ -65,7 +65,12 @@ def pack_sequences(
     base = df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(count_col).cast("long").alias(count_col),
-    ).withColumn("_bucket", ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("long"))
+    ).withColumn(
+        # integer `div`, not float `/`: double division loses exactness
+        # beyond 2^53, which 100 TB id spans / cumulative token totals reach
+        "_bucket",
+        F.expr(f"(cast(`{id_col}` as bigint) - {lo}) div {width}"),
+    )
     # phase 1: per-bucket totals -> running offset of every PRECEDING
     # bucket. The totals are num_buckets rows (never data-scale), so the
     # running sum is an explicit driver-side scan — no un-partitioned
@@ -89,7 +94,7 @@ def pack_sequences(
     return cum.select(
         id_col,
         count_col,
-        (F.col("_start") / F.lit(int(window_tokens))).cast("long").alias("bin_id"),
+        F.expr(f"_start div {int(window_tokens)}").alias("bin_id"),
         F.pmod(F.col("_start"), F.lit(int(window_tokens))).cast("long").alias("bin_offset"),
     )
 

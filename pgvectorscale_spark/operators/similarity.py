@@ -45,6 +45,10 @@ def _assign_cached(
 ) -> DataFrame:
     try:
         key = (
+            # the application id scopes entries to THIS SparkContext:
+            # semanticHash is deterministic across sessions, and a cached
+            # DataFrame from a stopped context would fail on reuse
+            df.sparkSession.sparkContext.applicationId,
             df._jdf.semanticHash(),
             centroids_df._jdf.semanticHash() if centroids_df is not None else None,
             num_centroids,

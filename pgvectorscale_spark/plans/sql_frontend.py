@@ -271,14 +271,19 @@ class VectorSql:
         # tiny corpus, or k covering (nearly) all of it, the graph walk's
         # scatter/gather overhead loses to one exact declarative scan —
         # fall through to spark.sql, which IS that scan after the rewrite.
-        total = int(getattr(getattr(entry.index, "meta", None), "num_rows", 0) or 0)
+        # NEVER bypass an index holding tombstones: the registered table
+        # still contains those rows, so the exact scan would resurface
+        # deleted ids (absent flag -> assume tombstones, stay on the index).
+        meta = getattr(entry.index, "meta", None)
+        total = int(getattr(meta, "num_rows", 0) or 0)
+        tombstones = bool(getattr(meta, "has_tombstones", True))
         min_rows = entry.min_index_rows
         if not min_rows:
             try:
                 min_rows = int(self.spark.conf.get("spark.pgvectorscale.min_index_rows"))
             except Exception:
                 min_rows = self.MIN_INDEX_ROWS
-        if total and (total < min_rows or k >= total):
+        if total and not tombstones and (total < min_rows or k >= total):
             return None
         wm = _WHERE_RE.search(sql)
         predicate = wm.group("pred").strip() if wm else None

@@ -74,9 +74,13 @@ def _migrate_v1(raw: dict) -> dict:
 
 def _migrate_v2(raw: dict) -> dict:
     """V2 -> V3: no per-shard nonces recorded yet — an empty map means every
-    shard serves under the index-wide mutation_id, exactly the V2 regime."""
+    shard serves under the index-wide mutation_id, exactly the V2 regime.
+    Pre-V3 writers never tracked tombstones, so assume they exist: the only
+    consequence is that cost-based routing keeps using the index (the
+    pre-V3 behavior for every query)."""
     raw = dict(raw)
     raw.setdefault("shard_mutations", {})
+    raw.setdefault("has_tombstones", True)
     raw["version"] = 3
     return raw
 
@@ -127,6 +131,11 @@ class IndexMeta:
     # the other 999 shards' executor caches hot. Shards absent from the map
     # serve under the build-time mutation_id. JSON object keys are strings.
     shard_mutations: dict[str, str] = field(default_factory=dict)
+    # True once any delete tombstoned rows (cleared by compact's rebuild).
+    # Cost-based SQL routing must NOT bypass the index while tombstones
+    # exist: the registered table still has those rows, so an exact table
+    # scan would resurface them.
+    has_tombstones: bool = False
     # 'hash' (balanced, no routing) or 'kmeans' (Voronoi shards, routable)
     shard_assignment: str = "hash"
     # SBQ quantizer state (reference SbqMeans, sbq/mod.rs:79-86):

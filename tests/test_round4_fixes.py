@@ -327,6 +327,136 @@ def test_incremental_routing_matches_full_recompute(spark, tmpdir):
         np.testing.assert_allclose(incr[s], full[s], rtol=1e-5, atol=1e-6)
 
 
+# -- 13. review-pass regressions ----------------------------------------------
+
+
+def test_transient_read_error_raises_not_empty(tmpdir, monkeypatch):
+    """An EXISTING shard whose pyarrow read fails transiently must raise —
+    substituting an empty frame would let the insert overwrite the shard
+    with only its batch (silent data loss) and serving return partial
+    results."""
+    import pyarrow.dataset as pads
+
+    from pgvectorscale_spark.operators.diskann import (
+        _insert_shard_cold,
+        _load_shard_graph,
+    )
+
+    nodes_dir = os.path.join(tmpdir, "transient", "nodes")
+    os.makedirs(os.path.join(nodes_dir, "shard=0"))  # shard dir EXISTS
+
+    def boom(*a, **k):
+        raise OSError("simulated transient storage error")
+
+    monkeypatch.setattr(pads, "dataset", boom)
+    meta_d = {
+        "distance_type": "l2", "storage_type": "plain", "num_dimensions": 4,
+        "num_dimensions_to_index": 0, "num_neighbors": 4,
+        "search_list_size": 8, "max_alpha": 1.2, "has_labels": False,
+    }
+    import pandas as pd
+
+    from pgvectorscale_spark.operators.diskann import _node_cols
+
+    batch = pd.DataFrame(
+        {
+            "node_id": pd.Series([1], dtype="int64"),
+            "shard": pd.Series([0], dtype="int32"),
+            "vector": [[0.1, 0.2, 0.3, 0.4]],
+            "bq_code": [None], "labels": [None], "neighbors": [None],
+            "is_default_start": [None], "start_labels": [None], "deleted": [False],
+        }
+    )[_node_cols()]
+    with pytest.raises(OSError, match="transient"):
+        _insert_shard_cold(batch, nodes_dir, 0, meta_d, None)
+    with pytest.raises(OSError, match="transient"):
+        _load_shard_graph(nodes_dir, 0, ("t", "t"), meta_d, None)
+
+
+def test_migrated_index_first_insert_keeps_full_label_sidecar(spark, tmpdir):
+    """First incremental mutation on an index without a label_routing
+    sidecar (a pre-sidecar format) must write ALL shards' labels, not just
+    the touched shard's — otherwise routing unroutes every other label."""
+    import shutil
+
+    import numpy as np
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    rng = np.random.default_rng(61)
+    d = 8
+    near = rng.normal(0.0, 0.05, size=(60, d)).astype(np.float32)
+    far = rng.normal(5.0, 0.05, size=(60, d)).astype(np.float32)
+    rows = [(i, near[i].tolist(), [1]) for i in range(60)]
+    rows += [(100 + i, far[i].tolist(), [9]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, labels array<smallint>")
+    path = f"{tmpdir}/migrated_sidecar"
+    idx = DiskannIndex.build(
+        df, path, distance_type="l2", num_shards=2, id_col="vec_id",
+        vector_col="embedding", label_col="labels", shard_assignment="kmeans",
+    )
+    shutil.rmtree(os.path.join(path, "label_routing"))  # pre-sidecar state
+    b = spark.createDataFrame(
+        [(500, near[0].tolist(), [1])], "vec_id long, embedding array<float>, labels array<smallint>"
+    )
+    idx.insert(b, label_col="labels")  # touches only the near cell
+    labels_in_sidecar = {
+        int(r["label"]) for r in spark.read.parquet(f"{path}/label_routing").collect()
+    }
+    assert labels_in_sidecar == {1, 9}, labels_in_sidecar
+    # the far-only label still routes from a near-blob query
+    got = idx.search(near[0].tolist(), k=2, labels=[9], probe_shards=1,
+                     search_list_size=500).collect()
+    assert len(got) == 2 and all(r["node_id"] >= 100 for r in got)
+
+
+def test_cost_routing_never_bypasses_index_with_tombstones(spark, tmpdir):
+    """A tiny corpus normally cost-routes to the exact table scan — but
+    once the index holds tombstones the table would resurface deleted
+    rows, so routing must stay on the index."""
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    rng = np.random.default_rng(67)
+    mat = rng.random((60, 8), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(60)], "id long, embedding array<float>"
+    )
+    path = f"{tmpdir}/tombroute"
+    idx = DiskannIndex.build(
+        df, path, distance_type="l2", num_shards=1, id_col="id", vector_col="embedding"
+    )
+    vs = VectorSql(spark)
+    vs.register_table("tomb_t", df)
+    vs.register_index("tomb_t", "embedding", idx, id_col="id")
+    q = ", ".join(str(float(x)) for x in mat[0])
+    sql = f"SELECT id FROM tomb_t ORDER BY embedding <-> [{q}] LIMIT 3"
+    # 60 < 128: exact-scan fallback while consistent
+    assert "FlatMapGroupsInPandas" not in vs.sql(sql)._jdf.queryExecution().executedPlan().toString()
+    idx.delete([0])  # nearest row tombstoned in the INDEX only
+    res = vs.sql(sql)
+    assert "FlatMapGroupsInPandas" in res._jdf.queryExecution().executedPlan().toString()
+    assert 0 not in [r["id"] for r in res.collect()]
+
+
+def test_pack_sequences_exact_beyond_double_precision(spark):
+    """Token totals beyond 2^53: integer div must stay exact where double
+    division would drift."""
+    big = 2**55
+    counts = [big, 3, big, 5]
+    df = spark.createDataFrame(
+        list(zip(range(4), counts)), "doc_id long, token_count long"
+    )
+    from pgvectorscale_spark.operators.packing import pack_sequences
+
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(df, window_tokens=1024, num_buckets=2).collect()
+    }
+    cum = 0
+    for i, c in enumerate(counts):
+        assert got[i] == (cum // 1024, cum % 1024), i
+        cum += c
+
+
 # -- 12. label routing sidecar -------------------------------------------------
 
 
