@@ -127,6 +127,75 @@ def test_warm_and_cold_insert_emit_identical_shards(spark, tmpdir):
     assert cold_adj == warm_adj
 
 
+@pytest.mark.parametrize(
+    "storage,labeled,batch_kind",
+    [
+        ("memory_optimized", True, "mixed"),
+        ("memory_optimized", False, "upserts_only"),
+        ("plain", False, "mixed"),
+        ("plain", False, "new_only"),
+    ],
+)
+def test_warm_cold_parity_matrix(spark, tmpdir, storage, labeled, batch_kind):
+    """Warm/cold equivalence across the storage and batch-composition
+    matrix: SBQ vs plain, labeled vs not, mixed/new-only/upsert-only
+    micro-batches — node tables and global-id adjacency must agree."""
+    rng = np.random.default_rng(hash((storage, labeled, batch_kind)) % 2**31)
+    n, d = 200, 12
+    mat = rng.random((n, d), dtype=np.float32)
+    cols = "vec_id long, embedding array<float>"
+    rows = [(i, mat[i].tolist()) for i in range(n)]
+    kwargs = {}
+    if labeled:
+        cols += ", labels array<smallint>"
+        rows = [(i, v, [int(i % 4)]) for i, v in rows]
+        kwargs["label_col"] = "labels"
+    df = spark.createDataFrame(rows, cols)
+    path = f"{tmpdir}/matrix_{storage}_{labeled}_{batch_kind}"
+    idx = DiskannIndex.build(
+        df, path, distance_type="l2", storage_type=storage, num_shards=1,
+        id_col="vec_id", vector_col="embedding", **kwargs,
+    )
+    meta_d = _meta_dict(idx.meta)
+    qstate = idx._quantizer_state()
+    nodes_dir = os.path.join(path, "nodes")
+
+    def mk(vid, lab):
+        return (vid, 0, rng.random(d).astype(np.float32).tolist(), lab if labeled else None)
+
+    if batch_kind == "mixed":
+        batch = _batch_pdf([mk(900, [0]), mk(7, [2]), mk(901, [1]), mk(42, [3])])
+    elif batch_kind == "upserts_only":
+        batch = _batch_pdf([mk(3, None), mk(0, None), mk(150, None)])
+    else:
+        batch = _batch_pdf([mk(900, None), mk(901, None)])
+
+    cold_out, cold_entry = _insert_shard_cold(batch.copy(), nodes_dir, 0, meta_d, qstate)
+    g, gids, dead, fullmat, _ = _load_shard_graph(nodes_dir, 0, (path, "t"), meta_d, qstate)
+    warm_out, warm_entry = _insert_shard_warm(
+        (g, gids, dead, fullmat), batch.copy(), nodes_dir, 0, meta_d, qstate
+    )
+    co = cold_out.sort_values("node_id").reset_index(drop=True)
+    wo = warm_out.sort_values("node_id").reset_index(drop=True)
+    assert list(co["node_id"]) == list(wo["node_id"])
+    for col in ("neighbors", "bq_code", "labels", "start_labels"):
+        for i in range(len(co)):
+            assert _as_list(co[col][i]) == _as_list(wo[col][i]), (
+                f"{col} mismatch at node_id={co['node_id'][i]}"
+            )
+    assert list(co["is_default_start"]) == list(wo["is_default_start"])
+    assert list(co["deleted"]) == list(wo["deleted"])
+    for i in range(len(co)):
+        np.testing.assert_allclose(
+            np.asarray(co["vector"][i], dtype=np.float32),
+            np.asarray(wo["vector"][i], dtype=np.float32),
+        )
+    cg, wg = cold_entry[0], warm_entry[0]
+    cold_adj = {int(cg.ids[i]): [int(cg.ids[v]) for v in cg.adj[i]] for i in range(cg.n)}
+    warm_adj = {int(wg.ids[i]): [int(wg.ids[v]) for v in wg.adj[i]] for i in range(wg.n)}
+    assert cold_adj == warm_adj
+
+
 def test_insert_into_never_populated_shard(tmpdir):
     """First rows ever routed to a shard (an empty kmeans cell): the cold
     path must bootstrap a valid graph from the typed empty frame, and the
