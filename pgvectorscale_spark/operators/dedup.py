@@ -84,7 +84,7 @@ def _widen(df: DataFrame) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files >= max(2, target // 2):
+    if n_files >= max(2, target // 2) and _is_scan_shaped(df):
         return df  # wide file-backed scan: skip without any .rdd cost
     # few/no input files: the frame may still be wide (downstream of a
     # repartition/join, or an in-memory source) — check the actual
@@ -93,6 +93,38 @@ def _widen(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
     return df.repartition(target)
+
+
+# logical nodes that can change the partitioning away from one-partition-
+# per-file-split: after any of these, inputFiles() stops being a valid
+# parallelism proxy (coalesce(1) over a 100-file scan still reports 100
+# input files but runs as ONE partition)
+_NON_SCAN_NODES = (
+    "Repartition",  # covers Repartition + RepartitionByExpression
+    "Coalesce",
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Deduplicate",
+    "GlobalLimit",
+    "Union",
+    "Intersect",
+    "Except",
+)
+
+
+def _is_scan_shaped(df: DataFrame) -> bool:
+    """True when the frame is a narrow chain (project/filter) over a file
+    relation, so the scan's file-split partitioning survives to the top and
+    file count is a faithful parallelism hint. Reads the ANALYZED logical
+    plan (memoized by Spark — far cheaper than the .rdd translation this
+    check exists to avoid)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False  # can't see the plan: fall to the partition-count check
+    return not any(node in plan for node in _NON_SCAN_NODES)
 
 
 def _with_shingles(df: DataFrame, text_col: str, shingle_n: int) -> DataFrame:

@@ -1589,6 +1589,9 @@ class DiskannIndex:
         # recount (not +=): upserts replace rows rather than adding them
         self.meta.num_rows = self.nodes().count()
         self.meta.epoch += 1  # informational mutation counter
+        # the index may now hold rows the SQL-registered table lacks: cost
+        # routing must never bypass to an exact table scan again
+        self.meta.has_mutations = True
         # commit: ONLY the touched shards switch cache tokens — the other
         # shards of the index keep serving from warm executor caches
         for s in shards:
@@ -1668,6 +1671,9 @@ class DiskannIndex:
     def _compact_locked(self) -> "DiskannIndex":
         import shutil
 
+        # inserted rows stay live through compaction, so the index/table
+        # divergence (and the cost-routing guard it demands) survives it
+        was_mutated = self.meta.has_mutations
         staging = os.path.join(self.path, "_staging_live")
         self.full_scan().write.mode("overwrite").parquet(staging)
         live = self.spark.read.parquet(staging).select(
@@ -1689,6 +1695,9 @@ class DiskannIndex:
             _locked=True,  # caller already holds the writer lock
         )
         shutil.rmtree(staging, ignore_errors=True)
+        if was_mutated:
+            idx.meta.has_mutations = True
+            idx.meta.save(idx.path)
         self.meta = idx.meta
         return idx
 

@@ -190,6 +190,9 @@ class IvfIndex:
             )
             self._rewrite_cells(kept.unionByName(new))
             self.meta.num_rows = self.nodes().count()
+            # index may now hold rows the SQL-registered table lacks: cost
+            # routing must never bypass to an exact table scan again
+            self.meta.has_mutations = True
             self.meta.save(self.path)
 
     def delete(self, ids: Sequence[int]) -> None:

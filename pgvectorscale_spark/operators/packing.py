@@ -113,11 +113,18 @@ def hash_split(
     Pure map-side expression — zero shuffle, stable under reordering and
     re-runs, and reproducible in DuckDB from the same md5 fragment (change
     ``salt`` to draw an independent split)."""
-    weights = weights or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    if weights is None:
+        weights = {"train": 0.98, "valid": 0.01, "test": 0.01}
+    if not weights:
+        raise ValueError("hash_split: weights must name at least one split")
+    # the salt lands inside a SQL string literal: double embedded quotes
+    # (standard SQL escaping, identical semantics in Spark and DuckDB) so a
+    # quoted salt can't break or inject into the expression
+    salt_lit = str(salt).replace("'", "''")
     total = float(sum(weights.values()))
     # h60 is 60-bit (15 hex chars) — always non-negative, so plain % works
     bucket = F.expr(
-        h60(f"concat('{salt}:', cast({id_col} as string))", SPARK)
+        h60(f"concat('{salt_lit}:', cast({id_col} as string))", SPARK)
     ) % F.lit(resolution)
     expr = None
     acc = 0.0

@@ -35,6 +35,28 @@ _ASSIGN_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
 _ASSIGN_CACHE_CAP = 4
 
 
+def _data_fingerprint(df: DataFrame) -> tuple:
+    """Cheap data identity for file-backed frames: (path, size, mtime) per
+    input file. semanticHash covers only the LOGICAL PLAN — overwriting the
+    files under an identical path/plan would otherwise serve a stale cached
+    assignment for the rest of the session. For non-file sources (local
+    relations) the plan hash already covers the data, so () is fine; for
+    remote filesystems where stat() is unavailable the file LIST still
+    catches appends/compactions (new file names)."""
+    import os
+    from urllib.parse import urlparse
+
+    parts = []
+    for f in sorted(df.inputFiles()):
+        p = urlparse(f).path if "://" in f or f.startswith("file:") else f
+        try:
+            st = os.stat(p)
+            parts.append((f, st.st_size, st.st_mtime_ns))
+        except OSError:
+            parts.append((f, None, None))
+    return tuple(parts)
+
+
 def _assign_cached(
     df: DataFrame,
     num_centroids: int,
@@ -50,6 +72,9 @@ def _assign_cached(
             # DataFrame from a stopped context would fail on reuse
             df.sparkSession.sparkContext.applicationId,
             df._jdf.semanticHash(),
+            # plan hash + file fingerprint: files overwritten/appended under
+            # an unchanged plan rotate the key instead of serving stale rows
+            _data_fingerprint(df),
             centroids_df._jdf.semanticHash() if centroids_df is not None else None,
             num_centroids,
             distance_type,

@@ -677,18 +677,28 @@ def hash_split_oracle(
     weights: dict[str, float], salt: str = "split", resolution: int = 1_000_000
 ) -> str:
     """Twin of packing.hash_split: identical md5-h60 bucket and identical
-    cumulative thresholds, so assignment reproduces exactly."""
+    cumulative thresholds, so assignment reproduces exactly. Salt and split
+    labels are quote-doubled before interpolation (same escaping — and so
+    same string VALUES — as the Spark side)."""
     from pgvectorscale_spark.functions.hashing import DUCKDB, h60
 
-    salted = f"concat('{salt}:', cast(doc_id AS VARCHAR))"
+    if not weights:
+        raise ValueError("hash_split_oracle: weights must name at least one split")
+
+    def q(s: str) -> str:
+        return str(s).replace("'", "''")
+
+    salted = f"concat('{q(salt)}:', cast(doc_id AS VARCHAR))"
     bucket = f"({h60(salted, DUCKDB)}) % {resolution}"
     total = float(sum(weights.values()))
     items = list(weights.items())
     acc, cases = 0.0, []
     for name, w in items[:-1]:
         acc += float(w) / total
-        cases.append(f"WHEN b < {int(acc * resolution)} THEN '{name}'")
-    case = "CASE " + " ".join(cases) + f" ELSE '{items[-1][0]}' END"
+        cases.append(f"WHEN b < {int(acc * resolution)} THEN '{q(name)}'")
+    last = f"'{q(items[-1][0])}'"
+    # single-split degenerate form: a CASE with no WHEN arms is invalid SQL
+    case = ("CASE " + " ".join(cases) + f" ELSE {last} END") if cases else last
     return f"""
 WITH b AS (SELECT doc_id, {bucket} AS b FROM documents)
 SELECT doc_id, {case} AS split FROM b ORDER BY doc_id

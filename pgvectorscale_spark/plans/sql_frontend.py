@@ -274,16 +274,21 @@ class VectorSql:
         # NEVER bypass an index holding tombstones: the registered table
         # still contains those rows, so the exact scan would resurface
         # deleted ids (absent flag -> assume tombstones, stay on the index).
+        # Symmetrically, NEVER bypass a mutated index: insert() may have
+        # added rows the registered table lacks, and the exact scan would
+        # silently drop them (absent flag -> assume mutated, stay on index).
         meta = getattr(entry.index, "meta", None)
         total = int(getattr(meta, "num_rows", 0) or 0)
-        tombstones = bool(getattr(meta, "has_tombstones", True))
+        diverged = bool(getattr(meta, "has_tombstones", True)) or bool(
+            getattr(meta, "has_mutations", True)
+        )
         min_rows = entry.min_index_rows
         if not min_rows:
             try:
                 min_rows = int(self.spark.conf.get("spark.pgvectorscale.min_index_rows"))
             except Exception:
                 min_rows = self.MIN_INDEX_ROWS
-        if total and not tombstones and (total < min_rows or k >= total):
+        if total and not diverged and (total < min_rows or k >= total):
             return None
         wm = _WHERE_RE.search(sql)
         predicate = wm.group("pred").strip() if wm else None

@@ -58,7 +58,11 @@ SBQ_NBIT_DIM_CAP = 900  # meta_page.rs:312-323
 # V2 -> V3: added `shard_mutations` (per-shard nonces) — mutations now
 # invalidate executor caches ONLY for the shards they touched; a V2 reader
 # would keep serving stale caches for touched shards, hence the bump.
-CURRENT_META_VERSION = 3
+# V3 -> V4: added `has_mutations` — True once insert() ever ran, so
+# cost-based SQL routing never bypasses the index to an exact scan of the
+# REGISTERED table (which would drop index-only inserted rows, the mirror
+# image of the tombstone guard).
+CURRENT_META_VERSION = 4
 
 
 def _migrate_v1(raw: dict) -> dict:
@@ -85,11 +89,21 @@ def _migrate_v2(raw: dict) -> dict:
     return raw
 
 
+def _migrate_v3(raw: dict) -> dict:
+    """V3 -> V4: pre-V4 writers never recorded whether insert() ran, so
+    assume it did (epoch > 0 means *some* mutation happened). Consequence is
+    only that cost routing keeps using the index — safe, never wrong."""
+    raw = dict(raw)
+    raw.setdefault("has_mutations", int(raw.get("epoch", 0)) > 0)
+    raw["version"] = 4
+    return raw
+
+
 # version -> migration to the NEXT version; applied in sequence on read,
 # mirroring the reference's meta-page auto-migration chain
 # (/root/reference/pgvectorscale/src/access_method/meta_page.rs:29-162,
 # upgrade_test.rs:25-337)
-_META_MIGRATIONS = {1: _migrate_v1, 2: _migrate_v2}
+_META_MIGRATIONS = {1: _migrate_v1, 2: _migrate_v2, 3: _migrate_v3}
 
 
 def default_bits_per_dimension(num_dimensions: int) -> int:
@@ -136,6 +150,12 @@ class IndexMeta:
     # exist: the registered table still has those rows, so an exact table
     # scan would resurface them.
     has_tombstones: bool = False
+    # True once insert() ever ran. The index may then hold rows ABSENT from
+    # the SQL-registered base table, so cost-based routing must never bypass
+    # the index to an exact table scan (mirror of the tombstone guard:
+    # tombstones = table superset of index; mutations = index superset of
+    # table). Sticky across compact — compaction keeps inserted rows live.
+    has_mutations: bool = False
     # 'hash' (balanced, no routing) or 'kmeans' (Voronoi shards, routable)
     shard_assignment: str = "hash"
     # SBQ quantizer state (reference SbqMeans, sbq/mod.rs:79-86):

@@ -1,0 +1,187 @@
+"""Round-5 regression tests for the round-4 ADVICE findings.
+
+1. Cost-based SQL routing must never bypass a MUTATED index to an exact
+   table scan (insert-side twin of the tombstone guard).
+2. ivf_search's assignment memo must not serve stale results after the
+   corpus files are overwritten under an unchanged plan.
+3. dedup._widen must not trust inputFiles() as a parallelism proxy on
+   frames whose lineage can change partitioning (coalesce/repartition/...).
+4. hash_split must reject empty weights and survive quoted salts/labels
+   with oracle-exact assignment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_vectors
+
+
+# -- 1. no exact-scan bypass after insert -------------------------------------
+
+
+def test_sql_never_bypasses_mutated_index(spark, tmpdir):
+    """A 60-row corpus is in the bypass regime (exact scan beats the graph),
+    but after index.insert() the index holds rows the registered table
+    lacks — the bypass would silently drop them. ADVICE r4 (medium)."""
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+    from pgvectorscale_spark.plans.sql_frontend import VectorSql
+
+    rng = np.random.default_rng(51)
+    mat = rng.random((60, 8), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(60)], "id long, embedding array<float>"
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/mut_bypass", distance_type="l2", num_shards=1,
+        id_col="id", vector_col="embedding",
+    )
+    assert idx.meta.has_mutations is False
+    q = mat[0] + 0.001  # near row 0, but the inserted row will be nearer
+    new = spark.createDataFrame([(1000, (q + 0.0001).tolist())], "id long, embedding array<float>")
+    idx.insert(new, id_col="id", vector_col="embedding")
+    assert idx.meta.has_mutations is True
+
+    vs = VectorSql(spark)
+    vs.register_table("mut_t", df)  # table does NOT contain id 1000
+    vs.register_index("mut_t", "embedding", idx, id_col="id")
+    qs = ", ".join(str(float(x)) for x in q)
+    res = vs.sql(f"SELECT id FROM mut_t ORDER BY embedding <-> [{qs}] LIMIT 3")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, "mutated index must stay index-routed"
+    # NOTE: the frontend joins candidates back to the registered table for
+    # projection, so the inserted-but-unregistered id can't appear in the
+    # OUTPUT — the guard's job is that the index (which knows all rows)
+    # ranks, instead of a scan of the stale table. Survivors must be the
+    # table rows nearest q *after* id 1000 takes a slot in the index top-3.
+    idx_ids = [r["node_id"] for r in idx.search(q.tolist(), k=3).collect()]
+    assert 1000 in idx_ids
+
+    # has_mutations survives compaction: inserted rows remain live, so the
+    # index/table divergence persists through the rebuild
+    idx2 = idx.compact()
+    assert idx2.meta.has_mutations is True
+
+
+def test_meta_v3_migrates_to_v4(tmpdir):
+    """A V3 sidecar (pre-has_mutations) loads: epoch>0 -> assume mutated."""
+    import json
+    import os
+
+    from pgvectorscale_spark.types import CURRENT_META_VERSION, IndexMeta
+
+    path = str(tmpdir.join("v3meta"))
+    meta = IndexMeta(num_rows=10, epoch=2)
+    meta.save(path)
+    p = os.path.join(path, "_index_meta.json")
+    with open(p) as f:
+        raw = json.load(f)
+    del raw["has_mutations"]
+    raw["version"] = 3
+    with open(p, "w") as f:
+        json.dump(raw, f)
+    loaded = IndexMeta.load(path)
+    assert loaded.version == CURRENT_META_VERSION
+    assert loaded.has_mutations is True  # epoch 2 -> conservatively mutated
+
+    raw["epoch"] = 0
+    with open(p, "w") as f:
+        json.dump(raw, f)
+    assert IndexMeta.load(path).has_mutations is False
+
+
+# -- 2. ivf assignment memo vs. overwritten files -----------------------------
+
+
+def test_ivf_cache_detects_file_overwrite(spark, tmpdir):
+    """Overwriting the corpus parquet under the same path must not serve a
+    stale memoized assignment (semanticHash covers the plan, not the data).
+    ADVICE r4 (medium)."""
+    from pgvectorscale_spark.operators.similarity import ivf_search
+
+    path = f"{tmpdir}/ivf_corpus"
+    make_vectors(spark, n=40, dim=4, seed=1).write.mode("overwrite").parquet(path)
+    df1 = spark.read.parquet(path)
+    q = [0.5, 0.5, 0.5, 0.5]
+    r1 = ivf_search(df1, q, k=40, num_centroids=4, nprobe=4).collect()
+
+    # overwrite with a DIFFERENT corpus (disjoint ids) under the same path
+    from pyspark.sql import functions as F
+
+    shifted = make_vectors(spark, n=40, dim=4, seed=2).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000)
+    )
+    shifted.write.mode("overwrite").parquet(path)
+    df2 = spark.read.parquet(path)
+    r2 = ivf_search(df2, q, k=40, num_centroids=4, nprobe=4).collect()
+    ids1 = {r["vec_id"] for r in r1}
+    ids2 = {r["vec_id"] for r in r2}
+    assert ids1 and max(ids1) < 1000
+    assert ids2 and min(ids2) >= 1000, "stale assignment served old corpus ids"
+
+
+# -- 3. _widen vs. narrow frames from many-file sources -----------------------
+
+
+def test_widen_handles_coalesced_many_file_frame(spark, tmpdir):
+    """A coalesce(1) over a many-file scan still reports many inputFiles;
+    _widen must detect the narrow lineage and repartition. ADVICE r4 (low)."""
+    from pgvectorscale_spark.operators.dedup import _widen
+
+    path = f"{tmpdir}/widen_src"
+    spark.range(0, 1000).selectExpr("id", "cast(id as string) as text").repartition(
+        8
+    ).write.mode("overwrite").parquet(path)
+    wide = spark.read.parquet(path)
+    assert len(wide.inputFiles()) >= 2
+
+    # scan-shaped many-file frame: skipped untouched (no added shuffle)
+    assert _widen(wide) is wide
+    proj = wide.select("text")  # projection keeps the scan shape
+    assert _widen(proj) is proj
+
+    # narrow lineage over the same files: must be repartitioned
+    narrow = wide.coalesce(1)
+    assert len(narrow.inputFiles()) >= 2  # the trap: file count lies
+    out = _widen(narrow)
+    target = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == target
+
+
+# -- 4. hash_split validation --------------------------------------------------
+
+
+def test_hash_split_rejects_empty_weights(spark):
+    from pgvectorscale_spark.operators.packing import hash_split
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="at least one split"):
+        hash_split(df, weights={})
+
+
+def test_hash_split_quoted_salt_matches_oracle(spark):
+    """A salt (and label) containing a single quote must neither break the
+    SQL nor diverge from the DuckDB oracle twin. ADVICE r4 (low)."""
+    import duckdb
+    import pandas as pd
+
+    from pgvectorscale_spark.operators.packing import hash_split
+    from pgvectorscale_spark.oracles import hash_split_oracle
+
+    weights = {"tr'ain": 0.8, "te'st": 0.2}
+    salt = "o'clock"
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    got = (
+        hash_split(df, weights=weights, salt=salt)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    docs = pd.DataFrame({"doc_id": range(200)})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(hash_split_oracle(weights, salt=salt)).df()
+    con.close()
+    assert got["split"].tolist() == want["split"].tolist()
+    assert set(got["split"]) == set(weights)  # both labels appear at 80/20
