@@ -290,37 +290,96 @@ def _stage1_columns(meta_d: dict) -> list[str]:
     return cols
 
 
+def _as_store(store) -> tuple[str, str, int]:
+    """Normalize the node-store handle. Callers pass either a bare
+    ``nodes_dir`` string (base-only read — pre-delta behavior, and what a
+    freshly built index is) or the full ``(nodes_dir, delta_dir, delta_seq)``
+    triple identifying the base partitions plus the committed delta chain."""
+    if isinstance(store, str):
+        return store, os.path.join(os.path.dirname(store), "nodes_delta"), 0
+    return store
+
+
+def _read_shard_pdf(
+    store, shard: int, columns: list[str], ids: np.ndarray | None = None
+) -> pd.DataFrame:
+    """Merged executor-local read of one shard: base partition + the
+    committed delta chain, LATEST generation wins per node_id — the
+    merge-on-read half of the base+delta sink (the reference's aminsert
+    writes only touched pages, build.rs:537-558; here a micro-batch writes
+    only its changed rows and this read reassembles the current shard).
+
+    ``ids`` pushes a node_id filter into every fragment (row-group pruning,
+    the visited-only page-read analog). A missing base dir (never-populated
+    kmeans cell) or a missing seq/shard delta dir (that mutation didn't
+    touch this shard) is legitimate; a TRANSIENT error on an existing dir
+    must raise — treating it as empty would serve a partial index or let an
+    insert overwrite the shard with only its batch."""
+    import pyarrow.dataset as pads
+
+    filt = None
+    if ids is not None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        filt = pc.field("node_id").isin(pa.array(np.asarray(ids, dtype=np.int64)))
+    nodes_dir, delta_dir, delta_seq = _as_store(store)
+    frames: list[tuple[int, pd.DataFrame]] = []
+    dirs = [(0, os.path.join(nodes_dir, f"shard={shard}"))]
+    dirs += [
+        (k, os.path.join(delta_dir, f"seq={k}", f"shard={shard}"))
+        for k in range(1, int(delta_seq) + 1)
+    ]
+    for k, d in dirs:
+        try:
+            t = pads.dataset(d, format="parquet").to_table(columns=columns, filter=filt)
+            frames.append((k, t.to_pandas()))
+        except (FileNotFoundError, OSError):
+            if not _shard_dir_missing(d):
+                raise
+    if not frames:
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64" if c == "node_id" else "object")
+                for c in columns
+            }
+        )
+    if len(frames) == 1:
+        return frames[0][1]
+    parts = []
+    for k, f in frames:
+        f = f.copy()
+        f["_seq"] = k
+        parts.append(f)
+    merged = pd.concat(parts, ignore_index=True)
+    merged = (
+        merged.sort_values(["node_id", "_seq"], kind="stable")
+        .drop_duplicates("node_id", keep="last")
+        .drop(columns=["_seq"])
+        .reset_index(drop=True)
+    )
+    return merged
+
+
 def _load_shard_graph(
-    nodes_dir: str, shard: int, token: tuple, meta_d: dict, quantizer_state
+    store, shard: int, token: tuple, meta_d: dict, quantizer_state
 ) -> tuple[VamanaGraph, np.ndarray, np.ndarray, np.ndarray | None, bool]:
-    """Load (or reuse) a shard's graph directly from its parquet partition.
+    """Load (or reuse) a shard's graph from its base+delta partitions.
 
     Reads bypass Spark's scan: the worker pulls just the projected columns
-    with pyarrow from ``<nodes_dir>/shard=<s>`` (works on any pyarrow-
-    supported filesystem — local, HDFS, S3). ``token`` is the index's
-    (build_id, mutation_id) cache-freshness pair. Returns (graph, global_ids,
-    deleted_mask, full_matrix_or_None, cache_hit). The full-precision
-    matrix is resident only for plain storage (where the walk needs it
-    anyway); under SBQ the cache stays O(codes + adjacency)."""
+    with pyarrow from ``<nodes_dir>/shard=<s>`` plus the delta chain (works
+    on any pyarrow-supported filesystem — local, HDFS, S3). ``token`` is the
+    index's (build_id, mutation_id) cache-freshness pair. Returns (graph,
+    global_ids, deleted_mask, full_matrix_or_None, cache_hit). The
+    full-precision matrix is resident only for plain storage (where the
+    walk needs it anyway); under SBQ the cache stays O(codes + adjacency)."""
+    nodes_dir = _as_store(store)[0]
     key = (nodes_dir, int(shard), token)
     hit = _SHARD_GRAPH_CACHE.get(key)
     if hit is not None:
         _SHARD_GRAPH_CACHE.move_to_end(key)
         return hit[0], hit[1], hit[2], hit[3], True
-    import pyarrow.dataset as pads
-
-    shard_dir = os.path.join(nodes_dir, f"shard={shard}")
-    try:
-        part = pads.dataset(shard_dir, format="parquet")
-        pdf = part.to_table(columns=_stage1_columns(meta_d)).to_pandas()
-    except (FileNotFoundError, OSError):
-        # a kmeans-assigned shard can be empty (no rows near its centroid),
-        # and non-local pyarrow filesystems surface missing paths as OSError
-        # subclasses other than FileNotFoundError — but a TRANSIENT error on
-        # an existing shard must raise, not silently serve a partial index
-        if not _shard_dir_missing(shard_dir):
-            raise
-        pdf = pd.DataFrame({c: [] for c in _stage1_columns(meta_d)})
+    pdf = _read_shard_pdf(store, shard, _stage1_columns(meta_d))
     if not len(pdf):
         empty = (None, np.array([], dtype=np.int64), np.array([], dtype=bool), None)
         _cache_put(key, empty, _entry_nbytes(None, empty[1], empty[2], None))
@@ -357,6 +416,12 @@ def _shard_dir_missing(shard_dir: str) -> bool:
         return False
 
 
+def _clear_delta_dirs(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "nodes_delta"), ignore_errors=True)
+
+
 def _empty_nodes_pdf() -> pd.DataFrame:
     """Schema-typed empty node frame (first rows routed to a never-populated
     shard, e.g. an empty kmeans cell): node_id/shard keep integer dtypes so
@@ -373,30 +438,22 @@ def _empty_nodes_pdf() -> pd.DataFrame:
 
 
 def _insert_shard_cold(
-    pdf: pd.DataFrame, nodes_dir: str, shard: int, meta_d: dict, qstate
+    pdf: pd.DataFrame, store, shard: int, meta_d: dict, qstate
 ) -> tuple[pd.DataFrame, tuple]:
     """Cold-path micro-batch insert: merge the batch with the stored shard
     (read executor-locally with pyarrow — the corpus never moves through a
-    shuffle), rehydrate the graph, run the insert algorithm, emit the full
-    shard. Returns (node rows, cache entry (g, gids, dead, fullmat))."""
-    import pyarrow.dataset as pads
-
-    shard_dir = os.path.join(nodes_dir, f"shard={shard}")
-    try:
-        part = pads.dataset(shard_dir, format="parquet")
-        existing = part.to_table(
-            columns=[c for c in _node_cols() if c != "shard"]
-        ).to_pandas()
+    shuffle), rehydrate the graph, run the insert algorithm, emit ONLY the
+    rows the batch changed (batch rows + back-edge-touched neighbors) for
+    the delta sink. Returns (changed rows, cache entry (g, gids, dead,
+    fullmat))."""
+    existing = _read_shard_pdf(
+        store, shard, [c for c in _node_cols() if c != "shard"]
+    )
+    if len(existing):
+        existing = existing.copy()
         existing["shard"] = shard
-    except (FileNotFoundError, OSError):
-        # first rows ever routed to this shard (e.g. an empty kmeans cell);
-        # OSError included: non-local pyarrow filesystems surface missing
-        # paths as OSError subclasses other than FileNotFoundError. An
-        # EXISTING shard whose read failed transiently must raise instead —
-        # merging the batch against an empty frame would overwrite the
-        # shard partition with only the batch rows (silent data loss).
-        if not _shard_dir_missing(shard_dir):
-            raise
+    else:
+        # first rows ever routed to this shard (e.g. an empty kmeans cell)
         existing = _empty_nodes_pdf()
     pdf = pd.concat([existing[_node_cols()], pdf[_node_cols()]], ignore_index=True)
     # upsert: a re-inserted node_id replaces its stored row (the
@@ -463,6 +520,10 @@ def _insert_shard_cold(
     pdf["neighbors"] = pdf["neighbors"].map(lambda x: [] if x is None else x)
     g, gids = _graph_from_pdf(pdf, meta_d, qstate)
     pos = {int(gid): i for i, gid in enumerate(gids)}
+    # dirty tracking from here: upserted rows were already rewritten at the
+    # pdf level above, and each is re-inserted below (insert marks it);
+    # back-edge-touched neighbors get marked by the walk itself
+    g.dirty = set(pos[nid] for nid in new_ids)
     for nid in new_ids:
         g.insert(pos[nid])
     # NO finalize-to-R here: the reference's aminsert stores neighbor lists
@@ -470,12 +531,16 @@ def _insert_shard_cold(
     # the enforce-R pass belongs to index build/compact (build.rs:905-960).
     # Re-pruning every back-edge-touched node per micro-batch was ~60% of
     # insert CPU for zero recall benefit.
+    dirty = sorted(g.dirty)
+    g.dirty = None
     pdf["deleted"] = [bool(x) if x is not None and x == x else False for x in pdf["deleted"]]
-    out = _emit_nodes(pdf, g, gids)
-    dead = out["deleted"].fillna(False).to_numpy(dtype=bool)
+    # emit ONLY the changed rows (delta sink): row i of the node_id-sorted
+    # pdf IS local index i, so the dirty set slices positionally
+    out = _emit_nodes(pdf, g, gids).iloc[dirty].reset_index(drop=True)
+    dead = pdf["deleted"].fillna(False).to_numpy(dtype=bool)
     fullmat = None
     if meta_d["storage_type"] != StorageType.SBQ.value:
-        fullmat = np.stack(out["vector"].to_numpy()).astype(np.float32)
+        fullmat = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
     else:
         # serving graphs under SBQ are codes-only: drop the walk
         # matrix so the cached entry stays O(codes + adjacency)
@@ -485,19 +550,21 @@ def _insert_shard_cold(
 
 
 def _insert_shard_warm(
-    entry: tuple, pdf: pd.DataFrame, nodes_dir: str, shard: int, meta_d: dict, qstate
+    entry: tuple, pdf: pd.DataFrame, store, shard: int, meta_d: dict, qstate
 ) -> tuple[pd.DataFrame, tuple]:
     """Warm-path micro-batch insert: GROW the cached shard graph in place —
     append the batch's codes/adjacency, overwrite upserted rows, run the
     normal per-row insert walks — so per-batch CPU is O(batch · walk), not
     O(shard) rehydration (the round-3 scale gap). Global-id tie-breaking
     makes the grown graph bit-identical to a freshly rehydrated node_id-
-    sorted one, so warm and cold paths emit identical node tables.
+    sorted one, so warm and cold paths emit identical node rows.
 
-    The only O(shard) work left is serialization of the rewritten partition
-    (unavoidable: parquet partitions rewrite whole) and, under SBQ, one
-    executor-local pyarrow read of the stored full-precision vectors for
-    that emit (the serving cache is codes-only by design)."""
+    Emits ONLY the rows the batch changed (batch rows + back-edge-touched
+    neighbors, via the graph's dirty tracking) for the delta sink — both
+    the CPU and the bytes written are O(batch · walk); payloads not
+    resident in the cache entry (full-precision vectors under SBQ, stored
+    label arrays) are fetched for JUST the dirty rows with a node_id-
+    filtered executor-local read."""
     g, gids, dead, fullmat = entry
     d_index = meta_d["num_dimensions_to_index"] or meta_d["num_dimensions"]
     width = g.mat.shape[1]  # walk width: 0 under SBQ (codes-only graph)
@@ -507,6 +574,7 @@ def _insert_shard_warm(
         quantizer = SbqQuantizer(means, variances, bits)
     pos = {int(x): i for i, x in enumerate(gids)}
     batch = pdf.sort_values("node_id").reset_index(drop=True)
+    g.dirty = set()  # record every row whose persisted form changes
     bvec: dict[int, object] = {}
     blab: dict[int, object] = {}
     new_ids, new_rows, new_full, new_codes, new_labels = [], [], [], [], []
@@ -551,73 +619,77 @@ def _insert_shard_warm(
         g.insert(targets[nid])
     # no finalize-to-R: inserts persist with the R·1.3 slack, like the
     # reference's aminsert (see _insert_shard_cold); compact() re-prunes
+    dirty = sorted(g.dirty)
+    g.dirty = None
 
-    # emit the full shard. Old rows' full-precision vectors are resident
-    # for plain storage; anything not resident in the cache entry (vectors
-    # under SBQ, stored label arrays whenever the index is labeled) is read
-    # executor-locally from the committed partition.
-    n = g.n
+    # emit ONLY the dirty rows. Payloads resident in the cache entry (codes,
+    # plain-storage fullmat) come from it; anything else (full-precision
+    # vectors under SBQ, stored label arrays) is fetched for just the dirty
+    # non-batch rows with a node_id-filtered read — O(dirty), not O(shard).
     slab: dict[int, object] = {}
+    svec: dict[int, object] = {}
     need_cols = [] if fullmat is not None else ["vector"]
     if meta_d["has_labels"]:
         need_cols.append("labels")
-    if need_cols:
-        import pyarrow.dataset as pads
-
-        part = pads.dataset(os.path.join(nodes_dir, f"shard={shard}"), format="parquet")
-        st = part.to_table(columns=["node_id"] + need_cols).to_pandas()
+    fetch_ids = [int(gids[i]) for i in dirty if int(gids[i]) not in bvec]
+    if need_cols and fetch_ids:
+        st = _read_shard_pdf(
+            store, shard, ["node_id"] + need_cols, ids=np.array(fetch_ids, dtype=np.int64)
+        )
         sids = st["node_id"].astype("int64")
         if "labels" in need_cols:
             slab = dict(zip(sids, st["labels"]))
         if "vector" in need_cols:
             svec = dict(zip(sids, st["vector"]))
+    n_d = len(dirty)
     if fullmat is not None:
-        vectors = list(fullmat)
+        vectors = [fullmat[i] for i in dirty]
     else:
         vectors = [
-            bvec[int(nid)] if int(nid) in bvec else svec[int(nid)] for nid in gids
+            bvec[int(gids[i])] if int(gids[i]) in bvec else svec[int(gids[i])]
+            for i in dirty
         ]
     if meta_d["has_labels"]:
         labels_col = [
-            blab[int(nid)] if int(nid) in blab else slab.get(int(nid)) for nid in gids
+            blab[int(gids[i])] if int(gids[i]) in blab else slab.get(int(gids[i]))
+            for i in dirty
         ]
     else:
-        labels_col = [None] * n
+        labels_col = [None] * n_d
+    start_labels: dict[int, list[int]] = {}
+    for l, i in g.start_by_label.items():
+        start_labels.setdefault(i, []).append(int(l))
     out = pd.DataFrame(
         {
-            "node_id": gids.astype("int64"),
-            "shard": np.full(n, shard, dtype="int32"),
+            "node_id": pd.Series([int(gids[i]) for i in dirty], dtype="int64"),
+            "shard": np.full(n_d, shard, dtype="int32"),
             "vector": vectors,
             "bq_code": (
-                [c.view(np.int64).tolist() for c in g.codes]
+                [g.codes[i].view(np.int64).tolist() for i in dirty]
                 if g.codes is not None
-                else [None] * n
+                else [None] * n_d
             ),
             "labels": labels_col,
-            "deleted": dead.astype(bool),
+            "neighbors": [[int(gids[v]) for v in g.adj[i]] for i in dirty],
+            "is_default_start": [bool(g.start_default == i) for i in dirty],
+            "start_labels": [
+                sorted(start_labels[i]) if i in start_labels else None for i in dirty
+            ],
+            "deleted": [bool(dead[i]) for i in dirty],
         }
-    )
-    out = _emit_nodes(out, g, gids)[_node_cols()]
+    )[_node_cols()]
     return out, (g, gids, dead, fullmat)
 
 
-def _fetch_vectors(nodes_dir: str, shard: int, node_ids: np.ndarray) -> tuple[np.ndarray, dict]:
+def _fetch_vectors(store, shard: int, node_ids: np.ndarray) -> tuple[np.ndarray, dict]:
     """Fetch full-precision vectors for just the given node ids from the
-    shard's parquet partition — the analog of the reference reading only
-    visited nodes' pages (sbq/storage.rs:125-230). pyarrow prunes row
+    shard's base+delta partitions — the analog of the reference reading
+    only visited nodes' pages (sbq/storage.rs:125-230). pyarrow prunes row
     groups by node_id statistics, so per-batch vector I/O scales with the
     visited set, not the shard."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
-
-    part = pads.dataset(os.path.join(nodes_dir, f"shard={shard}"), format="parquet")
-    t = part.to_table(
-        columns=["node_id", "vector"],
-        filter=pc.field("node_id").isin(pa.array(node_ids)),
-    )
-    ids = t.column("node_id").to_numpy()
-    mat = np.stack(t.column("vector").to_pandas().to_numpy()).astype(np.float32)
+    t = _read_shard_pdf(store, shard, ["node_id", "vector"], ids=node_ids)
+    ids = t["node_id"].to_numpy()
+    mat = np.stack(t["vector"].to_numpy()).astype(np.float32)
     return mat, {int(g): i for i, g in enumerate(ids)}
 
 
@@ -733,6 +805,7 @@ class DiskannIndex:
                 .write.mode("overwrite")
                 .parquet(os.path.join(path, "nodes"))
             )
+            _clear_delta_dirs(path)
             try:
                 meta.epoch = IndexMeta.load(path).epoch + 1
             except (OSError, ValueError, TypeError, KeyError):
@@ -919,6 +992,11 @@ class DiskannIndex:
             .partitionBy("shard")
             .parquet(os.path.join(path, "nodes"))
         )
+        # a rebuild at a mutated path starts a fresh base: leftover delta
+        # generations would re-supersede the new partitions on merge reads
+        # (meta.delta_seq resets to 0 either way — this is hygiene; readers
+        # are governed by the meta)
+        _clear_delta_dirs(path)
         if shard_assignment == "kmeans":
             base.unpersist()
         sc.setJobDescription(None)
@@ -937,8 +1015,38 @@ class DiskannIndex:
     def load(cls, spark: SparkSession, path: str) -> "DiskannIndex":
         return cls(spark, path, IndexMeta.load(path))
 
+    def _store(self) -> tuple[str, str, int]:
+        """Executor-read handle: (base dir, delta dir, committed delta seq)."""
+        return (
+            os.path.join(self.path, "nodes"),
+            os.path.join(self.path, "nodes_delta"),
+            int(getattr(self.meta, "delta_seq", 0) or 0),
+        )
+
     def nodes(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "nodes"))
+        """Current node table: the base partitions merged with the committed
+        delta chain (latest generation wins per node_id). With no deltas this
+        is a plain scan — the window dedupe only exists while a delta chain
+        is open, and folding resets it."""
+        base = self.spark.read.parquet(os.path.join(self.path, "nodes"))
+        delta_seq = int(getattr(self.meta, "delta_seq", 0) or 0)
+        if not delta_seq:
+            return base
+        u = base.withColumn("_seq", F.lit(0))
+        delta_dir = os.path.join(self.path, "nodes_delta")
+        for k in range(1, delta_seq + 1):
+            d = os.path.join(delta_dir, f"seq={k}")
+            if _shard_dir_missing(d):
+                continue  # already folded / crash-cleaned generation
+            u = u.unionByName(
+                self.spark.read.parquet(d).select(*base.columns).withColumn("_seq", F.lit(k))
+            )
+        w = Window.partitionBy("node_id").orderBy(F.col("_seq").desc())
+        return (
+            u.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
 
     # -- shard routing -----------------------------------------------------------
 
@@ -1291,7 +1399,7 @@ class DiskannIndex:
         b = self.spark.sparkContext.broadcast(
             (qids, qmat, meta_d, self._quantizer_state(), qlabels, limit, search_list_size, route)
         )
-        nodes_dir = os.path.join(self.path, "nodes")
+        store = self._store()
         # per-shard cache tokens: a mutation rotates only its touched
         # shards' nonces, so the other shards' executor caches stay hot
         base_token = (self.meta.build_id, self.meta.mutation_id)
@@ -1310,7 +1418,7 @@ class DiskannIndex:
                 return pd.DataFrame({"query_id": [], "node_id": [], "wdist": []}).astype(
                     {"query_id": "int64", "node_id": "int64", "wdist": "float64"}
                 )
-            g, gids, dead, fullmat, hot = _load_shard_graph(nodes_dir, shard, cache_token, md, qstate)
+            g, gids, dead, fullmat, hot = _load_shard_graph(store, shard, cache_token, md, qstate)
             if g is None:  # empty shard
                 return pd.DataFrame({"query_id": [], "node_id": [], "wdist": []}).astype(
                     {"query_id": "int64", "node_id": "int64", "wdist": "float64"}
@@ -1333,7 +1441,7 @@ class DiskannIndex:
             if fullmat is not None:
                 vmat, vpos = fullmat, {int(i): int(i) for i in union}
             elif len(union):
-                vmat, vpos = _fetch_vectors(nodes_dir, shard, gids[union])
+                vmat, vpos = _fetch_vectors(store, shard, gids[union])
                 vpos = {int(gid): r for gid, r in vpos.items()}
             else:
                 vmat, vpos = np.zeros((0, 0), dtype=np.float32), {}
@@ -1539,7 +1647,8 @@ class DiskannIndex:
         )
         shards = [r["shard"] for r in new.select("shard").distinct().collect()]
         b_state = self.spark.sparkContext.broadcast(self._quantizer_state())
-        nodes_dir = os.path.join(self.path, "nodes")
+        store = self._store()
+        nodes_dir = store[0]
         # the post-mutation cache token: a nonce minted PER MUTATION ATTEMPT
         # and committed to the meta only after the job succeeds. Pre-populating
         # executor caches under it is safe against partial failure: a failed
@@ -1568,10 +1677,10 @@ class DiskannIndex:
             hit = _SHARD_GRAPH_CACHE.pop((nodes_dir, shard, cur_token), None)
             if hit is not None and hit[0] is not None:
                 out, entry = _insert_shard_warm(
-                    (hit[0], hit[1], hit[2], hit[3]), pdf, nodes_dir, shard, meta_d, qstate
+                    (hit[0], hit[1], hit[2], hit[3]), pdf, store, shard, meta_d, qstate
                 )
             else:
-                out, entry = _insert_shard_cold(pdf, nodes_dir, shard, meta_d, qstate)
+                out, entry = _insert_shard_cold(pdf, store, shard, meta_d, qstate)
             # pre-populate this worker's serving cache with the post-insert
             # graph under the post-mutation token: the next search (or the
             # next micro-batch) on this worker skips the reload entirely —
@@ -1585,7 +1694,16 @@ class DiskannIndex:
             .groupBy("shard")
             .applyInPandas(insert_shard, schema=_NODE_SCHEMA)
         )
-        self._rewrite_partitions(updated)
+        # delta sink: the micro-batch persists ONLY its changed rows (batch +
+        # back-edge-touched neighbors) as a new delta generation — bytes
+        # written are O(batch · walk), never O(shard partition). The
+        # reference's aminsert analog: only touched pages hit disk
+        # (build.rs:537-558). Readers merge base + chain, latest seq wins.
+        next_seq = int(self.meta.delta_seq) + 1
+        updated.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(self.path, "nodes_delta", f"seq={next_seq}")
+        )
+        self.meta.delta_seq = next_seq
         # recount (not +=): upserts replace rows rather than adding them
         self.meta.num_rows = self.nodes().count()
         self.meta.epoch += 1  # informational mutation counter
@@ -1601,6 +1719,7 @@ class DiskannIndex:
             # inserted vectors shift the touched cells' centroids; hash
             # shards have no routing to maintain (probe_shards is refused)
             self._write_routing(shards)
+        self._maybe_fold_deltas()
 
     def delete(self, ids: Sequence[int], lock_wait: float = 0.0) -> None:
         """Tombstone delete (ambulkdelete analog): flip the deleted flag;
@@ -1611,27 +1730,33 @@ class DiskannIndex:
 
     def _delete_locked(self, ids: Sequence[int]) -> None:
         ids_df = self.spark.createDataFrame([(int(i),) for i in ids], "node_id long")
-        shards = [
-            r["shard"]
-            for r in self.nodes().join(F.broadcast(ids_df), "node_id").select("shard").distinct().collect()
-        ]
-        if not shards:
-            return
+        # delta sink: persist ONLY the tombstoned rows as a new generation —
+        # a delete writes O(ids) rows, not the touched shard partitions
+        # (ambulkdelete flips tuple flags in place, vacuum.rs:23-136)
         updated = (
             self.nodes()
-            .filter(F.col("shard").isin(shards))
-            .join(F.broadcast(ids_df.withColumn("_dead", F.lit(True))), "node_id", "left")
-            .withColumn("deleted", F.coalesce(F.col("_dead"), F.col("deleted"), F.lit(False)))
-            .drop("_dead")
+            .join(F.broadcast(ids_df), "node_id")
+            .withColumn("deleted", F.lit(True))
             .select(_node_cols())
+            # tiny (O(ids) rows): cache so the shard collect below and the
+            # delta write don't each re-run the merge-view scan
+            .localCheckpoint()
         )
-        self._rewrite_partitions(updated)
+        shards = [r["shard"] for r in updated.select("shard").distinct().collect()]
+        if not shards:
+            return
+        next_seq = int(self.meta.delta_seq) + 1
+        updated.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(self.path, "nodes_delta", f"seq={next_seq}")
+        )
+        self.meta.delta_seq = next_seq
         self.meta.epoch += 1  # informational mutation counter
         self.meta.has_tombstones = True  # cost routing must keep using the index
         nonce = uuid.uuid4().hex
         for s in shards:  # invalidate executor caches for touched shards only
             self.meta.shard_mutations[str(int(s))] = nonce
         self.meta.save(self.path)
+        self._maybe_fold_deltas()
 
     def _rewrite_partitions(self, updated: DataFrame) -> None:
         """Rewrite only the shard partitions present in `updated`.
@@ -1661,6 +1786,47 @@ class DiskannIndex:
             else:
                 self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
         shutil.rmtree(staging, ignore_errors=True)
+
+    # how many delta generations may accumulate before they are folded back
+    # into the base partitions (merge-on-read cost is one extra tiny
+    # fragment read per generation; folding bounds it)
+    DELTA_FOLD_SEQS = int(os.environ.get("PGVS_DELTA_FOLD_SEQS", 8))
+
+    def _maybe_fold_deltas(self) -> None:
+        if int(self.meta.delta_seq) >= self.DELTA_FOLD_SEQS:
+            self._fold_deltas()
+
+    def _fold_deltas(self) -> None:
+        """Fold the delta chain back into the base partitions (lazy
+        compaction of the merge-on-read sink — Delta/Iceberg's OPTIMIZE
+        analog). Content-preserving: only the shards any delta touched are
+        rewritten with their merged rows, so executor cache tokens stay
+        valid (identical logical content). Crash-safe in either direction:
+        a fold that dies after the base rewrite leaves deltas whose rows
+        duplicate the base bit-for-bit (merge keeps the delta copy — same
+        content), and a fold that dies after the meta reset leaves orphan
+        delta dirs that readers (driven by meta.delta_seq) never consult."""
+        import shutil
+
+        delta_seq = int(self.meta.delta_seq)
+        if not delta_seq:
+            return
+        delta_dir = os.path.join(self.path, "nodes_delta")
+        touched: set[int] = set()
+        for k in range(1, delta_seq + 1):
+            seq_dir = os.path.join(delta_dir, f"seq={k}")
+            try:
+                for name in os.listdir(seq_dir):
+                    if name.startswith("shard="):
+                        touched.add(int(name.split("=", 1)[1]))
+            except OSError:
+                continue
+        if touched:
+            merged = self.nodes().filter(F.col("shard").isin(sorted(touched)))
+            self._rewrite_partitions(merged)
+        self.meta.delta_seq = 0
+        self.meta.save(self.path)
+        shutil.rmtree(delta_dir, ignore_errors=True)
 
     def compact(self, lock_wait: float = 0.0) -> "DiskannIndex":
         """Rebuild from live rows, dropping tombstones (periodic compaction).

@@ -97,6 +97,13 @@ class VamanaGraph:
         self.start_default: int | None = None
         self.start_by_label: dict[int, int] = {}
         self.last_stats: dict[str, int] = {}
+        # dirty-row tracking for the base+delta persistence layer: when a
+        # caller sets ``dirty = set()`` before a micro-batch, every local
+        # index whose PERSISTED row would change (payload, adjacency, start
+        # flags, tombstone) is recorded — the emit then writes O(dirty) rows
+        # instead of the whole shard. None (default) = tracking off, zero
+        # overhead on bulk-build hot paths.
+        self.dirty: set[int] | None = None
         # tie-break identities (G9): all orderings use (distance, ids[i]).
         # Callers that rehydrate node_id-sorted shards pass their global ids
         # (ascending — identical ordering to local indices); grow() appends
@@ -407,8 +414,13 @@ class VamanaGraph:
     def _point_labels(self, i: int) -> frozenset | None:
         return self.labels[i] if self.labels is not None else None
 
+    def _mark_dirty(self, i: int) -> None:
+        if self.dirty is not None:
+            self.dirty.add(i)
+
     def insert(self, i: int) -> None:
         pl = self._point_labels(i)
+        self._mark_dirty(i)
         if self.start_default is None:
             self.start_default = i
             if pl:
@@ -438,6 +450,7 @@ class VamanaGraph:
             for b in neighbors:
                 if i not in self.adj[b]:
                     self.adj[b].append(i)
+                    self._mark_dirty(b)
                     if len(self.adj[b]) > self.max_build_neighbors:
                         bidx = np.array(self.adj[b])
                         bd = self._dists_to_point(b, bidx)
@@ -668,6 +681,8 @@ class VamanaGraph:
         self.adj.extend([] for _ in range(len(ids)))
         self.ids = np.concatenate([self.ids, np.asarray(ids, dtype=np.int64)])
         self.n += len(ids)
+        if self.dirty is not None:
+            self.dirty.update(range(start, self.n))
         return list(range(start, self.n))
 
     def replace(
@@ -681,6 +696,7 @@ class VamanaGraph:
         adjacency and start flags survive — exactly what the cold path's
         merge keeps for an upserted row — and the caller re-runs ``insert``
         so the prune rewrites the neighbor list for the new geometry."""
+        self._mark_dirty(i)
         if vec_row is not None and self.mat.shape[1]:
             self.mat[i] = np.asarray(vec_row, dtype=np.float32)[: self.mat.shape[1]]
             if self._sqnorms is not None:

@@ -158,6 +158,13 @@ class IndexMeta:
     has_mutations: bool = False
     # 'hash' (balanced, no routing) or 'kmeans' (Voronoi shards, routable)
     shard_assignment: str = "hash"
+    # committed delta generations of the base+delta node store: mutation k
+    # wrote only its changed rows under nodes_delta/seq=k/; readers merge
+    # base + seq 1..delta_seq, latest seq wins per node_id. 0 = base only.
+    # Folded back into the base partitions (and reset) once the chain grows
+    # past the fold threshold — the Delta/Iceberg merge-on-read pattern, so
+    # a micro-batch write costs O(batch), not O(shard partition).
+    delta_seq: int = 0
     # SBQ quantizer state (reference SbqMeans, sbq/mod.rs:79-86):
     # per-dimension mean and variance from the training pass.
     quantizer_means: list[float] = field(default_factory=list)

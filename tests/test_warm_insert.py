@@ -268,7 +268,10 @@ def test_warm_micro_batch_costs_under_20pct_of_bulk_build(tmpdir):
         out, entry = _insert_shard_warm(entry, batch, tmpdir, 0, meta_d, None)
         t_warm = min(t_warm, time.perf_counter() - t1)
         total += 100
-    assert len(out) == total
+    # delta emit: only the batch + its back-edge-touched neighbors persist —
+    # O(batch·walk) rows, a small fraction of the 20k shard
+    assert set(range(total - 100, total)) <= set(out["node_id"])
+    assert len(out) < total / 2
     assert entry[0].n == total
     assert t_warm < 0.2 * t_build, (
         f"warm micro-batch {t_warm:.2f}s vs bulk build {t_build:.2f}s "
