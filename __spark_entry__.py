@@ -586,6 +586,39 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, no media libraries: deterministic P6 PPM and
+    RIFF/WAVE PCM16 payloads are synthesized JVM-side from md5(text) digest
+    bytes, then genuinely parsed back by the pure-numpy container decoders
+    (multimodal.parse_ppm / parse_wav) in Arrow-batched mapInPandas. The
+    oracle recomputes every decoded feature in closed form from the digest
+    hex — an encoder/decoder bug in headers, endianness, channel layout, or
+    sign breaks the hash. Long format: (doc_id, media, metric, value)."""
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_ppm_payload,
+        attach_wav_payload,
+        decode_ppm_image,
+        decode_wav_audio,
+    )
+
+    docs = _docs(spark, sf_dir)
+    img = decode_ppm_image(attach_ppm_payload(docs))
+    aud = decode_wav_audio(attach_wav_payload(docs))
+
+    def melt(df: DataFrame, media: str, metrics: list[str]) -> DataFrame:
+        stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+        return df.selectExpr(
+            "doc_id",
+            f"'{media}' as media",
+            f"stack({len(metrics)}, {stack}) as (metric, value)",
+        )
+
+    out = melt(img, "ppm", ["width", "height", "maxval", "mean_r", "mean_g", "mean_b"]).unionByName(
+        melt(aud, "wav", ["channels", "sample_rate", "n_samples", "mean_amp"])
+    )
+    return out.orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvectorscale_spark.operators.multimodal import attach_binary_payload, binary_metadata
 
@@ -689,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _multimodal_meta,
         "multimodal_frames": _multimodal_frames,
         "multimodal_features": _multimodal_features,
+        "multimodal_decode": _multimodal_decode,
         # relational surface (inherited from Spark, §2.7)
         "pricing_summary": _pricing_summary,
         "top_customers": _top_customers,
@@ -762,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": oracles.multimodal_meta_oracle(),
         "multimodal_frames": oracles.multimodal_frames_oracle(64),
         "multimodal_features": oracles.multimodal_features_oracle(4),
+        "multimodal_decode": oracles.multimodal_decode_oracle(),
         "pricing_summary": relational.pricing_summary_sql(),
         "top_customers": relational.top_customers_sql(10),
         "events_hourly": relational.events_hourly_sql(),

@@ -655,6 +655,68 @@ SELECT * FROM ({union}) ORDER BY doc_id, dim
 """
 
 
+def multimodal_decode_oracle() -> str:
+    """Twin of the PPM/WAV decode pipeline (multimodal.attach_ppm_payload →
+    parse_ppm, attach_wav_payload → parse_wav): the payload bodies tile
+    md5(text) digest bytes, so every decoded feature has a CLOSED FORM over
+    the digest hex — the oracle never parses a container. If the Spark-side
+    encoder OR decoder mishandles the header, sample layout, endianness,
+    channel de-interleave, or sign, the features diverge and the hash check
+    fails. Geometry mirrors the operator constants: 5x3 RGB pixels (45 body
+    bytes, stride 3 coprime to the 16-byte digest => each channel averages
+    a distinct 15-byte subset) and 2x-tiled PCM16 (16 samples, 8 distinct)."""
+    from pgvectorscale_spark.operators.multimodal import (
+        PPM_H,
+        PPM_MAXVAL,
+        PPM_W,
+        WAV_RATE,
+        WAV_TILE,
+    )
+
+    def nib(pos: int) -> str:  # 1-based hex-char position -> nibble value
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:  # 0-based byte index into the digest
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    body = PPM_W * PPM_H * 3
+    rows = []
+    for name, chan in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+        terms = [byte(p % 16) for p in range(chan, body, 3)]
+        n = len(terms)
+        rows.append(
+            f"SELECT doc_id, 'ppm' AS media, '{name}' AS metric, "
+            f"round(({' + '.join(terms)}) / {n}.0, 6) AS value FROM m"
+        )
+    for name, val in (("width", PPM_W), ("height", PPM_H), ("maxval", PPM_MAXVAL)):
+        rows.append(
+            f"SELECT doc_id, 'ppm' AS media, '{name}' AS metric, "
+            f"CAST({val} AS DOUBLE) AS value FROM m"
+        )
+    # PCM16 little-endian: sample s = byte(2s) + 256*byte(2s+1), signed;
+    # the 2x tiling repeats the 8 digest samples, so the mean is over 8
+    samp = [
+        f"(({byte(2 * s)} + {byte(2 * s + 1)} * 256) - "
+        f"65536 * (({byte(2 * s + 1)} >= 128)::INT))"
+        for s in range(8)
+    ]
+    rows.append(
+        "SELECT doc_id, 'wav' AS media, 'mean_amp' AS metric, "
+        f"round(({' + '.join(samp)}) / 8.0, 6) AS value FROM m"
+    )
+    n_samples = 8 * WAV_TILE
+    for name, val in (("channels", 1), ("sample_rate", WAV_RATE), ("n_samples", n_samples)):
+        rows.append(
+            f"SELECT doc_id, 'wav' AS media, '{name}' AS metric, "
+            f"CAST({val} AS DOUBLE) AS value FROM m"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def pack_sequences_oracle(window_tokens: int) -> str:
     """Twin of packing.pack_sequences over documents: the distributed
     two-phase prefix sum must equal the plain global running total."""
