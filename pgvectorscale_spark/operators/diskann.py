@@ -1050,8 +1050,12 @@ class DiskannIndex:
 
     # -- shard routing -----------------------------------------------------------
 
+    _ROUTING_SCHEMA = "shard int, centroid array<float>, count long, vsum array<double>"
+
     def _write_routing(self, shards: Sequence[int] | None = None) -> None:
-        """Persist one centroid per shard (the routing table).
+        """Persist one centroid per shard (the routing table), along with
+        the (count, vsum) sufficient statistics that make later updates
+        O(batch): centroid = float32(vsum / count).
 
         One declarative pass over the node table — posexplode + partial-agg
         per (shard, dim), so the shuffle carries num_shards x dims partial
@@ -1060,38 +1064,47 @@ class DiskannIndex:
 
         With ``shards``, only those partitions are re-aggregated (partition
         pruning on the shard column) and merged driver-side with the stored
-        rows for untouched shards — a micro-batch insert updates routing in
-        O(touched shards' rows), not O(corpus)."""
+        rows for untouched shards — the fallback when the sidecar predates
+        the sufficient statistics; inserts normally take the O(batch)
+        ``_apply_routing_delta`` path instead."""
         nodes = self.nodes()
         touched = sorted({int(s) for s in shards}) if shards is not None else None
         rdir = os.path.join(self.path, "routing")
-        if touched is not None and not os.path.isdir(rdir):
-            # no stored table to merge with: an incremental update must
-            # degrade to the full recompute, never write a partial table
-            touched = None
+        stored = None
+        if touched is not None:
+            stored = self._routing_stats()
+            if stored is None:
+                # no stored stats to merge with: an incremental update must
+                # degrade to the full recompute, never write a partial table
+                touched = None
         if touched is not None:
             nodes = nodes.filter(F.col("shard").isin(touched))
         cent = (
             nodes
             .select("shard", F.posexplode("vector").alias("dim", "v"))
             .groupBy("shard", "dim")
-            .agg(F.avg("v").alias("m"))
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("c"))
             .groupBy("shard")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_s"))
-            .select("shard", F.expr("transform(_s, x -> cast(x.m as float))").alias("centroid"))
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("_s"),
+                F.max("c").alias("count"),
+            )
+            .select(
+                "shard",
+                F.expr("transform(_s, x -> cast(x.s / count as float))").alias("centroid"),
+                "count",
+                F.expr("transform(_s, x -> x.s)").alias("vsum"),
+            )
         )
-        if touched is not None and os.path.isdir(rdir):
+        if touched is not None:
             # the table is tiny (num_shards rows): merge on the driver so
             # the overwrite never reads the directory it writes
-            keep = [
-                (int(r["shard"]), list(r["centroid"]))
-                for r in self.spark.read.parquet(rdir).collect()
-                if int(r["shard"]) not in touched
+            keep = [row for s, row in stored.items() if s not in touched]
+            fresh = [
+                (int(r["shard"]), list(r["centroid"]), int(r["count"]), list(r["vsum"]))
+                for r in cent.collect()
             ]
-            fresh = [(int(r["shard"]), list(r["centroid"])) for r in cent.collect()]
-            cent = self.spark.createDataFrame(
-                keep + fresh, "shard int, centroid array<float>"
-            )
+            cent = self.spark.createDataFrame(keep + fresh, self._ROUTING_SCHEMA)
         cent.coalesce(1).write.mode("overwrite").parquet(rdir)
         if self.meta.has_labels and self.meta.shard_assignment == "kmeans":
             # label -> shards sidecar: serving's label-aware routing widening
@@ -1135,6 +1148,126 @@ class DiskannIndex:
         sids = np.array([r["shard"] for r in rows], dtype=np.int64)
         cents = np.stack([np.array(r["centroid"], dtype=np.float64) for r in rows])
         return sids, cents
+
+    def _routing_stats(self) -> dict[int, tuple] | None:
+        """Stored routing rows WITH sufficient statistics, as
+        {shard: (shard, centroid, count, vsum)} — or None when the sidecar
+        is absent or predates the stats columns (degrade to recompute)."""
+        rdir = os.path.join(self.path, "routing")
+        if not os.path.isdir(rdir):
+            return None
+        try:
+            df = self.spark.read.parquet(rdir)
+            if "vsum" not in df.columns or "count" not in df.columns:
+                return None
+            rows = df.collect()
+        except Exception:
+            return None
+        return {
+            int(r["shard"]): (int(r["shard"]), list(r["centroid"]), int(r["count"]), list(r["vsum"]))
+            for r in rows
+        }
+
+    def _routing_delta(self, new: DataFrame) -> dict | None:
+        """Capture a micro-batch's routing delta BEFORE the mutation lands:
+        per touched shard, the batch's (count, vector-sum) and the prior
+        (count, vector-sum) of upserted ids (whose stored vectors the batch
+        replaces). Everything here is O(batch): the only corpus touch is a
+        broadcast-semijoin fetch of the upserted ids' stored rows. Returns
+        None when the stored sidecar lacks sufficient statistics (caller
+        falls back to the re-aggregation path)."""
+        if self._routing_stats() is None:
+            return None
+        badd = (
+            new.select("shard", F.posexplode("vector").alias("dim", "v"))
+            .groupBy("shard", "dim")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        old = (
+            self.nodes()
+            .join(F.broadcast(new.select("node_id")), "node_id")
+            .select("shard", F.posexplode("vector").alias("dim", "v"))
+            .groupBy("shard", "dim")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        lab_pairs: list[tuple[int, int]] = []
+        if self.meta.has_labels:
+            lab_pairs = [
+                (int(r["shard"]), int(r["label"]))
+                for r in new.select("shard", F.explode("labels").alias("label")).distinct().collect()
+            ]
+
+        def fold(rows):
+            out: dict[int, tuple[int, dict[int, float]]] = {}
+            for r in rows:
+                s = int(r["shard"])
+                cnt, sums = out.setdefault(s, (0, {}))
+                sums[int(r["dim"])] = float(r["s"])
+                out[s] = (max(cnt, int(r["c"])), sums)
+            return out
+
+        return {"add": fold(badd), "sub": fold(old), "labels": lab_pairs}
+
+    def _apply_routing_delta(self, delta: dict) -> None:
+        """O(batch) routing update from sufficient statistics:
+        vsum' = vsum + batch_sum - replaced_sum, count' = count + new rows,
+        centroid = float32(vsum' / count'). The float32 cast absorbs the
+        last-ulp float64 summation-order differences, so the stored
+        centroids match a full recompute bit-for-bit in practice (asserted
+        by test_round5_fixes); the stats themselves stay exact sums."""
+        stored = self._routing_stats()
+        if stored is None:  # lost a race with a format change: recompute
+            self._write_routing()
+            return
+        dims = self.meta.num_dimensions
+        rows = dict(stored)
+        touched = set(delta["add"]) | set(delta["sub"])
+        for s in sorted(touched):
+            _, _, cnt, vsum = rows.get(s, (s, [0.0] * dims, 0, [0.0] * dims))
+            vs = np.asarray(vsum, dtype=np.float64)
+            if len(vs) != dims:
+                vs = np.zeros(dims, dtype=np.float64)
+            a = delta["add"].get(s)
+            b = delta["sub"].get(s)
+            if a is not None:
+                cnt += a[0]
+                for d, v in a[1].items():
+                    vs[d] += v
+            if b is not None:
+                cnt -= b[0]
+                for d, v in b[1].items():
+                    vs[d] -= v
+            if cnt <= 0:  # defensive: a shard can't empty via insert
+                continue
+            cent = (vs / cnt).astype(np.float32)
+            rows[s] = (s, [float(x) for x in cent], int(cnt), [float(x) for x in vs])
+        rdir = os.path.join(self.path, "routing")
+        self.spark.createDataFrame(list(rows.values()), self._ROUTING_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(rdir)
+        if self.meta.has_labels:
+            # labels sidecar: batch pairs only ever ADD coverage (tombstones
+            # over-include, recall-safe — same semantics as the re-agg path)
+            ldir = os.path.join(self.path, "label_routing")
+            if os.path.isdir(ldir):
+                pairs = {
+                    (int(r["shard"]), int(r["label"]))
+                    for r in self.spark.read.parquet(ldir).collect()
+                }
+                pairs.update(delta["labels"])
+                self.spark.createDataFrame(
+                    sorted(pairs), "shard int, label int"
+                ).coalesce(1).write.mode("overwrite").parquet(ldir)
+            else:
+                lab = (
+                    self.nodes()
+                    .select("shard", F.explode("labels").alias("label"))
+                    .distinct()
+                )
+                lab.coalesce(1).write.mode("overwrite").parquet(ldir)
+            self._label_routing_memo = None
 
     def _label_shards(self, labels) -> set[int] | None:
         """Shards that contain at least one row bearing any of `labels` —
@@ -1646,6 +1779,11 @@ class DiskannIndex:
             .select(_node_cols())
         )
         shards = [r["shard"] for r in new.select("shard").distinct().collect()]
+        # Voronoi routing delta, captured BEFORE the mutation lands (the
+        # prior vectors of upserted ids must be read pre-commit): O(batch)
+        routing_delta = (
+            self._routing_delta(new) if self.meta.shard_assignment == "kmeans" else None
+        )
         b_state = self.spark.sparkContext.broadcast(self._quantizer_state())
         store = self._store()
         nodes_dir = store[0]
@@ -1717,8 +1855,14 @@ class DiskannIndex:
         self.meta.save(self.path)
         if self.meta.shard_assignment == "kmeans":
             # inserted vectors shift the touched cells' centroids; hash
-            # shards have no routing to maintain (probe_shards is refused)
-            self._write_routing(shards)
+            # shards have no routing to maintain (probe_shards is refused).
+            # Normal path: apply the pre-captured O(batch) stats delta;
+            # fall back to touched-shard re-aggregation only for sidecars
+            # predating the sufficient-statistics columns.
+            if routing_delta is not None:
+                self._apply_routing_delta(routing_delta)
+            else:
+                self._write_routing(shards)
         self._maybe_fold_deltas()
 
     def delete(self, ids: Sequence[int], lock_wait: float = 0.0) -> None:
