@@ -400,6 +400,78 @@ def _diskann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diskann_recall_cosine_sbq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-regime gate on the OTHER production axis: cosine
+    distance over SBQ codes (the walk runs on Hamming distance of 2-bit
+    thermometer codes, rescore on full precision — the quantization error
+    path l2 never exercises). Same bar: recall@10 >= 0.9 at reference
+    query defaults (build.rs:1390-1414)."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    emb = _emb(spark, sf_dir)
+    n_queries, k = 20, 10
+    path = tempfile.mkdtemp(prefix="diskann_recall_cos_")
+    idx = DiskannIndex.build(
+        emb, path, distance_type="cosine", storage_type="memory_optimized", num_shards=4
+    )
+    qdf = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = idx.search_batch(qdf, k=k, search_list_size=100, rescore=50).select(
+        "query_id", F.col("node_id").alias("vec_id")
+    )
+    exact = search_exact_batch(emb, qdf, k=k, distance_type="cosine").select(
+        "query_id", "vec_id"
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"]).count()
+    recall = hits / float(n_queries * k)
+    return spark.createDataFrame(
+        [("diskann_recall_cosine_sbq_at_10", k, n_queries, bool(recall >= 0.9))],
+        "metric string, k int, n_queries int, passed boolean",
+    )
+
+
+def _diskann_recall_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-filtered approximate recall on ROUTED Voronoi shards — the
+    configuration where probe widening could silently degrade: a filtered
+    query probes its 2 nearest of 4 kmeans cells PLUS every cell the label
+    sidecar maps (filtering_tests.rs:22-1026 is the reference analog).
+    Exact side = brute-force top-k over the label-matching rows."""
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    want = [3, 4]
+    emb = _emb(spark, sf_dir).withColumn(
+        "labels", F.array(F.col("label")).cast("array<smallint>")
+    )
+    n_queries, k = 20, 10
+    path = tempfile.mkdtemp(prefix="diskann_recall_lbl_")
+    idx = DiskannIndex.build(
+        emb, path, distance_type="l2", num_shards=4,
+        shard_assignment="kmeans", label_col="labels",
+    )
+    qdf = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = idx.search_batch(
+        qdf, k=k, search_list_size=100, rescore=50, labels=want, probe_shards=2
+    ).select("query_id", F.col("node_id").alias("vec_id"))
+    matching = emb.filter(F.col("label").isin(want))
+    exact = search_exact_batch(matching, qdf, k=k, distance_type="l2").select(
+        "query_id", "vec_id"
+    )
+    denom = exact.count()  # fewer than k matching rows per query counts full
+    hits = approx.join(exact, ["query_id", "vec_id"]).count()
+    recall = hits / float(denom) if denom else 1.0
+    return spark.createDataFrame(
+        [("diskann_recall_labeled_voronoi_at_10", k, n_queries, bool(recall >= 0.9))],
+        "metric string, k int, n_queries int, passed boolean",
+    )
+
+
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (dataset assembly): documents fill fixed 2048-token
     windows in id order via a distributed two-phase prefix sum — no global
@@ -702,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diskann_matryoshka": _diskann_matryoshka,
         "diskann_voronoi": _diskann_voronoi,
         "diskann_recall": _diskann_recall,
+        "diskann_recall_cosine_sbq": _diskann_recall_cosine_sbq,
+        "diskann_recall_labeled": _diskann_recall_labeled,
         "diskann_null_update": _diskann_null_update,
         # SQL surface (SURVEY M7): ORDER BY distance LIMIT k -> index scan
         "sql_ann": _sql_ann,
@@ -772,6 +846,14 @@ def oracle_sql() -> dict[str, str]:
         # recall collapse is a hash mismatch, not an unmeasured drift
         "diskann_recall": (
             "SELECT 'diskann_recall_at_10' AS metric, 10 AS k, "
+            "20 AS n_queries, TRUE AS passed"
+        ),
+        "diskann_recall_cosine_sbq": (
+            "SELECT 'diskann_recall_cosine_sbq_at_10' AS metric, 10 AS k, "
+            "20 AS n_queries, TRUE AS passed"
+        ),
+        "diskann_recall_labeled": (
+            "SELECT 'diskann_recall_labeled_voronoi_at_10' AS metric, 10 AS k, "
             "20 AS n_queries, TRUE AS passed"
         ),
         "diskann_null_update": oracles.knn_exact_oracle(
