@@ -617,6 +617,19 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-fingerprint simhash near-dup pairs via multi-probe banding
+    (NOTES gap #3): 60 bits — the full honest-entropy width of the
+    engine-portable h60 hash, the 64-bit-class regime — at h<=3 with 2
+    wide blocks x 31-probe expansion instead of 4 narrow pigeonhole bands.
+    Hash-matches the brute-force DuckDB oracle (zero false negatives by
+    the block-error pigeonhole; the exact Hamming filter kills false
+    positives)."""
+    return dedup.simhash_pairs_multiprobe(
+        _docs(spark, sf_dir), max_hamming=3, num_bits=60, num_blocks=2
+    ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = "text"
     return _docs(spark, sf_dir).select(
@@ -789,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _ngram_jaccard,
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
+        "simhash60_pairs": _simhash60_pairs,
         "embedding_neardup": _embedding_neardup,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
         # text analysis + multimodal
@@ -869,6 +883,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": oracles.ngram_jaccard_oracle(3, 0.2),
         "simhash": oracles.simhash_oracle(32),
         "simhash_pairs": oracles.simhash_pairs_oracle(32, 6),
+        "simhash60_pairs": oracles.simhash_pairs_oracle(60, 3),
         "embedding_neardup": oracles.embedding_neardup_oracle(_NEARDUP_THRESHOLD),
         # d=64 is the driver embeddings schema at every SF (TESTDATA.md)
         "embedding_neardup_lsh": oracles.embedding_neardup_lsh_oracle(

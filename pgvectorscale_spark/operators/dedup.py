@@ -42,6 +42,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_pairs",
+    "simhash_pairs_multiprobe",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "lsh_planes",
@@ -351,6 +352,116 @@ def simhash_pairs(
     )
     a = buckets.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"), "band_id", "band_val"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"), "band_id", "band_val"
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sa", "_sb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _probe_masks(width: int, max_flips: int) -> list[int]:
+    """All XOR masks over `width` bits with popcount <= max_flips (the
+    multi-probe combinations), exact-match mask 0 first."""
+    from itertools import combinations
+
+    masks = []
+    for t in range(max_flips + 1):
+        for bits in combinations(range(width), t):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def simhash_pairs_multiprobe(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bits: int = 60,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs on WIDE SimHash fingerprints via multi-probe banding
+    (NOTES gap #3: the fix for the wide-fingerprint / permissive-threshold
+    regime where plain pigeonhole banding degrades).
+
+    Plain pigeonhole needs ``max_hamming + 1`` bands; at 60-64 bits with a
+    permissive threshold the bands get NARROW (60 bits / h=7 -> 7-bit
+    bands, 128 distinct values) and bucket collisions approach n²/2^width —
+    a shuffle explosion at corpus scale. Multi-probe inverts the trade:
+    split into FEW, WIDE blocks (collision-sparse) and recover the
+    zero-false-negative guarantee by probing: if two fingerprints differ in
+    <= h bits total, some block differs in <= floor(h / num_blocks) bits
+    (pigeonhole on error counts), so joining one side's block value against
+    the other side's *probe set* — the block value XOR every mask of <=
+    floor(h/num_blocks) bits — finds every true pair. The exact Hamming
+    check then prunes false positives, exactly as in ``simhash_pairs``.
+
+    Cost model: probes multiply one join side by sum_{i<=t} C(width, i)
+    (e.g. 2 blocks x 30 bits at h=3 -> t=1 -> 31 probes/block), while
+    collisions shrink by 2^(wide - narrow) — at 100 TB the probe factor is
+    a constant, the collision factor is quadratic in corpus size.
+
+    ``num_bits`` defaults to 60 — the full width of the engine-portable
+    md5-derived h60 token hash (bits above 60 would be constant-zero
+    padding, weakening every band they land in; a 64-bit-class fingerprint
+    with honest entropy in every bit).
+    """
+    if num_blocks is None:
+        # fewest blocks whose probe fan-out stays modest: t <= 1 when
+        # possible (t=floor(h/b)); fall back to pigeonhole for tiny widths
+        num_blocks = max(1, (max_hamming + 1) // 2)
+    t = max_hamming // num_blocks
+    sizes = [
+        num_bits // num_blocks + (1 if i < num_bits % num_blocks else 0)
+        for i in range(num_blocks)
+    ]
+    fanout = max(len(_probe_masks(sz, t)) for sz in sizes)
+    if fanout > 4096:
+        # sum C(width, <=t) grows combinatorially: a mis-parameterized call
+        # (e.g. num_blocks=1 at h=5 -> ~6.5M probes/row) must fail loudly,
+        # not OOM the executors with a megabyte-scale literal plan
+        raise ValueError(
+            f"multi-probe fan-out {fanout} probes/block exceeds 4096 "
+            f"(width={max(sizes)}, flips={t}); increase num_blocks so "
+            f"floor(max_hamming/num_blocks) shrinks"
+        )
+    s = simhash(df, text_col, id_col, num_bits)
+    offsets = [sum(sizes[:i]) for i in range(num_blocks)]
+    block_vals = F.array(
+        *[
+            F.expr(f"shiftright(simhash, {off}) & {(1 << sz) - 1}")
+            for off, sz in zip(offsets, sizes)
+        ]
+    )
+    buckets = s.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(block_vals).alias("band_id", "band_val")
+    )
+    # probe side: every <=t-flip variant of each block value (masks are a
+    # per-block literal array — the probe set is tiny and constant)
+    probe_arrays = [
+        "array(" + ", ".join(f"band_val ^ {m}L" for m in _probe_masks(sz, t)) + ")"
+        for sz in sizes
+    ]
+    probe_expr = (
+        "CASE "
+        + " ".join(f"WHEN band_id = {i} THEN {arr}" for i, arr in enumerate(probe_arrays))
+        + " END"
+    )
+    a = buckets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash").alias("_sa"),
+        "band_id",
+        F.explode(F.expr(probe_expr)).alias("band_val"),
     )
     b = buckets.select(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"), "band_id", "band_val"

@@ -241,6 +241,89 @@ def test_routing_delta_updates_label_sidecar(spark, tmpdir):
     assert got.first()["node_id"] == 950
 
 
+# -- 6. 64-bit-class simhash with multi-probe banding (round-5 item #5) --------
+
+
+def _brute_simhash_pairs(spark, df, num_bits, h):
+    from pgvectorscale_spark.operators.dedup import simhash
+
+    fp = {r["doc_id"]: int(r["simhash"]) for r in simhash(df, num_bits=num_bits).collect()}
+    ids = sorted(fp)
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(fp[a] ^ fp[b]).count("1")
+            if d <= h:
+                out.append((a, b, d))
+    return sorted(out)
+
+
+def _near_docs(spark, n=60, seed=5):
+    """Docs engineered to include near-duplicates: groups share a long base
+    text with 0-2 token substitutions, plus unrelated filler docs."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"tok{i}" for i in range(400)]
+    rows = []
+    doc_id = 0
+    for g in range(8):
+        base = [vocab[rng.integers(0, 400)] for _ in range(60)]
+        for v in range(3):
+            words = list(base)
+            for _ in range(v):  # v token substitutions
+                words[rng.integers(0, 60)] = vocab[rng.integers(0, 400)]
+            rows.append((doc_id, " ".join(words)))
+            doc_id += 1
+    for _ in range(n - len(rows)):
+        rows.append((doc_id, " ".join(vocab[rng.integers(0, 400)] for _ in range(60))))
+        doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("h,blocks", [(3, 2), (7, 4), (2, 1)])
+def test_simhash_multiprobe_equals_brute_force(spark, h, blocks):
+    """Zero false negatives AND zero false positives at 60 bits across
+    (threshold, block-count) regimes — including blocks=1 (pure probe, no
+    banding) and the permissive h=7 regime where plain pigeonhole bands
+    would be 7 bits wide."""
+    from pgvectorscale_spark.operators.dedup import simhash_pairs_multiprobe
+
+    df = _near_docs(spark)
+    got = sorted(
+        (int(r["doc_a"]), int(r["doc_b"]), int(r["hamming"]))
+        for r in simhash_pairs_multiprobe(
+            df, max_hamming=h, num_bits=60, num_blocks=blocks
+        ).collect()
+    )
+    want = _brute_simhash_pairs(spark, df, 60, h)
+    assert got == want
+    assert want, "test corpus produced no near pairs — not exercising anything"
+
+
+def test_simhash_multiprobe_rejects_combinatorial_fanout(spark):
+    """num_blocks=1 at h=5 would mean ~6.5M probes per row: fail loudly."""
+    from pgvectorscale_spark.operators.dedup import simhash_pairs_multiprobe
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="fan-out"):
+        simhash_pairs_multiprobe(df, max_hamming=5, num_bits=60, num_blocks=1)
+
+
+def test_simhash_multiprobe_no_cartesian(spark):
+    """The pair generation is an equi-join on (band_id, band_val) — never a
+    cross product (the plan property that makes it 100 TB-safe)."""
+    from pgvectorscale_spark.operators.dedup import simhash_pairs_multiprobe
+
+    df = _near_docs(spark, n=30)
+    plan = (
+        simhash_pairs_multiprobe(df, max_hamming=3, num_bits=60, num_blocks=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 # -- 4. hash_split validation --------------------------------------------------
 
 
