@@ -44,11 +44,17 @@ def pack_sequences(
     the window still gets the bin its first token falls in (the trainer's
     chunker splits it downstream) — offsets are global-exact either way.
 
-    Scale shape: one tiny agg for the id span, one shuffle into
-    ``num_buckets`` range buckets (each bucket's cumsum is a partitioned
-    window — parallel, sorted only within buckets), one num_buckets-row
-    aggregate whose running totals broadcast back. No global sort, no
-    single-task window, no driver-side data beyond num_buckets rows.
+    Scale shape: one tiny agg for the empty check, one approx-quantile pass
+    to place COUNT-BALANCED bucket boundaries (id-span range buckets skew
+    catastrophically on clustered/sparse id spaces — 90% of rows in 1% of
+    the span would pile into one bucket's sort task), one shuffle into
+    ``num_buckets`` buckets (each bucket's cumsum is a partitioned window —
+    parallel, sorted only within buckets), one num_buckets-row aggregate
+    whose running totals broadcast back. No global sort, no single-task
+    window, no driver-side data beyond num_buckets rows. Bucketing affects
+    only BALANCE, never the result: boundaries are exact longs and bucket =
+    #{boundaries < id} is monotone in id, so the cross-bucket order the
+    prefix sum needs holds for any boundary placement.
     """
     span = df.agg(
         F.min(F.col(id_col).cast("long")).alias("lo"),
@@ -58,19 +64,31 @@ def pack_sequences(
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, {count_col} long, bin_id long, bin_offset long"
         )
-    lo, hi = int(span["lo"]), int(span["hi"])
     if num_buckets is None:
         num_buckets = max(1, df.sparkSession.sparkContext.defaultParallelism * 2)
-    width = max(1, -(-(hi - lo + 1) // num_buckets))
+    boundaries: list[int] = []
+    if num_buckets > 1:
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        qs = df.select(F.col(id_col).cast("double").alias("_q")).approxQuantile(
+            "_q", probs, 0.01
+        )
+        # exact-long boundaries: double quantiles lose exactness past 2^53,
+        # but the long cast keeps the bucket function monotone in id (the
+        # only property correctness needs); dedup absorbs degenerate
+        # quantiles from heavy duplication
+        boundaries = sorted({int(q) for q in qs})
+    if boundaries:
+        blit = ", ".join(f"{b}L" for b in boundaries)
+        bucket_expr = (
+            f"aggregate(array({blit}), 0L, "
+            f"(acc, b) -> acc + IF(cast(`{id_col}` as bigint) > b, 1L, 0L))"
+        )
+    else:
+        bucket_expr = "0L"
     base = df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(count_col).cast("long").alias(count_col),
-    ).withColumn(
-        # integer `div`, not float `/`: double division loses exactness
-        # beyond 2^53, which 100 TB id spans / cumulative token totals reach
-        "_bucket",
-        F.expr(f"(cast(`{id_col}` as bigint) - {lo}) div {width}"),
-    )
+    ).withColumn("_bucket", F.expr(bucket_expr))
     # phase 1: per-bucket totals -> running offset of every PRECEDING
     # bucket. The totals are num_buckets rows (never data-scale), so the
     # running sum is an explicit driver-side scan — no un-partitioned

@@ -324,6 +324,46 @@ def test_simhash_multiprobe_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+# -- 7. quantile bucketing in pack_sequences (round-5 item #7) -----------------
+
+
+def test_pack_sequences_balances_clustered_ids(spark):
+    """99% of ids packed into 1% of the span: range bucketing would put
+    ~everything in one bucket's sort task; quantile boundaries keep row
+    counts balanced AND the packing output stays exact."""
+    from pyspark.sql import functions as F
+
+    from pgvectorscale_spark.operators.packing import pack_sequences
+
+    # 990 ids in [0, 1000), 10 ids scattered out to 100_000_000
+    ids = list(range(990)) + [100_000_000 - i * 7_777_777 for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, 10 + (i % 7)) for i in ids], "doc_id long, token_count long"
+    )
+    nb = 8
+    out = pack_sequences(df, window_tokens=128, num_buckets=nb)
+    # exactness: equals the single-partition global prefix sum
+    rows = sorted(
+        (int(r["doc_id"]), int(r["token_count"]), int(r["bin_id"]), int(r["bin_offset"]))
+        for r in out.collect()
+    )
+    cum = 0
+    for did, cnt, bin_id, bin_off in rows:  # rows sorted by doc_id = pack order
+        assert bin_id == cum // 128
+        assert bin_off == cum % 128
+        cum += cnt
+    # balance: rebuild the bucket assignment the operator used and assert
+    # no bucket holds more than 3x the ideal share (range bucketing puts
+    # 99% of rows in bucket 0 here)
+    probs = [i / nb for i in range(1, nb)]
+    qs = df.select(F.col("doc_id").cast("double").alias("_q")).approxQuantile("_q", probs, 0.01)
+    bounds = sorted({int(q) for q in qs})
+    from collections import Counter
+
+    counts = Counter(sum(1 for b in bounds if i > b) for i in ids)
+    assert max(counts.values()) <= 3 * (len(ids) / nb), counts
+
+
 # -- 4. hash_split validation --------------------------------------------------
 
 
