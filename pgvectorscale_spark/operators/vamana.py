@@ -559,31 +559,104 @@ class VamanaGraph:
             )
             if self.labels is None:
                 # unlabeled fast path: ONE batched prune for the whole chunk
-                # (identical per-row output to robust_prune), then the same
-                # sequential back-edge application — the prune reads only
-                # candidate geometry, never adj, so batching is exact
+                # (identical per-row output to robust_prune), then batched
+                # back-edge overflow prunes (exact replay of the serial
+                # append order — see _apply_backedges_batched)
                 ci = prefix[tops]
                 cd = np.take_along_axis(D, tops, axis=1)
                 lists = self._batch_prune_unlabeled(ci, cd)
-                threshold = self._prune_threshold
-                for bi, i in enumerate(block):
-                    neighbors = lists[bi]
-                    self.adj[i] = neighbors
-                    for b in neighbors:
-                        # no membership check needed here: i attaches for
-                        # the first time and candidates come only from the
-                        # processed prefix, so adj[b] cannot contain i yet
-                        self.adj[b].append(i)
-                        if len(self.adj[b]) > threshold:
-                            bidx = np.array(self.adj[b])
-                            bd = self._dists_to_point(b, bidx)
-                            self.adj[b] = self.robust_prune(b, bidx, bd)
+                if getattr(self, "_serial_backedges", False):
+                    # reference path kept for the bit-parity tests
+                    threshold = self._prune_threshold
+                    for bi, i in enumerate(block):
+                        neighbors = lists[bi]
+                        self.adj[i] = neighbors
+                        for b in neighbors:
+                            # no membership check needed here: i attaches
+                            # for the first time and candidates come only
+                            # from the processed prefix, so adj[b] cannot
+                            # contain i yet
+                            self.adj[b].append(i)
+                            if len(self.adj[b]) > threshold:
+                                bidx = np.array(self.adj[b])
+                                bd = self._dists_to_point(b, bidx)
+                                self.adj[b] = self.robust_prune(b, bidx, bd)
+                else:
+                    self._apply_backedges_batched(block, lists)
             else:
                 for bi, i in enumerate(block):
                     self._attach(i, prefix[tops[bi]], D[bi][tops[bi]])
             processed.extend(block)
         self.codes = stashed_codes
         del self._prune_threshold
+
+    def _apply_backedges_batched(self, block, lists) -> None:
+        """Back-edge application with DEPENDENCY-AWARE batched overflow
+        prunes (NOTES gap #4 — this was the remaining serial CPU of a bulk
+        build: one robust_prune call per overflowed node, ~2.6k at 20k).
+
+        The serial loop's only ordering dependency is each node b's OWN
+        append sequence: robust_prune reads just the candidate list and
+        geometry, never other nodes' adjacency. So the exact serial state
+        is replayable: record every b's pending appends in block order,
+        compute where its list first crosses the overflow threshold, and
+        prune ALL first-overflow nodes of the chunk in one rectangular
+        tensor pass (the finalize() kernel — bit-identical distances).
+        Nodes with appends left after their prune (a second overflow needs
+        ~threshold - R further appends, so this is rare) carry into the
+        next round. Adjacency is bit-identical to the serial order, which
+        the parity test asserts by running both paths."""
+        threshold = self._prune_threshold
+        pend: dict[int, list[int]] = {}
+        order: list[int] = []
+        for bi, i in enumerate(block):
+            self.adj[i] = lists[bi]
+            for b in lists[bi]:
+                # no membership check needed: i attaches for the first time
+                # and candidates come only from the processed prefix
+                if b not in pend:
+                    pend[b] = []
+                    order.append(b)
+                pend[b].append(i)
+        active = [(b, pend[b]) for b in order]
+        while active:
+            carry: list[tuple[int, list[int]]] = []
+            to_prune: list[tuple[int, list[int]]] = []
+            for b, appends in active:
+                base = self.adj[b]
+                if len(base) + len(appends) <= threshold:
+                    base.extend(appends)
+                    continue
+                # first overflow: the serial loop prunes the moment the
+                # list reaches threshold + 1 entries
+                take = threshold + 1 - len(base)
+                to_prune.append((b, base + appends[:take]))
+                if appends[take:]:
+                    carry.append((b, appends[take:]))
+            groups: dict[int, list[tuple[int, list[int]]]] = {}
+            for b, cand in to_prune:
+                groups.setdefault(len(cand), []).append((b, cand))
+            for _, items in sorted(groups.items()):
+                for c0 in range(0, len(items), 1024):
+                    chunk = items[c0 : c0 + 1024]
+                    pts = np.array([b for b, _ in chunk])
+                    ci = np.array([c for _, c in chunk])  # (B, K)
+                    sub = self.mat[ci]
+                    # per-slice gemv — the same kernel _dists_fast uses per
+                    # node, so candidate distances are bit-identical to the
+                    # serial pass (same construction as finalize())
+                    dots = (sub @ self.mat[pts][:, :, None])[:, :, 0]
+                    if self.distance_type == "l2":
+                        cd = np.maximum(
+                            self._sqnorms[ci] + self._sqnorms[pts][:, None] - 2.0 * dots, 0.0
+                        ).astype(np.float64)
+                    elif self.distance_type == "cosine":
+                        cd = np.maximum(1.0 - dots, 0.0).astype(np.float64)
+                    else:
+                        cd = (-dots).astype(np.float64)
+                    for (b, _), lst in zip(chunk, self._batch_prune_unlabeled(ci, cd)):
+                        self.adj[b] = lst
+            active = carry
 
     def build(self, order: Sequence[int] | None = None, medoid_first: bool = True) -> None:
         if self.n == 0:

@@ -364,6 +364,57 @@ def test_pack_sequences_balances_clustered_ids(spark):
     assert max(counts.values()) <= 3 * (len(ids) / nb), counts
 
 
+# -- 8. dependency-aware batched back-edge prunes (round-5 item #6) ------------
+
+
+@pytest.mark.parametrize("dist", ["l2", "cosine", "inner_product"])
+def test_batched_backedge_prunes_bit_identical(dist):
+    """The batched overflow-prune replay produces adjacency BIT-IDENTICAL
+    to the serial append-then-prune order, per distance type."""
+    from pgvectorscale_spark.operators.vamana import VamanaGraph
+    from pgvectorscale_spark.functions.distance import np_normalize
+
+    rng = np.random.default_rng(17)
+    mat = rng.random((3000, 24), dtype=np.float32)
+    if dist == "cosine":
+        mat = np_normalize(mat.astype(np.float64)).astype(np.float32)
+
+    def build(serial: bool):
+        g = VamanaGraph(
+            mat, distance_type=dist, num_neighbors=16, search_list_size=32,
+            ids=np.arange(len(mat), dtype=np.int64),
+        )
+        g._serial_backedges = serial
+        g.build_bulk(chunk=256)
+        g.finalize()
+        return g
+
+    assert build(True).adj == build(False).adj
+
+
+def test_batched_backedges_handle_repeat_overflow():
+    """A node overflowing twice within one chunk (carry rounds) still
+    replays exactly — force it with a tiny threshold via small R."""
+    from pgvectorscale_spark.operators.vamana import VamanaGraph
+
+    rng = np.random.default_rng(23)
+    # clustered data concentrates back-edges onto hub nodes
+    centers = rng.random((5, 8), dtype=np.float32)
+    mat = np.vstack([c + rng.normal(0, 0.01, (300, 8)).astype(np.float32) for c in centers])
+
+    def build(serial: bool):
+        g = VamanaGraph(
+            mat, distance_type="l2", num_neighbors=4, search_list_size=16,
+            ids=np.arange(len(mat), dtype=np.int64),
+        )
+        g._serial_backedges = serial
+        g.build_bulk(chunk=512)
+        g.finalize()
+        return g
+
+    assert build(True).adj == build(False).adj
+
+
 # -- 4. hash_split validation --------------------------------------------------
 
 
