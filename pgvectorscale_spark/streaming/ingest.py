@@ -31,6 +31,7 @@ def stream_insert(
     label_col: str | None = None,
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
+    lock_wait: float = 0.0,
 ) -> StreamingQuery:
     """Continuously insert a vector stream into the index.
 
@@ -38,13 +39,19 @@ def stream_insert(
     the batch-backfill shape; pass False for an always-on micro-batch query.
     Exactly-once per micro-batch comes from the checkpoint: a replayed batch
     re-inserts the same node_ids, which the shard-insert treats as rewrites
-    of the same rows (idempotent).
+    of the same rows (idempotent). ``lock_wait`` > 0 queues each micro-batch
+    on the writer lock (the reference's blocking advisory-lock behavior)
+    instead of failing fast when another writer — e.g. a concurrent
+    stream_delete — holds it.
     """
 
     def _insert_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        index.insert(batch_df, vector_col=vector_col, id_col=id_col, label_col=label_col)
+        index.insert(
+            batch_df, vector_col=vector_col, id_col=id_col, label_col=label_col,
+            lock_wait=lock_wait,
+        )
 
     writer = stream_df.writeStream.foreachBatch(_insert_batch).outputMode("update")
     if checkpoint_dir:
@@ -60,13 +67,15 @@ def stream_delete(
     id_col: str = "vec_id",
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
+    lock_wait: float = 0.0,
 ) -> StreamingQuery:
-    """Tombstone ids arriving on a stream (micro-batched vacuum)."""
+    """Tombstone ids arriving on a stream (micro-batched vacuum).
+    ``lock_wait`` queues on the writer lock like stream_insert."""
 
     def _delete_batch(batch_df: DataFrame, batch_id: int) -> None:
         ids = [r[id_col] for r in batch_df.select(id_col).collect()]
         if ids:
-            index.delete(ids)
+            index.delete(ids, lock_wait=lock_wait)
 
     writer = stream_df.writeStream.foreachBatch(_delete_batch).outputMode("update")
     if checkpoint_dir:
