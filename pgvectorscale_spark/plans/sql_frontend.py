@@ -77,6 +77,9 @@ class _IndexEntry:
     search_kwargs: dict  # GUC query-knob analog (S11): e.g. search_list_size
     column: str = ""  # indexed vector column (for the exact-scan fallback)
     min_index_rows: int = 0  # 0 = session conf / default (cost-based routing)
+    # memoized corpus count for metadata-less indexes (populated on first
+    # predicated query; indexes with meta.num_rows never touch it)
+    cached_total: int = 0
 
 
 def _split_select(items: str) -> list[str]:
@@ -334,7 +337,14 @@ class VectorSql:
             return entry.index.search(qvec, k=k, **entry.search_kwargs).select(
                 "node_id", "distance"
             )
-        total = getattr(getattr(entry.index, "meta", None), "num_rows", None) or df.count()
+        total = getattr(getattr(entry.index, "meta", None), "num_rows", None)
+        if not total:
+            # metadata-less index (mocked / external): count ONCE per entry,
+            # not per predicated query — a driver-side corpus count in every
+            # filtered SQL call is a cold-corner anti-pattern (VERDICT r4)
+            total = entry.cached_total
+            if not total:
+                total = entry.cached_total = df.count()
         fetch = min(total, max(k, math.ceil(k * self.OVERFETCH_EPSILON)))
         # graph indexes bound their candidate pool by the beam, not by k —
         # the refill must widen search_list_size along with fetch or the
