@@ -79,6 +79,11 @@ class IvfIndex:
             .parquet(os.path.join(path, "nodes"))
         )
         cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        # a rebuild at a mutated path starts a fresh base: stale delta
+        # generations must never re-supersede the new partitions
+        import shutil
+
+        shutil.rmtree(os.path.join(path, "nodes_delta"), ignore_errors=True)
         n = src.count()
         row = src.select(F.size(F.col(vector_col)).alias("d")).first()
         meta = IndexMeta(
@@ -97,7 +102,45 @@ class IvfIndex:
         return cls(spark, path, IndexMeta.load(path))
 
     def nodes(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "nodes"))
+        """Current node table WITH mutation markers: base cell partitions
+        merged with the committed delta chain (latest generation wins per
+        (node_id, cell)), a `deleted` flag on every row. Mutations persist
+        only changed rows as delta generations (the diskann base+delta sink
+        applied to IVF — an upsert that MOVES a vector to a nearer cell
+        writes the new row plus a tombstone marker for the stale copy in
+        the old cell, so per-cell partition pruning stays valid without any
+        cross-cell read). With no chain open this is a plain pruned scan;
+        a filter on centroid_id pushes below the merge window into the
+        scans, so probing still prunes partitions."""
+        base = self.spark.read.parquet(os.path.join(self.path, "nodes"))
+        if "deleted" not in base.columns:
+            base = base.withColumn("deleted", F.lit(False))
+        base = base.select("node_id", "vector", "centroid_id", "deleted")
+        delta_seq = int(getattr(self.meta, "delta_seq", 0) or 0)
+        if not delta_seq:
+            return base
+        u = base.withColumn("_seq", F.lit(0))
+        for k in range(1, delta_seq + 1):
+            d = os.path.join(self.path, "nodes_delta", f"seq={k}")
+            if not os.path.isdir(d):
+                continue  # already folded / crash-cleaned generation
+            u = u.unionByName(
+                self.spark.read.parquet(d)
+                .select("node_id", "vector", "centroid_id", "deleted")
+                .withColumn("_seq", F.lit(k))
+            )
+        w = Window.partitionBy("node_id", "centroid_id").orderBy(F.col("_seq").desc())
+        return (
+            u.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
+
+    def live_nodes(self) -> DataFrame:
+        """Serving view: merged rows minus tombstones, legacy 3-col shape."""
+        return self.nodes().filter(~F.coalesce(F.col("deleted"), F.lit(False))).select(
+            "node_id", "vector", "centroid_id"
+        )
 
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "centroids"))
@@ -130,7 +173,7 @@ class IvfIndex:
             return self.spark.createDataFrame([], "node_id long, distance double")
         qlit = F.array([F.lit(float(x)) for x in query_vec])
         return (
-            self.nodes()
+            self.live_nodes()
             .filter(F.col("centroid_id").isin(cells))
             .withColumn(
                 "distance",
@@ -146,13 +189,14 @@ class IvfIndex:
     def insert(
         self, df: DataFrame, vector_col: str = "embedding", id_col: str = "vec_id"
     ) -> None:
-        """Micro-batch upsert: new rows are assigned to their nearest
-        (fixed) centroid's cell and the affected cell partitions are
-        rewritten; re-inserted ids replace their stored rows wherever they
-        previously lived (the old cell is rewritten too, so a moved vector
-        never leaves a duplicate behind). Centroids stay fixed after
-        training — standard IVF; retrain by rebuilding when cell quality
-        drifts. Writers are serialized by the index lock file."""
+        """Micro-batch upsert via the delta sink: the batch's rows land in
+        their nearest (fixed) centroid's cell as a new delta generation —
+        O(batch) rows written, never a cell-partition rewrite. A re-inserted
+        id whose nearest cell CHANGED also writes a tombstone marker into
+        its old cell (the moved vector leaves no live duplicate, and probes
+        of either cell stay purely partition-pruned). Centroids stay fixed
+        after training — standard IVF; retrain by rebuilding when cell
+        quality drifts. Writers are serialized by the index lock file."""
         with writer_lock(self.path):
             src = df.filter(F.col(vector_col).isNotNull())
             cents = self.centroids().select("centroid_id", F.col("centroid").alias("_cv"))
@@ -172,55 +216,89 @@ class IvfIndex:
                 )
                 .select("node_id", "vector", "centroid_id")
             )
-            new_ids = new.select("node_id").distinct()
-            # cells to rewrite: where the new rows land + where their ids
-            # previously lived (upsert must erase the old copy)
-            old_cells = (
-                self.nodes().join(F.broadcast(new_ids), "node_id").select("centroid_id").distinct()
+            # stale copies in OTHER cells -> tombstone markers (same-cell
+            # copies are superseded by latest-generation-wins on its own)
+            routed = new.select("node_id", F.col("centroid_id").alias("_newc"))
+            stale = (
+                self.live_nodes()
+                .join(F.broadcast(routed), "node_id")
+                .filter(F.col("centroid_id") != F.col("_newc"))
+                .select("node_id", "vector", "centroid_id", F.lit(True).alias("deleted"))
             )
-            cells = [
-                int(r["centroid_id"])
-                for r in new.select("centroid_id").distinct().union(old_cells).distinct().collect()
-            ]
-            kept = (
-                self.nodes()
-                .filter(F.col("centroid_id").isin(cells))
-                .join(F.broadcast(new_ids), "node_id", "left_anti")
-                .select("node_id", "vector", "centroid_id")
-            )
-            self._rewrite_cells(kept.unionByName(new))
-            self.meta.num_rows = self.nodes().count()
+            delta = new.withColumn("deleted", F.lit(False)).unionByName(stale)
+            self._write_delta(delta)
+            self.meta.num_rows = self.live_nodes().count()
             # index may now hold rows the SQL-registered table lacks: cost
             # routing must never bypass to an exact table scan again
             self.meta.has_mutations = True
             self.meta.save(self.path)
+            self._maybe_fold_deltas()
 
     def delete(self, ids: Sequence[int]) -> None:
-        """Remove rows by id (cell partitions rewritten without them)."""
+        """Tombstone rows by id: O(ids) marker rows into a new delta
+        generation — cell partitions are never rewritten (fold drops the
+        markers later)."""
         with writer_lock(self.path):
             ids_df = self.spark.createDataFrame([(int(i),) for i in ids], "node_id long")
-            cells = [
-                int(r["centroid_id"])
-                for r in self.nodes()
+            gone = (
+                self.live_nodes()
                 .join(F.broadcast(ids_df), "node_id")
-                .select("centroid_id")
-                .distinct()
-                .collect()
-            ]
-            if not cells:
-                return
-            kept = (
-                self.nodes()
-                .filter(F.col("centroid_id").isin(cells))
-                .join(F.broadcast(ids_df), "node_id", "left_anti")
-                .select("node_id", "vector", "centroid_id")
+                .select("node_id", "vector", "centroid_id", F.lit(True).alias("deleted"))
+                .localCheckpoint()  # tiny; avoids re-running the merge scan
             )
-            self._rewrite_cells(kept)
-            self.meta.num_rows = self.nodes().count()
+            if gone.isEmpty():
+                return
+            self._write_delta(gone)
+            self.meta.num_rows = self.live_nodes().count()
             # the registered table may still hold these rows: cost-based
             # SQL routing must keep using the index, not an exact table scan
             self.meta.has_tombstones = True
             self.meta.save(self.path)
+            self._maybe_fold_deltas()
+
+    # how many delta generations may accumulate before folding back into
+    # the base cell partitions (same policy as DiskannIndex)
+    DELTA_FOLD_SEQS = int(os.environ.get("PGVS_DELTA_FOLD_SEQS", 8))
+
+    def _write_delta(self, delta: DataFrame) -> None:
+        next_seq = int(getattr(self.meta, "delta_seq", 0) or 0) + 1
+        delta.select("node_id", "vector", "centroid_id", "deleted").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(
+            os.path.join(self.path, "nodes_delta", f"seq={next_seq}")
+        )
+        self.meta.delta_seq = next_seq
+
+    def _maybe_fold_deltas(self) -> None:
+        if int(self.meta.delta_seq) >= self.DELTA_FOLD_SEQS:
+            self._fold_deltas()
+
+    def _fold_deltas(self) -> None:
+        """Fold the chain back into the base: touched cells rewritten with
+        their merged LIVE rows in the legacy 3-column layout (tombstones
+        are pure merge markers here — unlike diskann graph tombstones they
+        carry no traversal state, so folding drops them entirely)."""
+        import shutil
+
+        delta_seq = int(self.meta.delta_seq)
+        if not delta_seq:
+            return
+        delta_dir = os.path.join(self.path, "nodes_delta")
+        touched: set[int] = set()
+        for k in range(1, delta_seq + 1):
+            seq_dir = os.path.join(delta_dir, f"seq={k}")
+            try:
+                for name in os.listdir(seq_dir):
+                    if name.startswith("centroid_id="):
+                        touched.add(int(name.split("=", 1)[1]))
+            except OSError:
+                continue
+        if touched:
+            merged = self.live_nodes().filter(F.col("centroid_id").isin(sorted(touched)))
+            self._rewrite_cells(merged)
+        self.meta.delta_seq = 0
+        self.meta.save(self.path)
+        shutil.rmtree(delta_dir, ignore_errors=True)
 
     def _rewrite_cells(self, updated: DataFrame) -> None:
         """Dynamic-partition-overwrite of just the touched cell partitions
@@ -271,7 +349,7 @@ class IvfIndex:
         )
         all_cells = list({c for _, c in probe_pairs})
         scored = (
-            self.nodes()
+            self.live_nodes()
             .filter(F.col("centroid_id").isin(all_cells))  # partition pruning
             .join(F.broadcast(probes), "centroid_id")  # rows only for probing queries
             .join(F.broadcast(qsel), "query_id")

@@ -165,6 +165,86 @@ def test_mixed_insert_delete_chain_and_compact(spark, tmpdir):
     assert idx2.search(v.tolist(), k=1, search_list_size=200).first()["node_id"] == 700
 
 
+# -- IVF delta sink (same design, cell partitions) -----------------------------
+
+
+def test_ivf_insert_writes_o_batch_bytes(spark, tmpdir):
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(7)
+    n, d = 4000, 16
+    mat = rng.random((n, d), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    idx = IvfIndex.build(df, f"{tmpdir}/ivf_obatch", num_centroids=8, kmeans_iterations=1)
+    base_bytes = _tree_bytes(os.path.join(idx.path, "nodes"))
+    batch = spark.createDataFrame(
+        [(10_000 + j, rng.random(d).tolist()) for j in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    idx.insert(batch)
+    assert idx.meta.delta_seq == 1
+    delta_bytes = _tree_bytes(os.path.join(idx.path, "nodes_delta", "seq=1"))
+    assert 0 < delta_bytes < base_bytes / 10
+    assert _tree_bytes(os.path.join(idx.path, "nodes")) == base_bytes  # base untouched
+    assert idx.meta.num_rows == n + 20
+
+
+def test_ivf_probe_stays_partition_pruned_with_open_chain(spark, tmpdir):
+    """The merge window must not defeat partition pruning: a probe with
+    deltas open still carries PartitionFilters on every cell scan."""
+    import re
+
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        [(i, rng.random(8).tolist()) for i in range(400)], "vec_id long, embedding array<float>"
+    )
+    idx = IvfIndex.build(df, f"{tmpdir}/ivf_prune", num_centroids=8, kmeans_iterations=1)
+    v = rng.random(8).astype(np.float32)
+    idx.insert(spark.createDataFrame([(900, v.tolist())], "vec_id long, embedding array<float>"))
+    assert idx.meta.delta_seq == 1
+    res = idx.search(v.tolist(), k=3, nprobe=4)
+    assert 900 in [r["node_id"] for r in res.collect()]
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans, "no file scans in plan"
+    for s in scans:
+        assert re.search(r"PartitionFilters: \[.*centroid_id", s), (
+            f"unpruned scan with open delta chain: {s[:200]}"
+        )
+
+
+def test_ivf_chain_folds_and_drops_tombstones(spark, tmpdir):
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(13)
+    df = spark.createDataFrame(
+        [(i, rng.random(8).tolist()) for i in range(300)], "vec_id long, embedding array<float>"
+    )
+    idx = IvfIndex.build(df, f"{tmpdir}/ivf_fold", num_centroids=4, kmeans_iterations=1)
+    fold_at = IvfIndex.DELTA_FOLD_SEQS
+    idx.delete([0, 1])
+    for j in range(fold_at - 1):
+        idx.insert(
+            spark.createDataFrame(
+                [(800 + j, rng.random(8).tolist())], "vec_id long, embedding array<float>"
+            )
+        )
+    assert idx.meta.delta_seq == 0  # folded
+    assert not os.path.isdir(os.path.join(idx.path, "nodes_delta"))
+    # tombstones dropped physically at fold; deleted ids stay gone
+    assert idx.nodes().filter("deleted").count() == 0
+    assert idx.nodes().filter("node_id in (0, 1)").count() == 0
+    assert idx.meta.num_rows == 300 - 2 + (fold_at - 1)
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex as I2
+
+    cold = I2.load(spark, idx.path)
+    assert cold.live_nodes().count() == idx.meta.num_rows
+
+
 def test_rebuild_at_mutated_path_clears_stale_deltas(spark, tmpdir):
     idx, mat, rng = _build(spark, tmpdir, "rebuild", n=200)
     idx.insert(

@@ -73,7 +73,11 @@ def test_insert_delete_lifecycle(spark, tmpd):
     )
     idx.insert(moved)
     assert idx.meta.num_rows == 301  # upsert, not append
-    assert idx.nodes().filter("node_id = 500").count() == 1
+    # exactly one LIVE copy; the old cell holds only a tombstone marker
+    # (the delta sink writes a marker instead of rewriting the old cell)
+    assert idx.live_nodes().filter("node_id = 500").count() == 1
+    old_copies = idx.nodes().filter("node_id = 500").collect()
+    assert sum(1 for r in old_copies if not r["deleted"]) == 1
     idx.delete([500, 7])
     assert idx.meta.num_rows == 299
     got2 = [r["node_id"] for r in idx.search(mat[7].tolist(), k=2, nprobe=8).collect()]
