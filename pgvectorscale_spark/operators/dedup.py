@@ -425,11 +425,14 @@ def simhash_pairs_multiprobe(
         num_bits // num_blocks + (1 if i < num_bits % num_blocks else 0)
         for i in range(num_blocks)
     ]
-    fanout = max(len(_probe_masks(sz, t)) for sz in sizes)
+    # closed-form fan-out check BEFORE materializing any mask list: a
+    # mis-parameterized call (num_blocks=1 at h=7 -> sum C(60, <=7) ~ 4e8
+    # masks) must raise in O(t), not OOM the driver building the list it
+    # was about to reject
+    import math
+
+    fanout = max(sum(math.comb(sz, i) for i in range(t + 1)) for sz in sizes)
     if fanout > 4096:
-        # sum C(width, <=t) grows combinatorially: a mis-parameterized call
-        # (e.g. num_blocks=1 at h=5 -> ~6.5M probes/row) must fail loudly,
-        # not OOM the executors with a megabyte-scale literal plan
         raise ValueError(
             f"multi-probe fan-out {fanout} probes/block exceeds 4096 "
             f"(width={max(sizes)}, flips={t}); increase num_blocks so "

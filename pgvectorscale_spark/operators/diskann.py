@@ -419,7 +419,10 @@ def _shard_dir_missing(shard_dir: str) -> bool:
 def _clear_delta_dirs(path: str) -> None:
     import shutil
 
+    from pgvectorscale_spark.operators.index_util import delete_dir
+
     shutil.rmtree(os.path.join(path, "nodes_delta"), ignore_errors=True)
+    delete_dir(os.path.join(path, "nodes_delta"))  # remote-capable twin
 
 
 def _empty_nodes_pdf() -> pd.DataFrame:
@@ -1675,6 +1678,11 @@ class DiskannIndex:
                 shard_assignment=self.meta.shard_assignment,
                 _locked=True,  # caller already holds the writer lock
             )
+            # the bootstrap build's rows came through insert(): the index
+            # may hold rows the SQL-registered table lacks, same as any
+            # other insert — the cost-routing bypass guard must engage
+            idx.meta.has_mutations = True
+            idx.meta.save(self.path)
             self.meta = idx.meta
             return
         meta_d = _meta_dict(self.meta)
@@ -1952,25 +1960,28 @@ class DiskannIndex:
         delta dirs that readers (driven by meta.delta_seq) never consult."""
         import shutil
 
+        from pgvectorscale_spark.operators.index_util import delete_dir, list_subdirs
+
         delta_seq = int(self.meta.delta_seq)
         if not delta_seq:
             return
         delta_dir = os.path.join(self.path, "nodes_delta")
         touched: set[int] = set()
         for k in range(1, delta_seq + 1):
-            seq_dir = os.path.join(delta_dir, f"seq={k}")
-            try:
-                for name in os.listdir(seq_dir):
-                    if name.startswith("shard="):
-                        touched.add(int(name.split("=", 1)[1]))
-            except OSError:
-                continue
+            # FS-aware listing: os.listdir would silently yield nothing on a
+            # remote store and the rmtree below would destroy the chain
+            for name in list_subdirs(os.path.join(delta_dir, f"seq={k}"), "shard="):
+                touched.add(int(name.split("=", 1)[1]))
         if touched:
+            # the merge keeps tombstoned rows (graph traversal state), so a
+            # touched shard always has output rows and dynamic overwrite
+            # replaces every touched partition — no emptied-partition hole
             merged = self.nodes().filter(F.col("shard").isin(sorted(touched)))
             self._rewrite_partitions(merged)
         self.meta.delta_seq = 0
         self.meta.save(self.path)
         shutil.rmtree(delta_dir, ignore_errors=True)
+        delete_dir(delta_dir)  # remote-capable twin of the rmtree
 
     def compact(self, lock_wait: float = 0.0) -> "DiskannIndex":
         """Rebuild from live rows, dropping tombstones (periodic compaction).

@@ -14,7 +14,57 @@ import os
 import time
 from contextlib import contextmanager
 
-__all__ = ["ConcurrentWriterError", "writer_lock"]
+__all__ = ["ConcurrentWriterError", "delete_dir", "dir_exists", "list_subdirs", "writer_lock"]
+
+
+def _pa_fs(path: str):
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def dir_exists(path: str) -> bool:
+    """Directory-existence probe on the path's OWN filesystem — os.path
+    calls silently return False for s3://... / hdfs://... URIs, which would
+    make readers skip committed delta generations on remote stores."""
+    from pyarrow import fs as pafs
+
+    try:
+        fsys, p = _pa_fs(path)
+        return fsys.get_file_info(p).type == pafs.FileType.Directory
+    except Exception:
+        return False
+
+
+def delete_dir(path: str) -> None:
+    """Recursively delete a directory on its own filesystem; missing is
+    fine. The remote-capable sibling of shutil.rmtree(ignore_errors=True)."""
+    try:
+        fsys, p = _pa_fs(path)
+        fsys.delete_dir(p)
+    except Exception:
+        pass
+
+
+def list_subdirs(path: str, prefix: str) -> list[str]:
+    """Names of immediate subdirectories starting with ``prefix`` (e.g.
+    partition dirs ``shard=``/``centroid_id=``), on any pyarrow-supported
+    filesystem. Missing path -> []."""
+    from pyarrow import fs as pafs
+
+    try:
+        fsys, p = _pa_fs(path)
+        infos = fsys.get_file_info(pafs.FileSelector(p, recursive=False))
+    except Exception:
+        return []
+    out = []
+    for info in infos:
+        name = info.path.rstrip("/").rsplit("/", 1)[-1]
+        if info.type == pafs.FileType.Directory and name.startswith(prefix):
+            out.append(name)
+    return out
 
 
 class ConcurrentWriterError(RuntimeError):

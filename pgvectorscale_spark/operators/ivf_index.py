@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgvectorscale_spark.functions.distance import distance_expr, np_distance
-from pgvectorscale_spark.operators.index_util import writer_lock
+from pgvectorscale_spark.operators.index_util import (
+    delete_dir,
+    dir_exists,
+    list_subdirs,
+    writer_lock,
+)
 from pgvectorscale_spark.operators.similarity import ivf_assign, kmeans_centroids
 from pgvectorscale_spark.types import DistanceType, IndexMeta
 
@@ -122,7 +127,7 @@ class IvfIndex:
         u = base.withColumn("_seq", F.lit(0))
         for k in range(1, delta_seq + 1):
             d = os.path.join(self.path, "nodes_delta", f"seq={k}")
-            if not os.path.isdir(d):
+            if not dir_exists(d):  # FS-aware: os.path lies for s3://.../hdfs://
                 continue  # already folded / crash-cleaned generation
             u = u.unionByName(
                 self.spark.read.parquet(d)
@@ -199,6 +204,11 @@ class IvfIndex:
         quality drifts. Writers are serialized by the index lock file."""
         with writer_lock(self.path):
             src = df.filter(F.col(vector_col).isNotNull())
+            if src.isEmpty():
+                # nothing to write: a no-op batch must not burn a delta
+                # generation or set has_mutations (which permanently
+                # disables the exact-scan cost bypass)
+                return
             cents = self.centroids().select("centroid_id", F.col("centroid").alias("_cv"))
             new = (
                 src.select(
@@ -286,19 +296,32 @@ class IvfIndex:
         delta_dir = os.path.join(self.path, "nodes_delta")
         touched: set[int] = set()
         for k in range(1, delta_seq + 1):
-            seq_dir = os.path.join(delta_dir, f"seq={k}")
-            try:
-                for name in os.listdir(seq_dir):
-                    if name.startswith("centroid_id="):
-                        touched.add(int(name.split("=", 1)[1]))
-            except OSError:
-                continue
+            # FS-aware listing: os.listdir would silently yield nothing on a
+            # remote store and the rmtree below would destroy the chain
+            for name in list_subdirs(os.path.join(delta_dir, f"seq={k}"), "centroid_id="):
+                touched.add(int(name.split("=", 1)[1]))
         if touched:
-            merged = self.live_nodes().filter(F.col("centroid_id").isin(sorted(touched)))
-            self._rewrite_cells(merged)
+            merged = self.live_nodes().filter(
+                F.col("centroid_id").isin(sorted(touched))
+            ).localCheckpoint()  # reused for the rewrite AND the emptied-cell probe
+            survivors = {
+                int(r["centroid_id"])
+                for r in merged.select("centroid_id").distinct().collect()
+            }
+            if survivors:
+                self._rewrite_cells(merged)
+            # dynamic partition overwrite only replaces partitions PRESENT in
+            # the output: a cell whose rows are ALL tombstoned produces no
+            # output partition (and a fold where EVERY touched cell emptied
+            # writes nothing at all), so stale base rows would survive while
+            # the rmtree below destroys the tombstones — silent un-delete.
+            # Explicitly drop the base partition of every emptied cell.
+            for c in sorted(touched - survivors):
+                delete_dir(os.path.join(self.path, "nodes", f"centroid_id={c}"))
         self.meta.delta_seq = 0
         self.meta.save(self.path)
         shutil.rmtree(delta_dir, ignore_errors=True)
+        delete_dir(delta_dir)  # remote-capable twin of the rmtree
 
     def _rewrite_cells(self, updated: DataFrame) -> None:
         """Dynamic-partition-overwrite of just the touched cell partitions

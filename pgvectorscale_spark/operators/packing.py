@@ -56,11 +56,9 @@ def pack_sequences(
     #{boundaries < id} is monotone in id, so the cross-bucket order the
     prefix sum needs holds for any boundary placement.
     """
-    span = df.agg(
-        F.min(F.col(id_col).cast("long")).alias("lo"),
-        F.max(F.col(id_col).cast("long")).alias("hi"),
-    ).first()
-    if span["lo"] is None:
+    # emptiness probe: limit-1 scan, NOT a full min/max aggregate — the
+    # quantile pass below is the only full scan this function makes
+    if df.select(id_col).first() is None:
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, {count_col} long, bin_id long, bin_offset long"
         )
@@ -135,10 +133,12 @@ def hash_split(
         weights = {"train": 0.98, "valid": 0.01, "test": 0.01}
     if not weights:
         raise ValueError("hash_split: weights must name at least one split")
-    # the salt lands inside a SQL string literal: double embedded quotes
-    # (standard SQL escaping, identical semantics in Spark and DuckDB) so a
-    # quoted salt can't break or inject into the expression
-    salt_lit = str(salt).replace("'", "''")
+    # the salt lands inside a SPARK SQL string literal: double backslashes
+    # FIRST (Spark treats \ as an escape character inside literals — DuckDB
+    # standard strings do not, so only this side needs it), then double
+    # embedded quotes. The decoded string VALUE matches the DuckDB oracle's
+    # quote-doubled literal exactly, so assignments agree.
+    salt_lit = str(salt).replace("\\", "\\\\").replace("'", "''")
     total = float(sum(weights.values()))
     # h60 is 60-bit (15 hex chars) — always non-negative, so plain % works
     bucket = F.expr(

@@ -245,6 +245,75 @@ def test_ivf_chain_folds_and_drops_tombstones(spark, tmpdir):
     assert cold.live_nodes().count() == idx.meta.num_rows
 
 
+def test_ivf_fold_drops_fully_tombstoned_cell(spark, tmpdir):
+    """Review regression: dynamic partition overwrite skips partitions with
+    no output rows, so a cell whose rows are ALL tombstoned must have its
+    base partition explicitly dropped at fold — otherwise the fold deletes
+    the tombstones and the stale base rows come back to life."""
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(29)
+    # 4 tight clusters -> 4 kmeans cells with known membership
+    centers = [np.full(8, c, dtype=np.float32) for c in (0.0, 10.0, 20.0, 30.0)]
+    rows, cid = [], 0
+    for c in centers:
+        for _ in range(25):
+            rows.append((cid, (c + rng.normal(0, 0.05, 8).astype(np.float32)).tolist()))
+            cid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IvfIndex.build(df, f"{tmpdir}/ivf_empty_cell", num_centroids=4, kmeans_iterations=2)
+    # find the cell holding ids 0..24 and delete ALL of its rows
+    target_cell = int(idx.nodes().filter("node_id = 0").first()["centroid_id"])
+    cell_ids = [
+        int(r["node_id"])
+        for r in idx.nodes().filter(f"centroid_id = {target_cell}").collect()
+    ]
+    assert cell_ids
+    idx.delete(cell_ids)
+    assert idx.meta.num_rows == 100 - len(cell_ids)
+    idx._fold_deltas()  # force the fold with the emptied cell in the chain
+    assert idx.meta.delta_seq == 0
+    # the emptied cell's rows are GONE, not resurrected
+    assert idx.live_nodes().filter(f"centroid_id = {target_cell}").count() == 0
+    for did in cell_ids[:3]:
+        assert idx.live_nodes().filter(f"node_id = {did}").count() == 0
+    assert idx.live_nodes().count() == 100 - len(cell_ids)
+
+
+def test_ivf_noop_batch_writes_nothing(spark, tmpdir):
+    """Review regression: an all-NULL / empty batch must not burn a delta
+    generation or permanently set has_mutations."""
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(31)
+    df = spark.createDataFrame(
+        [(i, rng.random(8).tolist()) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    idx = IvfIndex.build(df, f"{tmpdir}/ivf_noop", num_centroids=2, kmeans_iterations=1)
+    nulls = spark.createDataFrame([(99, None)], "vec_id long, embedding array<float>")
+    idx.insert(nulls)
+    assert idx.meta.delta_seq == 0
+    assert idx.meta.has_mutations is False
+
+
+def test_bootstrap_insert_sets_has_mutations(spark, tmpdir):
+    """Review regression: insert() into an index created on an EMPTY table
+    bootstraps a build — but the rows still arrived via insert, so the
+    cost-routing bypass guard must engage."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    idx = DiskannIndex.build(empty, f"{tmpdir}/bootstrap", distance_type="l2")
+    assert idx.meta.has_mutations is False
+    rng = np.random.default_rng(37)
+    idx.insert(
+        spark.createDataFrame(
+            [(i, rng.random(8).tolist()) for i in range(30)], "vec_id long, embedding array<float>"
+        )
+    )
+    assert idx.meta.has_mutations is True
+    reloaded = DiskannIndex.load(spark, idx.path)
+    assert reloaded.meta.has_mutations is True
+
+
 def test_rebuild_at_mutated_path_clears_stale_deltas(spark, tmpdir):
     idx, mat, rng = _build(spark, tmpdir, "rebuild", n=200)
     idx.insert(

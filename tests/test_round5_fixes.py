@@ -300,12 +300,45 @@ def test_simhash_multiprobe_equals_brute_force(spark, h, blocks):
 
 
 def test_simhash_multiprobe_rejects_combinatorial_fanout(spark):
-    """num_blocks=1 at h=5 would mean ~6.5M probes per row: fail loudly."""
+    """num_blocks=1 at h=5 would mean ~6.5M probes per row: fail loudly —
+    and the check itself must be closed-form (h=7 -> sum C(60,<=7) ~ 4e8
+    masks would OOM the driver if the guard materialized the list first,
+    review finding r5). The 2-second ceiling asserts O(t) rejection."""
+    import time
+
     from pgvectorscale_spark.operators.dedup import simhash_pairs_multiprobe
 
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="fan-out"):
         simhash_pairs_multiprobe(df, max_hamming=5, num_bits=60, num_blocks=1)
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="fan-out"):
+        simhash_pairs_multiprobe(df, max_hamming=7, num_bits=60, num_blocks=1)
+    assert time.perf_counter() - t0 < 2.0
+
+
+def test_hash_split_backslash_salt_matches_oracle(spark):
+    """Spark treats backslash as a literal escape; DuckDB standard strings
+    do not — the Spark-side literal must double backslashes so the hashed
+    string VALUES agree (review finding r5)."""
+    import duckdb
+    import pandas as pd
+
+    from pgvectorscale_spark.operators.packing import hash_split
+    from pgvectorscale_spark.oracles import hash_split_oracle
+
+    weights = {"a": 0.5, "b": 0.5}
+    salt = "we\\ird\\"  # trailing and embedded backslashes
+    got = (
+        hash_split(spark.range(0, 100).withColumnRenamed("id", "doc_id"), weights, salt=salt)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(100)}))
+    want = con.execute(hash_split_oracle(weights, salt=salt)).df()
+    con.close()
+    assert got["split"].tolist() == want["split"].tolist()
 
 
 def test_simhash_multiprobe_no_cartesian(spark):
