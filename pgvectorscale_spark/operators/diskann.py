@@ -1011,7 +1011,14 @@ class DiskannIndex:
             pass
         meta.save(path)
         idx = cls(spark, path, meta)
-        idx._write_routing()
+        if shard_assignment == "kmeans":
+            # routing (centroids + label sidecar) is CONSUMED only by
+            # Voronoi probing and kmeans insert routing; hash shards refuse
+            # probe_shards and route inserts by xxhash — writing the table
+            # for them would add a corpus-wide posexplode aggregation to
+            # every build for data nothing ever reads (and that inserts,
+            # which skip _write_routing on hash, would then let go stale)
+            idx._write_routing()
         return idx
 
     @classmethod
