@@ -97,12 +97,24 @@ def main() -> None:
             dedup.ngram_jaccard_pairs(docs, threshold=0.8),
         ),
         (
+            "simhash_pairs_multiprobe (wide-fingerprint near-dup pairs)",
+            "No `CartesianProduct` / `BroadcastNestedLoopJoin`: the probe "
+            "side explodes a constant per-block mask array (sum C(width, <=t) "
+            "variants) and pairs come from an equi-join on (band_id, "
+            "band_val). Wide blocks keep buckets collision-sparse; the probe "
+            "factor is a constant while collisions shrink exponentially with "
+            "block width — the right trade at corpus scale.",
+            dedup.simhash_pairs_multiprobe(docs, max_hamming=3, num_bits=60, num_blocks=2),
+        ),
+        (
             "pack_sequences (distributed prefix sum)",
             "The running token total is a two-phase scan: the only `Window` "
-            "is PARTITIONED by range bucket (parallel, sorted within buckets "
-            "only); bucket offsets arrive via a num_buckets-row "
-            "`BroadcastHashJoin`. No un-partitioned window, no global sort — "
-            "the single-task `WindowExec` trap never appears.",
+            "is PARTITIONED by bucket (count-balanced approx-quantile "
+            "boundaries — clustered id spaces stay balanced; parallel, "
+            "sorted within buckets only); bucket offsets arrive via a "
+            "num_buckets-row `BroadcastHashJoin`. No un-partitioned window, "
+            "no global sort — the single-task `WindowExec` trap never "
+            "appears.",
             pack_sequences(
                 docs.selectExpr("doc_id", "size(split(text, ' ')) AS token_count"),
                 window_tokens=2048,
