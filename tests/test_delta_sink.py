@@ -165,6 +165,39 @@ def test_mixed_insert_delete_chain_and_compact(spark, tmpdir):
     assert idx2.search(v.tolist(), k=1, search_list_size=200).first()["node_id"] == 700
 
 
+def test_100_row_batch_into_20k_shard_writes_o_batch_bytes(spark, tmpdir):
+    """The VERDICT's literal bar: bytes written per 100-row batch into a
+    20k shard are O(batch), not O(shard)."""
+    rng = np.random.default_rng(20)
+    n, d = 20_000, 32
+    mat = rng.random((n, d), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    path = f"{tmpdir}/shard20k"
+    idx = DiskannIndex.build(
+        df, path, distance_type="l2", num_shards=1, num_neighbors=16,
+        id_col="vec_id", vector_col="embedding",
+    )
+    base_bytes = _tree_bytes(os.path.join(path, "nodes"))
+    batch = spark.createDataFrame(
+        [(100_000 + j, rng.random(d).tolist()) for j in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    idx.insert(batch)
+    delta_bytes = _tree_bytes(os.path.join(path, "nodes_delta", "seq=1"))
+    # 100 rows + their back-edge-touched neighbors (O(batch*R)) against a
+    # 20k-row partition: comfortably under 1/10 of the base
+    assert 0 < delta_bytes < base_bytes / 10, (
+        f"delta {delta_bytes}B vs base {base_bytes}B"
+    )
+    assert _tree_bytes(os.path.join(path, "nodes")) == base_bytes  # base untouched
+    # and the batch serves at full precision through the chain
+    probe = batch.orderBy("vec_id").first()
+    got = idx.search(list(probe["embedding"]), k=1, search_list_size=200).first()
+    assert got["node_id"] == probe["vec_id"]
+
+
 # -- IVF delta sink (same design, cell partitions) -----------------------------
 
 
