@@ -198,6 +198,40 @@ def test_100_row_batch_into_20k_shard_writes_o_batch_bytes(spark, tmpdir):
     assert got["node_id"] == probe["vec_id"]
 
 
+def test_insert_delete_all_insert_scaffold(spark, tmpdir):
+    """Reference scaffold (build.rs:1589-1614 test_insert_empty_insert):
+    insert rows, DELETE every one of them, insert fresh rows — the search
+    must return exactly the second wave. With the delta sink this drives
+    the fully-tombstoned-index state: every original row is a tombstone,
+    start nodes sit on dead rows (traversable, never surfaced), and the
+    new inserts must be reachable through them."""
+    rng = np.random.default_rng(61)
+    d = 8
+    mat = rng.random((3, d), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(3)], "vec_id long, embedding array<float>"
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/del_all", distance_type="cosine", num_shards=1,
+        id_col="vec_id", vector_col="embedding",
+    )
+    idx.delete([0, 1, 2])
+    assert idx.full_scan().count() == 0
+    # search over a fully-tombstoned index returns nothing
+    assert idx.search(mat[0].tolist(), k=5, search_list_size=64).count() == 0
+    second = spark.createDataFrame(
+        [(10, mat[0].tolist()), (11, (mat[1] * 2).tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    idx.insert(second)
+    res = idx.search([0.0] * d, k=10, search_list_size=64)
+    got = sorted(int(r["node_id"]) for r in res.collect())
+    assert got == [10, 11]
+    # cold reload agrees
+    cold = DiskannIndex.load(spark, idx.path)
+    assert sorted(int(r["node_id"]) for r in cold.search(mat[0].tolist(), k=10, search_list_size=64).collect()) == [10, 11]
+
+
 # -- IVF delta sink (same design, cell partitions) -----------------------------
 
 
