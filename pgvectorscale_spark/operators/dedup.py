@@ -425,6 +425,14 @@ def simhash_pairs_multiprobe(
         num_bits // num_blocks + (1 if i < num_bits % num_blocks else 0)
         for i in range(num_blocks)
     ]
+    if min(sizes) < 1:
+        # a zero-width block's band value is constantly 0: its equi-join
+        # pairs every row with every other row — the cross-product
+        # explosion this function exists to avoid
+        raise ValueError(
+            f"num_blocks={num_blocks} exceeds num_bits={num_bits}: "
+            "every block needs at least one bit"
+        )
     # closed-form fan-out check BEFORE materializing any mask list: a
     # mis-parameterized call (num_blocks=1 at h=7 -> sum C(60, <=7) ~ 4e8
     # masks) must raise in O(t), not OOM the driver building the list it

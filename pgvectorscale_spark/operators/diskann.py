@@ -70,7 +70,11 @@ from pgvectorscale_spark.types import (
     StorageType,
 )
 
-from pgvectorscale_spark.operators.index_util import ConcurrentWriterError, writer_lock
+from pgvectorscale_spark.operators.index_util import (
+    ConcurrentWriterError,
+    dir_exists as _dir_exists,
+    writer_lock,
+)
 
 __all__ = ["DiskannIndex", "QueryStats", "ConcurrentWriterError"]
 
@@ -1033,27 +1037,39 @@ class DiskannIndex:
             int(getattr(self.meta, "delta_seq", 0) or 0),
         )
 
+    def _nodes_union(self) -> DataFrame:
+        """Raw base ∪ delta rows with a ``_seq`` generation column — NO
+        latest-wins dedupe. Existence checks and id-restricted merges use
+        this so the broadcast semijoin pushes into the scans instead of
+        being blocked by the merge window."""
+        base = self.spark.read.parquet(os.path.join(self.path, "nodes")).withColumn(
+            "_seq", F.lit(0)
+        )
+        delta_dir = os.path.join(self.path, "nodes_delta")
+        u = base
+        for k in range(1, int(getattr(self.meta, "delta_seq", 0) or 0) + 1):
+            d = os.path.join(delta_dir, f"seq={k}")
+            if _shard_dir_missing(d):
+                continue  # already folded / crash-cleaned generation
+            u = u.unionByName(
+                self.spark.read.parquet(d).select(*base.drop("_seq").columns).withColumn(
+                    "_seq", F.lit(k)
+                )
+            )
+        return u
+
     def nodes(self) -> DataFrame:
         """Current node table: the base partitions merged with the committed
         delta chain (latest generation wins per node_id). With no deltas this
         is a plain scan — the window dedupe only exists while a delta chain
         is open, and folding resets it."""
-        base = self.spark.read.parquet(os.path.join(self.path, "nodes"))
         delta_seq = int(getattr(self.meta, "delta_seq", 0) or 0)
         if not delta_seq:
-            return base
-        u = base.withColumn("_seq", F.lit(0))
-        delta_dir = os.path.join(self.path, "nodes_delta")
-        for k in range(1, delta_seq + 1):
-            d = os.path.join(delta_dir, f"seq={k}")
-            if _shard_dir_missing(d):
-                continue  # already folded / crash-cleaned generation
-            u = u.unionByName(
-                self.spark.read.parquet(d).select(*base.columns).withColumn("_seq", F.lit(k))
-            )
+            return self.spark.read.parquet(os.path.join(self.path, "nodes"))
         w = Window.partitionBy("node_id").orderBy(F.col("_seq").desc())
         return (
-            u.withColumn("_rn", F.row_number().over(w))
+            self._nodes_union()
+            .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_seq")
         )
@@ -1129,9 +1145,9 @@ class DiskannIndex:
             # mutation on an index migrated from a pre-sidecar format) must
             # aggregate ALL shards — writing only the touched shards' labels
             # would make _label_shards unroute every other shard's labels
-            lab_src = nodes if touched is not None and os.path.isdir(ldir) else self.nodes()
+            lab_src = nodes if touched is not None and _dir_exists(ldir) else self.nodes()
             lab = lab_src.select("shard", F.explode("labels").alias("label")).distinct()
-            if touched is not None and os.path.isdir(ldir):
+            if touched is not None and _dir_exists(ldir):
                 keep_l = [
                     (int(r["shard"]), int(r["label"]))
                     for r in self.spark.read.parquet(ldir).collect()
@@ -1147,7 +1163,7 @@ class DiskannIndex:
     def _routing_table(self) -> tuple[np.ndarray, np.ndarray] | None:
         """(shard_ids, centroid_matrix) or None for pre-routing indexes."""
         rdir = os.path.join(self.path, "routing")
-        if not os.path.isdir(rdir):
+        if not _dir_exists(rdir):
             return None
         try:
             rows = self.spark.read.parquet(rdir).collect()
@@ -1164,7 +1180,7 @@ class DiskannIndex:
         {shard: (shard, centroid, count, vsum)} — or None when the sidecar
         is absent or predates the stats columns (degrade to recompute)."""
         rdir = os.path.join(self.path, "routing")
-        if not os.path.isdir(rdir):
+        if not _dir_exists(rdir):
             return None
         try:
             df = self.spark.read.parquet(rdir)
@@ -1261,7 +1277,7 @@ class DiskannIndex:
             # labels sidecar: batch pairs only ever ADD coverage (tombstones
             # over-include, recall-safe — same semantics as the re-agg path)
             ldir = os.path.join(self.path, "label_routing")
-            if os.path.isdir(ldir):
+            if _dir_exists(ldir):
                 pairs = {
                     (int(r["shard"]), int(r["label"]))
                     for r in self.spark.read.parquet(ldir).collect()
@@ -1298,7 +1314,7 @@ class DiskannIndex:
         token = (self.meta.build_id, self.meta.epoch)
         if memo is not None and memo[0] == token:
             mapping = memo[1]
-        elif os.path.isdir(ldir):
+        elif _dir_exists(ldir):
             mapping: dict[int, set[int]] = {}
             for r in self.spark.read.parquet(ldir).collect():
                 mapping.setdefault(int(r["label"]), set()).add(int(r["shard"]))
@@ -1799,6 +1815,20 @@ class DiskannIndex:
         routing_delta = (
             self._routing_delta(new) if self.meta.shard_assignment == "kmeans" else None
         )
+        # num_rows delta, also pre-commit: rows only ever ACCUMULATE per
+        # node_id until a fold (which preserves the deduped set), so
+        # new-row count = batch ids absent from the raw base∪delta union —
+        # a column-pruned broadcast semijoin, NOT the O(corpus) merge-view
+        # count the recount used to run per micro-batch
+        batch_ids = new.select("node_id").distinct()
+        n_batch = batch_ids.count()
+        n_present = (
+            self._nodes_union()
+            .join(F.broadcast(batch_ids), "node_id")
+            .select("node_id")
+            .distinct()
+            .count()
+        )
         b_state = self.spark.sparkContext.broadcast(self._quantizer_state())
         store = self._store()
         nodes_dir = store[0]
@@ -1857,8 +1887,8 @@ class DiskannIndex:
             os.path.join(self.path, "nodes_delta", f"seq={next_seq}")
         )
         self.meta.delta_seq = next_seq
-        # recount (not +=): upserts replace rows rather than adding them
-        self.meta.num_rows = self.nodes().count()
+        # exact incremental count: upserts replace rows (+0), fresh ids +1
+        self.meta.num_rows = int(self.meta.num_rows) + n_batch - n_present
         self.meta.epoch += 1  # informational mutation counter
         # the index may now hold rows the SQL-registered table lacks: cost
         # routing must never bypass to an exact table scan again
@@ -1986,6 +2016,17 @@ class DiskannIndex:
             merged = self.nodes().filter(F.col("shard").isin(sorted(touched)))
             self._rewrite_partitions(merged)
         self.meta.delta_seq = 0
+        # rotate the touched shards' cache nonces even though the fold is
+        # content-preserving: an unsynchronized reader could read the base
+        # PRE-rewrite and the delta dirs POST-rmtree (missing => treated as
+        # untouched) — reassembling the pre-mutation shard. Under the OLD
+        # nonce that stale graph can be cached but never served once the
+        # reader refreshes this meta; without rotation it would sit under
+        # the current token indefinitely. Costs one cold reload per touched
+        # shard per fold (1-in-DELTA_FOLD_SEQS mutations).
+        fold_nonce = uuid.uuid4().hex
+        for s in touched:
+            self.meta.shard_mutations[str(int(s))] = fold_nonce
         self.meta.save(self.path)
         shutil.rmtree(delta_dir, ignore_errors=True)
         delete_dir(delta_dir)  # remote-capable twin of the rmtree

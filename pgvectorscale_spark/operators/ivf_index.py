@@ -89,6 +89,7 @@ class IvfIndex:
         import shutil
 
         shutil.rmtree(os.path.join(path, "nodes_delta"), ignore_errors=True)
+        delete_dir(os.path.join(path, "nodes_delta"))  # remote-capable twin
         n = src.count()
         row = src.select(F.size(F.col(vector_col)).alias("d")).first()
         meta = IndexMeta(
@@ -117,15 +118,22 @@ class IvfIndex:
         cross-cell read). With no chain open this is a plain pruned scan;
         a filter on centroid_id pushes below the merge window into the
         scans, so probing still prunes partitions."""
+        u = self._nodes_union()
+        if int(getattr(self.meta, "delta_seq", 0) or 0) == 0:
+            return u.drop("_seq")
+        return self._latest(u).drop("_seq")
+
+    def _nodes_union(self) -> DataFrame:
+        """Raw base ∪ delta rows with a ``_seq`` generation column — no
+        latest-wins dedupe (id-restricted merges join against THIS so the
+        broadcast semijoin pushes into the scans below the window)."""
         base = self.spark.read.parquet(os.path.join(self.path, "nodes"))
         if "deleted" not in base.columns:
             base = base.withColumn("deleted", F.lit(False))
-        base = base.select("node_id", "vector", "centroid_id", "deleted")
-        delta_seq = int(getattr(self.meta, "delta_seq", 0) or 0)
-        if not delta_seq:
-            return base
-        u = base.withColumn("_seq", F.lit(0))
-        for k in range(1, delta_seq + 1):
+        u = base.select("node_id", "vector", "centroid_id", "deleted").withColumn(
+            "_seq", F.lit(0)
+        )
+        for k in range(1, int(getattr(self.meta, "delta_seq", 0) or 0) + 1):
             d = os.path.join(self.path, "nodes_delta", f"seq={k}")
             if not dir_exists(d):  # FS-aware: os.path lies for s3://.../hdfs://
                 continue  # already folded / crash-cleaned generation
@@ -134,11 +142,13 @@ class IvfIndex:
                 .select("node_id", "vector", "centroid_id", "deleted")
                 .withColumn("_seq", F.lit(k))
             )
+        return u
+
+    @staticmethod
+    def _latest(u: DataFrame) -> DataFrame:
         w = Window.partitionBy("node_id", "centroid_id").orderBy(F.col("_seq").desc())
         return (
-            u.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_seq")
+            u.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
         )
 
     def live_nodes(self) -> DataFrame:
@@ -235,9 +245,25 @@ class IvfIndex:
                 .filter(F.col("centroid_id") != F.col("_newc"))
                 .select("node_id", "vector", "centroid_id", F.lit(True).alias("deleted"))
             )
+            # live-presence of the batch ids, pre-commit and id-restricted:
+            # the semijoin pushes into the scans (no corpus window), the
+            # latest-wins dedupe then runs over O(batch·generations) rows
+            batch_ids = new.select("node_id").distinct()
+            n_batch = batch_ids.count()
+            n_present_live = (
+                self._latest(
+                    self._nodes_union().join(F.broadcast(batch_ids), "node_id")
+                )
+                .filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+                .select("node_id")
+                .distinct()
+                .count()
+            )
             delta = new.withColumn("deleted", F.lit(False)).unionByName(stale)
             self._write_delta(delta)
-            self.meta.num_rows = self.live_nodes().count()
+            # exact incremental live count: upserts of live ids +0, fresh or
+            # resurrected ids +1 — no O(corpus) merge-view count per batch
+            self.meta.num_rows = int(self.meta.num_rows) + n_batch - n_present_live
             # index may now hold rows the SQL-registered table lacks: cost
             # routing must never bypass to an exact table scan again
             self.meta.has_mutations = True
@@ -259,7 +285,10 @@ class IvfIndex:
             if gone.isEmpty():
                 return
             self._write_delta(gone)
-            self.meta.num_rows = self.live_nodes().count()
+            # `gone` holds exactly the live rows being tombstoned (O(ids))
+            self.meta.num_rows = int(self.meta.num_rows) - int(
+                gone.select("node_id").distinct().count()
+            )
             # the registered table may still hold these rows: cost-based
             # SQL routing must keep using the index, not an exact table scan
             self.meta.has_tombstones = True
@@ -318,6 +347,15 @@ class IvfIndex:
             # Explicitly drop the base partition of every emptied cell.
             for c in sorted(touched - survivors):
                 delete_dir(os.path.join(self.path, "nodes", f"centroid_id={c}"))
+            if not list_subdirs(os.path.join(self.path, "nodes"), "centroid_id="):
+                # every cell emptied: a file-less nodes dir would brick all
+                # later reads (parquet schema inference fails) — persist a
+                # schema-bearing empty table, same as an empty-table build
+                self.spark.createDataFrame(
+                    [], "node_id long, vector array<float>, centroid_id int"
+                ).repartition(1).write.mode("overwrite").parquet(
+                    os.path.join(self.path, "nodes")
+                )
         self.meta.delta_seq = 0
         self.meta.save(self.path)
         shutil.rmtree(delta_dir, ignore_errors=True)

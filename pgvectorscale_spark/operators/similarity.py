@@ -35,26 +35,38 @@ _ASSIGN_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
 _ASSIGN_CACHE_CAP = 4
 
 
+_FINGERPRINT_STAT_CAP = 256
+
+
 def _data_fingerprint(df: DataFrame) -> tuple:
-    """Cheap data identity for file-backed frames: (path, size, mtime) per
-    input file. semanticHash covers only the LOGICAL PLAN — overwriting the
-    files under an identical path/plan would otherwise serve a stale cached
-    assignment for the rest of the session. For non-file sources (local
-    relations) the plan hash already covers the data, so () is fine; for
-    remote filesystems where stat() is unavailable the file LIST still
-    catches appends/compactions (new file names)."""
+    """Cheap data identity for file-backed frames. semanticHash covers only
+    the LOGICAL PLAN — overwriting the files under an identical path/plan
+    would otherwise serve a stale cached assignment for the rest of the
+    session. The file LIST (hashed, so the key stays small) catches
+    overwrites/appends/compactions on its own because parquet writers mint
+    unique part-file names; per-file (size, mtime) stats sharpen that for
+    same-name rewrites but are capped at _FINGERPRINT_STAT_CAP files — at
+    corpus scale a
+    per-lookup stat storm would dwarf the assignment the memo protects.
+    Non-file sources return () — the plan hash already covers their data.
+    """
+    import hashlib
     import os
     from urllib.parse import urlparse
 
-    parts = []
-    for f in sorted(df.inputFiles()):
-        p = urlparse(f).path if "://" in f or f.startswith("file:") else f
-        try:
-            st = os.stat(p)
-            parts.append((f, st.st_size, st.st_mtime_ns))
-        except OSError:
-            parts.append((f, None, None))
-    return tuple(parts)
+    files = sorted(df.inputFiles())
+    if not files:
+        return ()
+    h = hashlib.md5("\n".join(files).encode())
+    if len(files) <= _FINGERPRINT_STAT_CAP:
+        for f in files:
+            p = urlparse(f).path if "://" in f or f.startswith("file:") else f
+            try:
+                st = os.stat(p)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                h.update(b"?")
+    return (len(files), h.hexdigest())
 
 
 def _assign_cached(

@@ -381,6 +381,73 @@ def test_bootstrap_insert_sets_has_mutations(spark, tmpdir):
     assert reloaded.meta.has_mutations is True
 
 
+def test_ivf_fold_with_every_cell_emptied_keeps_index_readable(spark, tmpdir):
+    """Review regression (round-5 second pass): deleting EVERY row and
+    folding must not leave a file-less nodes dir that bricks all later
+    reads — a schema-bearing empty base is written instead."""
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(43)
+    df = spark.createDataFrame(
+        [(i, rng.random(8).tolist()) for i in range(60)], "vec_id long, embedding array<float>"
+    )
+    idx = IvfIndex.build(df, f"{tmpdir}/ivf_all_empty", num_centroids=3, kmeans_iterations=1)
+    idx.delete(list(range(60)))
+    assert idx.meta.num_rows == 0
+    idx._fold_deltas()
+    assert idx.meta.delta_seq == 0
+    # the index stays fully readable and serves empty results
+    assert idx.nodes().count() == 0
+    assert idx.live_nodes().count() == 0
+    assert idx.search([0.1] * 8, k=5, nprobe=3).count() == 0
+    # and it accepts new rows afterward
+    idx.insert(
+        spark.createDataFrame([(900, rng.random(8).tolist())], "vec_id long, embedding array<float>")
+    )
+    assert idx.meta.num_rows == 1
+    assert idx.live_nodes().count() == 1
+
+
+def test_incremental_num_rows_stays_exact(spark, tmpdir):
+    """num_rows is now maintained incrementally (O(batch) presence joins,
+    not a per-mutation merge-view count): it must equal the merge-view
+    count through inserts, upserts, resurrections, and folds."""
+    rng = np.random.default_rng(47)
+    df = spark.createDataFrame(
+        [(i, rng.random(8).tolist()) for i in range(100)], "vec_id long, embedding array<float>"
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/numrows", distance_type="l2", num_shards=2,
+        id_col="vec_id", vector_col="embedding",
+    )
+    for batch in (
+        [(200, False)],                   # fresh id
+        [(5, False), (201, False)],       # upsert + fresh
+        [(5, False), (5, False)],         # duplicate upsert in one batch
+        [(202, False), (203, False)],
+    ):
+        rows = [(vid, rng.random(8).tolist()) for vid, _ in batch]
+        idx.insert(spark.createDataFrame(rows, "vec_id long, embedding array<float>"))
+        assert idx.meta.num_rows == idx.nodes().count()
+    idx.delete([200, 5])
+    assert idx.meta.num_rows == idx.nodes().count()  # tombstones still counted
+    # resurrect a tombstoned id: row count unchanged (same node_id)
+    idx.insert(
+        spark.createDataFrame([(200, rng.random(8).tolist())], "vec_id long, embedding array<float>")
+    )
+    assert idx.meta.num_rows == idx.nodes().count()
+    idx._fold_deltas()
+    assert idx.meta.num_rows == idx.nodes().count()
+
+
+def test_multiprobe_rejects_zero_width_blocks(spark):
+    from pgvectorscale_spark.operators.dedup import simhash_pairs_multiprobe
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one bit"):
+        simhash_pairs_multiprobe(df, max_hamming=7, num_bits=4, num_blocks=8)
+
+
 def test_rebuild_at_mutated_path_clears_stale_deltas(spark, tmpdir):
     idx, mat, rng = _build(spark, tmpdir, "rebuild", n=200)
     idx.insert(
