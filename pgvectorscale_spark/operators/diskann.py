@@ -294,13 +294,37 @@ def _stage1_columns(meta_d: dict) -> list[str]:
     return cols
 
 
-def _as_store(store) -> tuple[str, str, int]:
-    """Normalize the node-store handle. Callers pass either a bare
-    ``nodes_dir`` string (base-only read — pre-delta behavior, and what a
-    freshly built index is) or the full ``(nodes_dir, delta_dir, delta_seq)``
-    triple identifying the base partitions plus the committed delta chain."""
+class StaleIndexReadError(RuntimeError):
+    """A reader's meta snapshot references a data dir a later fold/rebuild
+    has already swept. Raised instead of silently serving a partial or
+    empty shard — the caller should reload the index and retry. Can only
+    fire for readers more than one maintenance cycle stale (superseded
+    dirs wait one full cycle in meta.trash_dirs before deletion)."""
+
+
+def _as_store(store) -> tuple[str, tuple, dict]:
+    """Normalize the node-store handle to
+    ``(base_dir, delta_dirs, shard_overrides)``:
+
+    - ``base_dir``: absolute dir of the current base generation
+      (``<base_dir>/shard=K`` unless overridden),
+    - ``delta_dirs``: absolute dirs of the committed delta chain in commit
+      order (each holds ``shard=K`` subdirs for the shards it touched),
+    - ``shard_overrides``: shard (str) -> absolute dir of that shard's
+      folded base partition (supersedes ``base_dir`` for that shard).
+
+    Callers may pass a bare ``nodes_dir`` string (base-only read — what a
+    freshly built index is) or a legacy ``(nodes_dir, delta_dir, n)``
+    triple naming chain dirs ``seq=1..n``."""
     if isinstance(store, str):
-        return store, os.path.join(os.path.dirname(store), "nodes_delta"), 0
+        return store, (), {}
+    if len(store) == 3 and isinstance(store[2], int):
+        nodes_dir, delta_dir, n = store
+        return (
+            nodes_dir,
+            tuple(os.path.join(delta_dir, f"seq={k}") for k in range(1, int(n) + 1)),
+            {},
+        )
     return store
 
 
@@ -314,11 +338,16 @@ def _read_shard_pdf(
     only its changed rows and this read reassembles the current shard).
 
     ``ids`` pushes a node_id filter into every fragment (row-group pruning,
-    the visited-only page-read analog). A missing base dir (never-populated
-    kmeans cell) or a missing seq/shard delta dir (that mutation didn't
-    touch this shard) is legitimate; a TRANSIENT error on an existing dir
-    must raise — treating it as empty would serve a partial index or let an
-    insert overwrite the shard with only its batch."""
+    the visited-only page-read analog). A missing ``shard=K`` subdir under
+    a parent that EXISTS is legitimate (never-populated kmeans cell; a
+    mutation that didn't touch this shard); a missing PARENT dir — or a
+    missing per-shard override dir, which a fold always populates — means
+    this reader's meta snapshot predates a sweep and must raise
+    (StaleIndexReadError), since reassembling from the surviving dirs
+    would silently serve a pre-mutation or empty shard. A TRANSIENT error
+    on an existing dir must also raise — treating it as empty would serve
+    a partial index or let an insert overwrite the shard with only its
+    batch."""
     import pyarrow.dataset as pads
 
     filt = None
@@ -327,20 +356,30 @@ def _read_shard_pdf(
         import pyarrow.compute as pc
 
         filt = pc.field("node_id").isin(pa.array(np.asarray(ids, dtype=np.int64)))
-    nodes_dir, delta_dir, delta_seq = _as_store(store)
+    nodes_dir, delta_dirs, shard_overrides = _as_store(store)
     frames: list[tuple[int, pd.DataFrame]] = []
-    dirs = [(0, os.path.join(nodes_dir, f"shard={shard}"))]
-    dirs += [
-        (k, os.path.join(delta_dir, f"seq={k}", f"shard={shard}"))
-        for k in range(1, int(delta_seq) + 1)
+    override = shard_overrides.get(str(int(shard)))
+    # (gen, shard dir, parent whose absence proves staleness). For the
+    # override the shard dir itself is the staleness sentinel.
+    dirs = [(0, override, None)] if override is not None else [
+        (0, os.path.join(nodes_dir, f"shard={shard}"), nodes_dir)
     ]
-    for k, d in dirs:
+    dirs += [
+        (k, os.path.join(d, f"shard={shard}"), d)
+        for k, d in enumerate(delta_dirs, start=1)
+    ]
+    for k, d, parent in dirs:
         try:
             t = pads.dataset(d, format="parquet").to_table(columns=columns, filter=filt)
             frames.append((k, t.to_pandas()))
         except (FileNotFoundError, OSError):
             if not _shard_dir_missing(d):
                 raise
+            if parent is None or _shard_dir_missing(parent):
+                raise StaleIndexReadError(
+                    f"{d} is gone: this reader's index meta predates a "
+                    "fold/rebuild sweep — reload the index and retry"
+                ) from None
     if not frames:
         return pd.DataFrame(
             {
@@ -427,6 +466,12 @@ def _clear_delta_dirs(path: str) -> None:
 
     shutil.rmtree(os.path.join(path, "nodes_delta"), ignore_errors=True)
     delete_dir(os.path.join(path, "nodes_delta"))  # remote-capable twin
+
+
+def _prepare_rebuild(path: str) -> tuple[str, list[str], int, int]:
+    from pgvectorscale_spark.operators.index_util import prepare_rebuild
+
+    return prepare_rebuild(path)
 
 
 def _empty_nodes_pdf() -> pd.DataFrame:
@@ -806,17 +851,19 @@ class DiskannIndex:
                 build_id=uuid.uuid4().hex,
                 mutation_id=uuid.uuid4().hex,
             )
+            dest_rel, trash, epoch, counter = _prepare_rebuild(path)
             (
                 spark.createDataFrame([], _NODE_SCHEMA)
                 .repartition(1)
                 .write.mode("overwrite")
-                .parquet(os.path.join(path, "nodes"))
+                .parquet(os.path.join(path, dest_rel))
             )
-            _clear_delta_dirs(path)
-            try:
-                meta.epoch = IndexMeta.load(path).epoch + 1
-            except (OSError, ValueError, TypeError, KeyError):
-                pass
+            if dest_rel == "nodes":
+                _clear_delta_dirs(path)
+            meta.base_rel = dest_rel
+            meta.trash_dirs = trash
+            meta.delta_counter = counter
+            meta.epoch = epoch
             meta.save(path)
             return cls(spark, path, meta)
 
@@ -994,25 +1041,29 @@ class DiskannIndex:
             .groupBy("shard")
             .applyInPandas(build_shard, schema=_NODE_SCHEMA)
         )
+        # snapshot-isolated rebuild: at a path with a readable prior index
+        # the new base lands in a FRESH generation dir and the meta save is
+        # the atomic flip — readers of the old index finish consistently on
+        # its dirs, which wait one maintenance cycle in trash
+        dest_rel, trash, epoch, counter = _prepare_rebuild(path)
         (
             nodes.write.mode("overwrite")
             .partitionBy("shard")
-            .parquet(os.path.join(path, "nodes"))
+            .parquet(os.path.join(path, dest_rel))
         )
-        # a rebuild at a mutated path starts a fresh base: leftover delta
-        # generations would re-supersede the new partitions on merge reads
-        # (meta.delta_seq resets to 0 either way — this is hygiene; readers
-        # are governed by the meta)
-        _clear_delta_dirs(path)
+        if dest_rel == "nodes":
+            # no readable prior meta: conventional fresh layout; wipe any
+            # leftover chain dirs a wiped/corrupt index may have abandoned
+            _clear_delta_dirs(path)
         if shard_assignment == "kmeans":
             base.unpersist()
         sc.setJobDescription(None)
+        meta.base_rel = dest_rel
+        meta.trash_dirs = trash
+        meta.delta_counter = counter
         # keep the mutation epoch monotonic across rebuilds at the same path
         # so executor-side shard caches from the old index never serve stale
-        try:
-            meta.epoch = IndexMeta.load(path).epoch + 1
-        except (OSError, ValueError, TypeError, KeyError):
-            pass
+        meta.epoch = epoch
         meta.save(path)
         idx = cls(spark, path, meta)
         if shard_assignment == "kmeans":
@@ -1029,28 +1080,68 @@ class DiskannIndex:
     def load(cls, spark: SparkSession, path: str) -> "DiskannIndex":
         return cls(spark, path, IndexMeta.load(path))
 
-    def _store(self) -> tuple[str, str, int]:
-        """Executor-read handle: (base dir, delta dir, committed delta seq)."""
+    def _store(self) -> tuple[str, tuple, dict]:
+        """Executor-read handle (see ``_as_store``): absolute base dir,
+        committed delta-chain dirs in order, per-shard fold overrides."""
         return (
-            os.path.join(self.path, "nodes"),
-            os.path.join(self.path, "nodes_delta"),
-            int(getattr(self.meta, "delta_seq", 0) or 0),
+            os.path.join(self.path, self.meta.base_rel),
+            tuple(os.path.join(self.path, rel) for rel in self.meta.delta_gens),
+            {
+                str(int(s)): os.path.join(self.path, rel, f"shard={int(s)}")
+                for s, rel in (self.meta.shard_base or {}).items()
+                if rel  # "" = emptied-by-fold sentinel (IVF-only; no rows)
+            },
         )
+
+    def _base_frames(self) -> DataFrame:
+        """Base snapshot as one DataFrame: the `base_rel` dir for shards
+        without a fold override, plus each override dir filtered to exactly
+        the shards currently mapped to it. The filters are load-bearing —
+        superseded copies of a folded shard legitimately remain on disk
+        (in `base_rel`, or in an older gen dir still hosting other shards)
+        for the trash grace cycle and must not leak into the view."""
+        cols = _node_cols()
+        mapping = self.meta.shard_base or {}
+        if not mapping:
+            return self.spark.read.parquet(
+                os.path.join(self.path, self.meta.base_rel)
+            )
+        mapped = sorted({int(s) for s in mapping})
+        frames: list[DataFrame] = []
+        # when every shard is overridden the base dir may hold no parquet
+        # files at all (each subdir trashed by a fold) — skip its scan
+        if not set(mapped) >= set(range(int(self.meta.num_shards) or 1)):
+            frames.append(
+                self.spark.read.parquet(os.path.join(self.path, self.meta.base_rel))
+                .select(cols)
+                .filter(~F.col("shard").isin(mapped))
+            )
+        by_dir: dict[str, list[int]] = {}
+        for s, rel in mapping.items():
+            if rel:  # "" = emptied-by-fold sentinel (IVF-only; no rows)
+                by_dir.setdefault(rel, []).append(int(s))
+        for rel, ss in sorted(by_dir.items()):
+            frames.append(
+                self.spark.read.parquet(os.path.join(self.path, rel))
+                .select(cols)
+                .filter(F.col("shard").isin(sorted(ss)))
+            )
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        return u
 
     def _nodes_union(self) -> DataFrame:
         """Raw base ∪ delta rows with a ``_seq`` generation column — NO
         latest-wins dedupe. Existence checks and id-restricted merges use
         this so the broadcast semijoin pushes into the scans instead of
         being blocked by the merge window."""
-        base = self.spark.read.parquet(os.path.join(self.path, "nodes")).withColumn(
-            "_seq", F.lit(0)
-        )
-        delta_dir = os.path.join(self.path, "nodes_delta")
+        base = self._base_frames().withColumn("_seq", F.lit(0))
         u = base
-        for k in range(1, int(getattr(self.meta, "delta_seq", 0) or 0) + 1):
-            d = os.path.join(delta_dir, f"seq={k}")
+        for k, rel in enumerate(self.meta.delta_gens, start=1):
+            d = os.path.join(self.path, rel)
             if _shard_dir_missing(d):
-                continue  # already folded / crash-cleaned generation
+                continue  # crash-cleaned generation
             u = u.unionByName(
                 self.spark.read.parquet(d).select(*base.drop("_seq").columns).withColumn(
                     "_seq", F.lit(k)
@@ -1063,9 +1154,8 @@ class DiskannIndex:
         delta chain (latest generation wins per node_id). With no deltas this
         is a plain scan — the window dedupe only exists while a delta chain
         is open, and folding resets it."""
-        delta_seq = int(getattr(self.meta, "delta_seq", 0) or 0)
-        if not delta_seq:
-            return self.spark.read.parquet(os.path.join(self.path, "nodes"))
+        if not self.meta.delta_gens:
+            return self._base_frames()
         w = Window.partitionBy("node_id").orderBy(F.col("_seq").desc())
         return (
             self._nodes_union()
@@ -1882,11 +1972,14 @@ class DiskannIndex:
         # written are O(batch · walk), never O(shard partition). The
         # reference's aminsert analog: only touched pages hit disk
         # (build.rs:537-558). Readers merge base + chain, latest seq wins.
-        next_seq = int(self.meta.delta_seq) + 1
+        # The dir number comes from the NEVER-reset counter, so a
+        # generation written after a fold can't overwrite a superseded dir
+        # an in-flight reader may still be merging (snapshot isolation).
+        next_rel = self._next_delta_rel()
         updated.write.mode("overwrite").partitionBy("shard").parquet(
-            os.path.join(self.path, "nodes_delta", f"seq={next_seq}")
+            os.path.join(self.path, next_rel)
         )
-        self.meta.delta_seq = next_seq
+        self.meta.delta_gens = list(self.meta.delta_gens) + [next_rel]
         # exact incremental count: upserts replace rows (+0), fresh ids +1
         self.meta.num_rows = int(self.meta.num_rows) + n_batch - n_present
         self.meta.epoch += 1  # informational mutation counter
@@ -1934,11 +2027,11 @@ class DiskannIndex:
         shards = [r["shard"] for r in updated.select("shard").distinct().collect()]
         if not shards:
             return
-        next_seq = int(self.meta.delta_seq) + 1
+        next_rel = self._next_delta_rel()
         updated.write.mode("overwrite").partitionBy("shard").parquet(
-            os.path.join(self.path, "nodes_delta", f"seq={next_seq}")
+            os.path.join(self.path, next_rel)
         )
-        self.meta.delta_seq = next_seq
+        self.meta.delta_gens = list(self.meta.delta_gens) + [next_rel]
         self.meta.epoch += 1  # informational mutation counter
         self.meta.has_tombstones = True  # cost routing must keep using the index
         nonce = uuid.uuid4().hex
@@ -1947,34 +2040,20 @@ class DiskannIndex:
         self.meta.save(self.path)
         self._maybe_fold_deltas()
 
-    def _rewrite_partitions(self, updated: DataFrame) -> None:
-        """Rewrite only the shard partitions present in `updated`.
+    def _next_delta_rel(self) -> str:
+        """Fresh delta-generation dir name off the never-reset counter
+        (persisted by the caller's meta.save on commit; a failed job's bump
+        is never saved, and overwriting its orphan dir on retry is safe —
+        no committed meta ever referenced it)."""
+        self.meta.delta_counter = int(self.meta.delta_counter) + 1
+        return f"nodes_delta/seq={self.meta.delta_counter}"
 
-        Spark can't overwrite a path it is reading from, so stage the result
-        first, then dynamic-partition-overwrite the node table from the
-        staging copy (the Delta MERGE analog for plain parquet)."""
-        import shutil
+    def _sweep_trash(self) -> None:
+        """Delete dirs superseded one maintenance cycle ago plus orphan
+        generation dirs from crashed jobs (see index_util.sweep_trash)."""
+        from pgvectorscale_spark.operators.index_util import sweep_trash
 
-        staging = os.path.join(self.path, "_staging_nodes")
-        updated.write.mode("overwrite").partitionBy("shard").parquet(staging)
-        prior = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                self.spark.read.parquet(staging)
-                .select(_node_cols())
-                .write.mode("overwrite")
-                .partitionBy("shard")
-                .parquet(os.path.join(self.path, "nodes"))
-            )
-        finally:
-            # restore: leaking 'dynamic' would silently change the semantics
-            # of the user's own partitioned overwrites on the shared session
-            if prior is None:
-                self.spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
-        shutil.rmtree(staging, ignore_errors=True)
+        sweep_trash(self.path, self.meta)
 
     # how many delta generations may accumulate before they are folded back
     # into the base partitions (merge-on-read cost is one extra tiny
@@ -1986,50 +2065,59 @@ class DiskannIndex:
             self._fold_deltas()
 
     def _fold_deltas(self) -> None:
-        """Fold the delta chain back into the base partitions (lazy
-        compaction of the merge-on-read sink — Delta/Iceberg's OPTIMIZE
-        analog). Content-preserving: only the shards any delta touched are
-        rewritten with their merged rows, so executor cache tokens stay
-        valid (identical logical content). Crash-safe in either direction:
-        a fold that dies after the base rewrite leaves deltas whose rows
-        duplicate the base bit-for-bit (merge keeps the delta copy — same
-        content), and a fold that dies after the meta reset leaves orphan
-        delta dirs that readers (driven by meta.delta_seq) never consult."""
-        import shutil
+        """Fold the delta chain back into the base store (lazy compaction
+        of the merge-on-read sink — Delta/Iceberg's OPTIMIZE analog), with
+        SNAPSHOT ISOLATION: the merged shards are written to a fresh
+        immutable ``nodes_gens/<id>`` dir and the per-shard base pointers
+        flip in the meta commit — no directory is ever rewritten in place,
+        so an unsynchronized reader sees either the pre-fold or post-fold
+        snapshot, never a torn mix. The superseded dirs (old per-shard
+        base partitions + the folded delta chain) wait one maintenance
+        cycle in meta.trash_dirs before the NEXT fold sweeps them, so
+        readers holding the previous meta still complete consistently.
 
-        from pgvectorscale_spark.operators.index_util import delete_dir, list_subdirs
+        Cache tokens are intentionally NOT rotated: the fold is
+        content-preserving, and every reader staler than the chain's last
+        mutation already holds a superseded per-shard nonce (mutations
+        rotate them), so a stale reassembly can never be served under the
+        current token — warm executor caches survive the fold.
 
-        delta_seq = int(self.meta.delta_seq)
-        if not delta_seq:
+        Crash-safe: dying before the meta commit leaves an orphan gen dir
+        no meta references (swept later); the meta save itself is the
+        atomic flip."""
+        from pgvectorscale_spark.operators.index_util import list_subdirs
+
+        delta_gens = list(self.meta.delta_gens)
+        if not delta_gens:
             return
-        delta_dir = os.path.join(self.path, "nodes_delta")
+        # previous cycle's superseded dirs have aged a full cycle — sweep
+        self._sweep_trash()
         touched: set[int] = set()
-        for k in range(1, delta_seq + 1):
-            # FS-aware listing: os.listdir would silently yield nothing on a
-            # remote store and the rmtree below would destroy the chain
-            for name in list_subdirs(os.path.join(delta_dir, f"seq={k}"), "shard="):
+        for rel in delta_gens:
+            # FS-aware listing: os.listdir would silently yield nothing on
+            # a remote store and the fold would drop the chain's content
+            for name in list_subdirs(os.path.join(self.path, rel), "shard="):
                 touched.add(int(name.split("=", 1)[1]))
+        new_trash = list(delta_gens)
         if touched:
             # the merge keeps tombstoned rows (graph traversal state), so a
-            # touched shard always has output rows and dynamic overwrite
-            # replaces every touched partition — no emptied-partition hole
+            # touched shard always has output rows — a fold-override dir is
+            # never legitimately empty (readers rely on this to raise on a
+            # missing override instead of serving an empty shard)
+            gen_rel = f"nodes_gens/{uuid.uuid4().hex[:12]}"
             merged = self.nodes().filter(F.col("shard").isin(sorted(touched)))
-            self._rewrite_partitions(merged)
-        self.meta.delta_seq = 0
-        # rotate the touched shards' cache nonces even though the fold is
-        # content-preserving: an unsynchronized reader could read the base
-        # PRE-rewrite and the delta dirs POST-rmtree (missing => treated as
-        # untouched) — reassembling the pre-mutation shard. Under the OLD
-        # nonce that stale graph can be cached but never served once the
-        # reader refreshes this meta; without rotation it would sit under
-        # the current token indefinitely. Costs one cold reload per touched
-        # shard per fold (1-in-DELTA_FOLD_SEQS mutations).
-        fold_nonce = uuid.uuid4().hex
-        for s in touched:
-            self.meta.shard_mutations[str(int(s))] = fold_nonce
+            merged.select(_node_cols()).write.partitionBy("shard").parquet(
+                os.path.join(self.path, gen_rel)
+            )
+            for s in sorted(touched):
+                old = self.meta.shard_base.get(str(s))
+                new_trash.append(
+                    f"{old}/shard={s}" if old else f"{self.meta.base_rel}/shard={s}"
+                )
+                self.meta.shard_base[str(s)] = gen_rel
+        self.meta.delta_gens = []
+        self.meta.trash_dirs = new_trash
         self.meta.save(self.path)
-        shutil.rmtree(delta_dir, ignore_errors=True)
-        delete_dir(delta_dir)  # remote-capable twin of the rmtree
 
     def compact(self, lock_wait: float = 0.0) -> "DiskannIndex":
         """Rebuild from live rows, dropping tombstones (periodic compaction).

@@ -14,7 +14,15 @@ import os
 import time
 from contextlib import contextmanager
 
-__all__ = ["ConcurrentWriterError", "delete_dir", "dir_exists", "list_subdirs", "writer_lock"]
+__all__ = [
+    "ConcurrentWriterError",
+    "delete_dir",
+    "dir_exists",
+    "list_subdirs",
+    "prepare_rebuild",
+    "sweep_trash",
+    "writer_lock",
+]
 
 
 def _pa_fs(path: str):
@@ -65,6 +73,64 @@ def list_subdirs(path: str, prefix: str) -> list[str]:
         if info.type == pafs.FileType.Directory and name.startswith(prefix):
             out.append(name)
     return out
+
+
+def sweep_trash(path: str, meta) -> None:
+    """Delete data dirs superseded one maintenance cycle ago, plus orphan
+    generation dirs from crashed jobs (subdirs of nodes_gens/ or
+    nodes_delta/ that no committed meta ever referenced). Called at the
+    START of a fold/rebuild while holding the writer lock, so anything
+    superseded by the LAST fold has had a full cycle for in-flight readers
+    to finish. Clears meta.trash_dirs in place (caller saves the meta)."""
+    import shutil
+
+    for rel in meta.trash_dirs:
+        p = os.path.join(path, rel)
+        shutil.rmtree(p, ignore_errors=True)
+        delete_dir(p)  # remote-capable twin
+    meta.trash_dirs = []
+    live = {rel for rel in (meta.shard_base or {}).values() if rel}
+    live.add(meta.base_rel)
+    for name in list_subdirs(os.path.join(path, "nodes_gens"), ""):
+        rel = f"nodes_gens/{name}"
+        if rel not in live:
+            p = os.path.join(path, rel)
+            shutil.rmtree(p, ignore_errors=True)
+            delete_dir(p)
+    live_delta = set(meta.delta_gens)
+    for name in list_subdirs(os.path.join(path, "nodes_delta"), ""):
+        rel = f"nodes_delta/{name}"
+        if rel not in live_delta:
+            p = os.path.join(path, rel)
+            shutil.rmtree(p, ignore_errors=True)
+            delete_dir(p)
+
+
+def prepare_rebuild(path: str) -> tuple[str, list[str], int, int]:
+    """Pick the base dir for a (re)build and collect the prior index's data
+    dirs as grace-period trash. A fresh path gets the conventional
+    ``nodes`` layout; a path with a readable prior index gets a FRESH
+    generation dir (never an in-place overwrite of a dir readers may be
+    scanning) and every prior data dir queued for the next sweep. Returns
+    ``(dest_rel, trash_dirs, epoch, delta_counter)`` for the new meta —
+    epoch stays monotonic and the delta counter carries over so new chain
+    dirs can't collide with trashed ones during the grace cycle."""
+    import uuid
+
+    from pgvectorscale_spark.types import IndexMeta
+
+    try:
+        old = IndexMeta.load(path)
+    except (OSError, ValueError, TypeError, KeyError):
+        return "nodes", [], 0, 0
+    # the prior index's trash has aged a full maintenance cycle — sweep it
+    # (with crash orphans) now; its LIVE dirs become the new trash below
+    sweep_trash(path, old)
+    trash = {old.base_rel}
+    trash.update(rel for rel in (old.shard_base or {}).values() if rel)
+    trash.update(old.delta_gens)
+    dest = f"nodes_gens/{uuid.uuid4().hex[:12]}"
+    return dest, sorted(trash), int(old.epoch) + 1, int(old.delta_counter)
 
 
 class ConcurrentWriterError(RuntimeError):

@@ -26,6 +26,7 @@ from pgvectorscale_spark.operators.index_util import (
     delete_dir,
     dir_exists,
     list_subdirs,
+    prepare_rebuild,
     writer_lock,
 )
 from pgvectorscale_spark.operators.similarity import ivf_assign, kmeans_centroids
@@ -76,20 +77,26 @@ class IvfIndex:
             src.select(F.col(id_col).alias("node_id"), F.col(vector_col).alias("vector"))
             .join(assign.select(F.col(id_col).alias("node_id"), "centroid_id"), "node_id")
         )
+        # snapshot-isolated (re)build: at a path with a readable prior
+        # index the new cells land in a FRESH generation dir and the meta
+        # save is the atomic flip — readers of the old index finish
+        # consistently on its dirs, which wait one cycle in trash
+        dest_rel, trash, epoch, counter = prepare_rebuild(path)
         # one task per cell; each cell becomes one parquet partition
         (
             nodes.repartition(num_centroids, "centroid_id")
             .write.mode("overwrite")
             .partitionBy("centroid_id")
-            .parquet(os.path.join(path, "nodes"))
+            .parquet(os.path.join(path, dest_rel))
         )
         cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-        # a rebuild at a mutated path starts a fresh base: stale delta
-        # generations must never re-supersede the new partitions
-        import shutil
+        if dest_rel == "nodes":
+            # no readable prior meta: wipe any chain dirs a wiped/corrupt
+            # index may have abandoned (readers are governed by the meta)
+            import shutil
 
-        shutil.rmtree(os.path.join(path, "nodes_delta"), ignore_errors=True)
-        delete_dir(os.path.join(path, "nodes_delta"))  # remote-capable twin
+            shutil.rmtree(os.path.join(path, "nodes_delta"), ignore_errors=True)
+            delete_dir(os.path.join(path, "nodes_delta"))  # remote-capable twin
         n = src.count()
         row = src.select(F.size(F.col(vector_col)).alias("d")).first()
         meta = IndexMeta(
@@ -98,6 +105,10 @@ class IvfIndex:
             num_dimensions=int(row["d"]) if row else 0,
             num_shards=num_centroids,
             num_rows=n,
+            base_rel=dest_rel,
+            trash_dirs=trash,
+            epoch=epoch,
+            delta_counter=counter,
         )
         meta.save(path)
         cents.unpersist()
@@ -119,24 +130,61 @@ class IvfIndex:
         a filter on centroid_id pushes below the merge window into the
         scans, so probing still prunes partitions."""
         u = self._nodes_union()
-        if int(getattr(self.meta, "delta_seq", 0) or 0) == 0:
+        if not self.meta.delta_gens:
             return u.drop("_seq")
         return self._latest(u).drop("_seq")
+
+    def _base_frames(self) -> DataFrame:
+        """Base snapshot: the `base_rel` dir for cells without a fold
+        override, plus each override dir filtered to exactly the cells
+        mapped to it. Superseded copies of a folded cell legitimately stay
+        on disk for the trash grace cycle — the filters keep them out. An
+        override of "" marks a cell every row of which was tombstoned away
+        by a fold: no rows anywhere (folds drop IVF tombstones)."""
+        cols = ["node_id", "vector", "centroid_id", "deleted"]
+
+        def _read(rel: str) -> DataFrame:
+            df = self.spark.read.parquet(os.path.join(self.path, rel))
+            if "deleted" not in df.columns:
+                df = df.withColumn("deleted", F.lit(False))
+            return df.select(cols)
+
+        mapping = self.meta.shard_base or {}
+        if not mapping:
+            return _read(self.meta.base_rel)
+        mapped = sorted({int(c) for c in mapping})
+        frames: list[DataFrame] = []
+        # when every cell is overridden the base dir may hold no parquet
+        # files at all (each subdir trashed by folds) — skip its scan
+        if not set(mapped) >= set(range(int(self.meta.num_shards) or 1)):
+            frames.append(
+                _read(self.meta.base_rel).filter(~F.col("centroid_id").isin(mapped))
+            )
+        by_dir: dict[str, list[int]] = {}
+        for c, rel in mapping.items():
+            if rel:  # "" = emptied-cell sentinel, no rows to read
+                by_dir.setdefault(rel, []).append(int(c))
+        for rel, cc in sorted(by_dir.items()):
+            frames.append(_read(rel).filter(F.col("centroid_id").isin(sorted(cc))))
+        if not frames:
+            # every cell emptied by folds: schema-typed empty view
+            return self.spark.createDataFrame(
+                [], "node_id long, vector array<float>, centroid_id int, deleted boolean"
+            )
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        return u
 
     def _nodes_union(self) -> DataFrame:
         """Raw base ∪ delta rows with a ``_seq`` generation column — no
         latest-wins dedupe (id-restricted merges join against THIS so the
         broadcast semijoin pushes into the scans below the window)."""
-        base = self.spark.read.parquet(os.path.join(self.path, "nodes"))
-        if "deleted" not in base.columns:
-            base = base.withColumn("deleted", F.lit(False))
-        u = base.select("node_id", "vector", "centroid_id", "deleted").withColumn(
-            "_seq", F.lit(0)
-        )
-        for k in range(1, int(getattr(self.meta, "delta_seq", 0) or 0) + 1):
-            d = os.path.join(self.path, "nodes_delta", f"seq={k}")
+        u = self._base_frames().withColumn("_seq", F.lit(0))
+        for k, rel in enumerate(self.meta.delta_gens, start=1):
+            d = os.path.join(self.path, rel)
             if not dir_exists(d):  # FS-aware: os.path lies for s3://.../hdfs://
-                continue  # already folded / crash-cleaned generation
+                continue  # crash-cleaned generation
             u = u.unionByName(
                 self.spark.read.parquet(d)
                 .select("node_id", "vector", "centroid_id", "deleted")
@@ -300,90 +348,73 @@ class IvfIndex:
     DELTA_FOLD_SEQS = int(os.environ.get("PGVS_DELTA_FOLD_SEQS", 8))
 
     def _write_delta(self, delta: DataFrame) -> None:
-        next_seq = int(getattr(self.meta, "delta_seq", 0) or 0) + 1
+        # the dir number comes from the NEVER-reset counter, so a
+        # generation written after a fold can't overwrite a superseded dir
+        # an in-flight reader may still be merging (snapshot isolation)
+        self.meta.delta_counter = int(self.meta.delta_counter) + 1
+        next_rel = f"nodes_delta/seq={self.meta.delta_counter}"
         delta.select("node_id", "vector", "centroid_id", "deleted").write.mode(
             "overwrite"
-        ).partitionBy("centroid_id").parquet(
-            os.path.join(self.path, "nodes_delta", f"seq={next_seq}")
-        )
-        self.meta.delta_seq = next_seq
+        ).partitionBy("centroid_id").parquet(os.path.join(self.path, next_rel))
+        self.meta.delta_gens = list(self.meta.delta_gens) + [next_rel]
 
     def _maybe_fold_deltas(self) -> None:
         if int(self.meta.delta_seq) >= self.DELTA_FOLD_SEQS:
             self._fold_deltas()
 
     def _fold_deltas(self) -> None:
-        """Fold the chain back into the base: touched cells rewritten with
-        their merged LIVE rows in the legacy 3-column layout (tombstones
-        are pure merge markers here — unlike diskann graph tombstones they
-        carry no traversal state, so folding drops them entirely)."""
-        import shutil
+        """Fold the chain back into the base store with SNAPSHOT ISOLATION
+        (same protocol as DiskannIndex._fold_deltas): touched cells' merged
+        LIVE rows land in a fresh immutable ``nodes_gens/<id>`` dir and the
+        per-cell base pointers flip in the meta commit — no dir is ever
+        rewritten in place, so an unsynchronized reader sees the pre- or
+        post-fold snapshot, never a torn mix. Tombstones are pure merge
+        markers here (no traversal state, unlike diskann graph tombstones),
+        so folding drops them; a cell whose every row was tombstoned maps
+        to the "" sentinel (no rows anywhere). Superseded dirs wait one
+        maintenance cycle in meta.trash_dirs before the next fold sweeps
+        them, so readers holding the previous meta finish consistently."""
+        import uuid
 
-        delta_seq = int(self.meta.delta_seq)
-        if not delta_seq:
+        from pgvectorscale_spark.operators.index_util import sweep_trash
+
+        delta_gens = list(self.meta.delta_gens)
+        if not delta_gens:
             return
-        delta_dir = os.path.join(self.path, "nodes_delta")
+        sweep_trash(self.path, self.meta)
         touched: set[int] = set()
-        for k in range(1, delta_seq + 1):
-            # FS-aware listing: os.listdir would silently yield nothing on a
-            # remote store and the rmtree below would destroy the chain
-            for name in list_subdirs(os.path.join(delta_dir, f"seq={k}"), "centroid_id="):
+        for rel in delta_gens:
+            # FS-aware listing: os.listdir would silently yield nothing on
+            # a remote store and the fold would drop the chain's content
+            for name in list_subdirs(os.path.join(self.path, rel), "centroid_id="):
                 touched.add(int(name.split("=", 1)[1]))
+        new_trash = list(delta_gens)
         if touched:
             merged = self.live_nodes().filter(
                 F.col("centroid_id").isin(sorted(touched))
-            ).localCheckpoint()  # reused for the rewrite AND the emptied-cell probe
+            ).localCheckpoint()  # reused for the gen write AND the survivor probe
             survivors = {
                 int(r["centroid_id"])
                 for r in merged.select("centroid_id").distinct().collect()
             }
+            gen_rel = f"nodes_gens/{uuid.uuid4().hex[:12]}"
             if survivors:
-                self._rewrite_cells(merged)
-            # dynamic partition overwrite only replaces partitions PRESENT in
-            # the output: a cell whose rows are ALL tombstoned produces no
-            # output partition (and a fold where EVERY touched cell emptied
-            # writes nothing at all), so stale base rows would survive while
-            # the rmtree below destroys the tombstones — silent un-delete.
-            # Explicitly drop the base partition of every emptied cell.
-            for c in sorted(touched - survivors):
-                delete_dir(os.path.join(self.path, "nodes", f"centroid_id={c}"))
-            if not list_subdirs(os.path.join(self.path, "nodes"), "centroid_id="):
-                # every cell emptied: a file-less nodes dir would brick all
-                # later reads (parquet schema inference fails) — persist a
-                # schema-bearing empty table, same as an empty-table build
-                self.spark.createDataFrame(
-                    [], "node_id long, vector array<float>, centroid_id int"
-                ).repartition(1).write.mode("overwrite").parquet(
-                    os.path.join(self.path, "nodes")
+                (
+                    merged.select("node_id", "vector", "centroid_id")
+                    .write.partitionBy("centroid_id")
+                    .parquet(os.path.join(self.path, gen_rel))
                 )
-        self.meta.delta_seq = 0
+            for c in sorted(touched):
+                old = self.meta.shard_base.get(str(c))
+                if old:
+                    new_trash.append(f"{old}/centroid_id={c}")
+                elif old is None:
+                    new_trash.append(f"{self.meta.base_rel}/centroid_id={c}")
+                # old == "": emptied sentinel — nothing on disk to trash
+                self.meta.shard_base[str(c)] = gen_rel if c in survivors else ""
+        self.meta.delta_gens = []
+        self.meta.trash_dirs = new_trash
         self.meta.save(self.path)
-        shutil.rmtree(delta_dir, ignore_errors=True)
-        delete_dir(delta_dir)  # remote-capable twin of the rmtree
-
-    def _rewrite_cells(self, updated: DataFrame) -> None:
-        """Dynamic-partition-overwrite of just the touched cell partitions
-        (staged first: Spark cannot overwrite a path it is reading)."""
-        import shutil
-
-        staging = os.path.join(self.path, "_staging_nodes")
-        updated.write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
-        prior = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                self.spark.read.parquet(staging)
-                .select("node_id", "vector", "centroid_id")
-                .write.mode("overwrite")
-                .partitionBy("centroid_id")
-                .parquet(os.path.join(self.path, "nodes"))
-            )
-        finally:
-            if prior is None:
-                self.spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
-        shutil.rmtree(staging, ignore_errors=True)
 
     def search_batch(
         self,

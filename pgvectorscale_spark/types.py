@@ -62,7 +62,17 @@ SBQ_NBIT_DIM_CAP = 900  # meta_page.rs:312-323
 # cost-based SQL routing never bypasses the index to an exact scan of the
 # REGISTERED table (which would drop index-only inserted rows, the mirror
 # image of the tombstone guard).
-CURRENT_META_VERSION = 4
+# V4 -> V5: snapshot-isolated base store. The base dir is named by
+# `base_rel` (rebuilds write a FRESH generation dir and flip this pointer
+# instead of overwriting `nodes/` in place), folds write touched shards
+# into fresh `nodes_gens/<id>` dirs recorded per shard in `shard_base`,
+# delta generations carry explicit unique dir names in `delta_gens`
+# (numbered by the never-reset `delta_counter`, so a post-fold mutation
+# can never overwrite a dir an in-flight reader is still merging), and
+# superseded dirs wait one maintenance cycle in `trash_dirs` before the
+# next fold/rebuild sweeps them. `delta_seq` (the old chain-length field)
+# is now derived from `delta_gens`.
+CURRENT_META_VERSION = 5
 
 
 def _migrate_v1(raw: dict) -> dict:
@@ -99,11 +109,28 @@ def _migrate_v3(raw: dict) -> dict:
     return raw
 
 
+def _migrate_v4(raw: dict) -> dict:
+    """V4 -> V5: a V4 index has its whole base under `nodes/` and its delta
+    chain at `nodes_delta/seq=1..delta_seq` — express exactly that layout in
+    the explicit V5 fields. The counter starts at the old chain length so
+    the next mutation's dir name never collides with a live generation."""
+    raw = dict(raw)
+    n = int(raw.get("delta_seq", 0) or 0)
+    raw.setdefault("base_rel", "nodes")
+    raw.setdefault("shard_base", {})
+    raw.setdefault("delta_gens", [f"nodes_delta/seq={k}" for k in range(1, n + 1)])
+    raw.setdefault("delta_counter", n)
+    raw.setdefault("trash_dirs", [])
+    raw.pop("delta_seq", None)
+    raw["version"] = 5
+    return raw
+
+
 # version -> migration to the NEXT version; applied in sequence on read,
 # mirroring the reference's meta-page auto-migration chain
 # (/root/reference/pgvectorscale/src/access_method/meta_page.rs:29-162,
 # upgrade_test.rs:25-337)
-_META_MIGRATIONS = {1: _migrate_v1, 2: _migrate_v2, 3: _migrate_v3}
+_META_MIGRATIONS = {1: _migrate_v1, 2: _migrate_v2, 3: _migrate_v3, 4: _migrate_v4}
 
 
 def default_bits_per_dimension(num_dimensions: int) -> int:
@@ -158,19 +185,51 @@ class IndexMeta:
     has_mutations: bool = False
     # 'hash' (balanced, no routing) or 'kmeans' (Voronoi shards, routable)
     shard_assignment: str = "hash"
-    # committed delta generations of the base+delta node store: mutation k
-    # wrote only its changed rows under nodes_delta/seq=k/; readers merge
-    # base + seq 1..delta_seq, latest seq wins per node_id. 0 = base only.
-    # Folded back into the base partitions (and reset) once the chain grows
-    # past the fold threshold — the Delta/Iceberg merge-on-read pattern, so
-    # a micro-batch write costs O(batch), not O(shard partition).
-    delta_seq: int = 0
+    # ---- snapshot-isolated node store (V5) ----
+    # Every data directory is immutable once its meta is committed: writers
+    # create FRESH dirs and flip pointers here, never rewrite in place, so
+    # an unsynchronized reader sees either the old snapshot or the new one,
+    # never a torn mix (the Iceberg snapshot pattern over plain parquet).
+    #
+    # Name of the CURRENT base dir (relative to the index path). Fresh
+    # builds use "nodes"; a rebuild at a live path writes a new generation
+    # dir and flips this pointer.
+    base_rel: str = "nodes"
+    # Per-shard base overrides written by delta folds: shard (str) ->
+    # relative dir holding that shard's folded partition (`<dir>/shard=K`).
+    # Shards absent here live under `base_rel`. A referenced override dir
+    # can never be legitimately missing (folds always emit rows), so a
+    # missing one means the reader's meta is stale — readers raise instead
+    # of silently serving an empty shard.
+    shard_base: dict[str, str] = field(default_factory=dict)
+    # Committed delta generations of the base+delta node store, in commit
+    # order (relative dirs; each holds only the rows its mutation changed).
+    # Readers merge base + chain, latest generation wins per node_id.
+    # Folded back into the base (and cleared) once the chain grows past the
+    # fold threshold — Delta/Iceberg merge-on-read, so a micro-batch write
+    # costs O(batch), not O(shard partition).
+    delta_gens: list[str] = field(default_factory=list)
+    # Monotonic, NEVER-reset numbering for delta dirs: a generation written
+    # after a fold gets a fresh name, so it can't overwrite a superseded
+    # dir an in-flight reader may still be merging (see trash_dirs).
+    delta_counter: int = 0
+    # Dirs superseded by the last fold/rebuild, retained for one
+    # maintenance cycle so readers holding the previous meta still see a
+    # complete consistent snapshot; the NEXT fold/rebuild sweeps them.
+    trash_dirs: list[str] = field(default_factory=list)
     # SBQ quantizer state (reference SbqMeans, sbq/mod.rs:79-86):
     # per-dimension mean and variance from the training pass.
     quantizer_means: list[float] = field(default_factory=list)
     quantizer_variances: list[float] = field(default_factory=list)
     # default + per-label start nodes (graph/start_nodes.rs:14-21)
     start_nodes: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def delta_seq(self) -> int:
+        """Open delta-chain length (the V4 field, now derived): 0 = base
+        only. Kept as a property so chain-length checks and the fold
+        threshold read naturally."""
+        return len(self.delta_gens)
 
     @property
     def effective_dims(self) -> int:

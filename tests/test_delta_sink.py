@@ -135,7 +135,17 @@ def test_delta_chain_folds_at_threshold(spark, tmpdir):
         )
     # the chain hit the threshold and folded back into the base
     assert idx.meta.delta_seq == 0
-    assert not os.path.isdir(os.path.join(idx.path, "nodes_delta"))
+    # snapshot isolation: the folded shards' new base lives in a fresh
+    # generation dir; the superseded chain dirs stay on disk for ONE
+    # maintenance cycle (readers holding the pre-fold meta finish
+    # consistently) and are queued for the next sweep
+    assert idx.meta.shard_base  # fold flipped per-shard base pointers
+    for rel in idx.meta.shard_base.values():
+        assert rel.startswith("nodes_gens/")
+        assert os.path.isdir(os.path.join(idx.path, rel))
+    assert any(t.startswith("nodes_delta/") for t in idx.meta.trash_dirs)
+    for t in idx.meta.trash_dirs:
+        assert os.path.isdir(os.path.join(idx.path, t))  # grace, not deleted
     assert idx.nodes().count() == 400 + fold_at
     # post-fold content identical: every inserted row served at full precision
     for vid, v in inserted[:: max(1, fold_at // 3)]:
@@ -301,7 +311,8 @@ def test_ivf_chain_folds_and_drops_tombstones(spark, tmpdir):
             )
         )
     assert idx.meta.delta_seq == 0  # folded
-    assert not os.path.isdir(os.path.join(idx.path, "nodes_delta"))
+    # superseded chain dirs wait one maintenance cycle in trash
+    assert any(t.startswith("nodes_delta/") for t in idx.meta.trash_dirs)
     # tombstones dropped physically at fold; deleted ids stay gone
     assert idx.nodes().filter("deleted").count() == 0
     assert idx.nodes().filter("node_id in (0, 1)").count() == 0
@@ -465,6 +476,8 @@ def test_rebuild_at_mutated_path_clears_stale_deltas(spark, tmpdir):
         vector_col="embedding",
     )
     assert idx2.meta.delta_seq == 0
-    assert not os.path.isdir(os.path.join(idx.path, "nodes_delta"))
+    # the stale chain is queued for the next sweep (grace cycle), and the
+    # new meta references none of it — readers are governed by the meta
+    assert any(t.startswith("nodes_delta/") for t in idx2.meta.trash_dirs)
     assert idx2.nodes().count() == 200
     assert idx2.nodes().filter("node_id = 999").count() == 0

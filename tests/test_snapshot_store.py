@@ -1,0 +1,307 @@
+"""Snapshot isolation for the node store (round-5 hardening).
+
+Every data directory is immutable once its meta is committed: folds and
+rebuilds write FRESH generation dirs and flip pointers in the meta save —
+nothing is ever rewritten in place, so an unsynchronized reader sees the
+pre- or post-maintenance snapshot, never a torn mix. Superseded dirs wait
+one maintenance cycle in meta.trash_dirs before the next fold/rebuild
+sweeps them, so a reader holding the PREVIOUS meta still completes
+consistently; a reader two cycles stale raises StaleIndexReadError rather
+than silently serving a reassembled pre-mutation (or empty) shard.
+
+Because folds are content-preserving AND every mutation already rotates
+its touched shards' cache nonces, folds no longer rotate nonces at all —
+warm executor caches survive a fold (asserted below).
+
+Reference analog: Postgres gives the reference MVCC page snapshots for
+free; this is the plain-parquet equivalent (Iceberg-style snapshot flip).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+from pgvectorscale_spark.operators.diskann import (
+    DiskannIndex,
+    StaleIndexReadError,
+    _load_shard_graph,
+    _read_shard_pdf,
+)
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="snapshot_store_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _build(spark, tmpdir, name, n=300, d=16, **kw):
+    rng = np.random.default_rng(hash(name) % 2**31)
+    mat = rng.random((n, d), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/{name}", distance_type="l2", num_shards=1,
+        id_col="vec_id", vector_col="embedding", **kw,
+    )
+    return idx, mat, rng
+
+
+def _insert_one(spark, idx, rng, vid, d=16):
+    v = rng.random(d).astype(np.float32)
+    idx.insert(
+        spark.createDataFrame([(vid, v.tolist())], "vec_id long, embedding array<float>")
+    )
+    return v
+
+
+def _fold_chain(spark, idx, rng, start_vid, d=16):
+    """Insert until the chain folds (delta_gens drops back to empty)."""
+    vid = start_vid
+    while True:
+        _insert_one(spark, idx, rng, vid, d)
+        vid += 1
+        if not idx.meta.delta_gens:
+            return vid
+
+
+def _canon(pdf):
+    return pdf.sort_values("node_id").reset_index(drop=True)
+
+
+COLS = ["node_id", "vector", "neighbors", "deleted"]
+
+
+def test_pre_fold_reader_sees_identical_content_through_grace(spark, tmpdir):
+    """A reader holding the pre-fold store handle reads the SAME merged
+    content after the fold commits: its dirs are all still on disk (one
+    grace cycle) and the fold is content-preserving."""
+    idx, mat, rng = _build(spark, tmpdir, "grace", n=250)
+    nxt = _fold_chain(spark, idx, rng, 9000)
+    # open a chain again and capture the handle mid-chain
+    _insert_one(spark, idx, rng, nxt)
+    old_store = idx._store()
+    assert idx.meta.delta_gens  # chain open
+    before = _canon(_read_shard_pdf(old_store, 0, COLS))
+    # drive the NEXT fold; the old handle's dirs move to trash (not deleted)
+    _fold_chain(spark, idx, rng, nxt + 1)
+    assert not idx.meta.delta_gens
+    after_old_handle = _canon(_read_shard_pdf(old_store, 0, COLS))
+    # the old snapshot is still fully readable and byte-identical
+    assert before["node_id"].tolist() == after_old_handle["node_id"].tolist()
+    assert [list(x) for x in before["neighbors"]] == [
+        list(x) for x in after_old_handle["neighbors"]
+    ]
+    # and the CURRENT handle serves the superset (rows from the later fold)
+    now = _canon(_read_shard_pdf(idx._store(), 0, COLS))
+    assert set(before["node_id"]) < set(now["node_id"])
+
+
+def test_two_cycles_stale_reader_raises_not_empty(spark, tmpdir):
+    """After the grace cycle expires (two folds later), a stale handle
+    raises StaleIndexReadError instead of silently reassembling a
+    pre-mutation or empty shard."""
+    idx, mat, rng = _build(spark, tmpdir, "stale", n=250)
+    nxt = _fold_chain(spark, idx, rng, 9000)  # fold #1: shard now override-mapped
+    stale_store = idx._store()  # references fold #1's gen dir
+    nxt = _fold_chain(spark, idx, rng, nxt)  # fold #2: gen dir -> trash
+    nxt = _fold_chain(spark, idx, rng, nxt)  # fold #3: sweeps it
+    with pytest.raises(StaleIndexReadError):
+        _read_shard_pdf(stale_store, 0, COLS)
+
+
+def test_fold_preserves_cache_tokens_and_warm_entries(spark, tmpdir):
+    """Folds are content-preserving, so they no longer rotate the per-shard
+    cache nonces: a graph cached before the fold is served (cache hit,
+    no reload) after it."""
+    idx, mat, rng = _build(spark, tmpdir, "warmfold", n=250, storage_type="plain")
+    meta_d = {
+        "distance_type": idx.meta.distance_type,
+        "storage_type": idx.meta.storage_type,
+        "num_dimensions": idx.meta.num_dimensions,
+        "num_dimensions_to_index": idx.meta.num_dimensions_to_index,
+        "num_neighbors": idx.meta.num_neighbors,
+        "search_list_size": idx.meta.search_list_size,
+        "max_alpha": idx.meta.max_alpha,
+        "has_labels": idx.meta.has_labels,
+    }
+
+    def token():
+        return (
+            idx.meta.build_id,
+            idx.meta.shard_mutations.get("0") or idx.meta.mutation_id,
+        )
+
+    # open a chain and warm this process's cache under the current token
+    for j in range(3):
+        _insert_one(spark, idx, rng, 9100 + j)
+    assert idx.meta.delta_gens
+    pre_token = token()
+    g, gids, dead, fullmat, hit = _load_shard_graph(
+        idx._store(), 0, pre_token, meta_d, None
+    )
+    assert not hit  # cold in this (driver) process — now cached
+    pre_nonces = dict(idx.meta.shard_mutations)
+    # fold directly (no accompanying mutation): tokens must NOT rotate
+    idx._fold_deltas()
+    assert not idx.meta.delta_gens  # folded
+    assert idx.meta.shard_mutations == pre_nonces
+    assert token() == pre_token
+    # the pre-fold cache entry is served warm after the fold — and it is
+    # CORRECT to serve it: the fold is content-preserving
+    g2, gids2, dead2, fm2, hit2 = _load_shard_graph(
+        idx._store(), 0, token(), meta_d, None
+    )
+    assert hit2
+    now = _canon(_read_shard_pdf(idx._store(), 0, ["node_id"]))
+    assert sorted(int(x) for x in gids2) == now["node_id"].tolist()
+
+
+def test_rebuild_at_live_path_is_snapshot_flipped(spark, tmpdir):
+    """A rebuild at a live path writes its base into a FRESH generation dir
+    and trashes the old index's dirs — a reader of the OLD index keeps
+    reading its own snapshot through the grace cycle."""
+    idx, mat, rng = _build(spark, tmpdir, "rebuild", n=200)
+    _insert_one(spark, idx, rng, 7777)
+    old_store = idx._store()
+    old_rows = _canon(_read_shard_pdf(old_store, 0, ["node_id"]))
+    # rebuild over DIFFERENT data at the same path
+    df2 = spark.createDataFrame(
+        [(i + 10_000, mat[i].tolist()) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    idx2 = DiskannIndex.build(
+        df2, idx.path, distance_type="l2", num_shards=1,
+        id_col="vec_id", vector_col="embedding",
+    )
+    assert idx2.meta.base_rel.startswith("nodes_gens/")
+    assert "nodes" in idx2.meta.trash_dirs
+    # old reader: unchanged snapshot, fully readable post-rebuild
+    still = _canon(_read_shard_pdf(old_store, 0, ["node_id"]))
+    assert still["node_id"].tolist() == old_rows["node_id"].tolist()
+    # new reader: the new corpus only
+    new_rows = _canon(_read_shard_pdf(idx2._store(), 0, ["node_id"]))
+    assert new_rows["node_id"].min() >= 10_000
+    assert idx2.nodes().count() == 100
+    # a THIRD build sweeps the first index's dirs
+    idx3 = DiskannIndex.build(
+        df2, idx.path, distance_type="l2", num_shards=1,
+        id_col="vec_id", vector_col="embedding",
+    )
+    assert idx3.nodes().count() == 100
+    with pytest.raises((StaleIndexReadError, FileNotFoundError, OSError)):
+        _read_shard_pdf(old_store, 0, ["node_id"])
+
+
+def test_sweep_removes_aged_trash_and_orphans(spark, tmpdir):
+    """The next maintenance cycle deletes (a) dirs trashed by the previous
+    fold and (b) orphan generation dirs no committed meta references
+    (crash leftovers)."""
+    idx, mat, rng = _build(spark, tmpdir, "sweep", n=250)
+    nxt = _fold_chain(spark, idx, rng, 9000)
+    trashed = list(idx.meta.trash_dirs)
+    assert trashed
+    for t in trashed:
+        assert os.path.exists(os.path.join(idx.path, t))
+    # plant a crash orphan: a gen dir never referenced by any meta
+    orphan = os.path.join(idx.path, "nodes_gens", "deadbeefcafe")
+    os.makedirs(os.path.join(orphan, "shard=0"))
+    with open(os.path.join(orphan, "shard=0", "junk.parquet"), "wb") as f:
+        f.write(b"x")
+    _fold_chain(spark, idx, rng, nxt)  # next fold sweeps
+    for t in trashed:
+        assert not os.path.exists(os.path.join(idx.path, t)), t
+    assert not os.path.exists(orphan)
+
+
+def test_v4_meta_migrates_to_v5_layout(tmpdir):
+    """A V4 meta (implicit nodes/ + seq=1..delta_seq chain) loads as V5
+    with exactly that layout expressed in the explicit fields."""
+    import json
+
+    from pgvectorscale_spark.types import CURRENT_META_VERSION, IndexMeta
+
+    assert CURRENT_META_VERSION == 5
+    path = os.path.join(tmpdir, "v4meta")
+    os.makedirs(path)
+    raw = {
+        "distance_type": "l2",
+        "storage_type": "plain",
+        "num_dimensions": 8,
+        "num_shards": 2,
+        "num_rows": 10,
+        "version": 4,
+        "epoch": 3,
+        "build_id": "b",
+        "mutation_id": "m",
+        "shard_mutations": {"0": "n0"},
+        "has_tombstones": False,
+        "has_mutations": True,
+        "shard_assignment": "hash",
+        "delta_seq": 2,
+    }
+    with open(os.path.join(path, "_index_meta.json"), "w") as f:
+        json.dump(raw, f)
+    meta = IndexMeta.load(path)
+    assert meta.version == 5
+    assert meta.base_rel == "nodes"
+    assert meta.shard_base == {}
+    assert meta.delta_gens == ["nodes_delta/seq=1", "nodes_delta/seq=2"]
+    assert meta.delta_seq == 2  # derived property
+    assert meta.delta_counter == 2  # next mutation writes seq=3, no reuse
+    assert meta.trash_dirs == []
+    # round-trips in the V5 format
+    meta.save(path)
+    again = IndexMeta.load(path)
+    assert again.delta_gens == meta.delta_gens and again.version == 5
+
+
+def test_ivf_fold_is_snapshot_flipped_with_empty_cell_sentinel(spark, tmpdir):
+    """IVF folds write survivors to a fresh gen dir and map fully
+    tombstoned cells to the "" sentinel; a pre-fold DataFrame plan keeps
+    executing against its own dirs through the grace cycle."""
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(29)
+    df = spark.createDataFrame(
+        [(i, rng.random(8).tolist()) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = IvfIndex.build(df, f"{tmpdir}/ivf_snap", num_centroids=4, kmeans_iterations=1)
+    # find one whole cell and tombstone every row in it
+    cell_rows = idx.nodes().filter("centroid_id = 0").select("node_id").collect()
+    victim_ids = [int(r["node_id"]) for r in cell_rows]
+    assert victim_ids
+    pre_view = idx.live_nodes()  # lazy plan over the PRE-fold dirs
+    pre_count = pre_view.count()
+    idx.delete(victim_ids)
+    # route the chain-driving inserts AWAY from cell 0 (a vector at cell
+    # 1's centroid lands in cell 1), so cell 0 stays fully tombstoned
+    c1 = next(
+        list(r["centroid"]) for r in idx.centroids().collect() if r["centroid_id"] == 1
+    )
+    for j in range(IvfIndex.DELTA_FOLD_SEQS):
+        idx.insert(
+            spark.createDataFrame(
+                [(900 + j, c1)], "vec_id long, embedding array<float>"
+            )
+        )
+        if not idx.meta.delta_gens:
+            break
+    assert not idx.meta.delta_gens  # folded
+    assert idx.meta.shard_base.get("0") == ""  # emptied-cell sentinel
+    # grace: the pre-fold plan still executes, over its own snapshot
+    assert pre_view.count() == pre_count
+    # current view: cell 0 gone, inserts present, tombstones dropped
+    assert idx.nodes().filter("centroid_id = 0").count() == 0
+    assert idx.nodes().filter("deleted").count() == 0
+    assert idx.live_nodes().filter("node_id >= 900").count() >= 1
+    cold = IvfIndex.load(spark, idx.path)
+    assert cold.live_nodes().count() == idx.meta.num_rows

@@ -215,9 +215,12 @@ def test_insert_into_never_populated_shard(tmpdir):
     batch = _batch_pdf(
         [(i, 7, rng.random(d).astype(np.float32).tolist(), None) for i in (10, 20, 30)]
     )
-    out, entry = _insert_shard_cold(
-        batch, os.path.join(tmpdir, "never_written", "nodes"), 7, meta_d, None
-    )
+    # the base dir itself always exists after build() (even for an empty
+    # index); only the shard=K subdir is missing for a never-populated
+    # cell. A missing base dir now means a stale reader and raises.
+    nodes_dir = os.path.join(tmpdir, "never_written", "nodes")
+    os.makedirs(nodes_dir)
+    out, entry = _insert_shard_cold(batch, nodes_dir, 7, meta_d, None)
     assert sorted(out["node_id"]) == [10, 20, 30]
     assert out["node_id"].dtype == np.int64
     g = entry[0]
