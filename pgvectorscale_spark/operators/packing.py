@@ -29,6 +29,27 @@ from pgvectorscale_spark.functions.hashing import SPARK, h60
 __all__ = ["pack_sequences", "hash_split"]
 
 
+def _bucket_search_expr(boundaries: list[int], id_expr: str) -> str:
+    """SQL expression computing ``#{b in boundaries : id > b}`` as a nested-IF
+    binary search: depth ceil(log2(n+1)) comparisons per row instead of the
+    n-term interpreted ``aggregate`` fold it replaces (~0.5-1us/element —
+    64 boundaries cost ~6 comparisons now). Identical result for any sorted
+    ``boundaries``: the invariant at ``(lo, hi)`` is that every boundary
+    below ``lo`` is already known < id and every one at/above ``hi`` is
+    known >= id, so an empty range's count is exactly ``lo``."""
+
+    def rec(lo: int, hi: int) -> str:
+        if lo == hi:
+            return f"{lo}L"
+        mid = (lo + hi) // 2
+        return (
+            f"IF({id_expr} > {boundaries[mid]}L, "
+            f"{rec(mid + 1, hi)}, {rec(lo, mid)})"
+        )
+
+    return rec(0, len(boundaries))
+
+
 def pack_sequences(
     df: DataFrame,
     window_tokens: int,
@@ -75,14 +96,7 @@ def pack_sequences(
         # only property correctness needs); dedup absorbs degenerate
         # quantiles from heavy duplication
         boundaries = sorted({int(q) for q in qs})
-    if boundaries:
-        blit = ", ".join(f"{b}L" for b in boundaries)
-        bucket_expr = (
-            f"aggregate(array({blit}), 0L, "
-            f"(acc, b) -> acc + IF(cast(`{id_col}` as bigint) > b, 1L, 0L))"
-        )
-    else:
-        bucket_expr = "0L"
+    bucket_expr = _bucket_search_expr(boundaries, f"cast(`{id_col}` as bigint)")
     base = df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(count_col).cast("long").alias(count_col),

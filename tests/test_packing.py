@@ -87,3 +87,28 @@ def test_hash_split_single_label(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
     rows = hash_split(df, {"train": 1.0}).collect()
     assert all(r["split"] == "train" for r in rows)
+
+
+def test_bucket_search_expr_matches_linear_count(spark):
+    """The nested-IF binary search computes exactly #{b : id > b} for any
+    sorted boundary list (incl. empty and singleton) — same value the
+    linear fold it replaced produced, at log-depth cost."""
+    import random
+
+    from pgvectorscale_spark.operators.packing import _bucket_search_expr
+
+    rng = random.Random(5)
+    cases = [[], [7], [0, 1, 2], sorted(rng.sample(range(-1000, 1000), 63))]
+    ids = [-1001, -1000, -1, 0, 1, 7, 8, 999, 1000, 1001] + [
+        rng.randint(-1200, 1200) for _ in range(50)
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    for bnd in cases:
+        got = {
+            r["id"]: r["b"]
+            for r in df.selectExpr(
+                "id", f"{_bucket_search_expr(bnd, 'id')} as b"
+            ).collect()
+        }
+        for i in ids:
+            assert got[i] == sum(1 for b in bnd if i > b), (bnd, i)
