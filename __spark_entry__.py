@@ -704,6 +704,30 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-container decode, no media libraries: complete PNGs
+    (signature, IHDR, stored-deflate zlib stream with JVM-computed adler32,
+    crc32-checksummed IDAT, IEND) are synthesized per document JVM-side,
+    then genuinely decoded back — chunk walk with CRC verification, zlib
+    inflate, and None/Sub/Up scanline defiltering — by multimodal.parse_png
+    in Arrow-batched mapInPandas. The oracle recomputes the reconstructed
+    per-channel means in closed form from the digest hex (mod-256 partial
+    sums), so a defilter or framing bug on either side breaks the hash."""
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_png_image,
+    )
+
+    img = decode_png_image(attach_png_payload(_docs(spark, sf_dir)))
+    metrics = ["width", "height", "channels", "mean_r", "mean_g", "mean_b"]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+    return img.selectExpr(
+        "doc_id",
+        "'png' as media",
+        f"stack({len(metrics)}, {stack}) as (metric, value)",
+    ).orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvectorscale_spark.operators.multimodal import attach_binary_payload, binary_metadata
 
@@ -811,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _multimodal_frames,
         "multimodal_features": _multimodal_features,
         "multimodal_decode": _multimodal_decode,
+        "multimodal_decode_png": _multimodal_decode_png,
         # relational surface (inherited from Spark, §2.7)
         "pricing_summary": _pricing_summary,
         "top_customers": _top_customers,
@@ -894,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": oracles.multimodal_frames_oracle(64),
         "multimodal_features": oracles.multimodal_features_oracle(4),
         "multimodal_decode": oracles.multimodal_decode_oracle(),
+        "multimodal_decode_png": oracles.multimodal_decode_png_oracle(),
         "pricing_summary": relational.pricing_summary_sql(),
         "top_customers": relational.top_customers_sql(10),
         "events_hourly": relational.events_hourly_sql(),

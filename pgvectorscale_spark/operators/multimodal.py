@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes, partitioning,
-UDF signatures — and so is the decode path for UNCOMPRESSED containers:
-``decode_ppm_image`` (binary P6 PPM) and ``decode_wav_audio`` (RIFF/WAVE
-PCM) are genuine pure-numpy parsers running in Arrow-batched mapInPandas.
-Only compressed-format decode (JPEG/MP3/H.264 — needs PIL/torchaudio/pyav,
+UDF signatures — and so is the decode path for three container formats:
+``decode_ppm_image`` (binary P6 PPM), ``decode_wav_audio`` (RIFF/WAVE PCM),
+and ``decode_png_image`` (8-bit PNG: chunk walk with CRC-32 verification,
+zlib DEFLATE inflate via the stdlib, and all five scanline defilters) —
+genuine pure-numpy/stdlib parsers running in Arrow-batched mapInPandas.
+Only lossy-codec decode (JPEG/MP3/H.264 — needs PIL/torchaudio/pyav,
 absent in this environment) stays behind the ``MEDIA_DECODERS_AVAILABLE``
 gate in ``decode_image``; ``fake_feature_extract`` remains the
 deterministic stand-in for a learned embedder.
@@ -27,14 +29,17 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "attach_binary_payload",
+    "attach_png_payload",
     "attach_ppm_payload",
     "attach_wav_payload",
     "binary_metadata",
     "decode_image",
+    "decode_png_image",
     "decode_ppm_image",
     "decode_wav_audio",
     "fake_feature_extract",
     "frame_sample_plan",
+    "parse_png",
     "parse_ppm",
     "parse_wav",
 ]
@@ -137,6 +142,106 @@ def parse_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     return channels, rate, samples
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\x0a"
+# samples-per-pixel by PNG color type (bit depth 8 only; no palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def parse_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse an 8-bit non-interlaced PNG: returns (width, height, channels,
+    pixels (h, w, channels) uint8). REAL decoder, no media libraries:
+    signature check, chunk walk with per-chunk CRC-32 verification, IDAT
+    concatenation, zlib inflate (stdlib — genuine DEFLATE, any compression
+    level), and scanline defiltering for all five PNG filter types
+    (None/Sub/Up/Average/Paeth). Grayscale, RGB, gray+alpha and RGBA color
+    types are supported; palette images, bit depths other than 8, and
+    Adam7 interlacing raise (out of scope, loudly)."""
+    import struct
+    import zlib
+
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    if data[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG (signature {data[:8]!r})")
+    pos, ihdr, idat, ended = 8, None, [], False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ValueError("PNG missing IHDR, IDAT, or IEND")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (bit depth {depth}, color type {color})")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter method or interlacing")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))  # verifies the stream's adler32
+    stride = width * ch
+    if len(raw) != height * (1 + stride):
+        raise ValueError(f"PNG raw data {len(raw)}B, header implies {height * (1 + stride)}B")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        line = raw[r * (1 + stride) : (r + 1) * (1 + stride)]
+        ftype, row = line[0], np.frombuffer(line[1:], dtype=np.uint8).copy()
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: per-channel cumulative sum along the row
+            rec = row.reshape(width, ch).cumsum(axis=0, dtype=np.uint64).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            rec = row + prev
+        elif ftype == 3:  # Average: sequential (depends on reconstructed left)
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth: sequential
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r] = rec
+        prev = rec
+    return width, height, ch, out.reshape(height, width, ch)
+
+
+def _png_prefix_hex(width: int, height: int, color: int = 2, depth: int = 8) -> str:
+    """PNG signature + complete IHDR chunk (fixed for a given geometry,
+    CRC included) as a hex literal."""
+    import struct
+    import zlib
+
+    body = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+    chunk = struct.pack(">I", len(body)) + b"IHDR" + body + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    )
+    return (_PNG_SIG + chunk).hex()
+
+
+_PNG_IEND_HEX = "0000000049454e44ae426082"
+
+
 def _wav_header_hex(data_len: int, rate: int = 8000, channels: int = 1, bits: int = 16) -> str:
     """Canonical 44-byte RIFF/WAVE PCM header for a given payload size."""
     import struct
@@ -160,6 +265,12 @@ def _wav_header_hex(data_len: int, rate: int = 8000, channels: int = 1, bits: in
 # means, which the closed-form DuckDB oracle catches.
 PPM_W, PPM_H, PPM_MAXVAL = 5, 3, 255
 WAV_RATE, WAV_TILE = 8000, 2  # 2 x 16 digest bytes = 16 PCM16 samples
+# PNG geometry: 5x3 RGB, one scanline per filter type None/Sub/Up — the
+# FILTERED bytes tile the digest, so the DECODED pixels are closed-form
+# (mod-256 partial sums of digest bytes) and the oracle exercises real
+# defiltering, not just container framing. Average/Paeth (floor-division
+# predictors, awkward as closed forms) are covered by pytest round-trips.
+PNG_W, PNG_H, PNG_FILTERS = 5, 3, (0, 1, 2)
 
 
 def attach_ppm_payload(df: DataFrame, source_col: str = "text", payload_col: str = "payload") -> DataFrame:
@@ -192,6 +303,100 @@ def attach_wav_payload(df: DataFrame, source_col: str = "text", payload_col: str
             f"{', '.join([u] * WAV_TILE)})"
         ),
     ).withColumn("media_type", F.lit("audio/wav"))
+
+
+def attach_png_payload(df: DataFrame, source_col: str = "text", payload_col: str = "payload") -> DataFrame:
+    """Deterministic REAL PNG payload per row, built entirely JVM-side: a
+    complete 8-bit RGB PNG whose zlib stream uses a stored (uncompressed)
+    DEFLATE block — the one deflate form constructible by byte concatenation.
+    The filtered scanline bytes tile md5(source); per-scanline filter types
+    come from ``PNG_FILTERS``. Everything dynamic is computed with built-in
+    expressions: the adler32 checksum as its closed-form weighted byte sums
+    and the IDAT CRC via Spark's ``crc32``. Any error in the framing,
+    checksums, or filter bytes makes the strict ``parse_png`` (CRC + adler
+    verification) reject the payload — the synth and decoder check each
+    other."""
+    stride = PNG_W * 3
+    raw_len = PNG_H * (1 + stride)
+    u = f"unhex(md5(`{source_col}`))"
+    body_len = PNG_H * stride
+    reps = -(-body_len // 16)
+    tiled = f"substring(concat({', '.join([u] * reps)}), 1, {body_len})"
+    parts = []
+    for r, ftype in enumerate(PNG_FILTERS[: PNG_H]):
+        parts.append(f"unhex('{ftype:02x}')")
+        parts.append(f"substring(_t, {r * stride + 1}, {stride})")
+    raw = f"concat({', '.join(parts)})"
+    # adler32 over the raw scanline data, closed form: a = (1 + sum d_i),
+    # b = (n + sum (n-i+1) * d_i), both mod 65521 (the per-byte recurrence
+    # telescoped — n=48 keeps the exact sums far below overflow)
+    byte_i = "cast(conv(substring(_hx, 2*i-1, 2), 16, 10) as bigint)"
+    a_sum = f"aggregate(sequence(1, {raw_len}), 1L, (acc, i) -> acc + {byte_i})"
+    b_sum = (
+        f"aggregate(sequence(1, {raw_len}), cast({raw_len} as long), "
+        f"(acc, i) -> acc + ({raw_len} - i + 1) * {byte_i})"
+    )
+    adler = f"(({b_sum}) % 65521) * 65536 + (({a_sum}) % 65521)"
+    # zlib stream: 0x7801 header, stored-block marker 0x01 + LEN/NLEN (LE),
+    # the raw data, then the big-endian adler32
+    stored_hdr = f"01{raw_len & 0xFF:02x}{raw_len >> 8:02x}{(~raw_len) & 0xFF:02x}{((~raw_len) >> 8) & 0xFF:02x}"
+    zstream = (
+        f"concat(unhex('7801{stored_hdr}'), _raw, "
+        f"unhex(lpad(hex({adler}), 8, '0')))"
+    )
+    idat_len = 2 + 5 + raw_len + 4
+    idat = (
+        f"concat(unhex(lpad(hex({idat_len}), 8, '0')), encode('IDAT', 'utf-8'), _z, "
+        f"unhex(lpad(hex(crc32(concat(encode('IDAT', 'utf-8'), _z))), 8, '0')))"
+    )
+    return (
+        df.withColumn("_t", F.expr(tiled))
+        .withColumn("_raw", F.expr(raw))
+        .withColumn("_hx", F.expr("hex(_raw)"))
+        .withColumn("_z", F.expr(zstream))
+        .withColumn(
+            payload_col,
+            F.expr(
+                f"concat(unhex('{_png_prefix_hex(PNG_W, PNG_H)}'), {idat}, "
+                f"unhex('{_PNG_IEND_HEX}'))"
+            ),
+        )
+        .drop("_t", "_raw", "_hx", "_z")
+        .withColumn("media_type", F.lit("image/png"))
+    )
+
+
+def decode_png_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode PNG payloads to typed image features — Arrow-batched
+    mapInPandas over ``parse_png`` (real chunk-walk + CRC + zlib inflate +
+    defilter decode). Returns (id, width, height, channels, mean_r, mean_g,
+    mean_b) with per-channel means over the reconstructed pixels (gray
+    images report the single channel in all three means)."""
+
+    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"width": [], "height": [], "channels": [], "mean_r": [], "mean_g": [], "mean_b": []}
+            for payload in pdf[payload_col]:
+                w, h, ch, px = parse_png(payload)
+                means = px.reshape(-1, ch).mean(axis=0, dtype=np.float64)
+                rgb = means[:3] if ch >= 3 else np.repeat(means[0], 3)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["mean_r"].append(round(float(rgb[0]), 6))
+                out["mean_g"].append(round(float(rgb[1]), 6))
+                out["mean_b"].append(round(float(rgb[2]), 6))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), **out})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, width long, height long, channels long, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
 
 
 def decode_ppm_image(
@@ -255,9 +460,9 @@ def decode_wav_audio(
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload", out_col: str = "pixels"):
-    """Decode COMPRESSED binary image payloads to pixel arrays (STUB —
-    JPEG/PNG-class formats need PIL, absent here; uncompressed PPM decode
-    is fully implemented in ``decode_ppm_image``).
+    """Decode LOSSY-codec image payloads to pixel arrays (STUB — JPEG-class
+    formats need PIL, absent here; PPM and PNG decode are fully implemented
+    in ``decode_ppm_image`` / ``decode_png_image``).
 
     The mapInPandas plumbing below is the real production shape; only the
     compressed-codec call itself is gated.

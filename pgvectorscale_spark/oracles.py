@@ -717,6 +717,58 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def multimodal_decode_png_oracle() -> str:
+    """Twin of the PNG decode pipeline (multimodal.attach_png_payload →
+    parse_png): the FILTERED scanline bytes tile md5(text), one scanline
+    per filter type None/Sub/Up, so the RECONSTRUCTED pixels have closed
+    forms over the digest hex — None: the byte itself; Sub: the per-channel
+    mod-256 cumulative sum along the row; Up: that plus the row-2 byte,
+    mod 256. The oracle recomputes the decoded per-channel means from those
+    forms without parsing any container — a bug anywhere in the Spark-side
+    framing (adler32/CRC/stored-block) makes the strict decoder RAISE, and
+    a bug in the defilter math diverges the means and fails the hash."""
+    from pgvectorscale_spark.operators.multimodal import PNG_FILTERS, PNG_H, PNG_W
+
+    assert tuple(PNG_FILTERS[:PNG_H]) == (0, 1, 2), "oracle mirrors None/Sub/Up rows"
+    stride = PNG_W * 3
+
+    def nib(pos: int) -> str:  # 1-based hex-char position -> nibble value
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:  # 0-based BODY byte index -> digest byte value
+        j %= 16
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    # reconstructed pixel expressions per (row, x): row 0 = raw byte; row 1
+    # = mod-256 per-channel cumsum of row-1 raw bytes; row 2 = row-2 raw
+    # byte + row-1 recon, folded into a single mod
+    def p(r: int, x: int) -> str:
+        if r == 0:
+            return byte(x)
+        sub_terms = [byte(stride + t) for t in range(x % 3, x + 1, 3)]
+        if r == 1:
+            return f"(({' + '.join(sub_terms)}) % 256)"
+        return f"(({byte(2 * stride + x)} + {' + '.join(sub_terms)}) % 256)"
+
+    rows = []
+    for name, chan in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+        terms = [p(r, x) for r in range(PNG_H) for x in range(chan, stride, 3)]
+        rows.append(
+            f"SELECT doc_id, 'png' AS media, '{name}' AS metric, "
+            f"round(({' + '.join(terms)}) / {len(terms)}.0, 6) AS value FROM m"
+        )
+    for name, val in (("width", PNG_W), ("height", PNG_H), ("channels", 3)):
+        rows.append(
+            f"SELECT doc_id, 'png' AS media, '{name}' AS metric, "
+            f"CAST({val} AS DOUBLE) AS value FROM m"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def pack_sequences_oracle(window_tokens: int) -> str:
     """Twin of packing.pack_sequences over documents: the distributed
     two-phase prefix sum must equal the plain global running total."""

@@ -141,3 +141,198 @@ def test_synthesized_payloads_are_real_containers(spark):
         ch, rate, samples = parse_wav(bytes(row["payload"]))
         assert (ch, rate) == (1, 8000)
         assert samples.shape == (16, 1)
+
+
+def _encode_png(px: np.ndarray, color: int, filters: list[int]) -> bytes:
+    """Reference PNG encoder (tests only): real zlib compression, filters
+    applied per scanline by the inverse of each defilter rule."""
+    import zlib
+
+    h, w, ch = px.shape
+    stride = w * ch
+    raw = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = filters[r % len(filters)]
+        row = px[r].reshape(stride).astype(np.int32)
+        if ft == 0:
+            fl = row.copy()
+        elif ft == 1:
+            fl = row.copy()
+            fl[ch:] = (row[ch:] - row[:-ch]) % 256
+        elif ft == 2:
+            fl = (row - prev) % 256
+        elif ft == 3:
+            fl = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                fl[x] = (row[x] - (left + prev[x]) // 2) % 256
+        elif ft == 4:
+            fl = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b, c = prev[x], (prev[x - ch] if x >= ch else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                fl[x] = (row[x] - pred) % 256
+        raw += bytes([ft]) + bytes(fl.astype(np.uint8))
+        prev = row
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\x0a"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+class TestParsePng:
+    def test_roundtrip_all_filters_and_color_types(self):
+        from pgvectorscale_spark.operators.multimodal import parse_png
+
+        rng = np.random.default_rng(11)
+        for color, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+            px = rng.integers(0, 256, (9, 7, ch), dtype=np.uint8)
+            data = _encode_png(px, color, filters=[0, 1, 2, 3, 4])
+            w, h, ch2, out = parse_png(data)
+            assert (w, h, ch2) == (7, 9, ch)
+            assert (out == px).all(), f"color type {color}"
+
+    def test_multiple_idat_chunks_concatenate(self):
+        import zlib
+
+        from pgvectorscale_spark.operators.multimodal import parse_png
+
+        rng = np.random.default_rng(12)
+        px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+        data = _encode_png(px, 2, filters=[4])
+        # split the single IDAT into two chunks at an arbitrary byte
+        pos = 8
+        chunks = []
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            chunks.append((data[pos + 4 : pos + 8], data[pos + 8 : pos + 8 + length]))
+            pos += 12 + length
+        out = data[:8]
+        for t, d in chunks:
+            parts = [d[: len(d) // 2], d[len(d) // 2 :]] if t == b"IDAT" else [d]
+            for p in parts:
+                out += struct.pack(">I", len(p)) + t + p + struct.pack(
+                    ">I", zlib.crc32(t + p) & 0xFFFFFFFF
+                )
+        w, h, ch, px2 = parse_png(out)
+        assert (px2 == px).all()
+
+    def test_rejects_bad_signature(self):
+        from pgvectorscale_spark.operators.multimodal import parse_png
+
+        with pytest.raises(ValueError, match="signature"):
+            parse_png(b"NOTPNG" + b"\x00" * 40)
+
+    def test_rejects_corrupt_chunk_crc(self):
+        from pgvectorscale_spark.operators.multimodal import parse_png
+
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        data = bytearray(_encode_png(px, 2, filters=[0]))
+        data[40] ^= 0xFF  # inside IDAT payload: CRC no longer matches
+        with pytest.raises(ValueError):
+            parse_png(bytes(data))
+
+    def test_rejects_unsupported_depth_palette_interlace(self):
+        import zlib
+
+        from pgvectorscale_spark.operators.multimodal import parse_png
+
+        def with_ihdr(depth, color, interlace):
+            body = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+            chunk = (
+                struct.pack(">I", len(body))
+                + b"IHDR"
+                + body
+                + struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+            )
+            idat = zlib.compress(b"\x00" * 14)
+            ich = (
+                struct.pack(">I", len(idat))
+                + b"IDAT"
+                + idat
+                + struct.pack(">I", zlib.crc32(b"IDAT" + idat) & 0xFFFFFFFF)
+            )
+            iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+                ">I", zlib.crc32(b"IEND") & 0xFFFFFFFF
+            )
+            return b"\x89PNG\r\n\x1a\x0a" + chunk + ich + iend
+
+        for depth, color, inter in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+            with pytest.raises(ValueError, match="unsupported"):
+                parse_png(with_ihdr(depth, color, inter))
+
+    def test_rejects_wrong_raw_length(self):
+        from pgvectorscale_spark.operators.multimodal import parse_png
+
+        px = np.zeros((3, 3, 3), dtype=np.uint8)
+        ok = _encode_png(px, 2, filters=[0])
+        # claim a 4x4 geometry over the 3x3 raw stream
+        bad = _encode_png(np.zeros((4, 4, 3), dtype=np.uint8), 2, filters=[0])
+        hybrid = bad[:33] + ok[33:]  # IHDR from 4x4, IDAT from 3x3 -> CRC ok, len wrong
+        with pytest.raises(ValueError):
+            parse_png(hybrid)
+
+
+def test_png_synth_is_real_and_decodes_to_reference_pixels(spark):
+    """attach_png_payload emits complete, strictly-valid PNGs (CRC and
+    adler32 verified by the decoder), and the decoded pixels equal an
+    independent Python reconstruction from the digest bytes."""
+    import hashlib
+
+    from pgvectorscale_spark.operators.multimodal import (
+        PNG_FILTERS,
+        PNG_H,
+        PNG_W,
+        attach_png_payload,
+        decode_png_image,
+        parse_png,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta gamma"), (3, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in attach_png_payload(df).collect()}
+    stride = PNG_W * 3
+    for doc_id, r in rows.items():
+        w, h, ch, px = parse_png(bytes(r["payload"]))
+        assert (w, h, ch) == (PNG_W, PNG_H, 3)
+        dig = hashlib.md5(r["text"].encode()).digest()
+        body = (dig * (stride * PNG_H // 16 + 1))[: stride * PNG_H]
+        exp = np.zeros((PNG_H, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for rr, ft in enumerate(PNG_FILTERS[:PNG_H]):
+            raw = np.frombuffer(body[rr * stride : (rr + 1) * stride], dtype=np.uint8).copy()
+            if ft == 0:
+                rec = raw
+            elif ft == 1:
+                rec = (
+                    raw.reshape(PNG_W, 3)
+                    .cumsum(axis=0, dtype=np.uint64)
+                    .astype(np.uint8)
+                    .reshape(stride)
+                )
+            else:
+                rec = raw + prev
+            exp[rr] = rec
+            prev = rec
+        assert (px.reshape(PNG_H, stride) == exp).all(), doc_id
+    # the decode operator reports the same means
+    feats = {r["doc_id"]: r for r in decode_png_image(attach_png_payload(df)).collect()}
+    for doc_id, r in rows.items():
+        _, _, _, px = parse_png(bytes(r["payload"]))
+        means = px.reshape(-1, 3).mean(axis=0)
+        assert abs(feats[doc_id]["mean_r"] - means[0]) < 1e-6
+        assert abs(feats[doc_id]["mean_b"] - means[2]) < 1e-6
