@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pgvectorscale_spark.operators.jpeg import decode_jpeg_image, parse_jpeg  # noqa: F401 (re-export)
+
 __all__ = [
     "attach_binary_payload",
     "attach_png_payload",
@@ -34,11 +36,13 @@ __all__ = [
     "attach_wav_payload",
     "binary_metadata",
     "decode_image",
+    "decode_jpeg_image",
     "decode_png_image",
     "decode_ppm_image",
     "decode_wav_audio",
     "fake_feature_extract",
     "frame_sample_plan",
+    "parse_jpeg",
     "parse_png",
     "parse_ppm",
     "parse_wav",
