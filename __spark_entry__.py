@@ -704,6 +704,28 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id", "media", "metric")
 
 
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 5-word
+    shingle with a benchmark set (here: the doc_id % 97 == 0 subset of the
+    same corpus, so the benchmark docs self-flag and any near-dups of them
+    get partial hit counts). Broadcast semijoin — no corpus-sized shuffle."""
+    from pgvectorscale_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs, docs.filter("doc_id % 97 = 0"), shingle_n=5
+    ).orderBy("doc_id")
+
+
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate 2/3-gram
+    fractions (map-side array expressions) and the most-frequent-token
+    share (explode + map-side-combining aggs)."""
+    from pgvectorscale_spark.operators.curation import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-container decode, no media libraries: complete PNGs
     (signature, IHDR, stored-deflate zlib stream with JVM-computed adler32,
@@ -836,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "multimodal_decode": _multimodal_decode,
         "multimodal_decode_png": _multimodal_decode_png,
+        "decontaminate": _decontaminate,
+        "repetition_stats": _repetition_stats,
         # relational surface (inherited from Spark, §2.7)
         "pricing_summary": _pricing_summary,
         "top_customers": _top_customers,
@@ -920,6 +944,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": oracles.multimodal_features_oracle(4),
         "multimodal_decode": oracles.multimodal_decode_oracle(),
         "multimodal_decode_png": oracles.multimodal_decode_png_oracle(),
+        "decontaminate": oracles.decontaminate_oracle(5, "doc_id % 97 = 0"),
+        "repetition_stats": oracles.repetition_stats_oracle(),
         "pricing_summary": relational.pricing_summary_sql(),
         "top_customers": relational.top_customers_sql(10),
         "events_hourly": relational.events_hourly_sql(),

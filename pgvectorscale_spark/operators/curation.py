@@ -1,0 +1,119 @@
+"""Corpus-curation operators beyond near-dup detection: benchmark
+decontamination and repetition-based quality stats.
+
+Two standard large-scale training-data pipeline stages:
+
+- **Decontamination** (``decontaminate``): flag corpus documents sharing
+  any word n-gram with a benchmark/eval set — the test-set-leakage filter
+  every serious pretraining pipeline runs. Scale shape: the benchmark's
+  distinct-shingle set is tiny relative to the corpus (benchmarks are MBs
+  against TBs), so the overlap test is a BROADCAST inner join from the
+  exploded corpus shingles — map-side, no corpus-sized shuffle; only the
+  matching rows (rare) shuffle into the per-doc hit count, and the final
+  left join back to ids is by the corpus' own id column.
+- **Repetition stats** (``repetition_stats``): per-document repetition
+  signals in the Gopher/RefinedWeb family — duplicate n-gram fractions
+  and the most-frequent-token share. Duplicate-n-gram fractions are pure
+  map-side expressions (``size(array_distinct(...))``); the top-token
+  share uses explode + two map-side-combining aggregations on (doc_id,
+  token) — the canonical distributed mode computation, no interpreted
+  per-row fold.
+
+No reference analog (pgvectorscale stores vectors, not corpora); these
+serve the training-data-pipeline brief alongside operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.functions.hashing import SPARK, tokens, word_shingles
+
+__all__ = ["decontaminate", "repetition_stats"]
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag corpus docs that share at least one word ``shingle_n``-gram
+    with ``benchmark``. Returns (id, n_hits, contaminated) for EVERY
+    corpus doc — n_hits = how many of the doc's distinct shingles appear
+    anywhere in the benchmark (0 = clean).
+
+    Docs shorter than ``shingle_n`` words contribute their whole text as
+    one shingle (the ``word_shingles`` convention), so short corpus docs
+    are only flagged on exact-ish containment, never on single common
+    words."""
+    sh = word_shingles(tokens(f"`{text_col}`", SPARK), shingle_n, SPARK)
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(F.expr(f"array_distinct({sh})")).alias("_sh")
+    )
+    bench_sh = (
+        benchmark.select(F.explode(F.expr(f"array_distinct({sh})")).alias("_sh"))
+        .distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "_sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (Gopher/RefinedWeb-style quality
+    filters, word-level — the synthetic corpus has no line structure):
+
+    - ``n_tokens``: whitespace token count,
+    - ``top_token_frac``: occurrences of the most frequent token / n_tokens
+      (ties on count are irrelevant — only the max multiplicity matters),
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: 1 - distinct/total over the
+      word n-grams (0 when fewer than n words: a single whole-doc shingle
+      is trivially distinct).
+
+    A curation pass drops docs above thresholds on these (e.g. Gopher
+    rejects dup_3gram_frac-style scores over ~0.18)."""
+    toks = tokens(f"`{text_col}`", SPARK)
+    base = df.select(F.col(id_col), F.expr(toks).alias("_toks"))
+    ngram_cols = []
+    for n in (2, 3):
+        g = word_shingles("_toks", n, SPARK)
+        ngram_cols.append(
+            F.round(
+                F.lit(1.0)
+                - F.expr(f"size(array_distinct({g}))") / F.expr(f"size({g})"),
+                6,
+            ).alias(f"dup_{n}gram_frac")
+        )
+    per_doc = base.select(
+        id_col, F.size("_toks").cast("long").alias("n_tokens"), *ngram_cols
+    )
+    top = (
+        base.select(id_col, F.explode("_toks").alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"))
+    )
+    return per_doc.join(top, id_col).select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("_top") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+    )

@@ -717,6 +717,59 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def decontaminate_oracle(shingle_n: int, benchmark_pred: str) -> str:
+    """Twin of curation.decontaminate with the benchmark drawn from the
+    documents table by ``benchmark_pred`` (a SQL predicate over doc_id) —
+    per corpus doc, how many of its distinct word n-grams appear in the
+    benchmark's shingle set."""
+    toks = tokens("text", DUCKDB)
+    sh = word_shingles(toks, shingle_n, DUCKDB)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS sh FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(list_distinct({sh})) AS sh
+  FROM documents WHERE {benchmark_pred}
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM corpus JOIN bench USING (sh)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def repetition_stats_oracle() -> str:
+    """Twin of curation.repetition_stats: duplicate 2/3-gram fractions and
+    the most-frequent-token share, word-level."""
+    toks = tokens("text", DUCKDB)
+    g2 = word_shingles("t", 2, DUCKDB)
+    g3 = word_shingles("t", 3, DUCKDB)
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+per_doc AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+         round(1.0 - len(list_distinct({g2})) / len({g2})::DOUBLE, 6) AS dup_2gram_frac,
+         round(1.0 - len(list_distinct({g3})) / len({g3})::DOUBLE, 6) AS dup_3gram_frac
+  FROM base
+),
+counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM base) GROUP BY doc_id, tok
+),
+tops AS (SELECT doc_id, max(c) AS top FROM counts GROUP BY doc_id)
+SELECT p.doc_id, p.n_tokens,
+       round(t.top / p.n_tokens::DOUBLE, 6) AS top_token_frac,
+       p.dup_2gram_frac, p.dup_3gram_frac
+FROM per_doc p JOIN tops t ON p.doc_id = t.doc_id
+ORDER BY p.doc_id
+"""
+
+
 def multimodal_decode_png_oracle() -> str:
     """Twin of the PNG decode pipeline (multimodal.attach_png_payload →
     parse_png): the FILTERED scanline bytes tile md5(text), one scanline

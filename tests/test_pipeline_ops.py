@@ -179,3 +179,81 @@ def test_fake_feature_extract_deterministic(spark, documents):
     b = {r["doc_id"]: r["feature"] for r in fake_feature_extract(payloads, dim=4).collect()}
     assert a == b
     assert all(0.0 <= v <= 1.0 for feats in a.values() for v in feats)
+
+
+class TestCuration:
+    def test_decontaminate_flags_exact_and_partial_overlap(self, spark):
+        from pgvectorscale_spark.operators.curation import decontaminate
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h"),          # contains the benchmark 5-gram
+                (2, "x y z w v u t s"),          # clean
+                (3, "q q b c d e f q"),          # shares 'b c d e f'
+                (4, "short doc"),                # < n words: whole-doc shingle
+                (5, "bench mark text here now"), # exact benchmark doc
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "b c d e f"), (101, "bench mark text here now")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+               for r in decontaminate(corpus, bench, shingle_n=5).collect()}
+        assert got[1] == (1, True)
+        assert got[2] == (0, False)
+        assert got[3] == (1, True)
+        assert got[4] == (0, False)  # whole-doc shingle not in benchmark
+        assert got[5] == (1, True)
+
+    def test_decontaminate_short_doc_exact_containment_only(self, spark):
+        from pgvectorscale_spark.operators.curation import decontaminate
+
+        corpus = spark.createDataFrame(
+            [(1, "the cat"), (2, "the dog")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([(9, "the cat")], "doc_id long, text string")
+        got = {r["doc_id"]: r["contaminated"]
+               for r in decontaminate(corpus, bench, shingle_n=8).collect()}
+        # both docs and the bench doc are shorter than n: whole-doc shingles,
+        # so only the exact match flags — a shared word ('the') never does
+        assert got == {1: True, 2: False}
+
+    def test_decontaminate_benchmark_side_broadcasts(self, spark):
+        from pgvectorscale_spark.operators.curation import decontaminate
+
+        corpus = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        bench = corpus.limit(3)
+        plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+        # the shingle-overlap test must be a broadcast join (benchmark side
+        # tiny at any corpus scale), never a corpus-wide sort-merge shuffle
+        # on the exploded shingles. (The final hits->ids left join may plan
+        # as SMJ statically — it is keyed on the corpus's own long id with a
+        # rare-rows right side, and AQE demotes it to broadcast at runtime.)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin [_sh" not in plan
+
+    def test_repetition_stats_known_values(self, spark):
+        from pgvectorscale_spark.operators.curation import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "a a a a"),        # one token repeated
+                (2, "a b c d"),        # all distinct
+                (3, "a b a b a"),      # alternating
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert got[1]["n_tokens"] == 4 and got[1]["top_token_frac"] == 1.0
+        # 2-grams of 'a a a a' = ['a a'] x3 -> dup frac 1 - 1/3
+        assert abs(got[1]["dup_2gram_frac"] - (1 - 1 / 3)) < 1e-6
+        assert got[2]["top_token_frac"] == 0.25
+        assert got[2]["dup_2gram_frac"] == 0.0 and got[2]["dup_3gram_frac"] == 0.0
+        assert abs(got[3]["top_token_frac"] - 3 / 5) < 1e-6
+        # 2-grams: [ab, ba, ab, ba] -> 1 - 2/4
+        assert abs(got[3]["dup_2gram_frac"] - 0.5) < 1e-6
