@@ -84,10 +84,19 @@ def sweep_trash(path: str, meta) -> None:
     to finish. Clears meta.trash_dirs in place (caller saves the meta)."""
     import shutil
 
+    import glob
+
     for rel in meta.trash_dirs:
         p = os.path.join(path, rel)
         shutil.rmtree(p, ignore_errors=True)
         delete_dir(p)  # remote-capable twin
+    # orphan temp metas from crashed atomic saves (tiny, but unbounded
+    # accumulation over crashes would be litter)
+    for tmp in glob.glob(os.path.join(path, "_index_meta.*.tmp")):
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
     meta.trash_dirs = []
     live = {rel for rel in (meta.shard_base or {}).values() if rel}
     live.add(meta.base_rel)

@@ -242,9 +242,21 @@ class IndexMeta:
         )
 
     def save(self, index_path: str) -> None:
+        """Atomic commit: write to a unique temp file, then os.replace.
+        The meta save IS the snapshot flip of the V5 store protocol, so a
+        concurrent load must see the complete old or complete new meta —
+        a plain truncate-and-write exposes readers to torn/empty JSON
+        (caught by the concurrent-reader fold test)."""
+        import uuid
+
         os.makedirs(index_path, exist_ok=True)
-        with open(os.path.join(index_path, "_index_meta.json"), "w") as f:
+        final = os.path.join(index_path, "_index_meta.json")
+        tmp = os.path.join(index_path, f"_index_meta.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
             json.dump(asdict(self), f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
 
     @classmethod
     def load(cls, index_path: str) -> "IndexMeta":

@@ -305,3 +305,63 @@ def test_ivf_fold_is_snapshot_flipped_with_empty_cell_sentinel(spark, tmpdir):
     assert idx.live_nodes().filter("node_id >= 900").count() >= 1
     cold = IvfIndex.load(spark, idx.path)
     assert cold.live_nodes().count() == idx.meta.num_rows
+
+
+def test_concurrent_readers_through_folds_and_rebuild(spark, tmpdir):
+    """The race the snapshot protocol exists to kill, exercised for real:
+    reader threads run searches in a tight loop (reloading their index
+    handle each iteration, as an unsynchronized executor would) while the
+    writer thread drives inserts through MULTIPLE folds and then a full
+    rebuild. Correctness bar: every read either succeeds with exactly k
+    well-formed results or raises StaleIndexReadError (fail-stop) — never
+    an empty/partial result set, never a crash of another type, and reads
+    against a freshly loaded handle never fail at all."""
+    import threading
+
+    idx, mat, rng = _build(spark, tmpdir, "conc", n=300)
+    stop = threading.Event()
+    failures: list[str] = []
+    reads = {"ok": 0, "stale": 0}
+
+    def reader():
+        q = mat[0].tolist()
+        while not stop.is_set():
+            try:
+                cold = DiskannIndex.load(spark, idx.path)
+                res = cold.search(q, k=5).collect()
+                if len(res) != 5 or any(r["node_id"] is None for r in res):
+                    failures.append(f"malformed result: {res}")
+                    return
+                reads["ok"] += 1
+            except StaleIndexReadError:
+                # allowed only for handles held across 2+ maintenance
+                # cycles; a FRESH load must never hit it
+                failures.append("fresh handle raised StaleIndexReadError")
+                return
+            except Exception as e:  # noqa: BLE001 — any other error is a bug
+                failures.append(f"{type(e).__name__}: {e}")
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        nxt = 50_000
+        for _ in range(2):  # two full fold cycles under concurrent reads
+            nxt = _fold_chain(spark, idx, rng, nxt)
+        # full rebuild at the live path while readers run
+        df = spark.createDataFrame(
+            [(i, mat[i].tolist()) for i in range(300)],
+            "vec_id long, embedding array<float>",
+        )
+        idx2 = DiskannIndex.build(
+            df, idx.path, distance_type="l2", num_shards=1,
+            id_col="vec_id", vector_col="embedding",
+        )
+        nxt = _fold_chain(spark, idx2, rng, nxt)  # and one more fold after
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=120)
+    assert not failures, failures[:3]
+    assert reads["ok"] > 0  # readers actually overlapped the maintenance
