@@ -261,3 +261,81 @@ def test_sessionize_stream_update_mode(spark, tmpdir):
     }
     assert finals <= exp_all
     assert sum(1 for (u, *_r) in finals if u == 7) == 2
+
+
+def test_stream_dedup_exact_first_arrival_wins(spark, tmpdir):
+    """Cross-micro-batch exact dedup: within a batch the smallest id keeps
+    (the batch operator's canonical rule); a later batch's copy of content
+    already seen is dropped entirely."""
+    from pgvectorscale_spark.streaming.dedup import stream_dedup_exact
+
+    rows = [
+        # batch 1: 'aaa' twice (ids 3, 1 -> 1 keeps), 'bbb' once
+        (3, "aaa"), (1, "aaa"), (2, "bbb"),
+        # batch 2: 'aaa' again (dropped), 'ccc' new (kept), 'bbb' again (dropped)
+        (10, "aaa"), (11, "ccc"), (12, "bbb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmpdir.join("sdd_in"))
+    df.filter("doc_id <= 3").coalesce(1).write.parquet(path)
+    df.filter("doc_id >= 10").coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    out = stream_dedup_exact(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmpdir.join("ckpt_sdd")))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["text"]: r["doc_id"] for r in spark.sql("SELECT * FROM sdd").collect()}
+    assert got == {"aaa": 1, "bbb": 2, "ccc": 11}
+    # hashes match the batch operator's h60 fragment (cross-engine family)
+    hashes = {r["text"]: r["content_hash"] for r in spark.sql("SELECT * FROM sdd").collect()}
+    from pgvectorscale_spark.functions.hashing import SPARK, h60
+
+    expected = {
+        r["text"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in hashes], "text string")
+        .selectExpr("text", f"{h60('text', SPARK)} as h")
+        .collect()
+    }
+    assert hashes == expected
+
+
+def test_stream_dedup_ttl_expires_state(spark, tmpdir):
+    """With a processing-time TTL, a hash's state expires after quiet time
+    and the content is re-admitted (bounded-state mode)."""
+    import time
+
+    from pgvectorscale_spark.streaming.dedup import stream_dedup_exact
+
+    path = str(tmpdir.join("sdt_in"))
+    df1 = spark.createDataFrame([(1, "xxx")], "doc_id long, text string")
+    df1.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(df1.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    out = stream_dedup_exact(stream, state_ttl_seconds=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdt")
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .option("checkpointLocation", str(tmpdir.join("ckpt_sdt")))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.sql("SELECT * FROM sdt").count() < 1:
+            time.sleep(1)
+        time.sleep(5)  # TTL (1 s) passes; timeout fires on a later trigger
+        df2 = spark.createDataFrame([(2, "xxx")], "doc_id long, text string")
+        df2.coalesce(1).write.mode("append").parquet(path)
+        while time.time() < deadline and spark.sql("SELECT * FROM sdt").count() < 2:
+            time.sleep(1)
+        rows = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM sdt").collect())
+        assert rows == [1, 2]  # re-admitted after state expiry
+    finally:
+        q.stop()
