@@ -380,6 +380,17 @@ def _read_shard_pdf(
                     f"{d} is gone: this reader's index meta predates a "
                     "fold/rebuild sweep — reload the index and retry"
                 ) from None
+            # the parent survives, but a swept marker means this shard
+            # EXISTED here and was folded away after this reader's meta —
+            # without the marker, 'missing subdir under a live parent' is
+            # indistinguishable from a never-populated cell and a 2+-cycle
+            # stale reader would silently serve an empty shard
+            if k == 0 and _swept_marker_present(d):
+                raise StaleIndexReadError(
+                    f"{d} was folded away and reclaimed: this reader's "
+                    "index meta predates the fold — reload the index and "
+                    "retry"
+                ) from None
     if not frames:
         return pd.DataFrame(
             {
@@ -435,6 +446,27 @@ def _load_shard_graph(
         fullmat = np.stack(pdf["vector"].to_numpy()).astype(np.float32)
     _cache_put(key, (g, gids, dead, fullmat), _entry_nbytes(g, gids, dead, fullmat))
     return g, gids, dead, fullmat, False
+
+
+def _write_sidecar_atomic(final_path: str, table) -> None:
+    """Publish a tiny sidecar table as ONE parquet file via temp +
+    os.replace (atomic on local FS; a single-object put on object
+    stores). Readers never observe a half-written state."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as papq
+
+    tmp = f"{final_path}.{_uuid.uuid4().hex[:8]}.tmp"
+    papq.write_table(table, tmp)
+    os.replace(tmp, final_path)
+
+
+def _swept_marker_present(shard_dir: str) -> bool:
+    """True iff a fold sweep left its marker for this partition subdir
+    (index_util.swept_marker_path) — the executor-side staleness probe."""
+    from pgvectorscale_spark.operators.index_util import file_exists, swept_marker_path
+
+    return file_exists(swept_marker_path(shard_dir))
 
 
 def _shard_dir_missing(shard_dir: str) -> bool:
@@ -1094,38 +1126,27 @@ class DiskannIndex:
         )
 
     def _base_frames(self) -> DataFrame:
-        """Base snapshot as one DataFrame: the `base_rel` dir for shards
-        without a fold override, plus each override dir filtered to exactly
-        the shards currently mapped to it. The filters are load-bearing —
-        superseded copies of a folded shard legitimately remain on disk
-        (in `base_rel`, or in an older gen dir still hosting other shards)
-        for the trash grace cycle and must not leak into the view."""
+        """Base snapshot as one DataFrame, assembled from the protocol-level
+        dir list (index_util.snapshot_base_dirs): the `base_rel` dir only
+        for partitions actually present on disk and not overridden by a
+        fold, plus each override dir filtered to exactly the shards mapped
+        to it. The restrictions are load-bearing — superseded copies of a
+        folded shard legitimately remain on disk for the trash grace cycle
+        and must not leak into the view; and a base dir whose every
+        populated shard has been folded away and swept holds no parquet at
+        all, so scanning it unconditionally would fail schema inference."""
+        from pgvectorscale_spark.operators.index_util import snapshot_base_dirs
+
         cols = _node_cols()
-        mapping = self.meta.shard_base or {}
-        if not mapping:
-            return self.spark.read.parquet(
-                os.path.join(self.path, self.meta.base_rel)
-            )
-        mapped = sorted({int(s) for s in mapping})
-        frames: list[DataFrame] = []
-        # when every shard is overridden the base dir may hold no parquet
-        # files at all (each subdir trashed by a fold) — skip its scan
-        if not set(mapped) >= set(range(int(self.meta.num_shards) or 1)):
-            frames.append(
-                self.spark.read.parquet(os.path.join(self.path, self.meta.base_rel))
-                .select(cols)
-                .filter(~F.col("shard").isin(mapped))
-            )
-        by_dir: dict[str, list[int]] = {}
-        for s, rel in mapping.items():
-            if rel:  # "" = emptied-by-fold sentinel (IVF-only; no rows)
-                by_dir.setdefault(rel, []).append(int(s))
-        for rel, ss in sorted(by_dir.items()):
-            frames.append(
-                self.spark.read.parquet(os.path.join(self.path, rel))
-                .select(cols)
-                .filter(F.col("shard").isin(sorted(ss)))
-            )
+        dirs = snapshot_base_dirs(self.path, self.meta, "shard")
+        if len(dirs) == 1 and dirs[0][1] is None:
+            return self.spark.read.parquet(dirs[0][0])
+        frames = [
+            self.spark.read.parquet(d).select(cols).filter(F.col("shard").isin(ss))
+            for d, ss in dirs
+        ]
+        if not frames:
+            return self.spark.createDataFrame([], _NODE_SCHEMA)
         u = frames[0]
         for f in frames[1:]:
             u = u.unionByName(f)
@@ -1167,6 +1188,67 @@ class DiskannIndex:
     # -- shard routing -----------------------------------------------------------
 
     _ROUTING_SCHEMA = "shard int, centroid array<float>, count long, vsum array<double>"
+    # atomic single-file sidecar layout (tiny tables: num_shards rows /
+    # labels x shards rows). Published with temp-file + os.replace, so a
+    # concurrent reader sees the complete old or complete new table, never
+    # the deleted-dir window a Spark overwrite opens. Routing is an
+    # ADVISORY probe hint — a reader pairing a slightly newer table with
+    # its own (older) snapshot only shifts which shards it probes first,
+    # never which rows are correct — so unlike IVF centroids it needs no
+    # meta-versioned generation. Legacy dir layouts remain readable;
+    # rebuilds queue them as trash.
+    _ROUTING_FILE = "routing.parquet"
+    _LABEL_ROUTING_FILE = "label_routing.parquet"
+
+    def _sidecar_source(self, file_name: str, legacy_dir: str) -> str | None:
+        """Readable sidecar location: atomic file if present, else the
+        legacy directory, else None."""
+        from pgvectorscale_spark.operators.index_util import file_exists
+
+        f = os.path.join(self.path, file_name)
+        if os.path.isfile(f) or file_exists(f):
+            return f
+        d = os.path.join(self.path, legacy_dir)
+        return d if _dir_exists(d) else None
+
+    def _write_routing_rows(self, rows: list[tuple]) -> None:
+        """Atomically publish the routing table rows (shard, centroid,
+        count, vsum) as one parquet file."""
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                ("shard", pa.int32()),
+                ("centroid", pa.list_(pa.float32())),
+                ("count", pa.int64()),
+                ("vsum", pa.list_(pa.float64())),
+            ]
+        )
+        table = pa.Table.from_pydict(
+            {
+                "shard": [r[0] for r in rows],
+                "centroid": [r[1] for r in rows],
+                "count": [r[2] for r in rows],
+                "vsum": [r[3] for r in rows],
+            },
+            schema=schema,
+        )
+        _write_sidecar_atomic(os.path.join(self.path, self._ROUTING_FILE), table)
+
+    def _write_label_pairs(self, pairs) -> None:
+        """Atomically publish the (shard, label) coverage sidecar."""
+        import pyarrow as pa
+
+        pairs = sorted({(int(s), int(l)) for s, l in pairs})
+        schema = pa.schema([("shard", pa.int32()), ("label", pa.int32())])
+        table = pa.Table.from_pydict(
+            {"shard": [p[0] for p in pairs], "label": [p[1] for p in pairs]},
+            schema=schema,
+        )
+        _write_sidecar_atomic(
+            os.path.join(self.path, self._LABEL_ROUTING_FILE), table
+        )
+        self._label_routing_memo = None  # invalidate the driver memo
 
     def _write_routing(self, shards: Sequence[int] | None = None) -> None:
         """Persist one centroid per shard (the routing table), along with
@@ -1185,7 +1267,6 @@ class DiskannIndex:
         ``_apply_routing_delta`` path instead."""
         nodes = self.nodes()
         touched = sorted({int(s) for s in shards}) if shards is not None else None
-        rdir = os.path.join(self.path, "routing")
         stored = None
         if touched is not None:
             stored = self._routing_stats()
@@ -1212,16 +1293,14 @@ class DiskannIndex:
                 F.expr("transform(_s, x -> x.s)").alias("vsum"),
             )
         )
+        fresh = [
+            (int(r["shard"]), list(r["centroid"]), int(r["count"]), list(r["vsum"]))
+            for r in cent.collect()
+        ]
         if touched is not None:
-            # the table is tiny (num_shards rows): merge on the driver so
-            # the overwrite never reads the directory it writes
-            keep = [row for s, row in stored.items() if s not in touched]
-            fresh = [
-                (int(r["shard"]), list(r["centroid"]), int(r["count"]), list(r["vsum"]))
-                for r in cent.collect()
-            ]
-            cent = self.spark.createDataFrame(keep + fresh, self._ROUTING_SCHEMA)
-        cent.coalesce(1).write.mode("overwrite").parquet(rdir)
+            # the table is tiny (num_shards rows): merge on the driver
+            fresh = [row for s, row in stored.items() if s not in touched] + fresh
+        self._write_routing_rows(fresh)
         if self.meta.has_labels and self.meta.shard_assignment == "kmeans":
             # label -> shards sidecar: serving's label-aware routing widening
             # reads THIS (labels x shards rows) instead of running a distinct
@@ -1230,30 +1309,26 @@ class DiskannIndex:
             # the sidecar would be dead weight AND go stale on hash inserts,
             # which skip _write_routing entirely); tombstones only ever
             # over-include a shard (recall-safe).
-            ldir = os.path.join(self.path, "label_routing")
+            lsrc = self._sidecar_source(self._LABEL_ROUTING_FILE, "label_routing")
             # an incremental update with NO stored sidecar (e.g. the first
             # mutation on an index migrated from a pre-sidecar format) must
             # aggregate ALL shards — writing only the touched shards' labels
             # would make _label_shards unroute every other shard's labels
-            lab_src = nodes if touched is not None and _dir_exists(ldir) else self.nodes()
+            lab_src = nodes if touched is not None and lsrc else self.nodes()
             lab = lab_src.select("shard", F.explode("labels").alias("label")).distinct()
-            if touched is not None and _dir_exists(ldir):
-                keep_l = [
+            pairs = [(int(r["shard"]), int(r["label"])) for r in lab.collect()]
+            if touched is not None and lsrc:
+                pairs += [
                     (int(r["shard"]), int(r["label"]))
-                    for r in self.spark.read.parquet(ldir).collect()
+                    for r in self.spark.read.parquet(lsrc).collect()
                     if int(r["shard"]) not in touched
                 ]
-                fresh_l = [(int(r["shard"]), int(r["label"])) for r in lab.collect()]
-                lab = self.spark.createDataFrame(
-                    keep_l + fresh_l, "shard int, label int"
-                )
-            lab.coalesce(1).write.mode("overwrite").parquet(ldir)
-            self._label_routing_memo = None  # invalidate the driver memo
+            self._write_label_pairs(pairs)
 
     def _routing_table(self) -> tuple[np.ndarray, np.ndarray] | None:
         """(shard_ids, centroid_matrix) or None for pre-routing indexes."""
-        rdir = os.path.join(self.path, "routing")
-        if not _dir_exists(rdir):
+        rdir = self._sidecar_source(self._ROUTING_FILE, "routing")
+        if rdir is None:
             return None
         try:
             rows = self.spark.read.parquet(rdir).collect()
@@ -1269,8 +1344,8 @@ class DiskannIndex:
         """Stored routing rows WITH sufficient statistics, as
         {shard: (shard, centroid, count, vsum)} — or None when the sidecar
         is absent or predates the stats columns (degrade to recompute)."""
-        rdir = os.path.join(self.path, "routing")
-        if not _dir_exists(rdir):
+        rdir = self._sidecar_source(self._ROUTING_FILE, "routing")
+        if rdir is None:
             return None
         try:
             df = self.spark.read.parquet(rdir)
@@ -1359,31 +1434,26 @@ class DiskannIndex:
                 continue
             cent = (vs / cnt).astype(np.float32)
             rows[s] = (s, [float(x) for x in cent], int(cnt), [float(x) for x in vs])
-        rdir = os.path.join(self.path, "routing")
-        self.spark.createDataFrame(list(rows.values()), self._ROUTING_SCHEMA).coalesce(
-            1
-        ).write.mode("overwrite").parquet(rdir)
+        self._write_routing_rows(list(rows.values()))
         if self.meta.has_labels:
             # labels sidecar: batch pairs only ever ADD coverage (tombstones
             # over-include, recall-safe — same semantics as the re-agg path)
-            ldir = os.path.join(self.path, "label_routing")
-            if _dir_exists(ldir):
+            lsrc = self._sidecar_source(self._LABEL_ROUTING_FILE, "label_routing")
+            if lsrc:
                 pairs = {
                     (int(r["shard"]), int(r["label"]))
-                    for r in self.spark.read.parquet(ldir).collect()
+                    for r in self.spark.read.parquet(lsrc).collect()
                 }
                 pairs.update(delta["labels"])
-                self.spark.createDataFrame(
-                    sorted(pairs), "shard int, label int"
-                ).coalesce(1).write.mode("overwrite").parquet(ldir)
             else:
-                lab = (
-                    self.nodes()
+                pairs = {
+                    (int(r["shard"]), int(r["label"]))
+                    for r in self.nodes()
                     .select("shard", F.explode("labels").alias("label"))
                     .distinct()
-                )
-                lab.coalesce(1).write.mode("overwrite").parquet(ldir)
-            self._label_routing_memo = None
+                    .collect()
+                }
+            self._write_label_pairs(pairs)
 
     def _label_shards(self, labels) -> set[int] | None:
         """Shards that contain at least one row bearing any of `labels` —
@@ -1399,12 +1469,12 @@ class DiskannIndex:
         if not self.meta.has_labels:
             return None
         want = [int(x) for x in labels]
-        ldir = os.path.join(self.path, "label_routing")
+        ldir = self._sidecar_source(self._LABEL_ROUTING_FILE, "label_routing")
         memo = getattr(self, "_label_routing_memo", None)
         token = (self.meta.build_id, self.meta.epoch)
         if memo is not None and memo[0] == token:
             mapping = memo[1]
-        elif _dir_exists(ldir):
+        elif ldir is not None:
             mapping: dict[int, set[int]] = {}
             for r in self.spark.read.parquet(ldir).collect():
                 mapping.setdefault(int(r["label"]), set()).add(int(r["shard"]))

@@ -18,9 +18,12 @@ __all__ = [
     "ConcurrentWriterError",
     "delete_dir",
     "dir_exists",
+    "file_exists",
     "list_subdirs",
     "prepare_rebuild",
+    "snapshot_base_dirs",
     "sweep_trash",
+    "swept_marker_path",
     "writer_lock",
 ]
 
@@ -44,6 +47,31 @@ def dir_exists(path: str) -> bool:
         return fsys.get_file_info(p).type == pafs.FileType.Directory
     except Exception:
         return False
+
+
+def file_exists(path: str) -> bool:
+    """File-existence probe on the path's own filesystem (remote-capable
+    twin of os.path.isfile)."""
+    from pyarrow import fs as pafs
+
+    try:
+        fsys, p = _pa_fs(path)
+        return fsys.get_file_info(p).type == pafs.FileType.File
+    except Exception:
+        return False
+
+
+def swept_marker_path(partition_dir: str) -> str:
+    """Marker file recording that a partition subdir (``.../shard=K`` /
+    ``.../centroid_id=K``) was SWEPT from a still-live parent dir. Lets a
+    reader whose meta predates the fold distinguish 'this shard was never
+    populated' (no dir, no marker -> legitimately empty) from 'this shard
+    was folded away and its superseded copy reclaimed' (no dir, marker ->
+    StaleIndexReadError instead of silently serving an empty shard).
+    Markers are tiny, at most one per partition of the parent, and die
+    with the parent dir."""
+    parent, name = os.path.split(partition_dir.rstrip("/"))
+    return os.path.join(parent, f"_swept_{name}")
 
 
 def delete_dir(path: str) -> None:
@@ -82,14 +110,31 @@ def sweep_trash(path: str, meta) -> None:
     START of a fold/rebuild while holding the writer lock, so anything
     superseded by the LAST fold has had a full cycle for in-flight readers
     to finish. Clears meta.trash_dirs in place (caller saves the meta)."""
-    import shutil
-
     import glob
+    import re
+    import shutil
 
     for rel in meta.trash_dirs:
         p = os.path.join(path, rel)
+        was_there = os.path.exists(p) or dir_exists(p) or file_exists(p)
+        if os.path.isfile(p):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
         shutil.rmtree(p, ignore_errors=True)
         delete_dir(p)  # remote-capable twin
+        # partition subdir reclaimed from a still-live parent: leave a
+        # swept marker so readers with a pre-fold meta fail stop instead
+        # of mistaking the gap for a never-populated shard
+        if was_there and re.search(r"(shard|centroid_id)=\d+/?$", rel):
+            marker = swept_marker_path(p)
+            if os.path.isdir(os.path.dirname(marker)):
+                try:
+                    with open(marker, "w"):
+                        pass
+                except OSError:
+                    pass
     # orphan temp metas from crashed atomic saves (tiny, but unbounded
     # accumulation over crashes would be litter)
     for tmp in glob.glob(os.path.join(path, "_index_meta.*.tmp")):
@@ -115,6 +160,44 @@ def sweep_trash(path: str, meta) -> None:
             delete_dir(p)
 
 
+def snapshot_base_dirs(path: str, meta, part_col: str) -> list[tuple[str, list[int] | None]]:
+    """The current base snapshot as ``[(absolute dir, partition restriction)]``
+    — the protocol-level view both index types' Spark readers build their
+    union from (``part_col`` is ``shard`` for DiskANN, ``centroid_id`` for
+    IVF). Restriction ``None`` means read the whole dir; a list means read
+    ONLY those partitions from it.
+
+    FS-aware: the ``base_rel`` dir is consulted by LISTING its partition
+    subdirs, and included only for partitions present on disk and not
+    overridden by a fold (``meta.shard_base``). That makes the view correct
+    when every populated partition has been folded away and swept — the
+    base dir then holds no parquet at all and scanning it would fail schema
+    inference — including the never-populated-cell case where
+    ``range(num_shards)`` style reasoning over-counts. Superseded copies of
+    folded partitions (awaiting their trash grace cycle) are excluded by
+    the restriction lists."""
+    mapping = getattr(meta, "shard_base", None) or {}
+    base_abs = os.path.join(path, meta.base_rel)
+    if not mapping:
+        return [(base_abs, None)]
+    mapped = {int(s) for s in mapping}
+    present = {
+        int(name.split("=", 1)[1])
+        for name in list_subdirs(base_abs, f"{part_col}=")
+    }
+    out: list[tuple[str, list[int] | None]] = []
+    unmapped_present = sorted(present - mapped)
+    if unmapped_present:
+        out.append((base_abs, unmapped_present))
+    by_dir: dict[str, list[int]] = {}
+    for s, rel in mapping.items():
+        if rel:  # "" = emptied-by-fold sentinel: no rows anywhere
+            by_dir.setdefault(rel, []).append(int(s))
+    for rel, ss in sorted(by_dir.items()):
+        out.append((os.path.join(path, rel), sorted(ss)))
+    return out
+
+
 def prepare_rebuild(path: str) -> tuple[str, list[str], int, int]:
     """Pick the base dir for a (re)build and collect the prior index's data
     dirs as grace-period trash. A fresh path gets the conventional
@@ -138,6 +221,15 @@ def prepare_rebuild(path: str) -> tuple[str, list[str], int, int]:
     trash = {old.base_rel}
     trash.update(rel for rel in (old.shard_base or {}).values() if rel)
     trash.update(old.delta_gens)
+    # prior sidecars: the old meta's centroids generation (IVF) and any
+    # legacy fixed-name sidecar DIRS (pre-atomic-file layouts). The new
+    # build writes its own generation/file, so these are pure leftovers.
+    cr = getattr(old, "centroids_rel", None)
+    if cr and dir_exists(os.path.join(path, cr)):
+        trash.add(cr)
+    for legacy in ("centroids", "routing", "label_routing"):
+        if legacy != cr and dir_exists(os.path.join(path, legacy)):
+            trash.add(legacy)
     dest = f"nodes_gens/{uuid.uuid4().hex[:12]}"
     return dest, sorted(trash), int(old.epoch) + 1, int(old.delta_counter)
 

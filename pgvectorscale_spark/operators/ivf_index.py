@@ -77,40 +77,54 @@ class IvfIndex:
             src.select(F.col(id_col).alias("node_id"), F.col(vector_col).alias("vector"))
             .join(assign.select(F.col(id_col).alias("node_id"), "centroid_id"), "node_id")
         )
-        # snapshot-isolated (re)build: at a path with a readable prior
-        # index the new cells land in a FRESH generation dir and the meta
-        # save is the atomic flip — readers of the old index finish
-        # consistently on its dirs, which wait one cycle in trash
-        dest_rel, trash, epoch, counter = prepare_rebuild(path)
-        # one task per cell; each cell becomes one parquet partition
-        (
-            nodes.repartition(num_centroids, "centroid_id")
-            .write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(os.path.join(path, dest_rel))
-        )
-        cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-        if dest_rel == "nodes":
-            # no readable prior meta: wipe any chain dirs a wiped/corrupt
-            # index may have abandoned (readers are governed by the meta)
-            import shutil
+        # snapshot-isolated (re)build under the writer lock (a concurrent
+        # fold's uncommitted gen dir must not be swept as an orphan, and
+        # two racing builds must serialize like every other writer): at a
+        # path with a readable prior index the new cells AND the new
+        # centroid table land in FRESH generation dirs, and the meta save
+        # is the atomic flip — readers of the old index finish
+        # consistently on its dirs, which wait one cycle in trash.
+        # Centroids get their own generation (meta.centroids_rel) because
+        # a rebuild changes what every centroid_id MEANS: a reader must
+        # resolve centroids through its own meta snapshot, never a fixed
+        # path overwritten under it.
+        import uuid
 
-            shutil.rmtree(os.path.join(path, "nodes_delta"), ignore_errors=True)
-            delete_dir(os.path.join(path, "nodes_delta"))  # remote-capable twin
-        n = src.count()
-        row = src.select(F.size(F.col(vector_col)).alias("d")).first()
-        meta = IndexMeta(
-            distance_type=distance_type,
-            storage_type="ivf_flat",
-            num_dimensions=int(row["d"]) if row else 0,
-            num_shards=num_centroids,
-            num_rows=n,
-            base_rel=dest_rel,
-            trash_dirs=trash,
-            epoch=epoch,
-            delta_counter=counter,
-        )
-        meta.save(path)
+        with writer_lock(path):
+            dest_rel, trash, epoch, counter = prepare_rebuild(path)
+            cents_rel = (
+                "centroids" if dest_rel == "nodes" else f"centroids_gens/{uuid.uuid4().hex[:12]}"
+            )
+            # one task per cell; each cell becomes one parquet partition
+            (
+                nodes.repartition(num_centroids, "centroid_id")
+                .write.mode("overwrite")
+                .partitionBy("centroid_id")
+                .parquet(os.path.join(path, dest_rel))
+            )
+            cents.write.mode("overwrite").parquet(os.path.join(path, cents_rel))
+            if dest_rel == "nodes":
+                # no readable prior meta: wipe any chain dirs a wiped/corrupt
+                # index may have abandoned (readers are governed by the meta)
+                import shutil
+
+                shutil.rmtree(os.path.join(path, "nodes_delta"), ignore_errors=True)
+                delete_dir(os.path.join(path, "nodes_delta"))  # remote-capable twin
+            n = src.count()
+            row = src.select(F.size(F.col(vector_col)).alias("d")).first()
+            meta = IndexMeta(
+                distance_type=distance_type,
+                storage_type="ivf_flat",
+                num_dimensions=int(row["d"]) if row else 0,
+                num_shards=num_centroids,
+                num_rows=n,
+                base_rel=dest_rel,
+                trash_dirs=trash,
+                epoch=epoch,
+                delta_counter=counter,
+                centroids_rel=cents_rel,
+            )
+            meta.save(path)
         cents.unpersist()
         return cls(spark, path, meta)
 
@@ -149,23 +163,15 @@ class IvfIndex:
                 df = df.withColumn("deleted", F.lit(False))
             return df.select(cols)
 
-        mapping = self.meta.shard_base or {}
-        if not mapping:
-            return _read(self.meta.base_rel)
-        mapped = sorted({int(c) for c in mapping})
-        frames: list[DataFrame] = []
-        # when every cell is overridden the base dir may hold no parquet
-        # files at all (each subdir trashed by folds) — skip its scan
-        if not set(mapped) >= set(range(int(self.meta.num_shards) or 1)):
-            frames.append(
-                _read(self.meta.base_rel).filter(~F.col("centroid_id").isin(mapped))
-            )
-        by_dir: dict[str, list[int]] = {}
-        for c, rel in mapping.items():
-            if rel:  # "" = emptied-cell sentinel, no rows to read
-                by_dir.setdefault(rel, []).append(int(c))
-        for rel, cc in sorted(by_dir.items()):
-            frames.append(_read(rel).filter(F.col("centroid_id").isin(sorted(cc))))
+        from pgvectorscale_spark.operators.index_util import snapshot_base_dirs
+
+        dirs = snapshot_base_dirs(self.path, self.meta, "centroid_id")
+        if len(dirs) == 1 and dirs[0][1] is None:
+            return _read(os.path.relpath(dirs[0][0], self.path))
+        frames = [
+            _read(os.path.relpath(d, self.path)).filter(F.col("centroid_id").isin(cc))
+            for d, cc in dirs
+        ]
         if not frames:
             # every cell emptied by folds: schema-typed empty view
             return self.spark.createDataFrame(
@@ -206,7 +212,14 @@ class IvfIndex:
         )
 
     def centroids(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "centroids"))
+        """Centroid table of THIS meta snapshot: resolved through
+        ``meta.centroids_rel`` (a rebuild writes a fresh generation and
+        flips the pointer — centroid ids change meaning with the
+        clustering, so reading a fixed path would let a concurrent rebuild
+        swap the table under an in-flight reader). Pre-pointer metas
+        default to the legacy fixed dir."""
+        rel = getattr(self.meta, "centroids_rel", None) or "centroids"
+        return self.spark.read.parquet(os.path.join(self.path, rel))
 
     def probe_cells(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
         """Driver-side probe planning over the (tiny) centroid table."""

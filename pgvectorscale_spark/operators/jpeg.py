@@ -26,10 +26,7 @@ bytes only read when the decode stage runs).
 from __future__ import annotations
 
 import struct
-from typing import Iterable, Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 
 __all__ = ["parse_jpeg", "decode_jpeg_image"]
@@ -273,30 +270,11 @@ def parse_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
 def decode_jpeg_image(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Decode baseline JPEG payloads to typed image features — Arrow-batched
-    mapInPandas over ``parse_jpeg``. Returns (id, width, height, channels,
-    mean_r, mean_g, mean_b); grayscale reports its single channel in all
-    three means. Same production shape as decode_png_image."""
+    """Decode baseline JPEG payloads to typed image features with
+    ``parse_jpeg`` (see ``multimodal.decode_image_features`` for the
+    shared Arrow-batched shape and output schema)."""
+    # lazy import: multimodal re-exports this module's symbols at import
+    # time, so a module-level import back would be circular
+    from pgvectorscale_spark.operators.multimodal import decode_image_features
 
-    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"width": [], "height": [], "channels": [], "mean_r": [], "mean_g": [], "mean_b": []}
-            for payload in pdf[payload_col]:
-                w, h, ch, px = parse_jpeg(payload)
-                means = px.reshape(-1, ch).mean(axis=0, dtype=np.float64)
-                rgb = means[:3] if ch >= 3 else np.repeat(means[0], 3)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["channels"].append(ch)
-                out["mean_r"].append(round(float(rgb[0]), 6))
-                out["mean_g"].append(round(float(rgb[1]), 6))
-                out["mean_b"].append(round(float(rgb[2]), 6))
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), **out})
-
-    return df.select(id_col, payload_col).mapInPandas(
-        decode,
-        schema=(
-            f"{id_col} long, width long, height long, channels long, "
-            "mean_r double, mean_g double, mean_b double"
-        ),
-    )
+    return decode_image_features(df, parse_jpeg, payload_col, id_col)

@@ -370,20 +370,20 @@ def attach_png_payload(df: DataFrame, source_col: str = "text", payload_col: str
     )
 
 
-def decode_png_image(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+def decode_image_features(
+    df: DataFrame, parse_fn, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Decode PNG payloads to typed image features — Arrow-batched
-    mapInPandas over ``parse_png`` (real chunk-walk + CRC + zlib inflate +
-    defilter decode). Returns (id, width, height, channels, mean_r, mean_g,
-    mean_b) with per-channel means over the reconstructed pixels (gray
-    images report the single channel in all three means)."""
+    """Shared image-feature decode shape: Arrow-batched mapInPandas over
+    any ``parse_fn(bytes) -> (width, height, channels, pixels)`` parser
+    (parse_png / parse_jpeg). Returns (id, width, height, channels,
+    mean_r, mean_g, mean_b) with per-channel means over the decoded
+    pixels; gray images report their single channel in all three means."""
 
     def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"width": [], "height": [], "channels": [], "mean_r": [], "mean_g": [], "mean_b": []}
             for payload in pdf[payload_col]:
-                w, h, ch, px = parse_png(payload)
+                w, h, ch, px = parse_fn(payload)
                 means = px.reshape(-1, ch).mean(axis=0, dtype=np.float64)
                 rgb = means[:3] if ch >= 3 else np.repeat(means[0], 3)
                 out["width"].append(w)
@@ -401,6 +401,15 @@ def decode_png_image(
             "mean_r double, mean_g double, mean_b double"
         ),
     )
+
+
+def decode_png_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode PNG payloads to typed image features (see
+    ``decode_image_features``) with ``parse_png`` — real chunk-walk + CRC +
+    zlib inflate + defilter decode."""
+    return decode_image_features(df, parse_png, payload_col, id_col)
 
 
 def decode_ppm_image(

@@ -217,6 +217,15 @@ class IndexMeta:
     # maintenance cycle so readers holding the previous meta still see a
     # complete consistent snapshot; the NEXT fold/rebuild sweeps them.
     trash_dirs: list[str] = field(default_factory=list)
+    # IVF centroid-table location (relative). Rebuilds write a FRESH
+    # generation dir and flip this pointer in the meta commit — the
+    # centroid ids' meaning changes with the clustering, so a reader must
+    # resolve centroids through ITS OWN meta snapshot, never a fixed path
+    # a rebuild overwrites under it. Default = the legacy fixed dir, so
+    # pre-pointer metas keep reading their existing layout. (Additive
+    # field: no version bump — old readers ignore it, and its default
+    # reproduces their behavior.)
+    centroids_rel: str = "centroids"
     # SBQ quantizer state (reference SbqMeans, sbq/mod.rs:79-86):
     # per-dimension mean and variance from the training pass.
     quantizer_means: list[float] = field(default_factory=list)

@@ -185,12 +185,12 @@ def test_routing_delta_matches_full_recompute(spark, tmpdir):
     idx.insert(batch)  # O(batch) stats delta
     incr = {
         int(r["shard"]): (np.array(r["centroid"], dtype=np.float32), int(r["count"]))
-        for r in spark.read.parquet(f"{idx.path}/routing").collect()
+        for r in spark.read.parquet(idx._sidecar_source(idx._ROUTING_FILE, "routing")).collect()
     }
     idx._write_routing()  # full recompute over every shard
     full = {
         int(r["shard"]): (np.array(r["centroid"], dtype=np.float32), int(r["count"]))
-        for r in spark.read.parquet(f"{idx.path}/routing").collect()
+        for r in spark.read.parquet(idx._sidecar_source(idx._ROUTING_FILE, "routing")).collect()
     }
     assert sorted(incr) == sorted(full)
     for s in full:
@@ -213,12 +213,12 @@ def test_routing_delta_chains_across_batches(spark, tmpdir):
         )
     incr = {
         int(r["shard"]): np.array(r["centroid"], dtype=np.float32)
-        for r in spark.read.parquet(f"{idx.path}/routing").collect()
+        for r in spark.read.parquet(idx._sidecar_source(idx._ROUTING_FILE, "routing")).collect()
     }
     idx._write_routing()
     full = {
         int(r["shard"]): np.array(r["centroid"], dtype=np.float32)
-        for r in spark.read.parquet(f"{idx.path}/routing").collect()
+        for r in spark.read.parquet(idx._sidecar_source(idx._ROUTING_FILE, "routing")).collect()
     }
     for s in full:
         np.testing.assert_array_equal(incr[s], full[s])

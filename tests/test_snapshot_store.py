@@ -365,3 +365,111 @@ def test_concurrent_readers_through_folds_and_rebuild(spark, tmpdir):
             t.join(timeout=120)
     assert not failures, failures[:3]
     assert reads["ok"] > 0  # readers actually overlapped the maintenance
+
+
+def test_base_dir_with_all_populated_shards_folded_away(spark, tmpdir):
+    """A kmeans index where one cell holds EVERY row (identical vectors ->
+    coincident centroids -> tie-break to one cell): after two fold cycles
+    the base dir holds no parquet at all while other shards were never
+    populated. The FS-aware base view must keep working — a
+    range(num_shards)-style 'is every shard overridden' check would scan
+    the schema-less base dir and crash every read."""
+    v = [0.5] * 16
+    df = spark.createDataFrame(
+        [(i, v) for i in range(60)], "vec_id long, embedding array<float>"
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/allfold", distance_type="l2", num_shards=2,
+        id_col="vec_id", vector_col="embedding", shard_assignment="kmeans",
+    )
+    populated = [int(r["shard"]) for r in idx.nodes().select("shard").distinct().collect()]
+    assert len(populated) == 1  # one cell owns everything, the other is empty
+    rng = np.random.default_rng(1)
+    nxt = 9000
+    for _ in range(2):  # two fold cycles: override, then sweep the base copy
+        while True:
+            idx.insert(
+                spark.createDataFrame([(nxt, v)], "vec_id long, embedding array<float>")
+            )
+            nxt += 1
+            if not idx.meta.delta_gens:
+                break
+    base_abs = os.path.join(idx.path, idx.meta.base_rel)
+    from pgvectorscale_spark.operators.index_util import list_subdirs
+
+    assert list_subdirs(base_abs, "shard=") == []  # base truly emptied
+    # reads must keep working (count, search, cold reload)
+    assert idx.nodes().count() == 60 + (nxt - 9000)
+    assert len(idx.search(v, k=5).collect()) == 5
+    cold = DiskannIndex.load(spark, idx.path)
+    assert cold.nodes().count() == idx.nodes().count()
+
+
+def test_pre_fold_meta_raises_after_sweep_not_empty(spark, tmpdir):
+    """The swept-marker staleness check: a reader whose meta predates the
+    FIRST fold (no overrides, empty chain) must raise StaleIndexReadError
+    once the base copy of the folded shard is reclaimed — without the
+    marker, 'missing subdir under a live parent' would be mistaken for a
+    never-populated cell and served as an empty shard."""
+    idx, mat, rng = _build(spark, tmpdir, "marker", n=200)
+    store0 = idx._store()  # pre-any-fold handle: base only, no overrides
+    nxt = _fold_chain(spark, idx, rng, 9000)   # fold 1: trash base shard copy
+    _fold_chain(spark, idx, rng, nxt)          # fold 2: sweep it + marker
+    assert os.path.exists(
+        os.path.join(idx.path, idx.meta.base_rel, "_swept_shard=0")
+    )
+    with pytest.raises(StaleIndexReadError):
+        _read_shard_pdf(store0, 0, COLS)
+
+
+def test_ivf_build_takes_writer_lock(spark, tmpdir):
+    """IvfIndex.build is a writer like insert/delete: it must refuse to run
+    (not sweep a concurrent writer's uncommitted dirs) while another
+    writer holds the lock."""
+    from pgvectorscale_spark.operators.index_util import ConcurrentWriterError, writer_lock
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i, rng.random(8).tolist()) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    path = f"{tmpdir}/ivf_lock"
+    IvfIndex.build(df, path, num_centroids=2, kmeans_iterations=1)
+    with writer_lock(path):
+        with pytest.raises(ConcurrentWriterError):
+            IvfIndex.build(df, path, num_centroids=2, kmeans_iterations=1)
+
+
+def test_ivf_rebuild_flips_centroids_generation(spark, tmpdir):
+    """A rebuild changes what every centroid_id MEANS, so the centroid
+    table gets its own generation dir and meta pointer — a reader of the
+    old index keeps resolving ITS centroids through its own meta while the
+    new index uses the new table."""
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(6)
+    df = spark.createDataFrame(
+        [(i, rng.random(8).tolist()) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    path = f"{tmpdir}/ivf_cents"
+    idx1 = IvfIndex.build(df, path, num_centroids=3, kmeans_iterations=2)
+    old_cents = sorted(
+        (int(r["centroid_id"]), tuple(r["centroid"])) for r in idx1.centroids().collect()
+    )
+    df2 = spark.createDataFrame(
+        [(i + 1000, rng.random(8).tolist()) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    idx2 = IvfIndex.build(df2, path, num_centroids=3, kmeans_iterations=2)
+    assert idx2.meta.centroids_rel.startswith("centroids_gens/")
+    assert idx2.meta.centroids_rel != idx1.meta.centroids_rel
+    # old handle: same centroids, still readable through the grace cycle
+    still = sorted(
+        (int(r["centroid_id"]), tuple(r["centroid"])) for r in idx1.centroids().collect()
+    )
+    assert still == old_cents
+    # new handle: a genuinely different clustering, and search works
+    res = idx2.search(df2.first()["embedding"], k=3).collect()
+    assert len(res) == 3 and all(r["node_id"] >= 1000 for r in res)
