@@ -315,12 +315,12 @@ def test_incremental_routing_matches_full_recompute(spark, tmpdir):
     idx.insert(batch)  # incremental: re-aggregates only touched cells
     incr = {
         int(r["shard"]): np.array(r["centroid"])
-        for r in spark.read.parquet(f"{path}/routing").collect()
+        for r in spark.read.parquet(idx._sidecar_source(idx._ROUTING_FILE, "routing")).collect()
     }
     idx._write_routing()  # full recompute over every shard
     full = {
         int(r["shard"]): np.array(r["centroid"])
-        for r in spark.read.parquet(f"{path}/routing").collect()
+        for r in spark.read.parquet(idx._sidecar_source(idx._ROUTING_FILE, "routing")).collect()
     }
     assert sorted(incr) == sorted(full)
     for s in full:
@@ -394,13 +394,17 @@ def test_migrated_index_first_insert_keeps_full_label_sidecar(spark, tmpdir):
         df, path, distance_type="l2", num_shards=2, id_col="vec_id",
         vector_col="embedding", label_col="labels", shard_assignment="kmeans",
     )
-    shutil.rmtree(os.path.join(path, "label_routing"))  # pre-sidecar state
+    shutil.rmtree(os.path.join(path, "label_routing"), ignore_errors=True)  # pre-sidecar state
+    try:
+        os.remove(os.path.join(path, idx._LABEL_ROUTING_FILE))
+    except FileNotFoundError:
+        pass
     b = spark.createDataFrame(
         [(500, near[0].tolist(), [1])], "vec_id long, embedding array<float>, labels array<smallint>"
     )
     idx.insert(b, label_col="labels")  # touches only the near cell
     labels_in_sidecar = {
-        int(r["label"]) for r in spark.read.parquet(f"{path}/label_routing").collect()
+        int(r["label"]) for r in spark.read.parquet(idx._sidecar_source(idx._LABEL_ROUTING_FILE, "label_routing")).collect()
     }
     assert labels_in_sidecar == {1, 9}, labels_in_sidecar
     # the far-only label still routes from a near-blob query
@@ -483,7 +487,7 @@ def test_label_routing_sidecar_widens_probes_and_tracks_inserts(spark, tmpdir):
         df, path, distance_type="l2", num_shards=2, id_col="vec_id",
         vector_col="embedding", label_col="labels", shard_assignment="kmeans",
     )
-    assert os.path.isdir(os.path.join(path, "label_routing"))
+    assert idx._sidecar_source(idx._LABEL_ROUTING_FILE, "label_routing") is not None
     # query at the NEAR blob, filter by the far-only label: routing alone
     # would probe the near cell; the sidecar widening must add the far cell
     q = near[0].tolist()
