@@ -93,3 +93,50 @@ def test_robust_prune_bounds(rows, r):
     assert 0 not in res  # no self-loop
     assert len(res) == len(set(res))  # no duplicates
     assert res[0] == int(np.lexsort((cand[cand != 0], dists[cand != 0]))[0] + 1) or len(mat) <= 1
+
+
+# -- media codec round-trips (PNG lossless; JPEG bounded-loss) ----------------
+
+
+@given(
+    st.integers(min_value=1, max_value=12),   # width
+    st.integers(min_value=1, max_value=12),   # height
+    st.sampled_from([(0, 1), (2, 3), (4, 2), (6, 4)]),  # (color type, channels)
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=5),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_lossless(w, h, color_ch, filters, seed):
+    """PNG is lossless: ANY image, geometry, color type, and per-scanline
+    filter choice must decode back bit-identically through the real
+    deflate + defilter path."""
+    from pgvectorscale_spark.operators.multimodal import parse_png
+    from tests.test_multimodal_decode import _encode_png
+
+    color, ch = color_ch
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    w2, h2, ch2, out = parse_png(_encode_png(px, color, filters))
+    assert (w2, h2, ch2) == (w, h, ch)
+    assert (out == px).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_constant_blocks_near_exact(w, h, seed):
+    """Flat-quantization JPEG of a blockwise-smooth image: decoded pixels
+    stay within the DCT-rounding budget at any (non-multiple-of-8)
+    geometry — exercises edge-block padding and cropping."""
+    from pgvectorscale_spark.operators.jpeg import parse_jpeg
+    from tests.test_jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(30, 226, (1, 1, 1), dtype=np.uint8)
+    px = np.broadcast_to(base, (h, w, 1)).copy()
+    w2, h2, ch2, out = parse_jpeg(encode_jpeg(px))
+    assert (w2, h2, ch2) == (w, h, 1)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
