@@ -294,12 +294,9 @@ def _stage1_columns(meta_d: dict) -> list[str]:
     return cols
 
 
-class StaleIndexReadError(RuntimeError):
-    """A reader's meta snapshot references a data dir a later fold/rebuild
-    has already swept. Raised instead of silently serving a partial or
-    empty shard — the caller should reload the index and retry. Can only
-    fire for readers more than one maintenance cycle stale (superseded
-    dirs wait one full cycle in meta.trash_dirs before deletion)."""
+# single protocol-wide class (index_util defines it; the Spark-view path
+# in snapshot_base_dirs raises the same type, so catchers need one except)
+from pgvectorscale_spark.operators.index_util import StaleIndexReadError  # noqa: E402,F401 (re-export)
 
 
 def _as_store(store) -> tuple[str, tuple, dict]:
@@ -449,12 +446,17 @@ def _load_shard_graph(
 
 
 def _write_sidecar_atomic(final_path: str, table) -> None:
-    """Publish a tiny sidecar table as ONE parquet file via temp +
-    os.replace (atomic on local FS; a single-object put on object
-    stores). Readers never observe a half-written state."""
-    import uuid as _uuid
-
+    """Publish a tiny sidecar table as ONE parquet file, atomically for
+    readers. Local paths: temp file + os.replace (rename is atomic).
+    Remote URIs: a direct single-object write — os.replace cannot span a
+    remote filesystem, and object stores make the put itself atomic (the
+    object appears complete or not at all)."""
     import pyarrow.parquet as papq
+
+    if "://" in final_path:
+        papq.write_table(table, final_path)
+        return
+    import uuid as _uuid
 
     tmp = f"{final_path}.{_uuid.uuid4().hex[:8]}.tmp"
     papq.write_table(table, tmp)

@@ -16,14 +16,17 @@ from contextlib import contextmanager
 
 __all__ = [
     "ConcurrentWriterError",
+    "StaleIndexReadError",
     "delete_dir",
     "dir_exists",
     "file_exists",
+    "list_files",
     "list_subdirs",
     "prepare_rebuild",
     "snapshot_base_dirs",
     "sweep_trash",
     "swept_marker_path",
+    "touch_file",
     "writer_lock",
 ]
 
@@ -68,10 +71,14 @@ def swept_marker_path(partition_dir: str) -> str:
     populated' (no dir, no marker -> legitimately empty) from 'this shard
     was folded away and its superseded copy reclaimed' (no dir, marker ->
     StaleIndexReadError instead of silently serving an empty shard).
-    Markers are tiny, at most one per partition of the parent, and die
-    with the parent dir."""
+
+    Markers live in a ``<parent>.swept`` SIBLING dir, never inside the
+    parquet dir itself — Spark's scan listing would otherwise try to read
+    the marker as a data file and fail the whole scan. They are tiny, at
+    most one per partition of the parent, and are reclaimed with the
+    parent (prepare_rebuild trashes the sibling alongside it)."""
     parent, name = os.path.split(partition_dir.rstrip("/"))
-    return os.path.join(parent, f"_swept_{name}")
+    return os.path.join(f"{parent}.swept", name)
 
 
 def delete_dir(path: str) -> None:
@@ -84,23 +91,63 @@ def delete_dir(path: str) -> None:
         pass
 
 
-def list_subdirs(path: str, prefix: str) -> list[str]:
-    """Names of immediate subdirectories starting with ``prefix`` (e.g.
-    partition dirs ``shard=``/``centroid_id=``), on any pyarrow-supported
-    filesystem. Missing path -> []."""
+def _list_entries(path: str, prefix: str, want_dirs: bool, strict: bool) -> list[str]:
     from pyarrow import fs as pafs
 
     try:
         fsys, p = _pa_fs(path)
         infos = fsys.get_file_info(pafs.FileSelector(p, recursive=False))
-    except Exception:
+    except FileNotFoundError:
         return []
+    except Exception:
+        if strict and dir_exists(path):
+            # the dir exists but cannot be listed: a transient FS error.
+            # Strict callers (the snapshot base view) must FAIL, not treat
+            # it as empty — an empty answer would drop the base rows from
+            # a fold's merge and commit the loss.
+            raise
+        return []
+    want = pafs.FileType.Directory if want_dirs else pafs.FileType.File
     out = []
     for info in infos:
         name = info.path.rstrip("/").rsplit("/", 1)[-1]
-        if info.type == pafs.FileType.Directory and name.startswith(prefix):
+        if info.type == want and name.startswith(prefix):
             out.append(name)
     return out
+
+
+def list_subdirs(path: str, prefix: str, strict: bool = False) -> list[str]:
+    """Names of immediate subdirectories starting with ``prefix`` (e.g.
+    partition dirs ``shard=``/``centroid_id=``), on any pyarrow-supported
+    filesystem. Missing path -> []. ``strict=True`` raises when the path
+    EXISTS but listing fails (transient FS error) instead of returning []
+    — for callers whose correctness depends on a complete answer."""
+    return _list_entries(path, prefix, want_dirs=True, strict=strict)
+
+
+def list_files(path: str, prefix: str) -> list[str]:
+    """Names of immediate FILES starting with ``prefix`` (e.g. swept
+    markers), remote-capable. Missing path -> []."""
+    return _list_entries(path, prefix, want_dirs=False, strict=False)
+
+
+def touch_file(path: str) -> None:
+    """Create an empty file on the path's own filesystem, creating its
+    parent dir if needed (remote-capable marker write)."""
+    try:
+        fsys, p = _pa_fs(path)
+        fsys.create_dir(p.rsplit("/", 1)[0], recursive=True)
+        fsys.open_output_stream(p).close()
+    except Exception:
+        pass
+
+
+class StaleIndexReadError(RuntimeError):
+    """A reader's meta snapshot references index state a later fold/rebuild
+    has already reclaimed. Raised instead of silently serving a partial or
+    empty view — the caller should reload the index and retry. Can only
+    fire for readers more than one maintenance cycle stale (superseded
+    dirs wait one full cycle in meta.trash_dirs before deletion)."""
 
 
 def sweep_trash(path: str, meta) -> None:
@@ -126,25 +173,29 @@ def sweep_trash(path: str, meta) -> None:
         delete_dir(p)  # remote-capable twin
         # partition subdir reclaimed from a still-live parent: leave a
         # swept marker so readers with a pre-fold meta fail stop instead
-        # of mistaking the gap for a never-populated shard
+        # of mistaking the gap for a never-populated shard (remote-capable:
+        # dir_exists + touch_file go through the path's own filesystem)
         if was_there and re.search(r"(shard|centroid_id)=\d+/?$", rel):
-            marker = swept_marker_path(p)
-            if os.path.isdir(os.path.dirname(marker)):
-                try:
-                    with open(marker, "w"):
-                        pass
-                except OSError:
-                    pass
-    # orphan temp metas from crashed atomic saves (tiny, but unbounded
-    # accumulation over crashes would be litter)
-    for tmp in glob.glob(os.path.join(path, "_index_meta.*.tmp")):
-        try:
-            os.remove(tmp)
-        except OSError:
-            pass
+            # marker goes in the DATA parent's .swept sibling; only while
+            # that parent is still live (otherwise the whole dir is gone
+            # and readers already fail on the missing parent)
+            if dir_exists(os.path.dirname(p.rstrip("/"))):
+                touch_file(swept_marker_path(p))
+    # orphan temp files from crashed atomic writes — meta saves and
+    # sidecar publishes (tiny, but unbounded accumulation over crashes
+    # would be litter)
+    for pat in ("_index_meta.*.tmp", "*.parquet.*.tmp"):
+        for tmp in glob.glob(os.path.join(path, pat)):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
     meta.trash_dirs = []
     live = {rel for rel in (meta.shard_base or {}).values() if rel}
     live.add(meta.base_rel)
+    # swept-marker sibling dirs (<rel>.swept) live and die with their data
+    # dir — keep the live ones out of the orphan reconciliation below
+    live |= {f"{rel}.swept" for rel in list(live)}
     for name in list_subdirs(os.path.join(path, "nodes_gens"), ""):
         rel = f"nodes_gens/{name}"
         if rel not in live:
@@ -155,6 +206,15 @@ def sweep_trash(path: str, meta) -> None:
     for name in list_subdirs(os.path.join(path, "nodes_delta"), ""):
         rel = f"nodes_delta/{name}"
         if rel not in live_delta:
+            p = os.path.join(path, rel)
+            shutil.rmtree(p, ignore_errors=True)
+            delete_dir(p)
+    # orphan centroid generations from crashed IVF rebuilds (same crash
+    # class as nodes_gens orphans: written, never referenced by any meta)
+    live_cents = {getattr(meta, "centroids_rel", None)}
+    for name in list_subdirs(os.path.join(path, "centroids_gens"), ""):
+        rel = f"centroids_gens/{name}"
+        if rel not in live_cents:
             p = os.path.join(path, rel)
             shutil.rmtree(p, ignore_errors=True)
             delete_dir(p)
@@ -178,12 +238,31 @@ def snapshot_base_dirs(path: str, meta, part_col: str) -> list[tuple[str, list[i
     the restriction lists."""
     mapping = getattr(meta, "shard_base", None) or {}
     base_abs = os.path.join(path, meta.base_rel)
+    mapped = {int(s) for s in mapping}
+    # swept markers: a fold reclaimed these partitions' base copies. A
+    # meta that does NOT map such a partition predates that fold by 2+
+    # maintenance cycles — fail stop rather than silently serving a view
+    # missing the partition (this is the Spark-scan twin of the executor
+    # read's _swept_marker_present check)
+    swept_unmapped = sorted(
+        int(name.split("=", 1)[1])
+        for name in list_files(f"{base_abs}.swept", f"{part_col}=")
+        if int(name.split("=", 1)[1]) not in mapped
+    )
+    if swept_unmapped:
+        raise StaleIndexReadError(
+            f"{base_abs} partitions {swept_unmapped} were folded away and "
+            "reclaimed: this reader's index meta predates the fold — "
+            "reload the index and retry"
+        )
     if not mapping:
         return [(base_abs, None)]
-    mapped = {int(s) for s in mapping}
+    # strict listing: a transient FS error here must raise — an empty
+    # answer would drop the base rows from the view (and a fold built on
+    # that view would COMMIT the loss)
     present = {
         int(name.split("=", 1)[1])
-        for name in list_subdirs(base_abs, f"{part_col}=")
+        for name in list_subdirs(base_abs, f"{part_col}=", strict=True)
     }
     out: list[tuple[str, list[int] | None]] = []
     unmapped_present = sorted(present - mapped)
@@ -224,6 +303,12 @@ def prepare_rebuild(path: str) -> tuple[str, list[str], int, int]:
     # prior sidecars: the old meta's centroids generation (IVF) and any
     # legacy fixed-name sidecar DIRS (pre-atomic-file layouts). The new
     # build writes its own generation/file, so these are pure leftovers.
+    # each trashed data dir's swept-marker sibling goes with it
+    trash |= {
+        f"{rel}.swept"
+        for rel in list(trash)
+        if dir_exists(os.path.join(path, f"{rel}.swept"))
+    }
     cr = getattr(old, "centroids_rel", None)
     if cr and dir_exists(os.path.join(path, cr)):
         trash.add(cr)

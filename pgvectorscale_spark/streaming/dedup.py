@@ -95,10 +95,14 @@ def stream_dedup_exact(
         if state_ttl_seconds
         else GroupStateTimeout.NoTimeout
     )
+    # NULL text hashes to NULL; coalesce to -1 (h60 is 60-bit non-negative,
+    # so -1 never collides) — all NULL-content rows form one dedup group
+    # with a non-null state key, mirroring the batch groupBy's
+    # NULLs-group-together semantics instead of crashing the state fn
     hashed = stream_df.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_text"),
-        F.expr(h60(f"`{text_col}`", SPARK)).alias("_h"),
+        F.coalesce(F.expr(h60(f"`{text_col}`", SPARK)), F.lit(-1)).alias("_h"),
     )
     return hashed.groupBy("_h").applyInPandasWithState(
         dedupe,

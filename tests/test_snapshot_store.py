@@ -416,7 +416,7 @@ def test_pre_fold_meta_raises_after_sweep_not_empty(spark, tmpdir):
     nxt = _fold_chain(spark, idx, rng, 9000)   # fold 1: trash base shard copy
     _fold_chain(spark, idx, rng, nxt)          # fold 2: sweep it + marker
     assert os.path.exists(
-        os.path.join(idx.path, idx.meta.base_rel, "_swept_shard=0")
+        os.path.join(idx.path, f"{idx.meta.base_rel}.swept", "shard=0")
     )
     with pytest.raises(StaleIndexReadError):
         _read_shard_pdf(store0, 0, COLS)
@@ -473,3 +473,83 @@ def test_ivf_rebuild_flips_centroids_generation(spark, tmpdir):
     # new handle: a genuinely different clustering, and search works
     res = idx2.search(df2.first()["embedding"], k=3).collect()
     assert len(res) == 3 and all(r["node_id"] >= 1000 for r in res)
+
+
+def test_strict_base_listing_raises_on_fs_error(monkeypatch, tmpdir):
+    """A transient FS error while listing the base dir must RAISE from the
+    snapshot view (an empty answer would drop the base rows from a fold's
+    merge and commit the loss); non-strict callers keep the lenient []."""
+    import pyarrow.fs as pafs
+
+    from pgvectorscale_spark.operators import index_util
+
+    base = os.path.join(tmpdir, "strictbase")
+    os.makedirs(os.path.join(base, "shard=0"))
+    assert index_util.list_subdirs(base, "shard=", strict=True) == ["shard=0"]
+    real = index_util._pa_fs
+
+    class FlakyFS:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def get_file_info(self, arg):
+            if isinstance(arg, pafs.FileSelector):
+                raise OSError("transient listing failure")
+            return self.inner.get_file_info(arg)  # dir_exists probe works
+
+    def flaky(path):
+        fsys, p = real(path)
+        return FlakyFS(fsys), p
+
+    monkeypatch.setattr(index_util, "_pa_fs", flaky)
+    with pytest.raises(OSError, match="transient"):
+        index_util.list_subdirs(base, "shard=", strict=True)
+    assert index_util.list_subdirs(base, "shard=", strict=False) == []
+
+
+def test_stale_ivf_handle_raises_via_markers(spark, tmpdir):
+    """R3: the Spark-scan path consults swept markers too — an IvfIndex
+    HANDLE whose meta predates the fold raises StaleIndexReadError at view
+    construction once the folded cell's base copy is reclaimed, instead of
+    silently serving results missing that cell."""
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(17)
+    df = spark.createDataFrame(
+        [(i, rng.random(8).tolist()) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = IvfIndex.build(df, f"{tmpdir}/ivf_stale", num_centroids=3, kmeans_iterations=1)
+    stale = IvfIndex.load(spark, idx.path)  # pre-fold meta snapshot
+    c1 = next(list(r["centroid"]) for r in idx.centroids().collect() if r["centroid_id"] == 1)
+    j = 0
+    for _ in range(2):  # two fold cycles: override cell 1, then sweep its base copy
+        while True:
+            idx.insert(
+                spark.createDataFrame([(7000 + j, c1)], "vec_id long, embedding array<float>")
+            )
+            j += 1
+            if not idx.meta.delta_gens:
+                break
+    marker = os.path.join(idx.path, f"{idx.meta.base_rel}.swept", "centroid_id=1")
+    assert os.path.exists(marker)
+    with pytest.raises(StaleIndexReadError):
+        stale.nodes().count()
+    # the CURRENT handle (and a fresh load) stay fully functional
+    assert idx.nodes().count() == 120 + j
+    assert IvfIndex.load(spark, idx.path).live_nodes().count() > 0
+
+
+def test_sweep_cleans_sidecar_tmp_and_centroid_orphans(spark, tmpdir):
+    """Crashed atomic sidecar writes (*.parquet.*.tmp) and crashed-rebuild
+    centroid generations are reclaimed by the sweep."""
+    idx, mat, rng = _build(spark, tmpdir, "orphans", n=150)
+    with open(os.path.join(idx.path, "routing.parquet.deadbeef.tmp"), "wb") as f:
+        f.write(b"x")
+    orphan_gen = os.path.join(idx.path, "centroids_gens", "cafebabe0000")
+    os.makedirs(orphan_gen)
+    with open(os.path.join(orphan_gen, "part.parquet"), "wb") as f:
+        f.write(b"x")
+    _fold_chain(spark, idx, rng, 9000)  # fold -> sweep
+    assert not os.path.exists(os.path.join(idx.path, "routing.parquet.deadbeef.tmp"))
+    assert not os.path.exists(orphan_gen)
