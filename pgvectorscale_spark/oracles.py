@@ -30,6 +30,24 @@ from pgvectorscale_spark.functions.text import (
     token_count_sql,
 )
 
+def tagged_union_oracle(tag_col: str, parts: list[tuple[str, str]]) -> str:
+    """UNION ALL several complete oracle SELECTs into one result set, each
+    branch tagged with a SQL literal (e.g. ``"'cosine'"`` or ``"1::BIGINT"``).
+
+    Lets one driver correctness row verify several operator variants (the
+    driver's value hash is order-insensitive, so branch order is free) —
+    used to keep every operator inside the driver's 50-query oracle window.
+    """
+    return "\nUNION ALL\n".join(
+        f"SELECT {lit} AS {tag_col}, s.* FROM ({sql}) s" for lit, sql in parts
+    )
+
+
+def union_oracle(parts: list[str]) -> str:
+    """UNION ALL complete oracle SELECTs whose schemas already align."""
+    return "\nUNION ALL\n".join(f"SELECT s.* FROM ({sql}) s" for sql in parts)
+
+
 # ---------------------------------------------------------------------------
 # vector search oracles (embeddings table: vec_id, embedding FLOAT[64], label)
 # ---------------------------------------------------------------------------
