@@ -240,7 +240,7 @@ def _ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     IvfIndex.build(emb, path, num_centroids=16, kmeans_iterations=0, distance_type="l2")
     idx = IvfIndex.load(spark, path)
     return idx.search(q, k=10, nprobe=4).select(
-        F.col("node_id").alias("vec_id"), "distance"
+        F.col("node_id").alias("vec_id"), F.round("distance", 6).alias("distance")
     )
 
 

@@ -131,15 +131,19 @@ def list_files(path: str, prefix: str) -> list[str]:
     return _list_entries(path, prefix, want_dirs=False, strict=False)
 
 
-def touch_file(path: str) -> None:
+def touch_file(path: str) -> bool:
     """Create an empty file on the path's own filesystem, creating its
-    parent dir if needed (remote-capable marker write)."""
+    parent dir if needed (remote-capable marker write). Returns ``True`` on
+    success, ``False`` on failure — callers for whom the file is a
+    correctness signal (swept markers: sweep_trash) must check the result
+    and NOT proceed with the action the marker was meant to record."""
     try:
         fsys, p = _pa_fs(path)
         fsys.create_dir(p.rsplit("/", 1)[0], recursive=True)
         fsys.open_output_stream(p).close()
+        return True
     except Exception:
-        pass
+        return False
 
 
 class StaleIndexReadError(RuntimeError):
@@ -161,9 +165,27 @@ def sweep_trash(path: str, meta) -> None:
     import re
     import shutil
 
+    retained: list[str] = []
     for rel in meta.trash_dirs:
         p = os.path.join(path, rel)
         was_there = os.path.exists(p) or dir_exists(p) or file_exists(p)
+        # partition subdir reclaimed from a still-live parent: leave a
+        # swept marker so readers with a pre-fold meta fail stop instead
+        # of mistaking the gap for a never-populated shard (remote-capable:
+        # dir_exists + touch_file go through the path's own filesystem).
+        # The marker is written BEFORE the data is deleted: if the marker
+        # write fails, the trash entry is RETAINED (reclaimed on a later
+        # sweep) — deleting the data without the marker would silently
+        # disable the very staleness signal the protocol fail-stops on.
+        if was_there and re.search(r"(shard|centroid_id)=\d+/?$", rel):
+            # marker goes in the DATA parent's .swept sibling; only while
+            # that parent is still live (otherwise the whole dir is gone
+            # and readers already fail on the missing parent)
+            if dir_exists(os.path.dirname(p.rstrip("/"))) and not touch_file(
+                swept_marker_path(p)
+            ):
+                retained.append(rel)
+                continue
         if os.path.isfile(p):
             try:
                 os.remove(p)
@@ -171,16 +193,6 @@ def sweep_trash(path: str, meta) -> None:
                 pass
         shutil.rmtree(p, ignore_errors=True)
         delete_dir(p)  # remote-capable twin
-        # partition subdir reclaimed from a still-live parent: leave a
-        # swept marker so readers with a pre-fold meta fail stop instead
-        # of mistaking the gap for a never-populated shard (remote-capable:
-        # dir_exists + touch_file go through the path's own filesystem)
-        if was_there and re.search(r"(shard|centroid_id)=\d+/?$", rel):
-            # marker goes in the DATA parent's .swept sibling; only while
-            # that parent is still live (otherwise the whole dir is gone
-            # and readers already fail on the missing parent)
-            if dir_exists(os.path.dirname(p.rstrip("/"))):
-                touch_file(swept_marker_path(p))
     # orphan temp files from crashed atomic writes — meta saves and
     # sidecar publishes (tiny, but unbounded accumulation over crashes
     # would be litter)
@@ -190,7 +202,7 @@ def sweep_trash(path: str, meta) -> None:
                 os.remove(tmp)
             except OSError:
                 pass
-    meta.trash_dirs = []
+    meta.trash_dirs = retained
     live = {rel for rel in (meta.shard_base or {}).values() if rel}
     live.add(meta.base_rel)
     # swept-marker sibling dirs (<rel>.swept) live and die with their data
@@ -273,7 +285,26 @@ def snapshot_base_dirs(path: str, meta, part_col: str) -> list[tuple[str, list[i
         if rel:  # "" = emptied-by-fold sentinel: no rows anywhere
             by_dir.setdefault(rel, []).append(int(s))
     for rel, ss in sorted(by_dir.items()):
-        out.append((os.path.join(path, rel), sorted(ss)))
+        dir_abs = os.path.join(path, rel)
+        # mapped-override staleness probe: a LATER fold may have moved some
+        # of these partitions out of this gen dir and (after the grace
+        # cycle) reclaimed the superseded copies, while the dir stays live
+        # for other partitions. A meta still mapping a partition HERE is
+        # 2+ cycles stale for it — fail stop like the unmapped-base check
+        # above (and like the executor path's _swept_marker_present), never
+        # silently serve zero rows for a populated partition.
+        swept_here = sorted(
+            int(name.split("=", 1)[1])
+            for name in list_files(f"{dir_abs}.swept", f"{part_col}=")
+            if int(name.split("=", 1)[1]) in set(ss)
+        )
+        if swept_here:
+            raise StaleIndexReadError(
+                f"{dir_abs} partitions {swept_here} were folded away and "
+                "reclaimed: this reader's index meta predates the fold — "
+                "reload the index and retry"
+            )
+        out.append((dir_abs, sorted(ss)))
     return out
 
 

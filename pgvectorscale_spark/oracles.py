@@ -30,6 +30,7 @@ from pgvectorscale_spark.functions.text import (
     token_count_sql,
 )
 
+
 def tagged_union_oracle(tag_col: str, parts: list[tuple[str, str]]) -> str:
     """UNION ALL several complete oracle SELECTs into one result set, each
     branch tagged with a SQL literal (e.g. ``"'cosine'"`` or ``"1::BIGINT"``).
@@ -37,14 +38,24 @@ def tagged_union_oracle(tag_col: str, parts: list[tuple[str, str]]) -> str:
     Lets one driver correctness row verify several operator variants (the
     driver's value hash is order-insensitive, so branch order is free) —
     used to keep every operator inside the driver's 50-query oracle window.
+
+    Contract: branch SELECT schemas must align positionally (UNION ALL is
+    positional), and ``tag_col`` must not collide with any inner column name.
+    Per-branch ORDER BYs end up nested in subqueries, so the unioned result
+    has no global order — consumers must sort or hash order-insensitively.
     """
+    if not parts:
+        raise ValueError("tagged_union_oracle: parts must be non-empty")
     return "\nUNION ALL\n".join(
         f"SELECT {lit} AS {tag_col}, s.* FROM ({sql}) s" for lit, sql in parts
     )
 
 
 def union_oracle(parts: list[str]) -> str:
-    """UNION ALL complete oracle SELECTs whose schemas already align."""
+    """UNION ALL complete oracle SELECTs whose schemas already align
+    positionally. Same ordering caveat as :func:`tagged_union_oracle`."""
+    if not parts:
+        raise ValueError("union_oracle: parts must be non-empty")
     return "\nUNION ALL\n".join(f"SELECT s.* FROM ({sql}) s" for sql in parts)
 
 

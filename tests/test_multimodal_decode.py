@@ -115,7 +115,12 @@ def test_decode_pipeline_matches_duckdb_oracle(spark):
     )
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
-    want = con.execute(e.oracle_sql()["multimodal_decode"]).df()
+    want = (
+        con.execute(e.oracle_sql()["multimodal_decode"])
+        .df()
+        .sort_values(["doc_id", "media", "metric"])
+        .reset_index(drop=True)
+    )
     con.close()
     assert len(got) == len(want)
     assert got["metric"].tolist() == want["metric"].tolist()

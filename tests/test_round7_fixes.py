@@ -1,0 +1,164 @@
+"""Round-7 regression tests.
+
+1. The snapshot protocol's fail-stop guarantee on the Spark read path for
+   MAPPED partitions: a meta 2+ cycles stale that maps a shard to a
+   fold-override gen dir whose copy of that shard was later superseded and
+   swept (while the gen dir stays live for other shards) must raise
+   StaleIndexReadError from snapshot_base_dirs — the executor path already
+   did; previously the Spark ``nodes()`` view silently served zero rows.
+2. Swept-marker write failures must not silently disable the staleness
+   signal: sweep_trash writes the marker BEFORE deleting the data and
+   RETAINS the trash entry (data unreclaimed) when the write fails.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from pgvectorscale_spark.operators import index_util
+from pgvectorscale_spark.operators.diskann import DiskannIndex, StaleIndexReadError
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="round7_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _ids_for_shard(spark, shard, num_shards, start, count):
+    """ids >= start whose hash assignment lands in `shard` (diskann.py
+    _hash_shard_expr: pmod(xxhash64(id), num_shards))."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.range(start, start + 50 * count)
+        .withColumn("s", F.pmod(F.xxhash64(F.col("id").cast("long")), F.lit(num_shards)))
+        .filter(F.col("s") == shard)
+        .limit(count)
+        .collect()
+    )
+    assert len(rows) == count
+    return [int(r["id"]) for r in rows]
+
+
+def _fold_only_shard(spark, idx, rng, shard, start, d=16):
+    """Drive one full fold cycle whose delta chain touches ONLY `shard`."""
+    ids = iter(_ids_for_shard(spark, shard, idx.meta.num_shards, start, 64))
+    while True:
+        vid = next(ids)
+        idx.insert(
+            spark.createDataFrame(
+                [(vid, rng.random(d).astype(np.float32).tolist())],
+                "vec_id long, embedding array<float>",
+            )
+        )
+        if not idx.meta.delta_gens:
+            return vid + 1
+
+
+def test_stale_meta_mapping_partially_swept_override_raises_on_spark_path(spark, tmpdir):
+    """2-cycle-stale meta maps shard 0 to a gen dir that a later fold
+    partially swept (gen dir still live for shard 1): the Spark nodes()
+    view must fail stop, not serve a view silently missing shard 0."""
+    rng = np.random.default_rng(70)
+    df = spark.createDataFrame(
+        [(i, rng.random(16).tolist()) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/partial_sweep", distance_type="l2", num_shards=2,
+        id_col="vec_id", vector_col="embedding",
+    )
+    # fold 1 touches BOTH shards -> one gen dir mapped for shard 0 AND 1
+    nxt = 9000
+    while True:
+        idx.insert(
+            spark.createDataFrame(
+                [(nxt, rng.random(16).tolist()), (nxt + 1, rng.random(16).tolist())],
+                "vec_id long, embedding array<float>",
+            )
+        )
+        nxt += 2
+        if not idx.meta.delta_gens:
+            break
+    gen1 = idx.meta.shard_base["0"]
+    assert gen1 == idx.meta.shard_base["1"]  # both shards share fold-1's dir
+    stale = DiskannIndex.load(spark, idx.path)  # meta maps 0 AND 1 -> gen1
+    # fold 2 touches only shard 0 -> gen1/shard=0 superseded (trash);
+    # fold 3 (shard 0 again) sweeps it + writes gen1.swept/shard=0.
+    nxt = _fold_only_shard(spark, idx, rng, 0, nxt)
+    nxt = _fold_only_shard(spark, idx, rng, 0, nxt)
+    assert idx.meta.shard_base["1"] == gen1  # gen1 still LIVE for shard 1
+    marker = os.path.join(idx.path, f"{gen1}.swept", "shard=0")
+    assert os.path.exists(marker)
+    assert os.path.isdir(os.path.join(idx.path, gen1))  # parent not reclaimed
+    with pytest.raises(StaleIndexReadError):
+        stale.nodes().count()  # Spark path (driver view), not executor load
+    # the CURRENT handle and a cold reload stay fully functional
+    assert idx.nodes().select("node_id").distinct().count() > 200
+    assert DiskannIndex.load(spark, idx.path).search(
+        rng.random(16).tolist(), k=5
+    ).count() == 5
+
+
+def _sweep_meta(trash):
+    return SimpleNamespace(
+        trash_dirs=list(trash), shard_base={}, base_rel="nodes",
+        delta_gens=[], centroids_rel=None,
+    )
+
+
+def test_failed_marker_write_retains_trash_entry(tmpdir, monkeypatch):
+    """If the swept-marker write fails, sweep_trash must NOT delete the
+    partition copy (the marker is the only thing standing between a stale
+    reader and a silent empty shard) — the entry stays in trash_dirs for a
+    later sweep."""
+    root = os.path.join(tmpdir, "marker_fail")
+    part = os.path.join(root, "nodes_gens", "aaaa00000000", "shard=0")
+    os.makedirs(part)
+    with open(os.path.join(part, "part.parquet"), "wb") as f:
+        f.write(b"x")
+    rel = "nodes_gens/aaaa00000000/shard=0"
+
+    monkeypatch.setattr(index_util, "touch_file", lambda path: False)
+    meta = _sweep_meta([rel])
+    # keep the parent dir live so the marker branch is exercised
+    meta.shard_base = {"1": "nodes_gens/aaaa00000000"}
+    index_util.sweep_trash(root, meta)
+    assert os.path.isdir(part)  # data NOT reclaimed
+    assert meta.trash_dirs == [rel]  # entry retained for the next sweep
+    assert not os.path.exists(index_util.swept_marker_path(part))
+
+    monkeypatch.undo()
+    meta2 = _sweep_meta(meta.trash_dirs)
+    meta2.shard_base = {"1": "nodes_gens/aaaa00000000"}
+    index_util.sweep_trash(root, meta2)
+    assert not os.path.exists(part)  # reclaimed once the marker can be written
+    assert os.path.exists(index_util.swept_marker_path(part))
+    assert meta2.trash_dirs == []
+
+
+def test_snapshot_base_dirs_probes_mapped_override_markers(tmpdir):
+    """Unit twin of the fail-stop test: snapshot_base_dirs raises for a
+    meta mapping a partition to an override dir whose .swept sibling marks
+    that partition, and passes when only OTHER partitions are marked."""
+    root = os.path.join(tmpdir, "probe_unit")
+    os.makedirs(os.path.join(root, "nodes", "shard=2"))
+    gen = "nodes_gens/bbbb00000000"
+    os.makedirs(os.path.join(root, gen, "shard=1"))
+    os.makedirs(os.path.join(root, f"{gen}.swept"))
+    with open(os.path.join(root, f"{gen}.swept", "shard=0"), "wb"):
+        pass
+    ok_meta = SimpleNamespace(base_rel="nodes", shard_base={"1": gen})
+    dirs = index_util.snapshot_base_dirs(root, ok_meta, "shard")
+    assert (os.path.join(root, gen), [1]) in dirs  # marker for shard 0 ignored
+    stale_meta = SimpleNamespace(base_rel="nodes", shard_base={"0": gen, "1": gen})
+    with pytest.raises(index_util.StaleIndexReadError, match=r"\[0\]"):
+        index_util.snapshot_base_dirs(root, stale_meta, "shard")
