@@ -1172,16 +1172,29 @@ class DiskannIndex:
             )
         return u
 
-    def nodes(self) -> DataFrame:
+    def nodes(self, shards: "Sequence[int] | None" = None) -> DataFrame:
         """Current node table: the base partitions merged with the committed
         delta chain (latest generation wins per node_id). With no deltas this
         is a plain scan — the window dedupe only exists while a delta chain
-        is open, and folding resets it."""
+        is open, and folding resets it.
+
+        ``shards`` restricts the view to those partitions BEFORE the dedupe
+        window (a post-window shard filter cannot push below the window —
+        shard is not in its partitionBy — so the scans would not prune).
+        Exact because a node_id never changes shard: hash shards are a pure
+        function of the id, and kmeans upserts are pinned to the stored
+        shard (the `stored` coalesce in _insert_locked)."""
+        base = self._base_frames()
+        if shards is not None:
+            base = base.filter(F.col("shard").isin([int(s) for s in shards]))
         if not self.meta.delta_gens:
-            return self._base_frames()
+            return base
         w = Window.partitionBy("node_id").orderBy(F.col("_seq").desc())
+        u = self._nodes_union()
+        if shards is not None:
+            u = u.filter(F.col("shard").isin([int(s) for s in shards]))
         return (
-            self._nodes_union()
+            u
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_seq")
@@ -1981,11 +1994,18 @@ class DiskannIndex:
         # node_id until a fold (which preserves the deduped set), so
         # new-row count = batch ids absent from the raw base∪delta union —
         # a column-pruned broadcast semijoin, NOT the O(corpus) merge-view
-        # count the recount used to run per micro-batch
+        # count the recount used to run per micro-batch. The probe is also
+        # PARTITION-PRUNED to the batch's shard set: a batch row is pinned
+        # to the shard that already stores its id (kmeans: the `stored`
+        # coalesce above; hash: shard is a pure function of the id), so an
+        # already-present id can only live in a touched shard — at
+        # streaming rates a 1-shard micro-batch reads 1 shard's files, not
+        # the corpus (aminsert touches only affected pages, build.rs:537-558)
         batch_ids = new.select("node_id").distinct()
         n_batch = batch_ids.count()
         n_present = (
             self._nodes_union()
+            .filter(F.col("shard").isin([int(s) for s in shards]))
             .join(F.broadcast(batch_ids), "node_id")
             .select("node_id")
             .distinct()
@@ -2084,11 +2104,38 @@ class DiskannIndex:
 
     def _delete_locked(self, ids: Sequence[int]) -> None:
         ids_df = self.spark.createDataFrame([(int(i),) for i in ids], "node_id long")
+        # partition-prune the merge-view read to the shards that can hold
+        # the ids (ambulkdelete touches only affected pages,
+        # vacuum.rs:23-136). Hash sharding: the shard is a pure function of
+        # the id — zero corpus IO. Kmeans: where an id lives is data, so
+        # probe the raw union column-pruned to (node_id, shard) — shard is
+        # a partition column, so the probe reads one column's pages — then
+        # fetch full rows from the touched shards only.
+        if self.meta.shard_assignment == "kmeans":
+            cand_shards = [
+                int(r["shard"])
+                for r in self._nodes_union()
+                .join(F.broadcast(ids_df), "node_id")
+                .select("shard")
+                .distinct()
+                .collect()
+            ]
+        else:
+            cand_shards = [
+                int(r["shard"])
+                for r in ids_df.select(
+                    _shard_col("node_id", self.meta.num_shards).alias("shard")
+                )
+                .distinct()
+                .collect()
+            ]
+        if not cand_shards:
+            return
         # delta sink: persist ONLY the tombstoned rows as a new generation —
         # a delete writes O(ids) rows, not the touched shard partitions
         # (ambulkdelete flips tuple flags in place, vacuum.rs:23-136)
         updated = (
-            self.nodes()
+            self.nodes(shards=cand_shards)
             .join(F.broadcast(ids_df), "node_id")
             .withColumn("deleted", F.lit(True))
             .select(_node_cols())

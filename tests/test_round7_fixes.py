@@ -162,3 +162,77 @@ def test_snapshot_base_dirs_probes_mapped_override_markers(tmpdir):
     stale_meta = SimpleNamespace(base_rel="nodes", shard_base={"0": gen, "1": gen})
     with pytest.raises(index_util.StaleIndexReadError, match=r"\[0\]"):
         index_util.snapshot_base_dirs(root, stale_meta, "shard")
+
+
+def _scan_partition_filters(df):
+    """[(scan line, its PartitionFilters payload)] from the executed plan."""
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for line in txt.splitlines():
+        if "PartitionFilters: [" in line:
+            out.append(line.split("PartitionFilters: [", 1)[1].split("]", 1)[0])
+    return out
+
+
+def test_mutation_membership_probe_is_partition_pruned(spark, tmpdir):
+    """Round-5 #2 / round-6 carry-over: insert/delete bookkeeping must read
+    only the touched shards' partitions — every parquet scan under the
+    shard-restricted merge view carries a shard PartitionFilter (aminsert
+    touches only affected pages, build.rs:537-558)."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(71)
+    df = spark.createDataFrame(
+        [(i, rng.random(8).tolist()) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/prune", distance_type="l2", num_shards=4,
+        id_col="vec_id", vector_col="embedding",
+    )
+    # open a delta chain so the pruned path covers base + delta scans
+    idx.insert(
+        spark.createDataFrame(
+            [(9001, rng.random(8).tolist())], "vec_id long, embedding array<float>"
+        )
+    )
+    assert idx.meta.delta_gens
+    s = int(
+        spark.range(9001, 9002)
+        .select(F.pmod(F.xxhash64(F.col("id").cast("long")), F.lit(4)).cast("int").alias("s"))
+        .first()["s"]
+    )
+    pruned = idx.nodes(shards=[s])
+    filters = _scan_partition_filters(pruned.select("node_id"))
+    assert filters, "expected parquet scans in the merge view"
+    assert all("shard" in f for f in filters), filters  # every scan pruned
+    # the unrestricted view's base scan is NOT shard-filtered (sanity: the
+    # assertion above isn't vacuously true)
+    unfiltered = _scan_partition_filters(idx.nodes().select("node_id"))
+    assert any("shard" not in f for f in unfiltered)
+    # semantics: the pruned view IS the shard's slice of the full view
+    a = sorted(r["node_id"] for r in pruned.select("node_id").collect())
+    b = sorted(
+        r["node_id"] for r in idx.nodes().filter(F.col("shard") == s).select("node_id").collect()
+    )
+    assert a == b and 9001 in a
+
+
+def test_delete_prunes_and_stays_correct(spark, tmpdir):
+    """Hash-sharded delete computes candidate shards from the ids alone
+    (pure function) and tombstones exactly those rows; search never
+    resurfaces them."""
+    rng = np.random.default_rng(72)
+    df = spark.createDataFrame(
+        [(i, rng.random(8).tolist()) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/delprune", distance_type="l2", num_shards=4,
+        id_col="vec_id", vector_col="embedding",
+    )
+    idx.delete([3, 7])
+    live = {r["node_id"] for r in idx.full_scan().select("node_id").collect()}
+    assert 3 not in live and 7 not in live and len(live) == 148
+    got = [r["node_id"] for r in idx.search(rng.random(8).tolist(), k=10).collect()]
+    assert 3 not in got and 7 not in got and len(got) == 10
