@@ -10,9 +10,9 @@ progressive (SOF2), arithmetic coding, 12-bit precision, and hierarchical
 modes raise loudly.
 
 This closes the image half of the lossy-codec gap noted in NOTES.md —
-``multimodal.decode_image`` previously env-gated ALL compressed formats;
-PNG (lossless DEFLATE) and JPEG (lossy DCT) are now both genuinely
-decoded. JPEG has no JVM-side synthesis path (Huffman bit-packing is not
+``multimodal.decode_image`` dispatches to this parser by magic bytes, so
+PNG (lossless DEFLATE) and JPEG (lossy DCT) both decode through the public
+API with no PIL. JPEG has no JVM-side synthesis path (Huffman bit-packing is not
 expressible as SQL byte concatenation, unlike PNG's stored-deflate), so
 its correctness gate is the pytest round-trip against an independent
 test-side encoder rather than a driver DuckDB oracle.
@@ -173,6 +173,10 @@ def parse_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # spec-legal fill: any number of 0xFF bytes may pad before the
+        # marker code (B.1.1.2) — skip to the last one
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -6,10 +6,13 @@ UDF signatures — and so is the decode path for three container formats:
 and ``decode_png_image`` (8-bit PNG: chunk walk with CRC-32 verification,
 zlib DEFLATE inflate via the stdlib, and all five scanline defilters) —
 genuine pure-numpy/stdlib parsers running in Arrow-batched mapInPandas.
-Only lossy-codec decode (JPEG/MP3/H.264 — needs PIL/torchaudio/pyav,
-absent in this environment) stays behind the ``MEDIA_DECODERS_AVAILABLE``
-gate in ``decode_image``; ``fake_feature_extract`` remains the
-deterministic stand-in for a learned embedder.
+Baseline JPEG (Huffman + IDCT, ``operators/jpeg.py``) decodes natively
+too, and ``decode_image`` dispatches on magic bytes across all three image
+formats. Only lossy AUDIO/VIDEO sample decode (MP3/H.264 — needs
+torchaudio/pyav, absent in this environment) stays behind the
+``MEDIA_DECODERS_AVAILABLE`` gate in ``decode_av_samples``;
+``fake_feature_extract`` remains the deterministic stand-in for a learned
+embedder.
 
 At 100 TB the pattern is: binary column + metadata struct in parquet
 (column pruning means metadata-only queries never read the payload bytes);
@@ -35,6 +38,7 @@ __all__ = [
     "attach_ppm_payload",
     "attach_wav_payload",
     "binary_metadata",
+    "decode_av_samples",
     "decode_image",
     "decode_jpeg_image",
     "decode_png_image",
@@ -42,6 +46,7 @@ __all__ = [
     "decode_wav_audio",
     "fake_feature_extract",
     "frame_sample_plan",
+    "parse_image",
     "parse_jpeg",
     "parse_png",
     "parse_ppm",
@@ -472,26 +477,56 @@ def decode_wav_audio(
     )
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload", out_col: str = "pixels"):
-    """Decode LOSSY-codec image payloads to pixel arrays (STUB — JPEG-class
-    formats need PIL, absent here; PPM and PNG decode are fully implemented
-    in ``decode_ppm_image`` / ``decode_png_image``).
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-    The mapInPandas plumbing below is the real production shape; only the
-    compressed-codec call itself is gated.
-    """
+
+def parse_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Magic-bytes image dispatch — P6 PPM, PNG, and baseline JPEG/JFIF are
+    all genuinely decoded by this package's pure numpy/stdlib parsers (no
+    PIL). Returns the unified (width, height, channels, pixels) tuple.
+    Unknown formats raise NotImplementedError naming the gate."""
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    if data[:2] == b"P6":
+        w, h, _maxval, px = parse_ppm(data)
+        return w, h, 3, px
+    if data[:8] == _PNG_MAGIC:
+        return parse_png(data)
+    if data[:2] == b"\xff\xd8":
+        return parse_jpeg(data)
+    raise NotImplementedError(
+        f"unsupported image format (magic {bytes(data[:4])!r}); PPM, PNG and "
+        "baseline JPEG decode natively — other codecs need external media "
+        "decoders (MEDIA_DECODERS_AVAILABLE)"
+    )
+
+
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode image payloads to typed image features, dispatching on magic
+    bytes (``parse_image``): P6 PPM, PNG (chunk walk + CRC + zlib inflate +
+    defilter), and baseline JPEG/JFIF (Huffman + IDCT + chroma upsample —
+    operators/jpeg.py) all decode for real, pure numpy/stdlib. Only
+    MP3/H.264-class lossy AUDIO/VIDEO sample decode remains gated (see
+    ``decode_av_samples``); mixed-format image corpora decode in one pass."""
+    return decode_image_features(df, parse_image, payload_col, id_col)
+
+
+def decode_av_samples(df: DataFrame, payload_col: str = "payload"):
+    """Sample-level decode of compressed AUDIO/VIDEO codecs (MP3 synthesis
+    filterbank, H.264 reconstruction) — STUB: needs torchaudio/pyav, absent
+    here. Container/stream METADATA for these codecs is genuinely parsed
+    without sample decode (``decode_mp3_meta``); WAV-PCM sample decode is
+    real (``decode_wav_audio``). The gate covers only the sample path."""
     if not MEDIA_DECODERS_AVAILABLE:
         raise NotImplementedError(
-            "compressed-format media decoders not available in this "
-            "environment; use decode_ppm_image/decode_wav_audio for real "
-            "uncompressed decode, or fake_feature_extract for pipeline tests"
+            "compressed audio/video media decoders not available in this "
+            "environment; use decode_mp3_meta for header-scan metadata, "
+            "decode_wav_audio for real PCM decode, or fake_feature_extract "
+            "for pipeline tests"
         )
-    # pragma: no cover — real decoder path
-    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            raise NotImplementedError
-
-    return df.mapInPandas(decode, schema=f"{out_col} array<int>")
+    raise NotImplementedError  # pragma: no cover — real decoder path
 
 
 def fake_feature_extract(

@@ -296,3 +296,17 @@ def test_decode_jpeg_image_operator(spark):
         assert rows[i]["width"] == w and rows[i]["channels"] == 3
         assert abs(rows[i]["mean_r"] - means[0]) < 1e-6
         assert abs(rows[i]["mean_b"] - means[2]) < 1e-6
+
+
+def test_marker_scan_accepts_fill_bytes():
+    """Spec B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+    code — the marker walk must skip them, not raise on 'bad alignment'."""
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    raw = encode_jpeg(px)
+    i = raw.index(b"\xff\xdb")  # first DQT, right after SOI/segments
+    padded = raw[:i] + b"\xff" * 3 + raw[i:]
+    w, h, ch, a = parse_jpeg(raw)
+    w2, h2, ch2, b = parse_jpeg(padded)
+    assert (w, h, ch) == (w2, h2, ch2)
+    assert np.array_equal(a, b)

@@ -63,9 +63,45 @@ def test_fake_feature_extract_shapes(spark, documents):
     assert {r["doc_id"]: r["feature"] for r in feats} == {r["doc_id"]: r["feature"] for r in again}
 
 
-def test_decode_image_is_gated(spark, documents):
+def test_decode_image_dispatches_and_gates(spark, documents):
+    """decode_image decodes PPM/PNG/JPEG payloads by magic bytes in one
+    pass; unknown formats fail loudly naming the remaining gate; the
+    audio/video sample stub stays gated."""
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_png_payload,
+        attach_ppm_payload,
+        decode_av_samples,
+        parse_image,
+    )
+
+    src = documents.limit(3)
+    ppm = decode_image(attach_ppm_payload(src)).collect()
+    png = decode_image(attach_png_payload(src)).collect()
+    assert len(ppm) == 3 and len(png) == 3
+    assert all(r["channels"] == 3 and r["width"] > 0 for r in ppm + png)
+    with pytest.raises(NotImplementedError, match="unsupported image format"):
+        parse_image(b"\x00\x01garbage")
+    with pytest.raises(Exception, match="unsupported image format"):
+        decode_image(attach_binary_payload(src)).collect()  # utf-8 payloads
     with pytest.raises(NotImplementedError, match="media decoders"):
-        decode_image(attach_binary_payload(documents.limit(1)))
+        decode_av_samples(attach_binary_payload(src))
+
+
+def test_decode_image_routes_jpeg(spark):
+    """A real baseline JPEG payload (test-side encoder) decodes through
+    the PUBLIC decode_image API — no PIL, pixels within IDCT tolerance."""
+    import numpy as np
+
+    from tests.test_jpeg import encode_jpeg
+
+    rng = np.random.default_rng(74)
+    px = (rng.integers(0, 256, size=(16, 16, 3))).astype("uint8")
+    payload = encode_jpeg(px)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = decode_image(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (16, 16, 3)
+    for c, m in zip("rgb", px.reshape(-1, 3).mean(axis=0)):
+        assert abs(row[f"mean_{c}"] - m) < 8  # lossy codec: means stay close
 
 
 def test_frame_sample_plan(spark, documents):
