@@ -756,6 +756,22 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id", "media", "metric")
 
 
+def _audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 stream metadata without sample decode: genuine MPEG-1 Layer III
+    streams are synthesized JVM-side from md5(text) nibbles (bitrate /
+    sample-rate / channel-mode / frame-count draws + digest-tiled frame
+    bodies), then the pure-Python frame-header walk (parse_mp3_meta)
+    recovers rate, channels, mean bitrate and duration — what an audio
+    curation pipeline filters on before paying for sample decode. The
+    oracle replays the nibble draws in closed form (mp3_meta_oracle)."""
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_mp3_payload,
+        decode_mp3_meta,
+    )
+
+    return decode_mp3_meta(attach_mp3_payload(_docs(spark, sf_dir))).orderBy("doc_id")
+
+
 def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing any 5-word
     shingle with a benchmark set (here: the doc_id % 97 == 0 subset of the
@@ -919,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _multimodal_frames,
         "multimodal_features": _multimodal_features,
         "multimodal_decode": _multimodal_decode_all,
+        "audio_meta": _audio_meta,
         "decontaminate": _decontaminate,
         "repetition_stats": _repetition_stats,
         # relational surface (inherited from Spark, §2.7)
@@ -1017,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": oracles.multimodal_meta_oracle(),
         "multimodal_frames": oracles.multimodal_frames_oracle(64),
         "multimodal_features": oracles.multimodal_features_oracle(4),
+        "audio_meta": oracles.mp3_meta_oracle(),
         "multimodal_decode": oracles.union_oracle(
             [oracles.multimodal_decode_oracle(), oracles.multimodal_decode_png_oracle()]
         ),

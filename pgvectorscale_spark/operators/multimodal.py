@@ -38,9 +38,11 @@ __all__ = [
     "attach_ppm_payload",
     "attach_wav_payload",
     "binary_metadata",
+    "attach_mp3_payload",
     "decode_av_samples",
     "decode_image",
     "decode_jpeg_image",
+    "decode_mp3_meta",
     "decode_png_image",
     "decode_ppm_image",
     "decode_wav_audio",
@@ -48,6 +50,7 @@ __all__ = [
     "frame_sample_plan",
     "parse_image",
     "parse_jpeg",
+    "parse_mp3_meta",
     "parse_png",
     "parse_ppm",
     "parse_wav",
@@ -312,6 +315,153 @@ def attach_wav_payload(df: DataFrame, source_col: str = "text", payload_col: str
             f"{', '.join([u] * WAV_TILE)})"
         ),
     ).withColumn("media_type", F.lit("audio/wav"))
+
+
+# MPEG-1 Layer III header tables (ISO/IEC 11172-3): bitrate index 1..14 and
+# sampling-rate index 0..2. The synth draws from these via md5 nibbles and
+# the closed-form oracle replays the same CASE tables.
+MP3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+MP3_RATES = (44100, 48000, 32000)
+MP3_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+MP3_MAX_FRAMES = 5  # synth: 2..5 frames per payload
+
+
+def parse_mp3_meta(data: bytes) -> tuple[int, int, float, int, int, int, float]:
+    """MP3 frame-HEADER scan — metadata without sample decode: walk the
+    MPEG-1 Layer III frame chain (optional ID3v2 prefix skipped via its
+    synchsafe size) and return (version, layer, mean bitrate kbps,
+    sample_rate, channels, n_frames, duration_ms). VBR streams report the
+    frame-average bitrate. Sample synthesis (the lossy part) stays behind
+    ``decode_av_samples``; everything here is container arithmetic.
+    Malformed chains fail loudly — truncated frames, mid-stream sample-rate
+    or mode changes, non-MPEG-1-Layer-III frames, trailing garbage."""
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    pos = 0
+    if data[:3] == b"ID3":  # ID3v2: 10-byte header + synchsafe 28-bit size
+        if len(data) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        pos = 10 + size
+    rates: set[int] = set()
+    modes: set[int] = set()
+    bitrates: list[int] = []
+    while pos < len(data):
+        if data[pos : pos + 3] == b"TAG":  # ID3v1 trailer: fixed 128 bytes
+            if len(data) - pos != 128:
+                raise ValueError("malformed ID3v1 trailer")
+            break
+        if pos + 4 > len(data):
+            raise ValueError(f"truncated frame header at {pos}")
+        b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+        if data[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at {pos}")
+        version_bits, layer_bits = (b1 >> 3) & 3, (b1 >> 1) & 3
+        if version_bits != 3 or layer_bits != 1:
+            raise ValueError("only MPEG-1 Layer III frames supported")
+        bidx, ridx, padding = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+        if not 1 <= bidx <= 14 or ridx > 2:
+            raise ValueError(f"bad bitrate/rate index at {pos}")
+        rate = MP3_RATES[ridx]
+        bitrate = MP3_BITRATES[bidx - 1]
+        rates.add(rate)
+        modes.add((b3 >> 6) & 3)
+        bitrates.append(bitrate)
+        pos += 144 * bitrate * 1000 // rate + padding
+    if pos > len(data):
+        raise ValueError("last frame truncated")
+    if not bitrates:
+        raise ValueError("no MPEG audio frames")
+    if len(rates) > 1 or len(modes) > 1:
+        raise ValueError("mid-stream sample-rate/channel-mode change")
+    rate, mode = rates.pop(), modes.pop()
+    n = len(bitrates)
+    return (
+        1,  # MPEG version
+        3,  # layer
+        round(float(np.mean(bitrates)), 6),
+        rate,
+        1 if mode == 3 else 2,
+        n,
+        round(n * MP3_SAMPLES_PER_FRAME * 1000.0 / rate, 6),
+    )
+
+
+def decode_mp3_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """MP3 stream metadata without sample decode — Arrow-batched
+    mapInPandas over ``parse_mp3_meta``. Returns (id, sample_rate,
+    channels, bitrate_kbps, n_frames, duration_ms): what a training-data
+    audio pipeline filters on (length, rate, channel layout) before paying
+    for any sample decode."""
+
+    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"sample_rate": [], "channels": [], "bitrate_kbps": [],
+                   "n_frames": [], "duration_ms": []}
+            for payload in pdf[payload_col]:
+                _v, _l, kbps, rate, ch, n, dur = parse_mp3_meta(payload)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["bitrate_kbps"].append(kbps)
+                out["n_frames"].append(n)
+                out["duration_ms"].append(dur)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), **out})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, sample_rate long, channels long, "
+            "bitrate_kbps double, n_frames long, duration_ms double"
+        ),
+    )
+
+
+def attach_mp3_payload(df: DataFrame, source_col: str = "text", payload_col: str = "payload") -> DataFrame:
+    """Deterministic REAL MPEG-1 Layer III stream per row, built JVM-side:
+    md5 nibbles pick bitrate index (1..14), sample-rate index (0..2),
+    channel mode (0..3) and frame count (2..5); each frame is the genuine
+    4-byte header (sync 0xFFFB = MPEG-1 Layer III, no CRC) followed by
+    144000*bitrate/rate - 4 body bytes tiling the digest. Any framing error
+    makes the strict ``parse_mp3_meta`` walk lose sync — synth and parser
+    check each other, and the closed-form DuckDB oracle replays the nibble
+    draws (mp3_meta_oracle)."""
+    u = f"unhex(md5(`{source_col}`))"
+    nib = lambda k: f"cast(conv(substring(md5(`{source_col}`), {k}, 1), 16, 10) as int)"
+    bidx = f"(1 + {nib(1)} % 14)"
+    bitrate = "element_at(array(32,40,48,56,64,80,96,112,128,160,192,224,256,320), _bidx)"
+    rate = f"element_at(array(44100,48000,32000), 1 + {nib(2)} % 3)"
+    mode = f"({nib(3)} % 4)"
+    n_frames = f"(2 + {nib(4)} % 4)"
+    # header: 0xFF 0xFB, byte3 = bitrate_idx<<4 | rate_idx<<2 (padding 0),
+    # byte4 = mode<<6
+    hdr = (
+        "concat(unhex('fffb'), "
+        f"unhex(lpad(hex(_bidx * 16 + ({nib(2)} % 3) * 4), 2, '0')), "
+        "unhex(lpad(hex(_mode * 64), 2, '0')))"
+    )
+    frame_len = "cast(floor(144000.0 * _kbps / _rate) as int)"
+    # max frame 1440 bytes -> 90 digest tiles cover any body
+    tile = f"concat({', '.join([u] * 90)})"
+    frame = "concat(_hdr, substring(_tile, 1, _flen - 4))"
+    stream = (
+        f"substring(concat({', '.join(['_frame'] * MP3_MAX_FRAMES)}), 1, _n * _flen)"
+    )
+    return (
+        df.withColumn("_bidx", F.expr(bidx))
+        .withColumn("_kbps", F.expr(bitrate))
+        .withColumn("_rate", F.expr(rate))
+        .withColumn("_mode", F.expr(mode))
+        .withColumn("_n", F.expr(n_frames))
+        .withColumn("_hdr", F.expr(hdr))
+        .withColumn("_flen", F.expr(frame_len))
+        .withColumn("_tile", F.expr(tile))
+        .withColumn("_frame", F.expr(frame))
+        .withColumn(payload_col, F.expr(stream))
+        .drop("_bidx", "_kbps", "_rate", "_mode", "_n", "_hdr", "_flen", "_tile", "_frame")
+        .withColumn("media_type", F.lit("audio/mpeg"))
+    )
 
 
 def attach_png_payload(df: DataFrame, source_col: str = "text", payload_col: str = "payload") -> DataFrame:

@@ -746,6 +746,48 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def mp3_meta_oracle() -> str:
+    """Twin of the MP3 metadata pipeline (multimodal.attach_mp3_payload →
+    parse_mp3_meta): the synth draws every header field from md5(text)
+    nibbles, so the scan's outputs have closed forms over the digest hex —
+    the oracle replays the nibble draws through the same MPEG-1 Layer III
+    bitrate/rate tables (multimodal.MP3_BITRATES / MP3_RATES). If the
+    Spark-side frame framing or the parser's header arithmetic drifts, the
+    walk loses sync or the values diverge and the hash check fails."""
+    from pgvectorscale_spark.operators.multimodal import (
+        MP3_BITRATES,
+        MP3_RATES,
+        MP3_SAMPLES_PER_FRAME,
+    )
+
+    def nib(pos: int) -> str:  # 1-based hex-char position -> nibble value
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    br = (
+        f"CASE 1 + {nib(1)} % 14 "
+        + " ".join(f"WHEN {i + 1} THEN {b}" for i, b in enumerate(MP3_BITRATES))
+        + " END"
+    )
+    rate = (
+        f"CASE {nib(2)} % 3 "
+        + " ".join(f"WHEN {i} THEN {r}" for i, r in enumerate(MP3_RATES))
+        + " END"
+    )
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+f AS (
+  SELECT doc_id, ({br})::BIGINT AS kbps, ({rate})::BIGINT AS rate,
+         (CASE WHEN {nib(3)} % 4 = 3 THEN 1 ELSE 2 END)::BIGINT AS channels,
+         (2 + {nib(4)} % 4)::BIGINT AS n_frames
+  FROM m
+)
+SELECT doc_id, rate AS sample_rate, channels,
+       round(kbps::DOUBLE, 6) AS bitrate_kbps, n_frames,
+       round(n_frames * {MP3_SAMPLES_PER_FRAME} * 1000.0 / rate, 6) AS duration_ms
+FROM f ORDER BY doc_id
+"""
+
+
 def decontaminate_oracle(shingle_n: int, benchmark_pred: str) -> str:
     """Twin of curation.decontaminate with the benchmark drawn from the
     documents table by ``benchmark_pred`` (a SQL predicate over doc_id) —

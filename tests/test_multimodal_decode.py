@@ -341,3 +341,84 @@ def test_png_synth_is_real_and_decodes_to_reference_pixels(spark):
         means = px.reshape(-1, 3).mean(axis=0)
         assert abs(feats[doc_id]["mean_r"] - means[0]) < 1e-6
         assert abs(feats[doc_id]["mean_b"] - means[2]) < 1e-6
+
+
+class TestParseMp3Meta:
+    """Frame-header scan: genuine MPEG-1 Layer III arithmetic, strict walk."""
+
+    @staticmethod
+    def _frame(kbps=128, rate_idx=0, mode=0, padding=0, fill=b"\x5a"):
+        from pgvectorscale_spark.operators.multimodal import MP3_BITRATES, MP3_RATES
+
+        bidx = MP3_BITRATES.index(kbps) + 1
+        rate = MP3_RATES[rate_idx]
+        hdr = bytes([0xFF, 0xFB, (bidx << 4) | (rate_idx << 2) | (padding << 1), mode << 6])
+        flen = 144 * kbps * 1000 // rate + padding
+        return hdr + fill * (flen - 4)
+
+    def test_basic_stream(self):
+        from pgvectorscale_spark.operators.multimodal import parse_mp3_meta
+
+        raw = self._frame() * 4
+        v, layer, kbps, rate, ch, n, dur = parse_mp3_meta(raw)
+        assert (v, layer, kbps, rate, ch, n) == (1, 3, 128.0, 44100, 2, 4)
+        assert dur == round(4 * 1152 * 1000.0 / 44100, 6)
+
+    def test_vbr_mean_and_mono(self):
+        from pgvectorscale_spark.operators.multimodal import parse_mp3_meta
+
+        raw = self._frame(64, 1, mode=3) + self._frame(128, 1, mode=3) * 2
+        _, _, kbps, rate, ch, n, _ = parse_mp3_meta(raw)
+        assert (kbps, rate, ch, n) == (round((64 + 128 + 128) / 3.0, 6), 48000, 1, 3)
+
+    def test_padding_byte_advances_walk(self):
+        from pgvectorscale_spark.operators.multimodal import parse_mp3_meta
+
+        raw = self._frame(padding=1) + self._frame(padding=0)
+        assert parse_mp3_meta(raw)[5] == 2
+
+    def test_id3v2_prefix_and_id3v1_trailer(self):
+        from pgvectorscale_spark.operators.multimodal import parse_mp3_meta
+
+        tag_body = b"\x00" * 200
+        id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 200 >> 7, 200 & 0x7F]) + tag_body
+        id3v1 = b"TAG" + b"\x00" * 125
+        raw = id3v2 + self._frame() * 2 + id3v1
+        assert parse_mp3_meta(raw)[5] == 2
+
+    def test_rejects_truncated_and_desync(self):
+        import pytest as _pytest
+
+        from pgvectorscale_spark.operators.multimodal import parse_mp3_meta
+
+        with _pytest.raises(ValueError, match="truncated|lost frame sync"):
+            parse_mp3_meta(self._frame()[:-10])
+        with _pytest.raises(ValueError, match="lost frame sync"):
+            parse_mp3_meta(self._frame() + b"junk-after-frames")
+        with _pytest.raises(ValueError, match="sample-rate/channel-mode"):
+            parse_mp3_meta(self._frame(rate_idx=0) + self._frame(rate_idx=1))
+        with _pytest.raises(ValueError, match="only MPEG-1 Layer III"):
+            parse_mp3_meta(bytes([0xFF, 0xF3, 0x90, 0x00]) + b"\x00" * 200)
+
+    def test_synth_payloads_are_real_streams(self, spark):
+        """The JVM-built streams parse with the strict walk, and the scan's
+        outputs equal the nibble draws the synth made."""
+        from pgvectorscale_spark.operators.multimodal import (
+            MP3_BITRATES,
+            MP3_RATES,
+            attach_mp3_payload,
+            parse_mp3_meta,
+        )
+        import hashlib
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "spark"), (3, "")], "doc_id long, text string"
+        )
+        for row in attach_mp3_payload(df).collect():
+            _, _, kbps, rate, ch, n, _ = parse_mp3_meta(bytes(row["payload"]))
+            h = hashlib.md5(row["text"].encode()).hexdigest()
+            nib = [int(c, 16) for c in h[:4]]
+            assert kbps == MP3_BITRATES[nib[0] % 14]
+            assert rate == MP3_RATES[nib[1] % 3]
+            assert ch == (1 if nib[2] % 4 == 3 else 2)
+            assert n == 2 + nib[3] % 4
