@@ -35,11 +35,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import BooleanType, LongType, StringType, StructField, StructType
 
-from pgvectorscale_spark.functions.hashing import SPARK, h60
+from pgvectorscale_spark.functions.hashing import (
+    SPARK,
+    band_hash,
+    h60,
+    minhash_signature_expr,
+)
 
-__all__ = ["stream_dedup_exact"]
+__all__ = ["neardup_keepers", "stream_dedup_exact", "stream_neardup_band_verdicts"]
 
 _OUT_SCHEMA = StructType(
     [
@@ -111,3 +116,129 @@ def stream_dedup_exact(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+_VERDICT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band_id", LongType()),
+        StructField("bucket_hit", BooleanType()),
+    ]
+)
+_BUCKET_STATE = StructType([StructField("keeper_id", LongType())])
+
+
+def stream_neardup_band_verdicts(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    state_ttl_seconds: int = 0,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup detection across micro-batches:
+    the streaming face of ``operators/dedup.py``'s candidate generation
+    (minhash_signatures → lsh_band_buckets → band-bucket equi-join).
+
+    Signatures are the SAME map-only fold expression the batch operator
+    uses (one md5 per shingle, ``num_hashes`` running minima — zero
+    shuffle), so stream and batch bucket identically. State lives per
+    (band_id, band_hash) BUCKET — the exact keys the batch equi-join
+    shuffles on — and is O(1) per bucket: the first doc ever to touch the
+    bucket (earliest batch; smallest id within that batch). Every doc
+    claims its buckets whether or not it survives, mirroring the batch
+    candidate join (pairs form between any two docs sharing a bucket,
+    keeper status plays no part), so stream verdicts replay the batch
+    pair set exactly under arrival order = id order.
+
+    Emits one verdict row per (doc, band): ``bucket_hit`` is true iff the
+    bucket was already claimed by a strictly earlier doc. A doc is a
+    near-duplicate iff ANY of its bands hit (the LSH OR-rule) — that
+    per-doc fold is ``neardup_keepers``, run batch-side in a
+    ``foreachBatch`` sink: an append-mode aggregation downstream of a
+    stateful operator needs an event-time watermark these verdicts don't
+    carry, and the fold is a tiny narrow groupBy over the micro-batch's
+    own rows.
+
+    ``state_ttl_seconds`` bounds state for unbounded corpora exactly as in
+    ``stream_dedup_exact`` (quiet buckets expire and re-admit). At 100 TB
+    the state store holds one long per OCCUPIED bucket — bands × distinct
+    near-dup clusters, not rows.
+
+    Rows whose text yields no shingles (NULL / too short) produce NULL
+    band hashes; they are excluded here — the batch equi-join drops NULL
+    keys the same way — and fall out as keepers in ``neardup_keepers``.
+    """
+    rows_per_band = num_hashes // bands
+
+    def verdicts(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        band_id, _bh = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            hits = [True] * len(batch)
+        else:
+            first = int(batch["_id"].min())
+            state.update((first,))
+            hits = (batch["_id"] != first).tolist()
+        if state_ttl_seconds:
+            state.setTimeoutDuration(state_ttl_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["_id"].to_numpy(),
+                "band_id": int(band_id),
+                "bucket_hit": hits,
+            }
+        )
+
+    from pgvectorscale_spark.functions.hashing import tokens, word_shingles
+
+    toks = tokens(text_col, SPARK)
+    sig = stream_df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(word_shingles(toks, shingle_n, SPARK)).alias("_shingles"),
+    ).select(
+        "_id",
+        F.expr(minhash_signature_expr("_shingles", num_hashes)).alias("signature"),
+    )
+    hash_arr = F.array(
+        *[F.expr(band_hash("signature", b, rows_per_band, SPARK)) for b in range(bands)]
+    )
+    buckets = sig.select(
+        "_id", F.posexplode(hash_arr).alias("_band", "_bh")
+    ).filter(F.col("_bh").isNotNull())
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_seconds
+        else GroupStateTimeout.NoTimeout
+    )
+    return buckets.groupBy("_band", "_bh").applyInPandasWithState(
+        verdicts,
+        outputStructType=_VERDICT_SCHEMA,
+        stateStructType=_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def neardup_keepers(
+    batch_df: DataFrame, verdicts_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The per-doc LSH OR-fold over ``stream_neardup_band_verdicts`` rows:
+    a doc survives iff NONE of its bands hit an earlier-claimed bucket.
+    Both inputs are one micro-batch's rows (use inside ``foreachBatch``);
+    docs with no verdict rows (no shingles) are keepers, like the batch
+    equi-join's NULL-key drop. Narrow anti-join: O(batch), no corpus IO."""
+    dup_ids = (
+        verdicts_df.filter(F.col("bucket_hit"))
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    return batch_df.join(dup_ids, id_col, "left_anti")

@@ -339,3 +339,87 @@ def test_stream_dedup_ttl_expires_state(spark, tmpdir):
         assert rows == [1, 2]  # re-admitted after state expiry
     finally:
         q.stop()
+
+
+def test_stream_neardup_parity_with_batch_lsh(spark, tmpdir):
+    """Incremental MinHash-LSH over id-ordered micro-batches == the batch
+    operator: a doc is dropped iff it is the LARGER side of at least one
+    batch candidate pair (any shared band bucket with an earlier doc) —
+    exactly dedup.minhash_candidate_pairs' pair set replayed first-arrival.
+    Run over the sf0.01 documents table split into 5 micro-batches."""
+    from pgvectorscale_spark.operators import dedup
+    from pgvectorscale_spark.streaming.dedup import stream_neardup_band_verdicts
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+    )
+    n = docs.count()
+    path = str(tmpdir.join("snd_in"))
+    # 5 id-ordered files -> 5 micro-batches (arrival order = id order)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cuts = [ids[i * len(ids) // 5] for i in range(1, 5)] + [ids[-1] + 1]
+    lo = ids[0]
+    for hi in cuts:
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        lo = hi
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    q = (
+        stream_neardup_band_verdicts(stream)
+        .writeStream.format("memory")
+        .queryName("snd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmpdir.join("ckpt_snd")))
+        .start()
+    )
+    q.awaitTermination(180)
+    hit_ids = {
+        r["doc_id"]
+        for r in spark.sql("SELECT DISTINCT doc_id FROM snd WHERE bucket_hit").collect()
+    }
+    stream_keepers = set(ids) - hit_ids
+    # batch twin: dropped = larger element of any candidate pair
+    dropped_batch = {
+        r["doc_b"] for r in dedup.minhash_candidate_pairs(docs).collect()
+    }
+    batch_keepers = set(ids) - dropped_batch
+    assert stream_keepers == batch_keepers
+    assert 0 < len(stream_keepers) < n  # corpus has near-dups AND survivors
+
+
+def test_stream_neardup_within_batch_and_keepers_helper(spark, tmpdir):
+    """Within one micro-batch the smallest id claims each bucket; the
+    neardup_keepers fold keeps exactly the docs with no hit verdict,
+    including shingle-less docs that produce no verdicts at all."""
+    from pgvectorscale_spark.streaming.dedup import (
+        neardup_keepers,
+        stream_neardup_band_verdicts,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (5, base),
+        (2, base),                # same content, smaller id -> 2 keeps, 5 drops
+        (7, "completely different words entirely unrelated content here now"),
+        (9, "xy"),                # too short for 3-shingles -> no verdicts, keeper
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmpdir.join("sndw_in"))
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    q = (
+        stream_neardup_band_verdicts(stream)
+        .writeStream.format("memory")
+        .queryName("sndw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmpdir.join("ckpt_sndw")))
+        .start()
+    )
+    q.awaitTermination(120)
+    verdicts = spark.sql("SELECT * FROM sndw")
+    keepers = {r["doc_id"] for r in neardup_keepers(df, verdicts).collect()}
+    assert keepers == {2, 7, 9}
