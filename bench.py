@@ -153,6 +153,49 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
 
+    # ---- ANN scale point (NOT in the headline total: totals stay
+    # comparable round-over-round). Build+serve at 8x the rows with 8x the
+    # shards — per-shard work constant, so on an unconstrained cluster wall
+    # time is flat and on this fixed 32-thread host it should grow ~linearly
+    # in rows (more task waves), validating shards-scale-out empirically.
+    def _scale_embeddings(src, factor):
+        out = src
+        for c in range(1, factor):
+            out = out.unionByName(
+                src.select(
+                    (F.col("vec_id") + c * 1_000_000).alias("vec_id"),
+                    F.expr(
+                        "transform(embedding, (x, i) -> x + float(pmod("
+                        f"xxhash64(vec_id * 64 + i + {c}), 997)) / 99700.0)"
+                    ).alias("embedding"),
+                    "label",
+                )
+            )
+        return out
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    n_rows = emb.count()
+    emb8 = _scale_embeddings(emb, 8).persist()
+    n_rows8 = emb8.count()  # materialize outside the timed region
+    tmp_index8 = tempfile.mkdtemp(prefix="bench_diskann8_")
+    t0 = time.time()
+    idx8 = DiskannIndex.build(emb8, tmp_index8, distance_type="l2", num_shards=64)
+    build8 = round(time.time() - t0, 3)
+    t0 = time.time()
+    idx8.search(q0, k=10).collect()
+    serve8 = round(time.time() - t0, 3)
+    emb8.unpersist()
+    shutil.rmtree(tmp_index8, ignore_errors=True)
+    ann_scale = {
+        "rows_1x": int(n_rows),
+        "rows_8x": int(n_rows8),
+        "build_1x_sec": timings["q_diskann_build"],
+        "build_8x_sec": build8,
+        "serve_1x_sec": timings["q_diskann_serve"],
+        "serve_8x_sec": serve8,
+    }
+
     encoded.unpersist()
     shutil.rmtree(tmp_index, ignore_errors=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -163,6 +206,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "ann_scale": ann_scale,
                 "sf": float(sf),
             }
         )

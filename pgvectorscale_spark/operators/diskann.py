@@ -896,6 +896,7 @@ class DiskannIndex:
                 _clear_delta_dirs(path)
             meta.base_rel = dest_rel
             meta.trash_dirs = trash
+            meta.trash_epoch = epoch
             meta.delta_counter = counter
             meta.epoch = epoch
             meta.save(path)
@@ -1094,6 +1095,7 @@ class DiskannIndex:
         sc.setJobDescription(None)
         meta.base_rel = dest_rel
         meta.trash_dirs = trash
+        meta.trash_epoch = epoch
         meta.delta_counter = counter
         # keep the mutation epoch monotonic across rebuilds at the same path
         # so executor-side shard caches from the old index never serve stale
@@ -2217,7 +2219,8 @@ class DiskannIndex:
             # a remote store and the fold would drop the chain's content
             for name in list_subdirs(os.path.join(self.path, rel), "shard="):
                 touched.add(int(name.split("=", 1)[1]))
-        new_trash = list(delta_gens)
+        # carry entries the sweep retained (lease-pinned / marker-failed)
+        new_trash = list(self.meta.trash_dirs) + list(delta_gens)
         if touched:
             # the merge keeps tombstoned rows (graph traversal state), so a
             # touched shard always has output rows — a fold-override dir is
@@ -2235,8 +2238,22 @@ class DiskannIndex:
                 )
                 self.meta.shard_base[str(s)] = gen_rel
         self.meta.delta_gens = []
-        self.meta.trash_dirs = new_trash
+        self.meta.trash_dirs = list(dict.fromkeys(new_trash))
+        # folds bump the (informational) epoch and stamp it as the trash
+        # enqueue point: reader leases older than this pin the sweep
+        self.meta.epoch += 1
+        self.meta.trash_epoch = int(self.meta.epoch)
         self.meta.save(self.path)
+
+    def reader_lease(self, ttl_seconds: float | None = None):
+        """Context manager pinning this handle's snapshot against trash
+        reclamation for long-paused readers (see index_util.reader_lease):
+        within the TTL, sweeps retain superseded dirs instead of deleting
+        them, so a read spanning 2+ maintenance cycles completes instead
+        of fail-stopping with StaleIndexReadError."""
+        from pgvectorscale_spark.operators.index_util import reader_lease
+
+        return reader_lease(self.path, int(self.meta.epoch), ttl_seconds)
 
     def compact(self, lock_wait: float = 0.0) -> "DiskannIndex":
         """Rebuild from live rows, dropping tombstones (periodic compaction).

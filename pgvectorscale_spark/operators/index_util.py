@@ -23,6 +23,7 @@ __all__ = [
     "list_files",
     "list_subdirs",
     "prepare_rebuild",
+    "reader_lease",
     "snapshot_base_dirs",
     "sweep_trash",
     "swept_marker_path",
@@ -154,6 +155,88 @@ class StaleIndexReadError(RuntimeError):
     dirs wait one full cycle in meta.trash_dirs before deletion)."""
 
 
+LEASES_DIR = "_leases"
+# default lease lifetime: long enough for a slow analytical read, short
+# enough that a crashed reader releases reclamation within minutes
+DEFAULT_LEASE_TTL = int(os.environ.get("PGVS_READER_LEASE_TTL", 600))
+
+
+@contextmanager
+def reader_lease(index_path: str, epoch: int, ttl_seconds: float | None = None):
+    """Pin the index's trash-grace window for a long-running reader.
+
+    The snapshot protocol guarantees one full maintenance cycle of grace:
+    a reader loading meta at epoch E reads consistently through the next
+    fold, but a reader paused across TWO cycles fail-stops with
+    StaleIndexReadError once the sweep reclaims its dirs. A lease extends
+    that: while an unexpired lease whose epoch predates the current trash
+    enqueue (``meta.trash_epoch``) exists, ``sweep_trash`` retains ALL
+    trash for another cycle instead of deleting it, so the leased reader's
+    snapshot stays fully readable for as long as the lease lives.
+
+    The lease is a tiny JSON file under ``<index>/_leases/`` holding
+    (epoch, wall-clock expiry) — remote-capable via the path's own
+    filesystem, removed on exit, reaped by sweeps once expired. An EXPIRED
+    lease gives no guarantee: the reader degrades to the ordinary
+    fail-stop (never wrong data). Writers never block on leases — only
+    trash reclamation is deferred, bounded by the TTL.
+
+    The reference needs no analog: Postgres MVCC keeps a scan's pages
+    reachable for free; this is the plain-parquet equivalent of holding a
+    snapshot reference."""
+    import json
+    import uuid
+
+    ttl = DEFAULT_LEASE_TTL if ttl_seconds is None else float(ttl_seconds)
+    lease_path = os.path.join(index_path, LEASES_DIR, f"{uuid.uuid4().hex}.lease")
+    body = json.dumps({"epoch": int(epoch), "expires": time.time() + ttl}).encode()
+    try:
+        fsys, p = _pa_fs(lease_path)
+        fsys.create_dir(p.rsplit("/", 1)[0], recursive=True)
+        with fsys.open_output_stream(p) as f:
+            f.write(body)
+    except Exception as exc:
+        # no silent no-op: a reader that believes it is pinned but isn't
+        # would lose the very guarantee it asked for — fail the acquire
+        raise RuntimeError(f"could not acquire reader lease at {lease_path}") from exc
+    try:
+        yield lease_path
+    finally:
+        try:
+            fsys, p = _pa_fs(lease_path)
+            fsys.delete_file(p)
+        except Exception:
+            pass  # expired/reaped is fine; TTL bounds the pin either way
+
+
+def _live_lease_min_epoch(path: str) -> int | None:
+    """Smallest epoch among unexpired leases, or None. Expired lease files
+    are reaped in passing; unreadable/corrupt ones are ignored (a reader
+    that never completed its lease write never got the guarantee)."""
+    import json
+
+    leases_dir = os.path.join(path, LEASES_DIR)
+    now = time.time()
+    best: int | None = None
+    for name in list_files(leases_dir, ""):
+        fpath = os.path.join(leases_dir, name)
+        try:
+            fsys, p = _pa_fs(fpath)
+            with fsys.open_input_stream(p) as f:
+                rec = json.loads(f.read().decode())
+            epoch, expires = int(rec["epoch"]), float(rec["expires"])
+        except Exception:
+            continue
+        if expires < now:
+            try:
+                fsys.delete_file(p)
+            except Exception:
+                pass
+            continue
+        best = epoch if best is None else min(best, epoch)
+    return best
+
+
 def sweep_trash(path: str, meta) -> None:
     """Delete data dirs superseded one maintenance cycle ago, plus orphan
     generation dirs from crashed jobs (subdirs of nodes_gens/ or
@@ -165,8 +248,19 @@ def sweep_trash(path: str, meta) -> None:
     import re
     import shutil
 
+    # reader-lease pin: while an unexpired lease predates the trash's
+    # enqueue epoch, a reader may still be merging these dirs — retain
+    # everything for another cycle instead of deleting (trash_epoch == 0:
+    # pre-field meta, pin on ANY live lease, conservative). Orphan
+    # reconciliation below still runs: orphans were never referenced by
+    # any committed meta, so no lease can pin them.
+    pin = _live_lease_min_epoch(path)
+    te = int(getattr(meta, "trash_epoch", 0) or 0)
+    lease_pinned = (
+        bool(meta.trash_dirs) and pin is not None and (te == 0 or pin < te)
+    )
     retained: list[str] = []
-    for rel in meta.trash_dirs:
+    for rel in [] if lease_pinned else meta.trash_dirs:
         p = os.path.join(path, rel)
         was_there = os.path.exists(p) or dir_exists(p) or file_exists(p)
         # partition subdir reclaimed from a still-live parent: leave a
@@ -202,9 +296,16 @@ def sweep_trash(path: str, meta) -> None:
                 os.remove(tmp)
             except OSError:
                 pass
-    meta.trash_dirs = retained
+    meta.trash_dirs = list(meta.trash_dirs) if lease_pinned else retained
     live = {rel for rel in (meta.shard_base or {}).values() if rel}
     live.add(meta.base_rel)
+    # retained trash (lease-pinned or marker-write-failed) must survive the
+    # orphan reconciliation: protect each entry and its top-level gen dir
+    for rel in meta.trash_dirs:
+        bits = rel.strip("/").split("/")
+        live.add(rel)
+        if len(bits) >= 2:
+            live.add("/".join(bits[:2]))
     # swept-marker sibling dirs (<rel>.swept) live and die with their data
     # dir — keep the live ones out of the orphan reconciliation below
     live |= {f"{rel}.swept" for rel in list(live)}
@@ -214,7 +315,9 @@ def sweep_trash(path: str, meta) -> None:
             p = os.path.join(path, rel)
             shutil.rmtree(p, ignore_errors=True)
             delete_dir(p)
-    live_delta = set(meta.delta_gens)
+    live_delta = set(meta.delta_gens) | {
+        rel for rel in meta.trash_dirs if rel.startswith("nodes_delta/")
+    }
     for name in list_subdirs(os.path.join(path, "nodes_delta"), ""):
         rel = f"nodes_delta/{name}"
         if rel not in live_delta:
@@ -223,7 +326,9 @@ def sweep_trash(path: str, meta) -> None:
             delete_dir(p)
     # orphan centroid generations from crashed IVF rebuilds (same crash
     # class as nodes_gens orphans: written, never referenced by any meta)
-    live_cents = {getattr(meta, "centroids_rel", None)}
+    live_cents = {getattr(meta, "centroids_rel", None)} | {
+        rel for rel in meta.trash_dirs if rel.startswith("centroids_gens/")
+    }
     for name in list_subdirs(os.path.join(path, "centroids_gens"), ""):
         rel = f"centroids_gens/{name}"
         if rel not in live_cents:
@@ -304,6 +409,15 @@ def snapshot_base_dirs(path: str, meta, part_col: str) -> list[tuple[str, list[i
                 "reclaimed: this reader's index meta predates the fold — "
                 "reload the index and retry"
             )
+        # a referenced override dir can never be legitimately missing (folds
+        # always emit rows): gone means a later cycle reclaimed the WHOLE
+        # dir — raise the protocol's typed error instead of letting the
+        # Spark scan fail with a generic path-not-found
+        if not dir_exists(dir_abs):
+            raise StaleIndexReadError(
+                f"{dir_abs} was reclaimed by a later fold/rebuild: this "
+                "reader's index meta predates it — reload the index and retry"
+            )
         out.append((dir_abs, sorted(ss)))
     return out
 
@@ -331,6 +445,9 @@ def prepare_rebuild(path: str) -> tuple[str, list[str], int, int]:
     trash = {old.base_rel}
     trash.update(rel for rel in (old.shard_base or {}).values() if rel)
     trash.update(old.delta_gens)
+    # entries the sweep retained (lease-pinned / marker-write-failed) stay
+    # queued — dropping them here would leak the dirs forever
+    trash.update(old.trash_dirs)
     # prior sidecars: the old meta's centroids generation (IVF) and any
     # legacy fixed-name sidecar DIRS (pre-atomic-file layouts). The new
     # build writes its own generation/file, so these are pure leftovers.

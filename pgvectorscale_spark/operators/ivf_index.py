@@ -120,6 +120,7 @@ class IvfIndex:
                 num_rows=n,
                 base_rel=dest_rel,
                 trash_dirs=trash,
+                trash_epoch=epoch,
                 epoch=epoch,
                 delta_counter=counter,
                 centroids_rel=cents_rel,
@@ -401,7 +402,8 @@ class IvfIndex:
             # a remote store and the fold would drop the chain's content
             for name in list_subdirs(os.path.join(self.path, rel), "centroid_id="):
                 touched.add(int(name.split("=", 1)[1]))
-        new_trash = list(delta_gens)
+        # carry entries the sweep retained (lease-pinned / marker-failed)
+        new_trash = list(self.meta.trash_dirs) + list(delta_gens)
         if touched:
             merged = self.live_nodes().filter(
                 F.col("centroid_id").isin(sorted(touched))
@@ -426,8 +428,19 @@ class IvfIndex:
                 # old == "": emptied sentinel — nothing on disk to trash
                 self.meta.shard_base[str(c)] = gen_rel if c in survivors else ""
         self.meta.delta_gens = []
-        self.meta.trash_dirs = new_trash
+        self.meta.trash_dirs = list(dict.fromkeys(new_trash))
+        # folds bump the (informational) epoch and stamp it as the trash
+        # enqueue point: reader leases older than this pin the sweep
+        self.meta.epoch += 1
+        self.meta.trash_epoch = int(self.meta.epoch)
         self.meta.save(self.path)
+
+    def reader_lease(self, ttl_seconds: float | None = None):
+        """Context manager pinning this handle's snapshot against trash
+        reclamation for long-paused readers (see index_util.reader_lease)."""
+        from pgvectorscale_spark.operators.index_util import reader_lease
+
+        return reader_lease(self.path, int(self.meta.epoch), ttl_seconds)
 
     def search_batch(
         self,

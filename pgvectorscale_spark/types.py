@@ -217,6 +217,14 @@ class IndexMeta:
     # maintenance cycle so readers holding the previous meta still see a
     # complete consistent snapshot; the NEXT fold/rebuild sweeps them.
     trash_dirs: list[str] = field(default_factory=list)
+    # Epoch at which `trash_dirs` was last (re)enqueued. Reader leases
+    # (index_util.reader_lease) record the reader's meta epoch; the sweep
+    # retains ALL trash while an unexpired lease predates this value — a
+    # reader that acquired before the fold may still be merging these
+    # dirs. 0 = unknown (pre-field metas): any live lease pins,
+    # conservative. (Additive field: no version bump — old readers ignore
+    # it, and the default reproduces their behavior.)
+    trash_epoch: int = 0
     # IVF centroid-table location (relative). Rebuilds write a FRESH
     # generation dir and flip this pointer in the meta commit — the
     # centroid ids' meaning changes with the clustering, so a reader must

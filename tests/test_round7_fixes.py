@@ -236,3 +236,58 @@ def test_delete_prunes_and_stays_correct(spark, tmpdir):
     assert 3 not in live and 7 not in live and len(live) == 148
     got = [r["node_id"] for r in idx.search(rng.random(8).tolist(), k=10).collect()]
     assert 3 not in got and 7 not in got and len(got) == 10
+
+
+def test_reader_lease_survives_two_maintenance_cycles(spark, tmpdir):
+    """NOTES gap #3: a reader paused across TWO cycles normally fail-stops;
+    holding a lease, the sweep retains its dirs and the read completes on
+    both read paths with identical content. After release, the next cycle
+    reclaims and the ordinary fail-stop returns."""
+    from pgvectorscale_spark.operators.diskann import _read_shard_pdf
+    from tests.test_snapshot_store import COLS, _build, _fold_chain
+
+    idx, mat, rng = _build(spark, tmpdir, "lease", n=250)
+    nxt = _fold_chain(spark, idx, rng, 9000)  # fold 1: shard override-mapped
+    stale = DiskannIndex.load(spark, idx.path)  # pre-fold-2 meta snapshot
+    stale_store = stale._store()
+    before = (
+        _read_shard_pdf(stale_store, 0, COLS).sort_values("node_id").reset_index(drop=True)
+    )
+    with stale.reader_lease(ttl_seconds=3600):
+        nxt = _fold_chain(spark, idx, rng, nxt)  # fold 2: gen1 -> trash
+        nxt = _fold_chain(spark, idx, rng, nxt)  # fold 3: would sweep gen1
+        # both read paths complete, content identical to the pre-pause read
+        after = (
+            _read_shard_pdf(stale_store, 0, COLS)
+            .sort_values("node_id")
+            .reset_index(drop=True)
+        )
+        assert before["node_id"].tolist() == after["node_id"].tolist()
+        assert stale.nodes().count() == len(before)  # Spark path, no raise
+    # lease released: the NEXT cycle sweeps the (twice-retained) trash
+    nxt = _fold_chain(spark, idx, rng, nxt)
+    with pytest.raises(StaleIndexReadError):
+        _read_shard_pdf(stale_store, 0, COLS)
+    # current handle unaffected throughout
+    assert idx.nodes().select("node_id").distinct().count() >= 250
+
+
+def test_expired_lease_gives_no_pin(spark, tmpdir):
+    """An expired lease is reaped and does not defer reclamation — the
+    stale reader degrades to the ordinary fail-stop (never wrong data)."""
+    from pgvectorscale_spark.operators.diskann import _read_shard_pdf
+    from tests.test_snapshot_store import COLS, _build, _fold_chain
+
+    idx, mat, rng = _build(spark, tmpdir, "lease_exp", n=200)
+    nxt = _fold_chain(spark, idx, rng, 9000)
+    stale = DiskannIndex.load(spark, idx.path)
+    stale_store = stale._store()
+    lease_cm = stale.reader_lease(ttl_seconds=0.0)  # born expired
+    lease_cm.__enter__()
+    nxt = _fold_chain(spark, idx, rng, nxt)
+    nxt = _fold_chain(spark, idx, rng, nxt)  # sweep runs, lease expired
+    with pytest.raises(StaleIndexReadError):
+        _read_shard_pdf(stale_store, 0, COLS)
+    lease_cm.__exit__(None, None, None)
+    # lease files are reaped in passing by the sweep's scan
+    assert index_util._live_lease_min_epoch(idx.path) is None
