@@ -772,6 +772,21 @@ def _audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_mp3_meta(attach_mp3_payload(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
+def _video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 container metadata without sample decode: genuine ISO-BMFF files
+    (ftyp + moov/mvhd/trak/tkhd + mdat) are synthesized JVM-side from md5
+    nibbles, then the strict box walk (parse_mp4_meta) recovers brand,
+    movie timescale, duration, track count and 16.16 track dimensions —
+    what a video curation pipeline filters on before paying for frame
+    decode. Oracle replays the nibble draws (mp4_meta_oracle)."""
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_mp4_payload,
+        decode_mp4_meta,
+    )
+
+    return decode_mp4_meta(attach_mp4_payload(_docs(spark, sf_dir))).orderBy("doc_id")
+
+
 def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing any 5-word
     shingle with a benchmark set (here: the doc_id % 97 == 0 subset of the
@@ -936,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "multimodal_decode": _multimodal_decode_all,
         "audio_meta": _audio_meta,
+        "video_meta": _video_meta,
         "decontaminate": _decontaminate,
         "repetition_stats": _repetition_stats,
         # relational surface (inherited from Spark, §2.7)
@@ -1035,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": oracles.multimodal_frames_oracle(64),
         "multimodal_features": oracles.multimodal_features_oracle(4),
         "audio_meta": oracles.mp3_meta_oracle(),
+        "video_meta": oracles.mp4_meta_oracle(),
         "multimodal_decode": oracles.union_oracle(
             [oracles.multimodal_decode_oracle(), oracles.multimodal_decode_png_oracle()]
         ),

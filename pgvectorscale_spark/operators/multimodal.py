@@ -39,10 +39,12 @@ __all__ = [
     "attach_wav_payload",
     "binary_metadata",
     "attach_mp3_payload",
+    "attach_mp4_payload",
     "decode_av_samples",
     "decode_image",
     "decode_jpeg_image",
     "decode_mp3_meta",
+    "decode_mp4_meta",
     "decode_png_image",
     "decode_ppm_image",
     "decode_wav_audio",
@@ -51,6 +53,7 @@ __all__ = [
     "parse_image",
     "parse_jpeg",
     "parse_mp3_meta",
+    "parse_mp4_meta",
     "parse_png",
     "parse_ppm",
     "parse_wav",
@@ -464,6 +467,173 @@ def attach_mp3_payload(df: DataFrame, source_col: str = "text", payload_col: str
     )
 
 
+MP4_BRAND = "isom"
+# 3x3 fixed-point unity transform matrix every mvhd/tkhd carries (ISO 14496-12)
+_MP4_UNITY_MATRIX = (
+    "000100000000000000000000"
+    "000000000001000000000000"
+    "000000000000000040000000"
+)
+
+
+def _u32be(data: bytes, off: int) -> int:
+    return int.from_bytes(data[off : off + 4], "big")
+
+
+def parse_mp4_meta(data: bytes) -> tuple[str, int, float, int, float, float]:
+    """ISO-BMFF (MP4/MOV) box walk — container metadata without any codec
+    sample decode: returns (major_brand, movie timescale, duration_ms,
+    n_tracks, width, height) from ftyp + moov>mvhd + moov>trak>tkhd.
+    Width/height are tkhd's 16.16 fixed-point values of the FIRST track.
+    Handles 64-bit largesize and to-EOF (size 0) boxes, mvhd/tkhd version
+    0 and 1; unknown boxes are skipped by size; truncated or ill-sized
+    boxes fail loudly. Sample-level H.264 reconstruction stays behind
+    ``decode_av_samples`` — everything here is byte-aligned arithmetic."""
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    data = bytes(data)
+
+    def walk(buf: bytes):
+        pos = 0
+        while pos < len(buf):
+            if len(buf) - pos < 8:
+                raise ValueError(f"truncated box header at {pos}")
+            size = _u32be(buf, pos)
+            btype = buf[pos + 4 : pos + 8]
+            body_off = pos + 8
+            if size == 0:
+                size = len(buf) - pos
+            elif size == 1:
+                if len(buf) - pos < 16:
+                    raise ValueError(f"truncated largesize at {pos}")
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                body_off = pos + 16
+            if size < body_off - pos or pos + size > len(buf):
+                raise ValueError(f"bad box size {size} at {pos}")
+            yield btype, buf[body_off : pos + size]
+            pos += size
+
+    brand = None
+    timescale = duration = None
+    n_tracks = 0
+    width = height = None
+    for btype, body in walk(data):
+        if btype == b"ftyp":
+            if len(body) < 4:
+                raise ValueError("truncated ftyp")
+            brand = body[:4].decode("ascii")
+        elif btype == b"moov":
+            for ctype, cbody in walk(body):
+                if ctype == b"mvhd":
+                    ver = cbody[0]
+                    if ver == 1:
+                        timescale = _u32be(cbody, 20)
+                        duration = int.from_bytes(cbody[24:32], "big")
+                    else:
+                        timescale = _u32be(cbody, 12)
+                        duration = _u32be(cbody, 16)
+                elif ctype == b"trak":
+                    n_tracks += 1
+                    for ttype, tbody in walk(cbody):
+                        if ttype == b"tkhd" and width is None:
+                            off = 84 if tbody[0] == 1 else 72
+                            width = _u32be(tbody, off + 4) / 65536.0
+                            height = _u32be(tbody, off + 8) / 65536.0
+    if brand is None or timescale is None:
+        raise ValueError("missing ftyp or moov/mvhd box")
+    if not timescale:
+        raise ValueError("zero movie timescale")
+    return (
+        brand,
+        int(timescale),
+        round(duration * 1000.0 / timescale, 6),
+        n_tracks,
+        float(width) if width is not None else 0.0,
+        float(height) if height is not None else 0.0,
+    )
+
+
+def decode_mp4_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """MP4 container metadata without sample decode — Arrow-batched
+    mapInPandas over ``parse_mp4_meta``. Returns (id, brand, timescale,
+    duration_ms, n_tracks, width, height): what a video curation pipeline
+    filters on (length, resolution, track layout) before paying for any
+    frame decode."""
+
+    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"brand": [], "timescale": [], "duration_ms": [],
+                   "n_tracks": [], "width": [], "height": []}
+            for payload in pdf[payload_col]:
+                brand, ts, dur, ntr, w, h = parse_mp4_meta(payload)
+                out["brand"].append(brand)
+                out["timescale"].append(ts)
+                out["duration_ms"].append(dur)
+                out["n_tracks"].append(ntr)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), **out})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, brand string, timescale long, duration_ms double, "
+            "n_tracks long, width double, height double"
+        ),
+    )
+
+
+def attach_mp4_payload(df: DataFrame, source_col: str = "text", payload_col: str = "payload") -> DataFrame:
+    """Deterministic REAL ISO-BMFF (MP4) file per row, built JVM-side:
+    ftyp(isom) + moov(mvhd + 1-2 trak/tkhd) + mdat, every dynamic field a
+    big-endian u32 from md5-nibble draws (movie timescale, duration,
+    16.16 track dimensions, track count) and the mdat body digest-tiled.
+    Any framing error breaks the strict ``parse_mp4_meta`` walk — synth
+    and parser check each other, and the closed-form DuckDB oracle
+    replays the nibble draws (mp4_meta_oracle)."""
+    nib = lambda k: f"cast(conv(substring(md5(`{source_col}`), {k}, 1), 16, 10) as int)"
+    u32 = lambda e: f"lpad(hex({e}), 8, '0')"
+    Z = lambda n: "00" * n  # n zero BYTES as hex
+    mvhd = (
+        f"concat('0000006c6d766864', '{Z(12)}', {u32('_ts')}, {u32('_dur')}, "
+        f"'00010000', '01000000', '{Z(8)}', '{_MP4_UNITY_MATRIX}', '{Z(24)}', "
+        "'00000002')"
+    )
+
+    def trak(track_id: int) -> str:
+        return (
+            f"concat('000000647472616b', '0000005c746b6864', '00000007', "
+            f"'{Z(8)}', {u32(str(track_id))}, '{Z(4)}', {u32('_dur')}, "
+            f"'{Z(8)}', '{Z(8)}', '{_MP4_UNITY_MATRIX}', "
+            f"{u32('_w * 65536')}, {u32('_h * 65536')})"
+        )
+
+    moov = (
+        f"concat({u32('116 + _ntr * 100')}, '6d6f6f76', {mvhd}, {trak(1)}, "
+        f"case when _ntr = 2 then {trak(2)} else '' end)"
+    )
+    mdat_hdr = f"concat({u32('_blen + 8')}, '6d646174')"
+    ftyp = "000000186674797069736f6d0000000069736f6d6d703431"
+    u = f"unhex(md5(`{source_col}`))"
+    body = f"substring(concat({', '.join([u] * 8)}), 1, _blen)"
+    return (
+        df.withColumn("_ts", F.expr(f"(600 * (1 + {nib(5)} % 4))"))
+        .withColumn("_dur", F.expr(f"(_ts * (1 + {nib(6)} % 10) + {nib(7)})"))
+        .withColumn("_w", F.expr(f"(16 * (1 + {nib(8)} % 32))"))
+        .withColumn("_h", F.expr(f"(16 * (1 + {nib(9)} % 32))"))
+        .withColumn("_ntr", F.expr(f"(1 + {nib(10)} % 2)"))
+        .withColumn("_blen", F.expr(f"(16 * (1 + {nib(11)} % 8))"))
+        .withColumn(
+            payload_col,
+            F.expr(f"concat(unhex(concat('{ftyp}', {moov}, {mdat_hdr})), {body})"),
+        )
+        .drop("_ts", "_dur", "_w", "_h", "_ntr", "_blen")
+        .withColumn("media_type", F.lit("video/mp4"))
+    )
+
+
 def attach_png_payload(df: DataFrame, source_col: str = "text", payload_col: str = "payload") -> DataFrame:
     """Deterministic REAL PNG payload per row, built entirely JVM-side: a
     complete 8-bit RGB PNG whose zlib stream uses a stored (uncompressed)
@@ -667,14 +837,15 @@ def decode_av_samples(df: DataFrame, payload_col: str = "payload"):
     """Sample-level decode of compressed AUDIO/VIDEO codecs (MP3 synthesis
     filterbank, H.264 reconstruction) — STUB: needs torchaudio/pyav, absent
     here. Container/stream METADATA for these codecs is genuinely parsed
-    without sample decode (``decode_mp3_meta``); WAV-PCM sample decode is
-    real (``decode_wav_audio``). The gate covers only the sample path."""
+    without sample decode (``decode_mp3_meta``, ``decode_mp4_meta``);
+    WAV-PCM sample decode is real (``decode_wav_audio``). The gate covers
+    only the sample path."""
     if not MEDIA_DECODERS_AVAILABLE:
         raise NotImplementedError(
             "compressed audio/video media decoders not available in this "
-            "environment; use decode_mp3_meta for header-scan metadata, "
-            "decode_wav_audio for real PCM decode, or fake_feature_extract "
-            "for pipeline tests"
+            "environment; use decode_mp3_meta/decode_mp4_meta for "
+            "header-scan metadata, decode_wav_audio for real PCM decode, "
+            "or fake_feature_extract for pipeline tests"
         )
     raise NotImplementedError  # pragma: no cover — real decoder path
 

@@ -788,6 +788,35 @@ FROM f ORDER BY doc_id
 """
 
 
+def mp4_meta_oracle() -> str:
+    """Twin of the MP4 metadata pipeline (multimodal.attach_mp4_payload →
+    parse_mp4_meta): every mvhd/tkhd field the box walk recovers is an
+    md5-nibble draw the synth made, so the oracle replays the draws in
+    closed form. A framing bug Spark-side (box sizes, 16.16 fixed point,
+    big-endian u32s) breaks the strict walk or diverges the values."""
+
+    def nib(pos: int) -> str:  # 1-based hex-char position -> nibble value
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+f AS (
+  SELECT doc_id,
+         (600 * (1 + {nib(5)} % 4))::BIGINT AS timescale,
+         (1 + {nib(6)} % 10) AS dur_units, {nib(7)} AS dur_extra,
+         (16 * (1 + {nib(8)} % 32))::DOUBLE AS width,
+         (16 * (1 + {nib(9)} % 32))::DOUBLE AS height,
+         (1 + {nib(10)} % 2)::BIGINT AS n_tracks
+  FROM m
+)
+SELECT doc_id, 'isom' AS brand, timescale,
+       round((timescale * dur_units + dur_extra) * 1000.0 / timescale, 6)
+         AS duration_ms,
+       n_tracks, width, height
+FROM f ORDER BY doc_id
+"""
+
+
 def decontaminate_oracle(shingle_n: int, benchmark_pred: str) -> str:
     """Twin of curation.decontaminate with the benchmark drawn from the
     documents table by ``benchmark_pred`` (a SQL predicate over doc_id) —

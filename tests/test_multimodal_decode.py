@@ -422,3 +422,104 @@ class TestParseMp3Meta:
             assert rate == MP3_RATES[nib[1] % 3]
             assert ch == (1 if nib[2] % 4 == 3 else 2)
             assert n == 2 + nib[3] % 4
+
+
+class TestParseMp4Meta:
+    """ISO-BMFF box walk: byte-aligned container arithmetic, strict."""
+
+    @staticmethod
+    def _box(btype: bytes, body: bytes, largesize=False) -> bytes:
+        if largesize:
+            return (
+                struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(body)) + body
+            )
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    @classmethod
+    def _mvhd(cls, ts, dur, version=0):
+        m = (
+            struct.pack(">I", 0x00010000) + b"\x00" * 12
+        ) * 2 + struct.pack(">I", 0x40000000)  # 36-byte unity matrix
+        if version == 1:
+            body = bytes([1, 0, 0, 0]) + b"\x00" * 16 + struct.pack(">IQ", ts, dur)
+        else:
+            body = b"\x00" * 12 + struct.pack(">II", ts, dur)
+        body += struct.pack(">I", 0x00010000) + struct.pack(">HH", 0x0100, 0)
+        body += b"\x00" * 8 + m + b"\x00" * 24 + struct.pack(">I", 2)
+        return cls._box(b"mvhd", body)
+
+    @classmethod
+    def _trak(cls, w, h, version=0):
+        m = (
+            struct.pack(">I", 0x00010000) + b"\x00" * 12
+        ) * 2 + struct.pack(">I", 0x40000000)
+        if version == 1:
+            body = bytes([1, 0, 0, 7]) + b"\x00" * 16 + struct.pack(">II", 1, 0)
+            body += struct.pack(">Q", 0)
+        else:
+            body = bytes([0, 0, 0, 7]) + b"\x00" * 8 + struct.pack(">III", 1, 0, 0)
+        body += b"\x00" * 16 + m + struct.pack(">II", w << 16, h << 16)
+        return cls._box(b"trak", cls._box(b"tkhd", body))
+
+    @classmethod
+    def _file(cls, ts=600, dur=1500, w=320, h=240, tracks=1, mvhd_v=0, tkhd_v=0):
+        from pgvectorscale_spark.operators.multimodal import parse_mp4_meta  # noqa: F401
+
+        ftyp = cls._box(b"ftyp", b"isom" + b"\x00" * 4 + b"isommp41")
+        moov = cls._box(
+            b"moov",
+            cls._mvhd(ts, dur, mvhd_v)
+            + b"".join(cls._trak(w, h, tkhd_v) for _ in range(tracks)),
+        )
+        return ftyp + moov + cls._box(b"mdat", b"\x5a" * 32)
+
+    def test_v0_roundtrip(self):
+        from pgvectorscale_spark.operators.multimodal import parse_mp4_meta
+
+        brand, ts, dur, ntr, w, h = parse_mp4_meta(self._file(tracks=2))
+        assert (brand, ts, ntr, w, h) == ("isom", 600, 2, 320.0, 240.0)
+        assert dur == round(1500 * 1000.0 / 600, 6)
+
+    def test_version1_and_largesize_boxes(self):
+        from pgvectorscale_spark.operators.multimodal import parse_mp4_meta
+
+        raw = self._file(ts=90000, dur=123456789, mvhd_v=1, tkhd_v=1)
+        brand, ts, dur, ntr, w, h = parse_mp4_meta(raw)
+        assert (ts, ntr, w, h) == (90000, 1, 320.0, 240.0)
+        assert dur == round(123456789 * 1000.0 / 90000, 6)
+        # wrap the mdat payload in a 64-bit largesize box
+        raw2 = self._file()[: -(8 + 32)] + self._box(b"mdat", b"\x00" * 32, largesize=True)
+        assert parse_mp4_meta(raw2)[1] == 600
+
+    def test_size_zero_means_to_eof(self):
+        from pgvectorscale_spark.operators.multimodal import parse_mp4_meta
+
+        raw = self._file()[: -(8 + 32)]
+        raw += struct.pack(">I", 0) + b"mdat" + b"\x77" * 100
+        assert parse_mp4_meta(raw)[3] == 1
+
+    def test_rejects_truncated_and_malformed(self):
+        from pgvectorscale_spark.operators.multimodal import parse_mp4_meta
+
+        with pytest.raises(ValueError, match="bad box size"):
+            parse_mp4_meta(self._file()[:-20])  # mdat size > remaining bytes
+        with pytest.raises(ValueError, match="truncated box header"):
+            parse_mp4_meta(self._file() + b"\x00\x00\x00")
+        with pytest.raises(ValueError, match="missing ftyp"):
+            parse_mp4_meta(self._box(b"free", b"\x00" * 8))
+        with pytest.raises(ValueError, match="zero movie timescale"):
+            parse_mp4_meta(self._file(ts=0))
+
+    def test_synth_payloads_parse_with_strict_walk(self, spark):
+        from pgvectorscale_spark.operators.multimodal import (
+            attach_mp4_payload,
+            parse_mp4_meta,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "spark"), (3, "")], "doc_id long, text string"
+        )
+        for row in attach_mp4_payload(df).collect():
+            brand, ts, dur, ntr, w, h = parse_mp4_meta(bytes(row["payload"]))
+            assert brand == "isom" and ts in (600, 1200, 1800, 2400)
+            assert ntr in (1, 2) and w % 16 == 0 and h % 16 == 0 and dur > 0
