@@ -1961,9 +1961,13 @@ class DiskannIndex:
             )
             # an upsert must stay in the shard that already stores its id —
             # re-routing a moved vector to its new nearest cell would leave
-            # a duplicate node_id behind in the old shard
+            # a duplicate node_id behind in the old shard. The probe uses
+            # the RAW union (not the windowed merge view): shard is
+            # immutable per node_id across generations, so the dedupe
+            # window adds nothing and would block the broadcast semijoin
+            # from pushing into the scans (column-pruned to node_id+shard)
             stored = (
-                self.nodes()
+                self._nodes_union()
                 .join(F.broadcast(newbase.select("node_id")), "node_id")
                 .select("node_id", F.col("shard").alias("_stored_shard"))
                 .distinct()
