@@ -44,6 +44,7 @@ __all__ = [
     "decode_image",
     "decode_jpeg_image",
     "decode_mp3_meta",
+    "decode_h264_meta",
     "decode_mp4_meta",
     "decode_png_image",
     "decode_ppm_image",
@@ -52,6 +53,7 @@ __all__ = [
     "frame_sample_plan",
     "parse_image",
     "parse_jpeg",
+    "parse_h264_meta",
     "parse_mp3_meta",
     "parse_mp4_meta",
     "parse_png",
@@ -634,6 +636,161 @@ def attach_mp4_payload(df: DataFrame, source_col: str = "text", payload_col: str
     )
 
 
+class _SpsBitReader:
+    """MSB-first bit reader over an RBSP (emulation-prevention bytes
+    already stripped) with Exp-Golomb decode (H.264 spec 9.1)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            byte_i, bit_i = divmod(self.pos, 8)
+            if byte_i >= len(self.data):
+                raise ValueError("truncated SPS bitstream")
+            out = (out << 1) | ((self.data[byte_i] >> (7 - bit_i)) & 1)
+            self.pos += 1
+        return out
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("malformed Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+_H264_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+
+
+def parse_h264_meta(data: bytes) -> tuple[int, int, int, int, int]:
+    """H.264 Annex-B elementary-stream METADATA without sample decode:
+    walk start-coded NAL units, strip emulation-prevention bytes from the
+    first SPS (type 7), and Exp-Golomb-decode it (spec 7.3.2.1.1) for
+    (profile_idc, level_idc, width, height, n_nal_units). Handles
+    baseline/main and the high-profile chroma branch, POC types 0/1/2,
+    interlaced map units, and frame cropping with chroma-dependent crop
+    units. Scaling matrices and streams without an SPS raise loudly.
+    Macroblock reconstruction (the lossy part) stays behind
+    ``decode_av_samples`` — everything here is header arithmetic."""
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    data = bytes(data)
+    # Annex B: NAL units delimited by 0x000001 / 0x00000001 start codes
+    starts = []
+    i = 0
+    while i + 3 <= len(data):
+        if data[i : i + 3] == b"\x00\x00\x01":
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    if not starts:
+        raise ValueError("no Annex-B start codes")
+    nals = []
+    for j, s0 in enumerate(starts):
+        end = (starts[j + 1] - 3) if j + 1 < len(starts) else len(data)
+        # a 4-byte start code leaves the leading zero on the PREVIOUS unit
+        while end > s0 and data[end - 1] == 0:
+            end -= 1
+        if end > s0:
+            nals.append(data[s0:end])
+    sps = next((n for n in nals if (n[0] & 0x1F) == 7), None)
+    if sps is None:
+        raise ValueError("no SPS NAL unit in stream")
+    # strip emulation-prevention bytes (00 00 03 xx -> 00 00 xx)
+    rbsp = bytearray()
+    k = 1  # skip the NAL header byte
+    while k < len(sps):
+        if k + 2 < len(sps) and sps[k] == 0 and sps[k + 1] == 0 and sps[k + 2] == 3:
+            rbsp += sps[k : k + 2]
+            k += 3
+        else:
+            rbsp.append(sps[k])
+            k += 1
+    br = _SpsBitReader(bytes(rbsp))
+    profile_idc = br.u(8)
+    br.u(8)  # constraint flags + reserved
+    level_idc = br.u(8)
+    br.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1  # default 4:2:0 for non-high profiles
+    if profile_idc in _H264_HIGH_PROFILES:
+        chroma_format_idc = br.ue()
+        if chroma_format_idc == 3:
+            br.u(1)  # separate_colour_plane_flag
+        br.ue()  # bit_depth_luma_minus8
+        br.ue()  # bit_depth_chroma_minus8
+        br.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if br.u(1):
+            raise ValueError("seq_scaling_matrix unsupported")
+    br.ue()  # log2_max_frame_num_minus4
+    poc_type = br.ue()
+    if poc_type == 0:
+        br.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        br.u(1)  # delta_pic_order_always_zero_flag
+        br.se()  # offset_for_non_ref_pic
+        br.se()  # offset_for_top_to_bottom_field
+        for _ in range(br.ue()):
+            br.se()  # offset_for_ref_frame
+    br.ue()  # max_num_ref_frames
+    br.u(1)  # gaps_in_frame_num_value_allowed_flag
+    pw_mbs = br.ue() + 1
+    ph_units = br.ue() + 1
+    frame_mbs_only = br.u(1)
+    if not frame_mbs_only:
+        br.u(1)  # mb_adaptive_frame_field_flag
+    br.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if br.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = br.ue(), br.ue(), br.ue(), br.ue()
+    sub_wh = {0: (1, 1), 1: (2, 2), 2: (2, 1), 3: (1, 1)}[chroma_format_idc]
+    crop_ux = sub_wh[0]
+    crop_uy = sub_wh[1] * (2 - frame_mbs_only)
+    width = pw_mbs * 16 - crop_ux * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * ph_units * 16 - crop_uy * (crop_t + crop_b)
+    return profile_idc, level_idc, width, height, len(nals)
+
+
+def decode_h264_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """H.264 stream metadata without sample decode — Arrow-batched
+    mapInPandas over ``parse_h264_meta``. Returns (id, profile_idc,
+    level_idc, width, height, n_nal_units). SPS bitstreams are bit-packed
+    Exp-Golomb, so (like JPEG's Huffman streams) there is no JVM-side SQL
+    synthesis path — correctness is pytest round-trips against an
+    independent test-side bit-writer, not a driver DuckDB oracle."""
+
+    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"profile_idc": [], "level_idc": [], "width": [],
+                   "height": [], "n_nal_units": []}
+            for payload in pdf[payload_col]:
+                pr, lv, w, h, n = parse_h264_meta(payload)
+                out["profile_idc"].append(pr)
+                out["level_idc"].append(lv)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_nal_units"].append(n)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), **out})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, profile_idc long, level_idc long, "
+            "width long, height long, n_nal_units long"
+        ),
+    )
+
+
 def attach_png_payload(df: DataFrame, source_col: str = "text", payload_col: str = "payload") -> DataFrame:
     """Deterministic REAL PNG payload per row, built entirely JVM-side: a
     complete 8-bit RGB PNG whose zlib stream uses a stored (uncompressed)
@@ -837,15 +994,15 @@ def decode_av_samples(df: DataFrame, payload_col: str = "payload"):
     """Sample-level decode of compressed AUDIO/VIDEO codecs (MP3 synthesis
     filterbank, H.264 reconstruction) — STUB: needs torchaudio/pyav, absent
     here. Container/stream METADATA for these codecs is genuinely parsed
-    without sample decode (``decode_mp3_meta``, ``decode_mp4_meta``);
-    WAV-PCM sample decode is real (``decode_wav_audio``). The gate covers
-    only the sample path."""
+    without sample decode (``decode_mp3_meta``, ``decode_mp4_meta``,
+    ``decode_h264_meta``); WAV-PCM sample decode is real
+    (``decode_wav_audio``). The gate covers only the sample path."""
     if not MEDIA_DECODERS_AVAILABLE:
         raise NotImplementedError(
             "compressed audio/video media decoders not available in this "
-            "environment; use decode_mp3_meta/decode_mp4_meta for "
-            "header-scan metadata, decode_wav_audio for real PCM decode, "
-            "or fake_feature_extract for pipeline tests"
+            "environment; use decode_mp3_meta/decode_mp4_meta/"
+            "decode_h264_meta for header-scan metadata, decode_wav_audio "
+            "for real PCM decode, or fake_feature_extract for pipeline tests"
         )
     raise NotImplementedError  # pragma: no cover — real decoder path
 

@@ -523,3 +523,130 @@ class TestParseMp4Meta:
             brand, ts, dur, ntr, w, h = parse_mp4_meta(bytes(row["payload"]))
             assert brand == "isom" and ts in (600, 1200, 1800, 2400)
             assert ntr in (1, 2) and w % 16 == 0 and h % 16 == 0 and dur > 0
+
+
+class _SpsBitWriter:
+    """Independent test-side bit writer with Exp-Golomb encode — the
+    parser's adversary (round-trip catches bit-order/crop/branch bugs)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def u(self, val, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+
+    def ue(self, k):
+        code = k + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def se(self, v):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def rbsp(self):
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            raw.append(int("".join(map(str, bits[i : i + 8])), 2))
+        # emulation prevention: 00 00 00/01/02/03 -> 00 00 03 xx
+        out = bytearray()
+        zeros = 0
+        for b in raw:
+            if zeros >= 2 and b <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        return bytes(out)
+
+
+def _make_sps(profile=66, level=31, pw_mbs=120, ph_units=68, frame_mbs_only=1,
+              crop=(0, 0, 0, 4), poc_type=0, chroma=1):
+    w = _SpsBitWriter()
+    w.u(profile, 8)
+    w.u(0, 8)
+    w.u(level, 8)
+    w.ue(0)  # sps_id
+    if profile in (100, 110):
+        w.ue(chroma)
+        if chroma == 3:
+            w.u(0, 1)
+        w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1)
+    w.ue(4)  # log2_max_frame_num_minus4
+    w.ue(poc_type)
+    if poc_type == 0:
+        w.ue(4)
+    elif poc_type == 1:
+        w.u(0, 1); w.se(-1); w.se(2)
+        w.ue(2); w.se(3); w.se(-4)
+    w.ue(3)  # max_num_ref_frames
+    w.u(0, 1)
+    w.ue(pw_mbs - 1)
+    w.ue(ph_units - 1)
+    w.u(frame_mbs_only, 1)
+    if not frame_mbs_only:
+        w.u(0, 1)
+    w.u(1, 1)  # direct_8x8
+    if any(crop):
+        w.u(1, 1)
+        for c in crop:
+            w.ue(c)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui absent
+    return b"\x67" + w.rbsp()  # NAL header: type 7, nal_ref_idc 3
+
+
+def _annexb(*nals, four_byte_first=True):
+    out = b""
+    for i, n in enumerate(nals):
+        out += (b"\x00\x00\x00\x01" if (i == 0 and four_byte_first) else b"\x00\x00\x01") + n
+    return out
+
+
+class TestParseH264Meta:
+    def test_baseline_1080p(self):
+        from pgvectorscale_spark.operators.multimodal import parse_h264_meta
+
+        stream = _annexb(_make_sps(), b"\x68\xce\x38\x80", b"\x65\x88\x84\x00")
+        pr, lv, w, h, n = parse_h264_meta(stream)
+        assert (pr, lv, w, h, n) == (66, 31, 1920, 1080, 3)  # 1088 - 2*4 crop
+
+    def test_high_profile_and_interlaced(self):
+        from pgvectorscale_spark.operators.multimodal import parse_h264_meta
+
+        sps = _make_sps(profile=100, level=40, pw_mbs=80, ph_units=36,
+                        frame_mbs_only=0, crop=(0, 0, 0, 0), poc_type=1)
+        pr, lv, w, h, n = parse_h264_meta(_annexb(sps))
+        assert (pr, lv, w, h) == (100, 40, 1280, 2 * 36 * 16)
+
+    def test_emulation_prevention_round_trip(self):
+        from pgvectorscale_spark.operators.multimodal import parse_h264_meta
+
+        # pw_mbs chosen so the RBSP contains long zero runs that force
+        # emulation-prevention bytes; round-trip must strip them exactly
+        sps = _make_sps(pw_mbs=257, ph_units=256, crop=(0, 0, 0, 0))
+        pr, lv, w, h, n = parse_h264_meta(_annexb(sps))
+        assert (w, h) == (257 * 16, 256 * 16)
+
+    def test_rejects_streams_without_sps(self):
+        from pgvectorscale_spark.operators.multimodal import parse_h264_meta
+
+        with pytest.raises(ValueError, match="no SPS"):
+            parse_h264_meta(_annexb(b"\x68\xce\x38\x80"))
+        with pytest.raises(ValueError, match="no Annex-B"):
+            parse_h264_meta(b"\xff\xfe\xfd" * 10)
+
+    def test_operator_shape(self, spark):
+        from pgvectorscale_spark.operators.multimodal import decode_h264_meta
+
+        stream = _annexb(_make_sps(), b"\x68\xce\x38\x80")
+        df = spark.createDataFrame(
+            [(1, bytearray(stream))], "doc_id long, payload binary"
+        )
+        row = decode_h264_meta(df).collect()[0]
+        assert (row["width"], row["height"], row["n_nal_units"]) == (1920, 1080, 2)
