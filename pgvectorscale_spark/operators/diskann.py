@@ -1186,10 +1186,10 @@ class DiskannIndex:
         Exact because a node_id never changes shard: hash shards are a pure
         function of the id, and kmeans upserts are pinned to the stored
         shard (the `stored` coalesce in _insert_locked)."""
-        base = self._base_frames()
-        if shards is not None:
-            base = base.filter(F.col("shard").isin([int(s) for s in shards]))
         if not self.meta.delta_gens:
+            base = self._base_frames()
+            if shards is not None:
+                base = base.filter(F.col("shard").isin([int(s) for s in shards]))
             return base
         w = Window.partitionBy("node_id").orderBy(F.col("_seq").desc())
         u = self._nodes_union()
@@ -2231,7 +2231,10 @@ class DiskannIndex:
             # never legitimately empty (readers rely on this to raise on a
             # missing override instead of serving an empty shard)
             gen_rel = f"nodes_gens/{uuid.uuid4().hex[:12]}"
-            merged = self.nodes().filter(F.col("shard").isin(sorted(touched)))
+            # shard-pruned merge view: the fold reads ONLY the touched
+            # shards' partitions (a post-window filter would not push
+            # below the dedupe window — see nodes())
+            merged = self.nodes(shards=sorted(touched))
             merged.select(_node_cols()).write.partitionBy("shard").parquet(
                 os.path.join(self.path, gen_rel)
             )

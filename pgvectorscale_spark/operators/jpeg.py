@@ -177,6 +177,11 @@ def parse_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         # marker code (B.1.1.2) — skip to the last one
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > len(data):
+            # the fill run consumed the remaining headroom: a stream that
+            # is all fill (or truncated just after it) must fail with the
+            # parser's documented error, not IndexError/struct.error
+            raise ValueError(f"truncated stream in marker scan at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -43,6 +43,7 @@ __all__ = [
     "decode_av_samples",
     "decode_image",
     "decode_jpeg_image",
+    "decode_meta_features",
     "decode_mp3_meta",
     "decode_h264_meta",
     "decode_mp4_meta",
@@ -392,34 +393,60 @@ def parse_mp3_meta(data: bytes) -> tuple[int, int, float, int, int, int, float]:
     )
 
 
-def decode_mp3_meta(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+def decode_meta_features(
+    df: DataFrame,
+    parse_fn,
+    fields: "dict[str, str]",
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """MP3 stream metadata without sample decode — Arrow-batched
-    mapInPandas over ``parse_mp3_meta``. Returns (id, sample_rate,
-    channels, bitrate_kbps, n_frames, duration_ms): what a training-data
-    audio pipeline filters on (length, rate, channel layout) before paying
-    for any sample decode."""
+    """Shared metadata-decode shape (the ``decode_image_features`` analog
+    for header scans): Arrow-batched mapInPandas over any
+    ``parse_fn(bytes) -> tuple`` whose positional outputs map onto
+    ``fields`` ({column name: spark type}, insertion-ordered). Extra
+    leading tuple elements beyond ``fields`` are ignored by passing a
+    parse_fn wrapper that slices them off — the three codec scanners below
+    each adapt their parser in one lambda instead of re-implementing the
+    batch loop."""
+    names = list(fields)
 
     def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"sample_rate": [], "channels": [], "bitrate_kbps": [],
-                   "n_frames": [], "duration_ms": []}
+            out = {name: [] for name in names}
             for payload in pdf[payload_col]:
-                _v, _l, kbps, rate, ch, n, dur = parse_mp3_meta(payload)
-                out["sample_rate"].append(rate)
-                out["channels"].append(ch)
-                out["bitrate_kbps"].append(kbps)
-                out["n_frames"].append(n)
-                out["duration_ms"].append(dur)
+                values = parse_fn(payload)
+                for name, v in zip(names, values):
+                    out[name].append(v)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), **out})
 
-    return df.select(id_col, payload_col).mapInPandas(
-        decode,
-        schema=(
-            f"{id_col} long, sample_rate long, channels long, "
-            "bitrate_kbps double, n_frames long, duration_ms double"
-        ),
+    schema = f"{id_col} long, " + ", ".join(f"{n} {t}" for n, t in fields.items())
+    return df.select(id_col, payload_col).mapInPandas(decode, schema=schema)
+
+
+def decode_mp3_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """MP3 stream metadata without sample decode — Arrow-batched scan over
+    ``parse_mp3_meta``. Returns (id, sample_rate, channels, bitrate_kbps,
+    n_frames, duration_ms): what a training-data audio pipeline filters on
+    (length, rate, channel layout) before paying for any sample decode."""
+
+    def scan(payload):
+        _v, _l, kbps, rate, ch, n, dur = parse_mp3_meta(payload)
+        return rate, ch, kbps, n, dur
+
+    return decode_meta_features(
+        df,
+        scan,
+        {
+            "sample_rate": "long",
+            "channels": "long",
+            "bitrate_kbps": "double",
+            "n_frames": "long",
+            "duration_ms": "double",
+        },
+        payload_col,
+        id_col,
     )
 
 
@@ -527,7 +554,10 @@ def parse_mp4_meta(data: bytes) -> tuple[str, int, float, int, float, float]:
         elif btype == b"moov":
             for ctype, cbody in walk(body):
                 if ctype == b"mvhd":
-                    ver = cbody[0]
+                    ver = cbody[0] if cbody else None
+                    need = 32 if ver == 1 else 20
+                    if ver not in (0, 1) or len(cbody) < need:
+                        raise ValueError(f"truncated or malformed mvhd body ({len(cbody)}B)")
                     if ver == 1:
                         timescale = _u32be(cbody, 20)
                         duration = int.from_bytes(cbody[24:32], "big")
@@ -538,7 +568,12 @@ def parse_mp4_meta(data: bytes) -> tuple[str, int, float, int, float, float]:
                     n_tracks += 1
                     for ttype, tbody in walk(cbody):
                         if ttype == b"tkhd" and width is None:
-                            off = 84 if tbody[0] == 1 else 72
+                            ver = tbody[0] if tbody else None
+                            off = 84 if ver == 1 else 72
+                            if ver not in (0, 1) or len(tbody) < off + 12:
+                                raise ValueError(
+                                    f"truncated or malformed tkhd body ({len(tbody)}B)"
+                                )
                             width = _u32be(tbody, off + 4) / 65536.0
                             height = _u32be(tbody, off + 8) / 65536.0
     if brand is None or timescale is None:
@@ -564,26 +599,19 @@ def decode_mp4_meta(
     filters on (length, resolution, track layout) before paying for any
     frame decode."""
 
-    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"brand": [], "timescale": [], "duration_ms": [],
-                   "n_tracks": [], "width": [], "height": []}
-            for payload in pdf[payload_col]:
-                brand, ts, dur, ntr, w, h = parse_mp4_meta(payload)
-                out["brand"].append(brand)
-                out["timescale"].append(ts)
-                out["duration_ms"].append(dur)
-                out["n_tracks"].append(ntr)
-                out["width"].append(w)
-                out["height"].append(h)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), **out})
-
-    return df.select(id_col, payload_col).mapInPandas(
-        decode,
-        schema=(
-            f"{id_col} long, brand string, timescale long, duration_ms double, "
-            "n_tracks long, width double, height double"
-        ),
+    return decode_meta_features(
+        df,
+        parse_mp4_meta,
+        {
+            "brand": "string",
+            "timescale": "long",
+            "duration_ms": "double",
+            "n_tracks": "long",
+            "width": "double",
+            "height": "double",
+        },
+        payload_col,
+        id_col,
     )
 
 
@@ -723,6 +751,8 @@ def parse_h264_meta(data: bytes) -> tuple[int, int, int, int, int]:
     chroma_format_idc = 1  # default 4:2:0 for non-high profiles
     if profile_idc in _H264_HIGH_PROFILES:
         chroma_format_idc = br.ue()
+        if chroma_format_idc > 3:
+            raise ValueError(f"malformed SPS: chroma_format_idc {chroma_format_idc}")
         if chroma_format_idc == 3:
             br.u(1)  # separate_colour_plane_flag
         br.ue()  # bit_depth_luma_minus8
@@ -769,25 +799,18 @@ def decode_h264_meta(
     synthesis path — correctness is pytest round-trips against an
     independent test-side bit-writer, not a driver DuckDB oracle."""
 
-    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"profile_idc": [], "level_idc": [], "width": [],
-                   "height": [], "n_nal_units": []}
-            for payload in pdf[payload_col]:
-                pr, lv, w, h, n = parse_h264_meta(payload)
-                out["profile_idc"].append(pr)
-                out["level_idc"].append(lv)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_nal_units"].append(n)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), **out})
-
-    return df.select(id_col, payload_col).mapInPandas(
-        decode,
-        schema=(
-            f"{id_col} long, profile_idc long, level_idc long, "
-            "width long, height long, n_nal_units long"
-        ),
+    return decode_meta_features(
+        df,
+        parse_h264_meta,
+        {
+            "profile_idc": "long",
+            "level_idc": "long",
+            "width": "long",
+            "height": "long",
+            "n_nal_units": "long",
+        },
+        payload_col,
+        id_col,
     )
 
 

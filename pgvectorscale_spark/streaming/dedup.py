@@ -166,9 +166,11 @@ def stream_neardup_band_verdicts(
     the state store holds one long per OCCUPIED bucket — bands × distinct
     near-dup clusters, not rows.
 
-    Rows whose text yields no shingles (NULL / too short) produce NULL
-    band hashes; they are excluded here — the batch equi-join drops NULL
-    keys the same way — and fall out as keepers in ``neardup_keepers``.
+    NULL/empty-text rows produce an EMPTY shingle array, whose minhash
+    fold yields the sentinel-maxima signature — they all share one bucket
+    (non-null band hashes) and dedupe to a single keeper, exactly like the
+    batch equi-join pairs them. A short-but-nonempty text still yields one
+    whole-text shingle and buckets normally.
     """
     rows_per_band = num_hashes // bands
 
@@ -211,6 +213,9 @@ def stream_neardup_band_verdicts(
     hash_arr = F.array(
         *[F.expr(band_hash("signature", b, rows_per_band, SPARK)) for b in range(bands)]
     )
+    # band hashes are never NULL (empty shingle arrays fold to sentinel
+    # maxima), but a defensive filter keeps a future hash-expr change from
+    # crashing the state function on a null key
     buckets = sig.select(
         "_id", F.posexplode(hash_arr).alias("_band", "_bh")
     ).filter(F.col("_bh").isNotNull())
@@ -233,9 +238,9 @@ def neardup_keepers(
 ) -> DataFrame:
     """The per-doc LSH OR-fold over ``stream_neardup_band_verdicts`` rows:
     a doc survives iff NONE of its bands hit an earlier-claimed bucket.
-    Both inputs are one micro-batch's rows (use inside ``foreachBatch``);
-    docs with no verdict rows (no shingles) are keepers, like the batch
-    equi-join's NULL-key drop. Narrow anti-join: O(batch), no corpus IO."""
+    Both inputs are one micro-batch's rows (use inside ``foreachBatch``).
+    Narrow anti-join: O(batch), no corpus IO; a doc absent from the
+    verdicts (defensively possible, not produced today) is a keeper."""
     dup_ids = (
         verdicts_df.filter(F.col("bucket_hit"))
         .select(F.col("doc_id").alias(id_col))

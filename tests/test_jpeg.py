@@ -310,3 +310,10 @@ def test_marker_scan_accepts_fill_bytes():
     w2, h2, ch2, b = parse_jpeg(padded)
     assert (w, h, ch) == (w2, h2, ch2)
     assert np.array_equal(a, b)
+
+
+def test_fill_run_to_eof_raises_valueerror():
+    """A stream that is all fill bytes (or truncated just after a fill run)
+    must fail with the parser's documented ValueError, not IndexError."""
+    with pytest.raises(ValueError, match="truncated stream in marker scan"):
+        parse_jpeg(b"\xff\xd8" + b"\xff" * 6)

@@ -509,6 +509,18 @@ class TestParseMp4Meta:
             parse_mp4_meta(self._box(b"free", b"\x00" * 8))
         with pytest.raises(ValueError, match="zero movie timescale"):
             parse_mp4_meta(self._file(ts=0))
+        # size-consistent but SHORT mvhd/tkhd bodies: typed error, never
+        # garbage metadata from stray bytes (review finding)
+        short_mvhd = self._box(b"ftyp", b"isom" + b"\x00" * 12) + self._box(
+            b"moov", self._box(b"mvhd", b"\x00" * 14)
+        )
+        with pytest.raises(ValueError, match="malformed mvhd"):
+            parse_mp4_meta(short_mvhd)
+        short_tkhd = self._box(b"ftyp", b"isom" + b"\x00" * 12) + self._box(
+            b"moov", self._mvhd(600, 600) + self._box(b"trak", self._box(b"tkhd", b"\x00" * 10))
+        )
+        with pytest.raises(ValueError, match="malformed tkhd"):
+            parse_mp4_meta(short_tkhd)
 
     def test_synth_payloads_parse_with_strict_walk(self, spark):
         from pgvectorscale_spark.operators.multimodal import (
@@ -632,6 +644,16 @@ class TestParseH264Meta:
         sps = _make_sps(pw_mbs=257, ph_units=256, crop=(0, 0, 0, 0))
         pr, lv, w, h, n = parse_h264_meta(_annexb(sps))
         assert (w, h) == (257 * 16, 256 * 16)
+
+    def test_rejects_bad_chroma_format(self):
+        from pgvectorscale_spark.operators.multimodal import parse_h264_meta
+
+        w = _SpsBitWriter()
+        w.u(100, 8); w.u(0, 8); w.u(40, 8)
+        w.ue(0)     # sps_id
+        w.ue(4)     # chroma_format_idc out of range
+        with pytest.raises(ValueError, match="chroma_format_idc"):
+            parse_h264_meta(_annexb(b"\x67" + w.rbsp()))
 
     def test_rejects_streams_without_sps(self):
         from pgvectorscale_spark.operators.multimodal import parse_h264_meta

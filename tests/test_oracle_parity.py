@@ -237,3 +237,18 @@ def test_multimodal_meta_parity(spark, documents, ddb):
     exp = ddb.execute(oracles.multimodal_meta_oracle()).df()
     exp["byte_len"] = exp["byte_len"].astype("int64")
     assert_match(res, exp)
+
+
+def test_audio_and_video_meta_match_oracles(spark, ddb):
+    """The md5-nibble-draw oracles execute in DuckDB and match the Spark
+    synth+scan pipelines (the driver's audio_meta/video_meta gate rows) —
+    in-tree guard so a dialect or draw-table drift surfaces before the
+    driver run (NOTES parity rule: draw constants move in lockstep)."""
+    import __spark_entry__ as e
+
+    for name in ("audio_meta", "video_meta"):
+        assert_match(
+            e.queries()[name](spark, SF_DIR),
+            ddb.execute(e.oracle_sql()[name]).df(),
+            float_tol=1e-6,
+        )

@@ -392,8 +392,9 @@ def test_stream_neardup_parity_with_batch_lsh(spark, tmpdir):
 
 def test_stream_neardup_within_batch_and_keepers_helper(spark, tmpdir):
     """Within one micro-batch the smallest id claims each bucket; the
-    neardup_keepers fold keeps exactly the docs with no hit verdict,
-    including shingle-less docs that produce no verdicts at all."""
+    neardup_keepers fold keeps exactly the docs with no hit verdict. A
+    short text yields one whole-text shingle and buckets normally — doc 9
+    keeps because its buckets are fresh, not because it is skipped."""
     from pgvectorscale_spark.streaming.dedup import (
         neardup_keepers,
         stream_neardup_band_verdicts,
@@ -404,7 +405,7 @@ def test_stream_neardup_within_batch_and_keepers_helper(spark, tmpdir):
         (5, base),
         (2, base),                # same content, smaller id -> 2 keeps, 5 drops
         (7, "completely different words entirely unrelated content here now"),
-        (9, "xy"),                # too short for 3-shingles -> no verdicts, keeper
+        (9, "xy"),                # short text: one whole-text shingle, fresh buckets
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     path = str(tmpdir.join("sndw_in"))
