@@ -122,6 +122,32 @@ def main() -> None:
         ),
     ]
 
+    # shard-restricted merge view (round 7): build a tiny index with an
+    # open delta chain so the plan shows base + delta scans, every one
+    # carrying a shard PartitionFilter
+    import shutil
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    tmp = tempfile.mkdtemp(prefix="plans_diskann_")
+    idx = DiskannIndex.build(
+        emb.limit(200), f"{tmp}/idx", distance_type="l2", num_shards=4
+    )
+    idx.insert(emb.filter("vec_id = 0").selectExpr("vec_id + 100000 AS vec_id", "embedding"))
+    sections.append(
+        (
+            "nodes(shards=[...]) — shard-restricted merge view (mutation bookkeeping)",
+            "Every parquet scan (base AND delta generations) carries a shard "
+            "`PartitionFilters` entry: the restriction is applied BELOW the "
+            "latest-wins dedupe window (a post-window filter would not push "
+            "past it), so insert membership probes and delete tombstone "
+            "fetches read only the touched shards' files — a 1-shard "
+            "micro-batch against a 1000-shard index reads 1 shard.",
+            idx.nodes(shards=[1]).select("node_id"),
+        )
+    )
+
     out = [
         "# PLANS — physical plans of the headline queries\n",
         "Generated by `scripts/dump_plans.py` at sf0.01. Each section states",
@@ -133,6 +159,7 @@ def main() -> None:
         out.append("```\n" + fmt(df).strip() + "\n```\n")
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
+    shutil.rmtree(tmp, ignore_errors=True)
     print("wrote PLANS.md")
     spark.stop()
 
