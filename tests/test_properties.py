@@ -140,3 +140,57 @@ def test_jpeg_constant_blocks_near_exact(w, h, seed):
     w2, h2, ch2, out = parse_jpeg(encode_jpeg(px))
     assert (w2, h2, ch2) == (w, h, 1)
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_media_parsers_fail_only_with_valueerror(data):
+    """Fuzz contract: on ARBITRARY bytes every container/stream parser
+    either succeeds or raises ValueError — never IndexError/KeyError/
+    struct.error — so decode pipelines can catch the documented type."""
+    from pgvectorscale_spark.operators.jpeg import parse_jpeg
+    from pgvectorscale_spark.operators.multimodal import (
+        parse_h264_meta,
+        parse_image,
+        parse_mp3_meta,
+        parse_mp4_meta,
+        parse_png,
+        parse_ppm,
+        parse_wav,
+    )
+
+    for fn in (parse_ppm, parse_wav, parse_png, parse_jpeg,
+               parse_mp3_meta, parse_mp4_meta, parse_h264_meta):
+        try:
+            fn(data)
+        except (ValueError, NotImplementedError):
+            pass
+    try:
+        parse_image(data)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 3))
+@settings(max_examples=150, deadline=None)
+def test_media_parsers_reject_plausible_prefixes_cleanly(tail, which):
+    """Same contract with VALID magic bytes followed by garbage — the
+    deeper header/walk paths, not just the magic check, must stay typed."""
+    from pgvectorscale_spark.operators.jpeg import parse_jpeg
+    from pgvectorscale_spark.operators.multimodal import (
+        parse_h264_meta,
+        parse_mp3_meta,
+        parse_mp4_meta,
+    )
+
+    prefixed = [
+        (parse_jpeg, b"\xff\xd8" + tail),
+        (parse_mp3_meta, b"\xff\xfb" + tail),
+        (parse_mp4_meta, (8 + len(tail)).to_bytes(4, "big") + b"ftyp" + tail),
+        (parse_h264_meta, b"\x00\x00\x01\x67" + tail),
+    ]
+    fn, data = prefixed[which]
+    try:
+        fn(data)
+    except ValueError:
+        pass
