@@ -181,6 +181,13 @@ def reader_lease(index_path: str, epoch: int, ttl_seconds: float | None = None):
     fail-stop (never wrong data). Writers never block on leases — only
     trash reclamation is deferred, bounded by the TTL.
 
+    Acquire the lease IMMEDIATELY after loading the handle: protection
+    begins at acquisition, and the ordinary one-cycle grace window is what
+    covers the load-to-acquire gap. Expiry is compared against the
+    SWEEPER's wall clock, so clock skew between reader and writer hosts
+    shortens or extends the pin by the skew — early expiry degrades to
+    the fail-stop (safe), late expiry only defers reclamation.
+
     The reference needs no analog: Postgres MVCC keeps a scan's pages
     reachable for free; this is the plain-parquet equivalent of holding a
     snapshot reference."""

@@ -373,3 +373,62 @@ def test_stream_neardup_ttl_readmits(spark, tmpdir):
         assert hit2 == 0  # state expired: doc 2's buckets were fresh again
     finally:
         q.stop()
+
+
+def test_leased_readers_stress_through_continuous_folds(spark, tmpdir):
+    """Protocol stress: reader threads that load a handle, lease it, pause
+    across multiple fold cycles, and then read must EITHER see their exact
+    snapshot row set or raise StaleIndexReadError — never wrong/partial
+    data — while a writer folds continuously."""
+    import threading
+
+    from pgvectorscale_spark.operators.diskann import _read_shard_pdf
+    from tests.test_snapshot_store import COLS, _build, _fold_chain
+
+    idx, mat, rng = _build(spark, tmpdir, "lease_stress", n=200)
+    nxt = [_fold_chain(spark, idx, rng, 9000)]
+    stop = threading.Event()
+    writer_err = []
+
+    def writer():
+        try:
+            while not stop.is_set():
+                nxt[0] = _fold_chain(spark, idx, rng, nxt[0])
+        except Exception as ex:  # pragma: no cover
+            writer_err.append(ex)
+
+    results = []
+
+    def reader(i):
+        try:
+            handle = DiskannIndex.load(spark, idx.path)
+            with handle.reader_lease(ttl_seconds=3600):
+                store = handle._store()
+                expect = set(
+                    _read_shard_pdf(store, 0, ["node_id"])["node_id"].tolist()
+                )
+                stop.wait(2.0 + 0.7 * i)  # pause across fold cycles
+                got = set(_read_shard_pdf(store, 0, ["node_id"])["node_id"].tolist())
+                results.append(("ok", expect == got))
+        except StaleIndexReadError:
+            results.append(("stale", True))  # fail-stop is acceptable
+        except Exception as ex:
+            results.append((f"BAD {type(ex).__name__}: {ex}", False))
+
+    wt = threading.Thread(target=writer)
+    rts = [threading.Thread(target=reader, args=(i,)) for i in range(4)]
+    wt.start()
+    for t in rts:
+        t.start()
+    for t in rts:
+        t.join(timeout=180)
+    stop.set()
+    wt.join(timeout=180)
+    assert not writer_err, writer_err
+    assert len(results) == 4 and all(ok for _, ok in results), results
+    # leased readers must have completed consistently, not just fail-stopped
+    assert any(kind == "ok" for kind, _ in results), results
+    # index healthy afterwards
+    assert DiskannIndex.load(spark, idx.path).search(
+        rng.random(16).tolist(), k=5
+    ).count() == 5
