@@ -44,7 +44,12 @@ from pgvectorscale_spark.functions.hashing import (
     minhash_signature_expr,
 )
 
-__all__ = ["neardup_keepers", "stream_dedup_exact", "stream_neardup_band_verdicts"]
+__all__ = [
+    "neardup_keepers",
+    "stream_dedup_exact",
+    "stream_dedup_neardup",
+    "stream_neardup_band_verdicts",
+]
 
 _OUT_SCHEMA = StructType(
     [
@@ -136,6 +141,7 @@ def stream_neardup_band_verdicts(
     bands: int = 4,
     shingle_n: int = 3,
     state_ttl_seconds: int = 0,
+    carry_col: str | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH near-dup detection across micro-batches:
     the streaming face of ``operators/dedup.py``'s candidate generation
@@ -173,6 +179,7 @@ def stream_neardup_band_verdicts(
     whole-text shingle and buckets normally.
     """
     rows_per_band = num_hashes // bands
+    carry = carry_col is not None
 
     def verdicts(
         key: Tuple[Any, ...],
@@ -192,41 +199,57 @@ def stream_neardup_band_verdicts(
             hits = (batch["_id"] != first).tolist()
         if state_ttl_seconds:
             state.setTimeoutDuration(state_ttl_seconds * 1000)
-        yield pd.DataFrame(
-            {
-                "doc_id": batch["_id"].to_numpy(),
-                "band_id": int(band_id),
-                "bucket_hit": hits,
-            }
-        )
+        out = {
+            "doc_id": batch["_id"].to_numpy(),
+            "band_id": int(band_id),
+            "bucket_hit": hits,
+        }
+        if carry:
+            out["payload"] = batch["_payload"]
+        yield pd.DataFrame(out)
 
     from pgvectorscale_spark.functions.hashing import tokens, word_shingles
 
     toks = tokens(text_col, SPARK)
+    carry_sel = [F.col(carry_col).alias("_carry")] if carry else []
     sig = stream_df.select(
         F.col(id_col).alias("_id"),
         F.expr(word_shingles(toks, shingle_n, SPARK)).alias("_shingles"),
+        *carry_sel,
     ).select(
         "_id",
         F.expr(minhash_signature_expr("_shingles", num_hashes)).alias("signature"),
+        *(["_carry"] if carry else []),
     )
     hash_arr = F.array(
         *[F.expr(band_hash("signature", b, rows_per_band, SPARK)) for b in range(bands)]
     )
     # band hashes are never NULL (empty shingle arrays fold to sentinel
     # maxima), but a defensive filter keeps a future hash-expr change from
-    # crashing the state function on a null key
+    # crashing the state function on a null key.
+    # carry_col rides along on band 0's rows ONLY (null elsewhere), so the
+    # payload crosses the bucket shuffle exactly once per doc, not bands x
     buckets = sig.select(
-        "_id", F.posexplode(hash_arr).alias("_band", "_bh")
+        "_id",
+        F.posexplode(hash_arr).alias("_band", "_bh"),
+        *(["_carry"] if carry else []),
     ).filter(F.col("_bh").isNotNull())
+    if carry:
+        buckets = buckets.select(
+            "_id", "_band", "_bh",
+            F.when(F.col("_band") == 0, F.col("_carry")).alias("_payload"),
+        )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if state_ttl_seconds
         else GroupStateTimeout.NoTimeout
     )
+    out_schema = _VERDICT_SCHEMA
+    if carry:
+        out_schema = StructType(_VERDICT_SCHEMA.fields + [StructField("payload", StringType())])
     return buckets.groupBy("_band", "_bh").applyInPandasWithState(
         verdicts,
-        outputStructType=_VERDICT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_BUCKET_STATE,
         outputMode="append",
         timeoutConf=timeout,
@@ -247,3 +270,57 @@ def neardup_keepers(
         .distinct()
     )
     return batch_df.join(dup_ids, id_col, "left_anti")
+
+
+def stream_dedup_neardup(
+    stream_df: DataFrame,
+    sink,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    state_ttl_seconds: int = 0,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """End-to-end streaming near-dup dedup: emit each micro-batch's KEEPER
+    rows (id, text) to ``sink(keepers_df, batch_id)`` — docs none of whose
+    LSH band buckets were claimed by an earlier arrival. Composition of
+    ``stream_neardup_band_verdicts`` (bucket-state op; the text payload
+    rides band 0's rows so it crosses the bucket shuffle once per doc) and
+    the per-doc OR-fold, run inside ``foreachBatch`` because an
+    append-mode aggregation downstream of a stateful operator needs an
+    event-time watermark these verdicts don't carry. Returns the started
+    StreamingQuery."""
+    verdicts = stream_neardup_band_verdicts(
+        stream_df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        state_ttl_seconds=state_ttl_seconds,
+        carry_col=text_col,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        keepers = (
+            batch_df.groupBy("doc_id")
+            .agg(
+                F.max("bucket_hit").alias("_dup"),
+                F.first("payload", ignorenulls=True).alias(text_col),
+            )
+            .filter(~F.col("_dup"))
+            .select(F.col("doc_id").alias(id_col), text_col)
+        )
+        sink(keepers, batch_id)
+
+    # the stateful verdict op is declared in append mode; the writer must
+    # match (foreachBatch itself is mode-agnostic)
+    writer = verdicts.writeStream.foreachBatch(_fold).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -424,3 +424,41 @@ def test_stream_neardup_within_batch_and_keepers_helper(spark, tmpdir):
     verdicts = spark.sql("SELECT * FROM sndw")
     keepers = {r["doc_id"] for r in neardup_keepers(df, verdicts).collect()}
     assert keepers == {2, 7, 9}
+
+
+def test_stream_dedup_neardup_end_to_end(spark, tmpdir):
+    """The packaged pipeline emits exactly the batch LSH keeper set (with
+    payloads) across id-ordered micro-batches of sf0.01 documents."""
+    from pgvectorscale_spark.operators import dedup
+    from pgvectorscale_spark.streaming.dedup import stream_dedup_neardup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 200")
+    )
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    path = str(tmpdir.join("snde_in"))
+    cuts = [ids[len(ids) // 2], ids[-1] + 1]
+    lo = ids[0]
+    for hi in cuts:
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        lo = hi
+    got = {}
+
+    def sink(keepers_df, batch_id):
+        for r in keepers_df.collect():
+            got[r["doc_id"]] = r["text"]
+
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    q = stream_dedup_neardup(
+        stream, sink, checkpoint_dir=str(tmpdir.join("ckpt_snde"))
+    )
+    q.awaitTermination(180)
+    dropped = {r["doc_b"] for r in dedup.minhash_candidate_pairs(docs).collect()}
+    want = set(ids) - dropped
+    assert set(got) == want
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert all(got[i] == texts[i] for i in got)  # payloads intact
