@@ -299,28 +299,20 @@ class IvfIndex:
                 .select("node_id", "vector", "centroid_id")
             )
             # stale copies in OTHER cells -> tombstone markers (same-cell
-            # copies are superseded by latest-generation-wins on its own)
+            # copies are superseded by latest-generation-wins on its own).
+            # id-restricted BEFORE the merge window — a micro-batch probes
+            # O(batch) rows, never the full corpus through live_nodes()
             routed = new.select("node_id", F.col("centroid_id").alias("_newc"))
+            batch_ids = new.select("node_id").distinct()
+            live_batch = self._live_rows_for(batch_ids).localCheckpoint()
             stale = (
-                self.live_nodes()
+                live_batch
                 .join(F.broadcast(routed), "node_id")
                 .filter(F.col("centroid_id") != F.col("_newc"))
                 .select("node_id", "vector", "centroid_id", F.lit(True).alias("deleted"))
             )
-            # live-presence of the batch ids, pre-commit and id-restricted:
-            # the semijoin pushes into the scans (no corpus window), the
-            # latest-wins dedupe then runs over O(batch·generations) rows
-            batch_ids = new.select("node_id").distinct()
             n_batch = batch_ids.count()
-            n_present_live = (
-                self._latest(
-                    self._nodes_union().join(F.broadcast(batch_ids), "node_id")
-                )
-                .filter(~F.coalesce(F.col("deleted"), F.lit(False)))
-                .select("node_id")
-                .distinct()
-                .count()
-            )
+            n_present_live = live_batch.select("node_id").distinct().count()
             delta = new.withColumn("deleted", F.lit(False)).unionByName(stale)
             self._write_delta(delta)
             # exact incremental live count: upserts of live ids +0, fresh or
@@ -332,15 +324,31 @@ class IvfIndex:
             self.meta.save(self.path)
             self._maybe_fold_deltas()
 
+    def _live_rows_for(self, ids_df: DataFrame) -> DataFrame:
+        """Live merged rows RESTRICTED to the given ids, with the broadcast
+        semijoin pushed into the parquet scans: the raw union is id-filtered
+        BEFORE the latest-wins window (a join does not push below a window),
+        so the dedupe runs over O(ids x generations) rows, never the corpus.
+        Identical to live_nodes().join(ids) — the window partitions by
+        (node_id, centroid_id), so dropping other ids' rows changes nothing
+        for the kept ids (the n_present_live pattern, applied everywhere a
+        mutation probes membership)."""
+        return (
+            self._latest(self._nodes_union().join(F.broadcast(ids_df), "node_id"))
+            .filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+            .drop("_seq")
+        )
+
     def delete(self, ids: Sequence[int]) -> None:
         """Tombstone rows by id: O(ids) marker rows into a new delta
         generation — cell partitions are never rewritten (fold drops the
         markers later)."""
         with writer_lock(self.path):
             ids_df = self.spark.createDataFrame([(int(i),) for i in ids], "node_id long")
+            # id-restricted merge probe (see _live_rows_for): the scans read
+            # only the ids' rows, not the corpus through live_nodes()
             gone = (
-                self.live_nodes()
-                .join(F.broadcast(ids_df), "node_id")
+                self._live_rows_for(ids_df)
                 .select("node_id", "vector", "centroid_id", F.lit(True).alias("deleted"))
                 .localCheckpoint()  # tiny; avoids re-running the merge scan
             )
