@@ -39,6 +39,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_band_buckets",
     "minhash_candidate_pairs",
+    "minhash_star_edges",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_pairs",
@@ -197,6 +198,49 @@ def minhash_candidate_pairs(
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate edges in STAR form: each bucket member linked only to
+    its bucket's minimum id — O(c) edges per bucket instead of the full
+    pair join's c²/2.
+
+    Connectivity-equivalent to ``minhash_candidate_pairs``: any two docs
+    sharing a (band_id, band_hash) bucket are connected through the
+    bucket's min id, so connected components over these edges equal
+    components over the full pair set. This is the candidate stage
+    ``dedup_clusters`` runs — a real web crawl has mega-buckets (boilerplate
+    pages with c near-identical members), and the full self-join would put
+    c²/2 rows through one reducer for each; the star form keeps every
+    bucket linear. ``minhash_candidate_pairs`` remains the operator whose
+    oracle IS the full pair set (LSH theory's candidate list); use it when
+    the pairs themselves are the output, not their components.
+
+    Plan shape: one partial-agg groupBy for the per-bucket min (map-side
+    combine on the same (band_id, band_hash) keys the buckets already
+    shuffle on), then an equi-join where the min side has exactly one row
+    per key — fan-out per bucket is c, never c². Returns distinct
+    (doc_a, doc_b) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    buckets = lsh_band_buckets(sig, id_col, bands, rows_per_band)
+    bucket_min = buckets.groupBy("band_id", "band_hash").agg(
+        F.min(id_col).alias("doc_a")
+    )
+    return (
+        buckets.join(bucket_min, ["band_id", "band_hash"])
+        .filter(F.col(id_col) > F.col("doc_a"))
+        .select("doc_a", F.col(id_col).alias("doc_b"))
         .distinct()
     )
 
@@ -687,12 +731,19 @@ def dedup_clusters(
     """End-to-end near-dup clustering: every document labeled with its
     cluster and a canonical-survivor flag.
 
-    MinHash-LSH candidate pairs -> connected components -> cluster_id = the
+    MinHash-LSH candidate edges -> connected components -> cluster_id = the
     smallest doc id in the component (documents with no near-dup are their
     own singleton cluster). This is the complete dedup pass a training
     pipeline runs: ``filter(is_canonical)`` keeps exactly one document per
-    near-duplicate cluster. Returns (doc_id, cluster_id, is_canonical)."""
-    pairs = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    near-duplicate cluster. Returns (doc_id, cluster_id, is_canonical).
+
+    The candidate stage uses STAR edges (``minhash_star_edges``): each LSH
+    bucket member links only to the bucket's min id, so a mega-bucket of c
+    boilerplate near-dups contributes c edges instead of c²/2 pairs —
+    connected components (and therefore clusters/keepers) are identical by
+    the star form's connectivity equivalence, but no reducer ever sees a
+    quadratic pair fan-out at 100 TB duplication rates."""
+    pairs = minhash_star_edges(df, text_col, id_col, num_hashes, bands, shingle_n)
     comp = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed("id", id_col)
     ids = df.select(F.col(id_col).cast("long").alias(id_col))
     return ids.join(comp, id_col, "left").select(

@@ -1095,6 +1095,23 @@ class DiskannIndex:
         sc.setJobDescription(None)
         meta.base_rel = dest_rel
         meta.trash_dirs = trash
+        if shard_assignment == "kmeans":
+            # id -> shard routing sidecar (routing_store.py): where an id
+            # lives is DATA under kmeans sharding, so mutation membership
+            # probes would otherwise scan the corpus node_id column per
+            # micro-batch. Written from the just-persisted base (a
+            # column-pruned read-back: node_id + the shard partition
+            # value) and committed by the same meta.save as the build.
+            from pgvectorscale_spark.operators import routing_store
+
+            routing_store.write_base(
+                spark.read.parquet(os.path.join(path, dest_rel)).select(
+                    "node_id", "shard"
+                ),
+                path,
+                meta,
+                "shard",
+            )
         meta.trash_epoch = epoch
         meta.delta_counter = counter
         # keep the mutation epoch monotonic across rebuilds at the same path
@@ -1376,14 +1393,41 @@ class DiskannIndex:
             for r in rows
         }
 
-    def _routing_delta(self, new: DataFrame) -> dict | None:
+    def _ensure_id_routing(self) -> bool:
+        """Backfill the id -> shard routing sidecar for a pre-sidecar
+        kmeans index: ONE corpus pass over (node_id, shard) — the same
+        cost as a single legacy membership probe — after which every
+        mutation probes the rb-pruned sidecar instead of the corpus. The
+        backfill meta-commits immediately (safe standalone under the
+        writer lock), so a crash mid-mutation doesn't orphan it. Returns
+        True when the sidecar is usable."""
+        from pgvectorscale_spark.operators import routing_store
+
+        if self.meta.shard_assignment != "kmeans":
+            return False
+        if routing_store.is_present(self.meta):
+            return True
+        if self.meta.num_dimensions == 0:
+            return False  # empty bootstrap index: build() writes it
+        routing_store.write_base(
+            self._nodes_union().select("node_id", "shard").distinct(),
+            self.path,
+            self.meta,
+            "shard",
+        )
+        self.meta.save(self.path)
+        return True
+
+    def _routing_delta(self, new: DataFrame, shards: Sequence[int] | None = None) -> dict | None:
         """Capture a micro-batch's routing delta BEFORE the mutation lands:
         per touched shard, the batch's (count, vector-sum) and the prior
         (count, vector-sum) of upserted ids (whose stored vectors the batch
         replaces). Everything here is O(batch): the only corpus touch is a
-        broadcast-semijoin fetch of the upserted ids' stored rows. Returns
-        None when the stored sidecar lacks sufficient statistics (caller
-        falls back to the re-aggregation path)."""
+        broadcast-semijoin fetch of the upserted ids' stored rows,
+        PARTITION-PRUNED to the batch's shards when given (upserts are
+        pinned to the stored shard, so a batch id's prior row can only
+        live in a batch shard). Returns None when the stored sidecar lacks
+        sufficient statistics (caller falls back to re-aggregation)."""
         if self._routing_stats() is None:
             return None
         badd = (
@@ -1392,8 +1436,9 @@ class DiskannIndex:
             .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("c"))
             .collect()
         )
+        old_src = self.nodes(shards=shards) if shards else self.nodes()
         old = (
-            self.nodes()
+            old_src
             .join(F.broadcast(new.select("node_id")), "node_id")
             .select("shard", F.posexplode("vector").alias("dim", "v"))
             .groupBy("shard", "dim")
@@ -1961,16 +2006,21 @@ class DiskannIndex:
             )
             # an upsert must stay in the shard that already stores its id —
             # re-routing a moved vector to its new nearest cell would leave
-            # a duplicate node_id behind in the old shard. The probe uses
-            # the RAW union (not the windowed merge view): shard is
-            # immutable per node_id across generations, so the dedupe
-            # window adds nothing and would block the broadcast semijoin
-            # from pushing into the scans (column-pruned to node_id+shard)
+            # a duplicate node_id behind in the old shard. The probe reads
+            # the id -> shard ROUTING SIDECAR (routing_store.py), rb-bucket
+            # pruned to the batch ids' partitions — O(sidecar/buckets) IO
+            # per micro-batch, never the corpus node_id column (the
+            # reference's aminsert touches only affected pages,
+            # build.rs:537-558). Pre-sidecar indexes backfill once.
+            from pgvectorscale_spark.operators import routing_store
+
+            self._ensure_id_routing()
             stored = (
-                self._nodes_union()
-                .join(F.broadcast(newbase.select("node_id")), "node_id")
-                .select("node_id", F.col("shard").alias("_stored_shard"))
-                .distinct()
+                routing_store.lookup(
+                    self.spark, self.path, self.meta, newbase.select("node_id")
+                )
+                .groupBy("node_id")
+                .agg(F.min("part").alias("_stored_shard"))
             )
             newbase = (
                 newbase.join(F.broadcast(stored), "node_id", "left")
@@ -1994,7 +2044,9 @@ class DiskannIndex:
         # Voronoi routing delta, captured BEFORE the mutation lands (the
         # prior vectors of upserted ids must be read pre-commit): O(batch)
         routing_delta = (
-            self._routing_delta(new) if self.meta.shard_assignment == "kmeans" else None
+            self._routing_delta(new, shards)
+            if self.meta.shard_assignment == "kmeans"
+            else None
         )
         # num_rows delta, also pre-commit: rows only ever ACCUMULATE per
         # node_id until a fold (which preserves the deduped set), so
@@ -2078,6 +2130,22 @@ class DiskannIndex:
             os.path.join(self.path, next_rel)
         )
         self.meta.delta_gens = list(self.meta.delta_gens) + [next_rel]
+        if self.meta.shard_assignment == "kmeans":
+            # maintain the id -> shard sidecar with the delta's own rows
+            # (a column-pruned read-back of the dir just written: batch
+            # ids + back-edge-touched neighbors, whose entries already
+            # exist and dedupe at lookup) — O(batch) rows, committed by
+            # the same meta.save as the node delta below
+            from pgvectorscale_spark.operators import routing_store
+
+            routing_store.append_delta(
+                self.spark.read.parquet(os.path.join(self.path, next_rel)).select(
+                    "node_id", "shard"
+                ),
+                self.path,
+                self.meta,
+                "shard",
+            )
         # exact incremental count: upserts replace rows (+0), fresh ids +1
         self.meta.num_rows = int(self.meta.num_rows) + n_batch - n_present
         self.meta.epoch += 1  # informational mutation counter
@@ -2113,19 +2181,21 @@ class DiskannIndex:
         # partition-prune the merge-view read to the shards that can hold
         # the ids (ambulkdelete touches only affected pages,
         # vacuum.rs:23-136). Hash sharding: the shard is a pure function of
-        # the id — zero corpus IO. Kmeans: where an id lives is data, so
-        # probe the raw union column-pruned to (node_id, shard) — shard is
-        # a partition column, so the probe reads one column's pages — then
-        # fetch full rows from the touched shards only.
+        # the id — zero corpus IO. Kmeans: where an id lives is data — the
+        # id -> shard ROUTING SIDECAR (routing_store.py) answers it from
+        # the batch ids' rb partitions alone, so a 1-id delete reads the
+        # sidecar plus that one shard's files, never every shard's node_id
+        # pages (pre-sidecar indexes backfill once in _ensure_id_routing).
         if self.meta.shard_assignment == "kmeans":
-            cand_shards = [
-                int(r["shard"])
-                for r in self._nodes_union()
-                .join(F.broadcast(ids_df), "node_id")
-                .select("shard")
-                .distinct()
-                .collect()
-            ]
+            from pgvectorscale_spark.operators import routing_store
+
+            if self._ensure_id_routing():
+                probe = routing_store.lookup(self.spark, self.path, self.meta, ids_df)
+                cand_shards = [
+                    int(r["part"]) for r in probe.select("part").distinct().collect()
+                ]
+            else:  # empty bootstrap index: nothing stored yet
+                cand_shards = []
         else:
             cand_shards = [
                 int(r["shard"])
@@ -2246,6 +2316,11 @@ class DiskannIndex:
                 self.meta.shard_base[str(s)] = gen_rel
         self.meta.delta_gens = []
         self.meta.trash_dirs = list(dict.fromkeys(new_trash))
+        # id-routing sidecar chain compaction (no-op until the chain
+        # passes ROUTING_FOLD_GENS; superseded dirs ride trash_dirs)
+        from pgvectorscale_spark.operators import routing_store
+
+        routing_store.maybe_compact(self.spark, self.path, self.meta)
         # folds bump the (informational) epoch and stamp it as the trash
         # enqueue point: reader leases older than this pin the sweep
         self.meta.epoch += 1

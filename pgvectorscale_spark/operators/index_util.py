@@ -19,6 +19,7 @@ __all__ = [
     "StaleIndexReadError",
     "delete_dir",
     "dir_exists",
+    "dir_exists_strict",
     "file_exists",
     "list_files",
     "list_subdirs",
@@ -65,6 +66,21 @@ def file_exists(path: str) -> bool:
         return False
 
 
+def dir_exists_strict(path: str) -> bool:
+    """Existence probe that distinguishes DEFINITE not-found from transient
+    filesystem errors. ``get_file_info`` reports a missing path as
+    ``FileType.NotFound`` without raising, so any exception here is a real
+    FS failure (S3/HDFS hiccup) and PROPAGATES instead of being folded into
+    ``False``. Callers that turn "dir is gone" into a protocol-level signal
+    (``snapshot_base_dirs`` raising StaleIndexReadError) must use this —
+    the non-strict ``dir_exists`` would misreport a transient error as
+    'reclaimed by a later fold'."""
+    from pyarrow import fs as pafs
+
+    fsys, p = _pa_fs(path)
+    return fsys.get_file_info(p).type == pafs.FileType.Directory
+
+
 def swept_marker_path(partition_dir: str) -> str:
     """Marker file recording that a partition subdir (``.../shard=K`` /
     ``.../centroid_id=K``) was SWEPT from a still-live parent dir. Lets a
@@ -101,11 +117,13 @@ def _list_entries(path: str, prefix: str, want_dirs: bool, strict: bool) -> list
     except FileNotFoundError:
         return []
     except Exception:
-        if strict and dir_exists(path):
+        if strict and dir_exists_strict(path):
             # the dir exists but cannot be listed: a transient FS error.
             # Strict callers (the snapshot base view) must FAIL, not treat
             # it as empty — an empty answer would drop the base rows from
-            # a fold's merge and commit the loss.
+            # a fold's merge and commit the loss. (dir_exists_strict itself
+            # re-raises on a transient probe error, so a flaky FS can't
+            # downgrade the failure to an empty listing either.)
             raise
         return []
     want = pafs.FileType.Directory if want_dirs else pafs.FileType.File
@@ -126,10 +144,14 @@ def list_subdirs(path: str, prefix: str, strict: bool = False) -> list[str]:
     return _list_entries(path, prefix, want_dirs=True, strict=strict)
 
 
-def list_files(path: str, prefix: str) -> list[str]:
+def list_files(path: str, prefix: str, strict: bool = False) -> list[str]:
     """Names of immediate FILES starting with ``prefix`` (e.g. swept
-    markers), remote-capable. Missing path -> []."""
-    return _list_entries(path, prefix, want_dirs=False, strict=False)
+    markers), remote-capable. Missing path -> []. ``strict=True`` raises
+    when the path EXISTS but listing fails — for probes whose ABSENCE of a
+    match is itself a signal (the swept-marker staleness checks: silently
+    skipping them on a transient error would let a 2+-cycle-stale reader
+    serve an empty shard)."""
+    return _list_entries(path, prefix, want_dirs=False, strict=strict)
 
 
 def touch_file(path: str) -> bool:
@@ -198,10 +220,17 @@ def reader_lease(index_path: str, epoch: int, ttl_seconds: float | None = None):
     lease_path = os.path.join(index_path, LEASES_DIR, f"{uuid.uuid4().hex}.lease")
     body = json.dumps({"epoch": int(epoch), "expires": time.time() + ttl}).encode()
     try:
+        # ATOMIC publish: write the body to a .tmp name, then move it to
+        # the .lease name. A sweeper listing mid-write sees either no
+        # lease or a complete one — never a torn JSON it would (before
+        # round 8) have treated as absent and reclaimed around. .tmp files
+        # are excluded from _live_lease_min_epoch's scan by suffix and
+        # reaped by sweep_trash's orphan pass if the writer crashes.
         fsys, p = _pa_fs(lease_path)
         fsys.create_dir(p.rsplit("/", 1)[0], recursive=True)
-        with fsys.open_output_stream(p) as f:
+        with fsys.open_output_stream(f"{p}.tmp") as f:
             f.write(body)
+        fsys.move(f"{p}.tmp", p)
     except Exception as exc:
         # no silent no-op: a reader that believes it is pinned but isn't
         # would lose the very guarantee it asked for — fail the acquire
@@ -218,14 +247,23 @@ def reader_lease(index_path: str, epoch: int, ttl_seconds: float | None = None):
 
 def _live_lease_min_epoch(path: str) -> int | None:
     """Smallest epoch among unexpired leases, or None. Expired lease files
-    are reaped in passing; unreadable/corrupt ones are ignored (a reader
-    that never completed its lease write never got the guarantee)."""
+    are reaped in passing. A published ``.lease`` file that cannot be READ
+    (transient FS error — atomic publish rules out torn writes) is treated
+    CONSERVATIVELY as pinning (epoch 0 => pins any trash): reclaiming a
+    live reader's dirs on a read hiccup would break the lease's guarantee,
+    while over-retaining costs one extra cycle. The conservatism is
+    TTL-bounded via the file's mtime — an unreadable lease older than
+    2x the default TTL cannot be live (custom longer TTLs lose protection
+    then, degrading to the ordinary fail-stop, never wrong data) and is
+    reaped so a permanently corrupt file can't pin trash forever."""
     import json
 
     leases_dir = os.path.join(path, LEASES_DIR)
     now = time.time()
     best: int | None = None
     for name in list_files(leases_dir, ""):
+        if not name.endswith(".lease"):
+            continue  # in-flight .tmp publishes are not leases yet
         fpath = os.path.join(leases_dir, name)
         try:
             fsys, p = _pa_fs(fpath)
@@ -233,6 +271,19 @@ def _live_lease_min_epoch(path: str) -> int | None:
                 rec = json.loads(f.read().decode())
             epoch, expires = int(rec["epoch"]), float(rec["expires"])
         except Exception:
+            try:
+                fsys, p = _pa_fs(fpath)
+                mtime = fsys.get_file_info(p).mtime
+                age = now - mtime.timestamp() if mtime is not None else 0.0
+            except Exception:
+                age = 0.0  # can't even stat it: stay conservative
+            if age > 2 * DEFAULT_LEASE_TTL:
+                try:
+                    fsys.delete_file(p)
+                except Exception:
+                    pass
+                continue
+            best = 0  # unknown epoch: pin everything this cycle
             continue
         if expires < now:
             try:
@@ -297,7 +348,7 @@ def sweep_trash(path: str, meta) -> None:
     # orphan temp files from crashed atomic writes — meta saves and
     # sidecar publishes (tiny, but unbounded accumulation over crashes
     # would be litter)
-    for pat in ("_index_meta.*.tmp", "*.parquet.*.tmp"):
+    for pat in ("_index_meta.*.tmp", "*.parquet.*.tmp", f"{LEASES_DIR}/*.tmp"):
         for tmp in glob.glob(os.path.join(path, pat)):
             try:
                 os.remove(tmp)
@@ -342,6 +393,21 @@ def sweep_trash(path: str, meta) -> None:
             p = os.path.join(path, rel)
             shutil.rmtree(p, ignore_errors=True)
             delete_dir(p)
+    # orphan id-routing sidecar generations from crashed writes/compactions
+    # (routing_store.py) — same reconciliation: a dir under id_routing_gens
+    # not referenced by the meta (live pointer, delta chain, or queued
+    # trash) was never committed and is unreachable
+    live_routing = (
+        {getattr(meta, "routing_ids_rel", None)}
+        | set(getattr(meta, "routing_ids_deltas", []) or [])
+        | {rel for rel in meta.trash_dirs if rel.startswith("id_routing_gens/")}
+    )
+    for name in list_subdirs(os.path.join(path, "id_routing_gens"), ""):
+        rel = f"id_routing_gens/{name}"
+        if rel not in live_routing:
+            p = os.path.join(path, rel)
+            shutil.rmtree(p, ignore_errors=True)
+            delete_dir(p)
 
 
 def snapshot_base_dirs(path: str, meta, part_col: str) -> list[tuple[str, list[int] | None]]:
@@ -370,7 +436,7 @@ def snapshot_base_dirs(path: str, meta, part_col: str) -> list[tuple[str, list[i
     # read's _swept_marker_present check)
     swept_unmapped = sorted(
         int(name.split("=", 1)[1])
-        for name in list_files(f"{base_abs}.swept", f"{part_col}=")
+        for name in list_files(f"{base_abs}.swept", f"{part_col}=", strict=True)
         if int(name.split("=", 1)[1]) not in mapped
     )
     if swept_unmapped:
@@ -407,7 +473,7 @@ def snapshot_base_dirs(path: str, meta, part_col: str) -> list[tuple[str, list[i
         # silently serve zero rows for a populated partition.
         swept_here = sorted(
             int(name.split("=", 1)[1])
-            for name in list_files(f"{dir_abs}.swept", f"{part_col}=")
+            for name in list_files(f"{dir_abs}.swept", f"{part_col}=", strict=True)
             if int(name.split("=", 1)[1]) in set(ss)
         )
         if swept_here:
@@ -419,8 +485,10 @@ def snapshot_base_dirs(path: str, meta, part_col: str) -> list[tuple[str, list[i
         # a referenced override dir can never be legitimately missing (folds
         # always emit rows): gone means a later cycle reclaimed the WHOLE
         # dir — raise the protocol's typed error instead of letting the
-        # Spark scan fail with a generic path-not-found
-        if not dir_exists(dir_abs):
+        # Spark scan fail with a generic path-not-found. STRICT probe: a
+        # transient remote-FS error must propagate as itself, not be
+        # misreported as 'reclaimed — reload and retry'.
+        if not dir_exists_strict(dir_abs):
             raise StaleIndexReadError(
                 f"{dir_abs} was reclaimed by a later fold/rebuild: this "
                 "reader's index meta predates it — reload the index and retry"
@@ -467,6 +535,11 @@ def prepare_rebuild(path: str) -> tuple[str, list[str], int, int]:
     cr = getattr(old, "centroids_rel", None)
     if cr and dir_exists(os.path.join(path, cr)):
         trash.add(cr)
+    # prior id-routing sidecar: the new build writes its own fresh mapping
+    rrel = getattr(old, "routing_ids_rel", None)
+    if rrel:
+        trash.add(rrel)
+        trash.update(getattr(old, "routing_ids_deltas", []) or [])
     for legacy in ("centroids", "routing", "label_routing"):
         if legacy != cr and dir_exists(os.path.join(path, legacy)):
             trash.add(legacy)

@@ -125,6 +125,23 @@ class IvfIndex:
                 delta_counter=counter,
                 centroids_rel=cents_rel,
             )
+            # id -> cell routing sidecar (routing_store.py): which cell
+            # holds an id is data, so mutation membership probes would
+            # otherwise scan every cell's node_id pages per micro-batch.
+            # Written from the just-persisted cells (column-pruned
+            # read-back: node_id + the centroid_id partition value) and
+            # committed by the same meta.save as the build.
+            from pgvectorscale_spark.operators import routing_store
+
+            if n > 0:
+                routing_store.write_base(
+                    spark.read.parquet(os.path.join(path, dest_rel)).select(
+                        "node_id", "centroid_id"
+                    ),
+                    path,
+                    meta,
+                    "centroid_id",
+                )
             meta.save(path)
         cents.unpersist()
         return cls(spark, path, meta)
@@ -300,11 +317,14 @@ class IvfIndex:
             )
             # stale copies in OTHER cells -> tombstone markers (same-cell
             # copies are superseded by latest-generation-wins on its own).
-            # id-restricted BEFORE the merge window — a micro-batch probes
-            # O(batch) rows, never the full corpus through live_nodes()
+            # id-restricted BEFORE the merge window AND cell-pruned via the
+            # id -> cell routing sidecar — a micro-batch reads the sidecar's
+            # rb partitions plus the ids' own cells' files, never every
+            # cell's node_id pages (the round-7 scan-IO finding)
             routed = new.select("node_id", F.col("centroid_id").alias("_newc"))
             batch_ids = new.select("node_id").distinct()
-            live_batch = self._live_rows_for(batch_ids).localCheckpoint()
+            cells = self._routing_cells_for(batch_ids)
+            live_batch = self._live_rows_for(batch_ids, cells=cells).localCheckpoint()
             stale = (
                 live_batch
                 .join(F.broadcast(routed), "node_id")
@@ -315,6 +335,21 @@ class IvfIndex:
             n_present_live = live_batch.select("node_id").distinct().count()
             delta = new.withColumn("deleted", F.lit(False)).unionByName(stale)
             self._write_delta(delta)
+            # maintain the id -> cell sidecar with the delta's own rows (a
+            # column-pruned read-back of the dir just written; tombstone
+            # rows' cells are already mapped and dedupe at lookup) —
+            # O(batch), committed by the same meta.save below
+            from pgvectorscale_spark.operators import routing_store
+
+            if routing_store.is_present(self.meta):
+                routing_store.append_delta(
+                    self.spark.read.parquet(
+                        os.path.join(self.path, self.meta.delta_gens[-1])
+                    ).select("node_id", "centroid_id"),
+                    self.path,
+                    self.meta,
+                    "centroid_id",
+                )
             # exact incremental live count: upserts of live ids +0, fresh or
             # resurrected ids +1 — no O(corpus) merge-view count per batch
             self.meta.num_rows = int(self.meta.num_rows) + n_batch - n_present_live
@@ -324,7 +359,9 @@ class IvfIndex:
             self.meta.save(self.path)
             self._maybe_fold_deltas()
 
-    def _live_rows_for(self, ids_df: DataFrame) -> DataFrame:
+    def _live_rows_for(
+        self, ids_df: DataFrame, cells: "Sequence[int] | None" = None
+    ) -> DataFrame:
         """Live merged rows RESTRICTED to the given ids, with the broadcast
         semijoin pushed into the parquet scans: the raw union is id-filtered
         BEFORE the latest-wins window (a join does not push below a window),
@@ -332,12 +369,55 @@ class IvfIndex:
         Identical to live_nodes().join(ids) — the window partitions by
         (node_id, centroid_id), so dropping other ids' rows changes nothing
         for the kept ids (the n_present_live pattern, applied everywhere a
-        mutation probes membership)."""
+        mutation probes membership).
+
+        ``cells`` (from the id -> cell routing sidecar) additionally
+        PARTITION-PRUNES the scans to the cells that can hold the ids'
+        rows — the centroid_id isin filter pushes below the union into
+        every generation's scan as a PartitionFilter, so a 1-id probe
+        opens one cell's files, not every cell's node_id pages. Must be a
+        SUPERSET of the ids' cells (the sidecar guarantees it); None = no
+        restriction (legacy corpus-wide probe)."""
+        u = self._nodes_union()
+        if cells is not None:
+            if not cells:
+                u = u.filter(F.lit(False))  # ids unknown to the index
+            else:
+                u = u.filter(F.col("centroid_id").isin([int(c) for c in cells]))
         return (
-            self._latest(self._nodes_union().join(F.broadcast(ids_df), "node_id"))
+            self._latest(u.join(F.broadcast(ids_df), "node_id"))
             .filter(~F.coalesce(F.col("deleted"), F.lit(False)))
             .drop("_seq")
         )
+
+    def _ensure_id_routing(self) -> bool:
+        """Backfill the id -> cell routing sidecar for a pre-sidecar
+        index: ONE corpus pass over the distinct (node_id, centroid_id)
+        combos present in any generation — the same cost as a single
+        legacy membership probe — then every mutation probes the
+        rb-pruned sidecar instead. Meta-commits immediately (safe
+        standalone under the writer lock). Returns True when usable."""
+        from pgvectorscale_spark.operators import routing_store
+
+        if routing_store.is_present(self.meta):
+            return True
+        pairs = self._nodes_union().select("node_id", "centroid_id").distinct()
+        if pairs.isEmpty():
+            return False  # empty index: build() writes the sidecar
+        routing_store.write_base(pairs, self.path, self.meta, "centroid_id")
+        self.meta.save(self.path)
+        return True
+
+    def _routing_cells_for(self, ids_df: DataFrame) -> "list[int] | None":
+        """Cells that can hold the ids' rows, from the routing sidecar —
+        or None when no sidecar exists and the index is empty (probe
+        against nothing)."""
+        from pgvectorscale_spark.operators import routing_store
+
+        if not self._ensure_id_routing():
+            return []
+        probe = routing_store.lookup(self.spark, self.path, self.meta, ids_df)
+        return sorted(int(r["part"]) for r in probe.select("part").distinct().collect())
 
     def delete(self, ids: Sequence[int]) -> None:
         """Tombstone rows by id: O(ids) marker rows into a new delta
@@ -345,10 +425,12 @@ class IvfIndex:
         markers later)."""
         with writer_lock(self.path):
             ids_df = self.spark.createDataFrame([(int(i),) for i in ids], "node_id long")
-            # id-restricted merge probe (see _live_rows_for): the scans read
-            # only the ids' rows, not the corpus through live_nodes()
+            # id-restricted merge probe (see _live_rows_for), cell-pruned
+            # via the routing sidecar: a 1-id delete reads the sidecar's rb
+            # partition plus that id's cell(s), not every cell's node_id
+            # pages (ambulkdelete touches only affected pages, vacuum.rs)
             gone = (
-                self._live_rows_for(ids_df)
+                self._live_rows_for(ids_df, cells=self._routing_cells_for(ids_df))
                 .select("node_id", "vector", "centroid_id", F.lit(True).alias("deleted"))
                 .localCheckpoint()  # tiny; avoids re-running the merge scan
             )
@@ -437,6 +519,14 @@ class IvfIndex:
                 self.meta.shard_base[str(c)] = gen_rel if c in survivors else ""
         self.meta.delta_gens = []
         self.meta.trash_dirs = list(dict.fromkeys(new_trash))
+        # id-routing sidecar chain compaction (no-op until the chain
+        # passes ROUTING_FOLD_GENS; superseded dirs ride trash_dirs).
+        # Entries for (id, cell) combos whose rows the fold dropped stay
+        # as over-approximations — probes may read an extra cell for those
+        # ids, never miss one; rebuilds rewrite the sidecar fresh.
+        from pgvectorscale_spark.operators import routing_store
+
+        routing_store.maybe_compact(self.spark, self.path, self.meta)
         # folds bump the (informational) epoch and stamp it as the trash
         # enqueue point: reader leases older than this pin the sweep
         self.meta.epoch += 1

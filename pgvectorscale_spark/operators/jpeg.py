@@ -178,6 +178,11 @@ def parse_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
         if pos + 4 > len(data):
+            # EOI is a bare marker (no length word): a spec-legal stream
+            # may end ...FF FF D9 with fill right before it, needing only
+            # 2 bytes of headroom — accept that before the 4-byte check
+            if pos + 2 <= len(data) and data[pos + 1] == 0xD9:
+                break
             # the fill run consumed the remaining headroom: a stream that
             # is all fill (or truncated just after it) must fail with the
             # parser's documented error, not IndexError/struct.error

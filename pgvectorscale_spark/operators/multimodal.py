@@ -725,8 +725,13 @@ def parse_h264_meta(data: bytes) -> tuple[int, int, int, int, int]:
     nals = []
     for j, s0 in enumerate(starts):
         end = (starts[j + 1] - 3) if j + 1 < len(starts) else len(data)
-        # a 4-byte start code leaves the leading zero on the PREVIOUS unit
-        while end > s0 and data[end - 1] == 0:
+        # a 4-byte start code (00 00 00 01) owns exactly ONE leading zero:
+        # trim only the single byte immediately preceding a following
+        # start code — never a whole zero run. Stripping every trailing
+        # zero (the pre-round-8 behavior) over-trimmed legitimate
+        # zero-ending payloads (cabac_zero_words) and dropped all-zero
+        # NAL units entirely, under-counting n_nal_units on real streams.
+        if j + 1 < len(starts) and end > s0 and data[end - 1] == 0:
             end -= 1
         if end > s0:
             nals.append(data[s0:end])

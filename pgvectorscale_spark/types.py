@@ -234,6 +234,24 @@ class IndexMeta:
     # field: no version bump — old readers ignore it, and its default
     # reproduces their behavior.)
     centroids_rel: str = "centroids"
+    # ---- id -> partition routing sidecar (additive, no version bump:
+    # defaults mean "absent" and absent degrades to the legacy corpus-scan
+    # membership probe, the exact pre-field behavior) ----
+    # Where an id LIVES is data under data-dependent sharding (kmeans
+    # DiskANN shards, IVF cells), so mutation membership probes
+    # ("which shard/cell holds this batch's ids?") would otherwise scan
+    # the corpus-wide node_id column every micro-batch. The sidecar is a
+    # tiny (node_id, part) parquet store hash-partitioned on
+    # rb = pmod(xxhash64(node_id), routing_ids_buckets): probes prune to
+    # the batch ids' rb partitions — O(corpus/buckets) IO per batch,
+    # independent of cell count. Maintained as base + delta chain: inserts
+    # append O(batch) rows (committed atomically by the same meta save as
+    # the node delta), compaction merges the chain (routing_store.py).
+    # The reference gets this free from the heap: aminsert/ambulkdelete
+    # touch only affected pages (build.rs:537-558, vacuum.rs:23-136).
+    routing_ids_rel: str | None = None
+    routing_ids_deltas: list[str] = field(default_factory=list)
+    routing_ids_buckets: int = 0
     # SBQ quantizer state (reference SbqMeans, sbq/mod.rs:79-86):
     # per-dimension mean and variance from the training pass.
     quantizer_means: list[float] = field(default_factory=list)
