@@ -79,16 +79,20 @@ def test_kmeans_delete_probe_reads_sidecar_not_corpus(spark, tmpdir):
     assert routing_store.is_present(idx.meta)
     ids_df = spark.createDataFrame([(17,)], "node_id long")
     probe = routing_store.lookup(spark, idx.path, idx.meta, ids_df)
-    files = probe.inputFiles()
-    assert files, "sidecar probe should scan parquet"
-    assert all("id_routing_gens" in f for f in files), files
+    # the probe scans the sidecar relation, not node parquet (executed plan;
+    # NB inputFiles() ignores PartitionFilters so it cannot assert pruning)
+    plan_txt = probe._jdf.queryExecution().executedPlan().toString()
+    assert "id_routing_gens" in plan_txt, plan_txt
+    assert "nodes_gens" not in plan_txt, plan_txt  # never node parquet
     # rb-pruned: only the id's bucket partition is opened
     b = int(
         spark.range(17, 18)
         .select(F.pmod(F.xxhash64(F.col("id").cast("long")), F.lit(idx.meta.routing_ids_buckets)).alias("b"))
         .first()["b"]
     )
-    assert all(f"rb={b}/" in f or f"rb={b}%" in f for f in files), (b, files)
+    probe_filters = _scan_partition_filters(probe)
+    assert probe_filters, plan_txt
+    assert all("rb" in f and f"= {b})" in f for f in probe_filters), (b, probe_filters)
     # the probe answers the true stored shard
     true_shard = int(
         idx.nodes().filter(F.col("node_id") == 17).select("shard").first()["shard"]
@@ -193,10 +197,14 @@ def test_ivf_mutation_probe_is_cell_pruned(spark, tmpdir):
     )
     assert cells == [true_cell]
     probe = idx._live_rows_for(ids_df, cells=cells)
+    # executed-plan PartitionFilters carry the centroid_id restriction
+    # (inputFiles() ignores PartitionFilters, so assert on the plan)
     filters = _scan_partition_filters(probe)
     assert filters and all("centroid_id" in f for f in filters), filters
-    node_files = [f for f in probe.inputFiles() if "id_routing" not in f]
-    assert node_files and all(f"centroid_id={true_cell}" in f for f in node_files)
+    assert any(f"= {true_cell})" in f or f"IN ({true_cell})" in f for f in filters), (
+        true_cell,
+        filters,
+    )
     # mutations through the pruned probes stay correct
     v = idx.live_nodes().filter(F.col("node_id") == 11).first()["vector"]
     idx.insert(
@@ -391,13 +399,9 @@ def test_h264_zero_ending_nal_not_overtrimmed():
     code is trimmed — a NAL payload legitimately ending in zeros
     (cabac_zero_words) keeps them, and an all-zero NAL still counts."""
     from pgvectorscale_spark.operators.multimodal import parse_h264_meta
-    from tests.test_properties import _sps_rbsp if False else None  # noqa
+    from tests.test_multimodal_decode import _annexb, _make_sps
 
-    # minimal SPS via the engine's own parser contract: reuse a known-good
-    # stream from the test-side bit-writer in test_properties
-    from tests.test_properties import make_h264_stream
-
-    base = make_h264_stream()
+    base = _annexb(_make_sps(), b"\x68\xce\x38\x80", b"\x65\x88\x84\x00")
     profile, level, w, h, n_base = parse_h264_meta(base)
     # append: 4-byte start code + NAL ending in two zero bytes, then a
     # 4-byte start code + an all-zero-payload NAL (type 12, filler-like)
