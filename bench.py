@@ -159,11 +159,15 @@ def main() -> None:
     # time is flat and on this fixed 32-thread host it should grow ~linearly
     # in rows (more task waves), validating shards-scale-out empirically.
     def _scale_embeddings(src, factor):
+        # stride from the data, not a constant: a fixed 1,000,000 offset
+        # silently collides (and dedupes the copies) once max(vec_id)
+        # crosses it at larger SF
+        stride = src.agg(F.max("vec_id")).first()[0] + 1
         out = src
         for c in range(1, factor):
             out = out.unionByName(
                 src.select(
-                    (F.col("vec_id") + c * 1_000_000).alias("vec_id"),
+                    (F.col("vec_id") + c * stride).alias("vec_id"),
                     F.expr(
                         "transform(embedding, (x, i) -> x + float(pmod("
                         f"xxhash64(vec_id * 64 + i + {c}), 997)) / 99700.0)"
@@ -178,6 +182,7 @@ def main() -> None:
     n_rows = emb.count()
     emb8 = _scale_embeddings(emb, 8).persist()
     n_rows8 = emb8.count()  # materialize outside the timed region
+    assert n_rows8 == 8 * n_rows, (n_rows, n_rows8)  # no id collisions
     tmp_index8 = tempfile.mkdtemp(prefix="bench_diskann8_")
     t0 = time.time()
     idx8 = DiskannIndex.build(emb8, tmp_index8, distance_type="l2", num_shards=64)
@@ -185,6 +190,29 @@ def main() -> None:
     t0 = time.time()
     idx8.search(q0, k=10).collect()
     serve8 = round(time.time() - t0, 3)
+    # quality gate at the 8x point: routed fan-out recall@10 vs the exact
+    # oracle over the same 16 queries (the reference's own >=0.9 bar,
+    # build.rs:1390-1414 — wall time without recall would let a degraded
+    # 64-shard graph masquerade as a speedup)
+    exact8 = {
+        r["query_id"]: set(r["ids"])
+        for r in search_exact_batch(emb8, qvecs, k=10, distance_type="l2", impl="numpy")
+        .groupBy("query_id")
+        .agg(F.collect_set("vec_id").alias("ids"))
+        .collect()
+    }
+    got8 = {
+        r["query_id"]: set(r["ids"])
+        for r in idx8.search_batch(qvecs, k=10)
+        .groupBy("query_id")
+        .agg(F.collect_set("node_id").alias("ids"))
+        .collect()
+    }
+    recall8 = round(
+        sum(len(got8[q] & exact8[q]) / max(len(exact8[q]), 1) for q in exact8)
+        / len(exact8),
+        4,
+    )
     emb8.unpersist()
     shutil.rmtree(tmp_index8, ignore_errors=True)
     ann_scale = {
@@ -194,6 +222,60 @@ def main() -> None:
         "build_8x_sec": build8,
         "serve_1x_sec": timings["q_diskann_serve"],
         "serve_8x_sec": serve8,
+        "recall_8x_at10": recall8,
+        "recall_8x_gate_pass": bool(recall8 >= 0.9),
+    }
+
+    # ---- Dedup scale point (also outside the headline total): MinHash-LSH
+    # candidates + full clustering at 8x the documents. Each copy is
+    # Caesar-rotated so within-copy duplicate structure is preserved exactly
+    # (both members of a dup pair get the same substitution) while
+    # cross-copy shingles never match — duplicate DENSITY stays constant as
+    # rows grow, which is what a 100 TB crawl looks like.
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def _scale_documents(src, factor):
+        stride = src.agg(F.max("doc_id")).first()[0] + 1
+        out = src
+        for c in range(1, factor):
+            rot = alpha[c:] + alpha[:c]
+            out = out.unionByName(
+                src.select(
+                    (F.col("doc_id") + c * stride).alias("doc_id"),
+                    F.translate(
+                        F.col("text"), alpha + alpha.upper(), rot + rot.upper()
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+        return out
+
+    docs8 = _scale_documents(docs, 8).persist()
+    n_docs8 = docs8.count()
+    n_docs = docs.count()
+    assert n_docs8 == 8 * n_docs, (n_docs, n_docs8)
+    t0 = time.time()
+    n_pairs8 = dedup.minhash_candidate_pairs(docs8, num_hashes=16, bands=4).count()
+    pairs8_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    clusters1 = dedup.dedup_clusters(docs).filter("is_canonical").count()
+    clusters1_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    clusters8 = dedup.dedup_clusters(docs8).filter("is_canonical").count()
+    clusters8_sec = round(time.time() - t0, 3)
+    docs8.unpersist()
+    dedup_scale = {
+        "docs_1x": int(n_docs),
+        "docs_8x": int(n_docs8),
+        "pairs_1x_sec": timings["q_minhash_pairs"],
+        "pairs_8x_sec": pairs8_sec,
+        "pairs_8x": int(n_pairs8),
+        "clusters_1x_sec": clusters1_sec,
+        "clusters_8x_sec": clusters8_sec,
+        "canonical_1x": int(clusters1),
+        "canonical_8x": int(clusters8),
     }
 
     encoded.unpersist()
@@ -207,6 +289,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "ann_scale": ann_scale,
+                "dedup_scale": dedup_scale,
                 "sf": float(sf),
             }
         )
