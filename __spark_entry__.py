@@ -833,13 +833,49 @@ def _multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video SAMPLE decode, no media libraries: genuine AVI/MJPEG
+    files (RIFF hdrl/avih/strl + 'movi' of '00dc' chunks, each a complete
+    baseline JPEG) are synthesized JVM-side from md5 nibble draws, then the
+    strict RIFF walk + per-frame Huffman/IDCT decode (mjpeg.parse_mjpeg →
+    jpeg.parse_jpeg) recovers every frame's pixels in Arrow-batched
+    mapInPandas. Flat-frame synthesis makes the decoded means exact, so
+    the oracle replays the draws in closed form (mjpeg_decode_oracle)."""
+    from pgvectorscale_spark.operators.mjpeg import attach_mjpeg_payload, decode_mjpeg_frames
+
+    frames = decode_mjpeg_frames(attach_mjpeg_payload(_docs(spark, sf_dir)))
+    per_frame = frames.select(
+        "doc_id",
+        F.lit("mjpeg").alias("media"),
+        F.concat(F.lit("mean_f"), F.col("frame_no")).alias("metric"),
+        F.col("mean_px").alias("value"),
+    )
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("n_frames"),
+        F.first("width").cast("double").alias("width"),
+        F.first("height").cast("double").alias("height"),
+        F.first("channels").cast("double").alias("channels"),
+    )
+    melted = per_doc.selectExpr(
+        "doc_id",
+        "'mjpeg' as media",
+        "stack(4, 'n_frames', n_frames, 'width', width, 'height', height, "
+        "'channels', channels) as (metric, value)",
+    )
+    return per_frame.unionByName(melted).orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every real pure-numpy container decode (P6 PPM, RIFF/WAVE PCM16, and
-    compressed PNG with CRC + zlib inflate + defiltering) in one long-format
-    result set — the `media` column already discriminates, so one driver row
-    hash-verifies all three decoders against their closed-form oracles."""
-    return _multimodal_decode(spark, sf_dir).unionByName(
-        _multimodal_decode_png(spark, sf_dir)
+    """Every real pure-numpy container decode (P6 PPM, RIFF/WAVE PCM16,
+    compressed PNG with CRC + zlib inflate + defiltering, and AVI/MJPEG
+    video frames through the baseline JPEG entropy decoder) in one
+    long-format result set — the `media` column already discriminates, so
+    one driver row hash-verifies all four decoders against their
+    closed-form oracles."""
+    return (
+        _multimodal_decode(spark, sf_dir)
+        .unionByName(_multimodal_decode_png(spark, sf_dir))
+        .unionByName(_multimodal_decode_mjpeg(spark, sf_dir))
     )
 
 
@@ -1053,7 +1089,11 @@ def oracle_sql() -> dict[str, str]:
         "audio_meta": oracles.mp3_meta_oracle(),
         "video_meta": oracles.mp4_meta_oracle(),
         "multimodal_decode": oracles.union_oracle(
-            [oracles.multimodal_decode_oracle(), oracles.multimodal_decode_png_oracle()]
+            [
+                oracles.multimodal_decode_oracle(),
+                oracles.multimodal_decode_png_oracle(),
+                oracles.mjpeg_decode_oracle(),
+            ]
         ),
         "decontaminate": oracles.decontaminate_oracle(5, "doc_id % 97 = 0"),
         "repetition_stats": oracles.repetition_stats_oracle(),

@@ -12,10 +12,13 @@ modes raise loudly.
 This closes the image half of the lossy-codec gap noted in NOTES.md —
 ``multimodal.decode_image`` dispatches to this parser by magic bytes, so
 PNG (lossless DEFLATE) and JPEG (lossy DCT) both decode through the public
-API with no PIL. JPEG has no JVM-side synthesis path (Huffman bit-packing is not
-expressible as SQL byte concatenation, unlike PNG's stored-deflate), so
-its correctness gate is the pytest round-trip against an independent
-test-side encoder rather than a driver DuckDB oracle.
+API with no PIL. General JPEG has no JVM-side synthesis path (arbitrary
+Huffman bit-packing is not expressible as SQL byte concatenation, unlike
+PNG's stored-deflate), so its primary correctness gate is the pytest
+round-trip against an independent test-side encoder; flat single-DC frames
+DO have a closed-form encoding, which operators/mjpeg.py exploits to give
+the decoder a driver DuckDB oracle as well (every MJPEG frame passes
+through this module's entropy decode and IDCT).
 
 Reference behavior analog: none in /root/reference (pgvectorscale stores
 vectors, not media); this module serves the training-data-pipeline brief

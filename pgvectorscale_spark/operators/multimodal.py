@@ -1019,18 +1019,23 @@ def decode_image(
 
 
 def decode_av_samples(df: DataFrame, payload_col: str = "payload"):
-    """Sample-level decode of compressed AUDIO/VIDEO codecs (MP3 synthesis
-    filterbank, H.264 reconstruction) — STUB: needs torchaudio/pyav, absent
-    here. Container/stream METADATA for these codecs is genuinely parsed
-    without sample decode (``decode_mp3_meta``, ``decode_mp4_meta``,
-    ``decode_h264_meta``); WAV-PCM sample decode is real
-    (``decode_wav_audio``). The gate covers only the sample path."""
+    """Sample-level decode of INTERFRAME/lossy-transform A/V codecs (MP3
+    synthesis filterbank, H.264 macroblock reconstruction) — STUB: needs
+    torchaudio/pyav, absent here. The gate is narrower than it looks:
+    MJPEG video decodes real SAMPLES natively (``mjpeg.decode_mjpeg_frames``
+    — AVI/concatenated-JFIF container walk feeding every frame through the
+    pure-numpy baseline JPEG decoder), WAV-PCM audio decodes natively
+    (``decode_wav_audio``), and MP3/MP4/H.264 container METADATA is
+    genuinely parsed without sample decode (``decode_mp3_meta``,
+    ``decode_mp4_meta``, ``decode_h264_meta``)."""
     if not MEDIA_DECODERS_AVAILABLE:
         raise NotImplementedError(
-            "compressed audio/video media decoders not available in this "
-            "environment; use decode_mp3_meta/decode_mp4_meta/"
-            "decode_h264_meta for header-scan metadata, decode_wav_audio "
-            "for real PCM decode, or fake_feature_extract for pipeline tests"
+            "interframe audio/video decoders not available in this "
+            "environment; MJPEG video decodes natively "
+            "(mjpeg.decode_mjpeg_frames), WAV-PCM decodes natively "
+            "(decode_wav_audio); use decode_mp3_meta/decode_mp4_meta/"
+            "decode_h264_meta for MP3/MP4/H.264 header-scan metadata or "
+            "fake_feature_extract for pipeline tests"
         )
     raise NotImplementedError  # pragma: no cover — real decoder path
 

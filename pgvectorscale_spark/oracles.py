@@ -922,6 +922,43 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def mjpeg_decode_oracle() -> str:
+    """Twin of the MJPEG video SAMPLE-decode pipeline
+    (mjpeg.attach_mjpeg_payload → parse_mjpeg → decode_mjpeg_frames):
+    the synth draws geometry, frame count and per-frame flat gray values
+    from md5 nibbles, and a flat frame's decoded pixels are EXACTLY its
+    encoded value (v = 16*nib + 8 makes the quantized DC lossless — see
+    mjpeg.py's module docstring for the arithmetic), so every decoded
+    frame mean has a closed form over the digest hex. A Huffman-table,
+    entropy, IDCT, RIFF-walk or chunk-size bug on either side diverges
+    the means or the frame count and fails the hash."""
+    from pgvectorscale_spark.operators.mjpeg import MJPEG_DIMS, MJPEG_MAX_FRAMES
+
+    assert MJPEG_DIMS == ((8, 8), (16, 16)), "oracle mirrors the synth geometry table"
+
+    def nib(pos: int) -> str:  # 1-based hex-char position -> nibble value
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    dim = f"(8 + 8 * ({nib(1)} % 2))"
+    n = f"(2 + {nib(2)} % {MJPEG_MAX_FRAMES - 1})"
+    rows = [
+        f"SELECT doc_id, 'mjpeg' AS media, 'n_frames' AS metric, CAST({n} AS DOUBLE) AS value FROM m",
+        f"SELECT doc_id, 'mjpeg' AS media, 'width' AS metric, CAST({dim} AS DOUBLE) AS value FROM m",
+        f"SELECT doc_id, 'mjpeg' AS media, 'height' AS metric, CAST({dim} AS DOUBLE) AS value FROM m",
+        f"SELECT doc_id, 'mjpeg' AS media, 'channels' AS metric, CAST(1 AS DOUBLE) AS value FROM m",
+    ]
+    for i in range(MJPEG_MAX_FRAMES):
+        rows.append(
+            f"SELECT doc_id, 'mjpeg' AS media, 'mean_f{i}' AS metric, "
+            f"CAST(16 * {nib(3 + i)} + 8 AS DOUBLE) AS value FROM m WHERE {i} < {n}"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def pack_sequences_oracle(window_tokens: int) -> str:
     """Twin of packing.pack_sequences over documents: the distributed
     two-phase prefix sum must equal the plain global running total."""
