@@ -191,10 +191,13 @@ def reader_lease(index_path: str, epoch: int, ttl_seconds: float | None = None):
     a reader loading meta at epoch E reads consistently through the next
     fold, but a reader paused across TWO cycles fail-stops with
     StaleIndexReadError once the sweep reclaims its dirs. A lease extends
-    that: while an unexpired lease whose epoch predates the current trash
-    enqueue (``meta.trash_epoch``) exists, ``sweep_trash`` retains ALL
-    trash for another cycle instead of deleting it, so the leased reader's
-    snapshot stays fully readable for as long as the lease lives.
+    that: while an unexpired lease exists, ``sweep_trash`` retains — for
+    another cycle instead of deleting — every trash entry whose enqueue
+    stamp (``meta.trash_epochs``; global ``meta.trash_epoch`` fallback)
+    exceeds the lease's epoch, i.e. exactly the dirs this reader's
+    snapshot could still reference, so the leased reader stays fully
+    readable for as long as the lease lives while older trash keeps
+    reclaiming on schedule.
 
     The lease is a tiny JSON file under ``<index>/_leases/`` holding
     (epoch, wall-clock expiry) — remote-capable via the path's own
@@ -217,8 +220,17 @@ def reader_lease(index_path: str, epoch: int, ttl_seconds: float | None = None):
     import uuid
 
     ttl = DEFAULT_LEASE_TTL if ttl_seconds is None else float(ttl_seconds)
-    lease_path = os.path.join(index_path, LEASES_DIR, f"{uuid.uuid4().hex}.lease")
-    body = json.dumps({"epoch": int(epoch), "expires": time.time() + ttl}).encode()
+    expires = time.time() + ttl
+    # the expiry is ALSO encoded in the filename (exp<unix>-<nonce>.lease):
+    # if the body ever becomes unreadable, the sweeper's conservative pin
+    # stays bounded by the lease's REAL ttl — a custom long-TTL lease no
+    # longer loses its pin to the 2x-default-TTL mtime heuristic, and a
+    # permanently corrupt file reaps exactly when the lease would have
+    # expired anyway
+    lease_path = os.path.join(
+        index_path, LEASES_DIR, f"exp{int(expires) + 1}-{uuid.uuid4().hex}.lease"
+    )
+    body = json.dumps({"epoch": int(epoch), "expires": expires}).encode()
     try:
         # ATOMIC publish: write the body to a .tmp name, then move it to
         # the .lease name. A sweeper listing mid-write sees either no
@@ -252,11 +264,14 @@ def _live_lease_min_epoch(path: str) -> int | None:
     CONSERVATIVELY as pinning (epoch 0 => pins any trash): reclaiming a
     live reader's dirs on a read hiccup would break the lease's guarantee,
     while over-retaining costs one extra cycle. The conservatism is
-    TTL-bounded via the file's mtime — an unreadable lease older than
-    2x the default TTL cannot be live (custom longer TTLs lose protection
-    then, degrading to the ordinary fail-stop, never wrong data) and is
-    reaped so a permanently corrupt file can't pin trash forever."""
+    TTL-bounded: the filename encodes the lease's own expiry
+    (``exp<unix>-...``), so an unreadable lease reaps exactly when it
+    would have expired anyway — even a custom long-TTL lease keeps its
+    full protection. Legacy unnamed-expiry files fall back to the mtime
+    heuristic (reaped past 2x the default TTL; a custom longer TTL
+    degrades to the ordinary fail-stop then, never wrong data)."""
     import json
+    import re
 
     leases_dir = os.path.join(path, LEASES_DIR)
     now = time.time()
@@ -265,12 +280,24 @@ def _live_lease_min_epoch(path: str) -> int | None:
         if not name.endswith(".lease"):
             continue  # in-flight .tmp publishes are not leases yet
         fpath = os.path.join(leases_dir, name)
+        fn_exp = re.match(r"exp(\d+)-", name)
         try:
             fsys, p = _pa_fs(fpath)
             with fsys.open_input_stream(p) as f:
                 rec = json.loads(f.read().decode())
             epoch, expires = int(rec["epoch"]), float(rec["expires"])
         except Exception:
+            if fn_exp is not None:
+                # authoritative bound from the filename: past its own
+                # expiry the lease cannot be live, readable or not
+                if now > float(fn_exp.group(1)):
+                    try:
+                        fsys.delete_file(p)
+                    except Exception:
+                        pass
+                    continue
+                best = 0  # live but unreadable: pin everything this cycle
+                continue
             try:
                 fsys, p = _pa_fs(fpath)
                 mtime = fsys.get_file_info(p).mtime
@@ -306,19 +333,32 @@ def sweep_trash(path: str, meta) -> None:
     import re
     import shutil
 
-    # reader-lease pin: while an unexpired lease predates the trash's
-    # enqueue epoch, a reader may still be merging these dirs — retain
-    # everything for another cycle instead of deleting (trash_epoch == 0:
-    # pre-field meta, pin on ANY live lease, conservative). Orphan
-    # reconciliation below still runs: orphans were never referenced by
-    # any committed meta, so no lease can pin them.
+    # reader-lease pin, ENTRY-GRANULAR: an unexpired lease pins exactly the
+    # trash its snapshot could reference — entries whose enqueue stamp
+    # (meta.trash_epochs, written by the dereferencing commit) exceeds the
+    # lease's epoch. Trash enqueued BEFORE the reader acquired was already
+    # unreachable from its meta, so it reclaims on schedule even while the
+    # lease lives — a busy index with one long-TTL reader no longer defers
+    # all reclamation. Unstamped entries fall back to the global
+    # trash_epoch; stamp/epoch 0 means unknown and pins on ANY live lease
+    # (pre-field metas keep their exact old, fully-conservative behavior).
+    # Orphan reconciliation below always runs: orphans were never
+    # referenced by any committed meta, so no lease can pin them.
     pin = _live_lease_min_epoch(path)
     te = int(getattr(meta, "trash_epoch", 0) or 0)
-    lease_pinned = (
-        bool(meta.trash_dirs) and pin is not None and (te == 0 or pin < te)
-    )
+    stamps = dict(getattr(meta, "trash_epochs", {}) or {})
+
+    def lease_pins(rel: str) -> bool:
+        if pin is None:
+            return False
+        e = int(stamps.get(rel, te) or 0)
+        return e == 0 or pin < e
+
     retained: list[str] = []
-    for rel in [] if lease_pinned else meta.trash_dirs:
+    for rel in meta.trash_dirs:
+        if lease_pins(rel):
+            retained.append(rel)
+            continue
         p = os.path.join(path, rel)
         was_there = os.path.exists(p) or dir_exists(p) or file_exists(p)
         # partition subdir reclaimed from a still-live parent: leave a
@@ -354,7 +394,7 @@ def sweep_trash(path: str, meta) -> None:
                 os.remove(tmp)
             except OSError:
                 pass
-    meta.trash_dirs = list(meta.trash_dirs) if lease_pinned else retained
+    meta.trash_dirs = retained
     live = {rel for rel in (meta.shard_base or {}).values() if rel}
     live.add(meta.base_rel)
     # retained trash (lease-pinned or marker-write-failed) must survive the

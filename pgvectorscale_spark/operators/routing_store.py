@@ -78,7 +78,11 @@ ROUTING_FOLD_GENS = int(os.environ.get("PGVS_ROUTING_FOLD_GENS", 64))
 
 
 def _bucket_col(id_col: str, buckets: int):
-    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(buckets))).cast("int")
+    # cast to long BEFORE hashing: Spark hashes IntegerType and LongType
+    # differently, and the write path always hashes the long-cast column
+    # (_pairs) — an int-typed ids_df here would prune to the wrong rb
+    # buckets and silently report present ids as absent
+    return F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(int(buckets))).cast("int")
 
 
 def _pairs(df: DataFrame, part_col: str) -> DataFrame:
@@ -182,8 +186,9 @@ def lookup(
             .select("node_id", "part")
         )
         u = f if u is None else u.unionByName(f)
+    ids_long = ids_df.select(F.col("node_id").cast("long").alias("node_id")).distinct()
     return (
-        u.join(F.broadcast(ids_df.select("node_id").distinct()), "node_id")
+        u.join(F.broadcast(ids_long), "node_id")
         .select("node_id", "part")
         .distinct()
     )

@@ -225,6 +225,16 @@ class IndexMeta:
     # conservative. (Additive field: no version bump — old readers ignore
     # it, and the default reproduces their behavior.)
     trash_epoch: int = 0
+    # Per-ENTRY enqueue epochs for `trash_dirs` (rel -> epoch of the meta
+    # commit that dereferenced it), stamped automatically by save() on the
+    # first commit that carries the entry. Lets the sweep pin ONLY trash a
+    # live lease's snapshot could actually reference (lease epoch < entry
+    # epoch) instead of retaining everything — a busy index with one
+    # long-TTL reader keeps reclaiming trash enqueued before that reader
+    # acquired. Entries absent here fall back to the global `trash_epoch`
+    # (pre-field metas keep their exact old behavior). (Additive field:
+    # no version bump.)
+    trash_epochs: dict[str, int] = field(default_factory=dict)
     # IVF centroid-table location (relative). Rebuilds write a FRESH
     # generation dir and flip this pointer in the meta commit — the
     # centroid ids' meaning changes with the clustering, so a reader must
@@ -283,6 +293,18 @@ class IndexMeta:
         a plain truncate-and-write exposes readers to torn/empty JSON
         (caught by the concurrent-reader fold test)."""
         import uuid
+
+        # stamp each trash entry with the epoch of the FIRST commit that
+        # carries it (the commit that dereferenced the dir): a reader lease
+        # can only reference trash whose stamp exceeds the lease's epoch,
+        # which is exactly what sweep_trash's per-entry pin tests. Stamps
+        # for entries a sweep already reclaimed are pruned.
+        current = {rel: True for rel in self.trash_dirs}
+        for rel in self.trash_dirs:
+            self.trash_epochs.setdefault(rel, int(self.epoch))
+        self.trash_epochs = {
+            r: int(e) for r, e in self.trash_epochs.items() if r in current
+        }
 
         os.makedirs(index_path, exist_ok=True)
         final = os.path.join(index_path, "_index_meta.json")

@@ -1,0 +1,209 @@
+"""Round-9 fixes.
+
+1. LEASE-GRANULAR trash retention (index_util.sweep_trash + IndexMeta
+   per-entry `trash_epochs` stamps): a live lease pins only trash its
+   snapshot could reference (enqueue stamp > lease epoch); older trash
+   reclaims on schedule. Previously one long-TTL reader deferred ALL
+   reclamation (round-7 #5 / VERDICT r8 missing #2).
+2. Lease expiry in the FILENAME (exp<unix>-<nonce>.lease): an unreadable
+   lease's conservative pin is bounded by its own real TTL, not the
+   2x-default-TTL mtime heuristic (ADVICE r8 low, index_util.py:280).
+3. routing_store.lookup hashes int-typed ids identically to the long-cast
+   write path (ADVICE r8 low, routing_store.py:81).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from types import SimpleNamespace
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.operators import index_util, routing_store
+from pgvectorscale_spark.types import IndexMeta
+
+
+def _mk_dirs(root, rels):
+    for rel in rels:
+        os.makedirs(os.path.join(root, rel), exist_ok=True)
+
+
+def _meta_ns(**kw):
+    base = dict(
+        trash_dirs=[], trash_epochs={}, shard_base={}, base_rel="nodes",
+        delta_gens=[], centroids_rel=None, trash_epoch=0,
+    )
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+# ---- 1. entry-granular lease pinning ----------------------------------------
+
+
+def test_lease_pins_only_trash_enqueued_after_its_epoch(tmpdir):
+    """A lease at epoch 5 pins trash stamped 6+ (its snapshot may reference
+    those dirs) while trash stamped <=5 — already unreachable when the
+    reader acquired — reclaims in the same sweep."""
+    root = os.path.join(tmpdir, "granular")
+    old_rel, new_rel = "nodes_gens/aaa000000000", "nodes_gens/bbb000000000"
+    _mk_dirs(root, [old_rel, new_rel])
+    meta = _meta_ns(
+        trash_dirs=[old_rel, new_rel],
+        trash_epochs={old_rel: 4, new_rel: 7},
+        trash_epoch=7,
+    )
+    with index_util.reader_lease(root, epoch=5, ttl_seconds=3600):
+        index_util.sweep_trash(root, meta)
+        assert not os.path.exists(os.path.join(root, old_rel))  # reclaimed
+        assert os.path.isdir(os.path.join(root, new_rel))  # pinned
+        assert meta.trash_dirs == [new_rel]
+
+
+def test_unstamped_entries_fall_back_to_global_epoch(tmpdir):
+    """Pre-field metas (no trash_epochs) keep the old all-or-nothing
+    behavior driven by the global trash_epoch."""
+    root = os.path.join(tmpdir, "fallback")
+    rel = "nodes_gens/ccc000000000"
+    _mk_dirs(root, [rel])
+    meta = _meta_ns(trash_dirs=[rel], trash_epochs={}, trash_epoch=9)
+    with index_util.reader_lease(root, epoch=3, ttl_seconds=3600):
+        index_util.sweep_trash(root, meta)
+        assert os.path.isdir(os.path.join(root, rel))  # 3 < 9: pinned
+    index_util.sweep_trash(root, meta)
+    assert not os.path.exists(os.path.join(root, rel))  # lease gone
+
+
+def test_save_stamps_new_trash_with_commit_epoch(tmpdir):
+    """IndexMeta.save stamps each trash entry at its first committing
+    save (with the commit's epoch) and prunes stamps of reclaimed
+    entries."""
+    path = os.path.join(tmpdir, "stamp_meta")
+    meta = IndexMeta(epoch=11, trash_dirs=["nodes_gens/x", "nodes_gens/y"],
+                     trash_epochs={"nodes_gens/x": 8})
+    meta.save(path)
+    loaded = IndexMeta.load(path)
+    assert loaded.trash_epochs == {"nodes_gens/x": 8, "nodes_gens/y": 11}
+    loaded.trash_dirs = ["nodes_gens/y"]
+    loaded.epoch = 12
+    loaded.save(path)
+    assert IndexMeta.load(path).trash_epochs == {"nodes_gens/y": 11}
+
+
+def test_long_reader_no_longer_blocks_newer_trash_cycles(spark, tmpdir):
+    """End-to-end on a real DiskANN index: while a long-TTL lease from an
+    OLD snapshot is held, trash enqueued before the lease acquired still
+    reclaims across subsequent mutation/fold cycles (the busy-index case
+    the all-or-nothing pin starved), and the leased reader's own dirs
+    survive until release."""
+    import numpy as np
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    rng = np.random.default_rng(90)
+    rows = [(i, rng.random(8).astype(np.float32).tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/granular_e2e", distance_type="l2", num_shards=2,
+        id_col="vec_id", vector_col="embedding",
+    )
+
+    def mutate_and_fold(handle, seed):
+        r = np.random.default_rng(seed)
+        handle.insert(
+            spark.createDataFrame(
+                [(1000 + seed, r.random(8).astype(np.float32).tolist())],
+                "vec_id long, embedding array<float>",
+            )
+        )
+        handle._fold_deltas()
+
+    # cycle A: creates trash stamped with an epoch BEFORE the lease
+    mutate_and_fold(idx, 1)
+    pre_lease_trash = list(idx.meta.trash_dirs)
+    assert pre_lease_trash, "fold should enqueue superseded dirs"
+    reader = DiskannIndex.load(spark, idx.path)
+    with reader.reader_lease(ttl_seconds=3600):
+        # cycle B sweeps cycle-A trash: enqueued before the lease's epoch,
+        # so the lease must NOT pin it
+        mutate_and_fold(idx, 2)
+        for rel in pre_lease_trash:
+            assert not os.path.exists(os.path.join(idx.path, rel)), rel
+        # cycle B's own superseded dirs ARE pinned for the leased reader
+        b_trash = list(idx.meta.trash_dirs)
+        assert b_trash
+        mutate_and_fold(idx, 3)
+        for rel in b_trash:
+            assert rel in idx.meta.trash_dirs  # retained, not swept
+        # the leased reader still serves its snapshot
+        q = np.asarray(rows[0][1], dtype=np.float32)
+        assert reader.search(q.tolist(), k=5).count() == 5
+    # lease released: next cycle reclaims the retained trash
+    mutate_and_fold(idx, 4)
+    for rel in b_trash:
+        assert not os.path.exists(os.path.join(idx.path, rel)), rel
+
+
+# ---- 2. lease expiry in the filename ----------------------------------------
+
+
+def test_lease_filename_encodes_expiry(tmpdir):
+    root = os.path.join(tmpdir, "fname")
+    with index_util.reader_lease(root, epoch=3, ttl_seconds=1000) as lp:
+        name = os.path.basename(lp)
+        assert name.startswith("exp")
+        exp = int(name[3:].split("-", 1)[0])
+        assert time.time() + 900 < exp < time.time() + 1100
+        with open(lp) as f:
+            assert json.load(f)["epoch"] == 3
+
+
+def test_unreadable_long_ttl_lease_keeps_pin_until_its_own_expiry(tmpdir, monkeypatch):
+    """A corrupt lease whose filename says it expires far in the future
+    pins past the 2x-default-TTL mtime bound (the ADVICE gap); once the
+    filename expiry passes, it reaps."""
+    root = os.path.join(tmpdir, "longttl")
+    leases = os.path.join(root, index_util.LEASES_DIR)
+    os.makedirs(leases)
+    far = int(time.time()) + 100 * index_util.DEFAULT_LEASE_TTL
+    bad = os.path.join(leases, f"exp{far}-deadbeef.lease")
+    with open(bad, "wb") as f:
+        f.write(b"{not json")
+    # mtime far in the past: the legacy heuristic would have reaped it
+    os.utime(bad, (1.0, 1.0))
+    assert index_util._live_lease_min_epoch(root) == 0  # still pins
+    assert os.path.exists(bad)
+    # expired by its own filename: reaped, no pin
+    past = int(time.time()) - 10
+    expired = os.path.join(leases, f"exp{past}-deadbeef.lease")
+    os.replace(bad, expired)
+    assert index_util._live_lease_min_epoch(root) is None
+    assert not os.path.exists(expired)
+
+
+# ---- 3. routing lookup int-id hashing ---------------------------------------
+
+
+def test_routing_lookup_int_typed_ids_hash_like_write_path(spark, tmpdir):
+    """An int-typed ids_df must prune to the same rb buckets the long-cast
+    write path stored under — before the fix, int/long hashed differently
+    and present ids probed the wrong bucket (silently absent)."""
+    path = os.path.join(tmpdir, "routing_int")
+    meta = SimpleNamespace(routing_ids_rel=None, routing_ids_deltas=[],
+                           routing_ids_buckets=0, trash_dirs=[], trash_epochs={})
+    pairs = spark.createDataFrame(
+        [(i, i % 4) for i in range(200)], "node_id long, part int"
+    )
+    routing_store.write_base(pairs, path, meta, "part")
+    ids_int = spark.createDataFrame([(17,), (133,)], "node_id int")
+    got = routing_store.lookup(spark, path, meta, ids_int)
+    assert {(r["node_id"], r["part"]) for r in got.collect()} == {(17, 1), (133, 1)}
+    # and the probe still prunes: every scan carries an rb PartitionFilter
+    txt = got._jdf.queryExecution().executedPlan().toString()
+    filters = [
+        ln.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        for ln in txt.splitlines()
+        if "PartitionFilters: [" in ln
+    ]
+    assert filters and all("rb" in f for f in filters), txt
