@@ -1400,7 +1400,21 @@ class DiskannIndex:
         mutation probes the rb-pruned sidecar instead of the corpus. The
         backfill meta-commits immediately (safe standalone under the
         writer lock), so a crash mid-mutation doesn't orphan it. Returns
-        True when the sidecar is usable."""
+        True when the sidecar is usable.
+
+        STALENESS invariant (deleted-then-reinserted ids): a sidecar
+        entry can never outlive its rows. Deletes only TOMBSTONE rows and
+        folds keep tombstoned rows (graph traversal state), so while the
+        sidecar pins an id, a row for it exists in the pinned shard — and
+        the pin is then REQUIRED, not drift: re-routing a re-inserted id
+        to its new nearest centroid would duplicate its node_id into a
+        second shard, breaking shard-pruned reads. The one operation that
+        physically drops tombstones, compact(), is a full rebuild whose
+        build() rewrites the sidecar from live rows only — deleted ids
+        leave the sidecar at exactly the moment their rows leave the
+        store, and the next insert of such an id routes fresh to its
+        nearest centroid (pinned by tests/test_round9_fixes.py::
+        test_kmeans_reinsert_pin_lifecycle)."""
         from pgvectorscale_spark.operators import routing_store
 
         if self.meta.shard_assignment != "kmeans":

@@ -177,6 +177,19 @@ def stream_neardup_band_verdicts(
     (non-null band hashes) and dedupe to a single keeper, exactly like the
     batch equi-join pairs them. A short-but-nonempty text still yields one
     whole-text shingle and buckets normally.
+
+    OUT-OF-ORDER arrival invariant: when arrival order differs from id
+    order, WHICH doc survives changes (first arrival wins, smallest id
+    within a micro-batch), but for any cluster whose members pairwise
+    share at least one band bucket (near-identical docs — the common
+    boilerplate case — always do), EXACTLY ONE member survives under
+    every arrival order: each later arrival shares a bucket with the
+    first arrival, and that bucket is already claimed. Chain-shaped
+    clusters (A~C~B with A,B unrelated) can keep both endpoints under
+    orders that admit A and B before C — the same docs a batch pass
+    whose canonical-per-cluster policy collapses; streaming first-arrival
+    trades that collapse for O(1)-per-bucket state. Tested by
+    tests/test_streaming.py::test_stream_neardup_out_of_order_one_survivor_per_clique.
     """
     rows_per_band = num_hashes // bands
     carry = carry_col is not None

@@ -207,3 +207,67 @@ def test_routing_lookup_int_typed_ids_hash_like_write_path(spark, tmpdir):
         if "PartitionFilters: [" in ln
     ]
     assert filters and all("rb" in f for f in filters), txt
+
+
+# ---- 4. kmeans re-insert pin lifecycle --------------------------------------
+
+
+def test_kmeans_reinsert_pin_lifecycle(spark, tmpdir):
+    """The sidecar pin's full lifecycle for a deleted-then-reinserted id
+    (the _ensure_id_routing staleness invariant): while the tombstoned row
+    exists the re-insert stays PINNED to its stored shard (one row, no
+    duplicate node_id in a second shard); after compact() physically drops
+    the tombstone and rewrites the sidecar from live rows, the next insert
+    of that id routes FRESH to its nearest centroid."""
+    import numpy as np
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+    from pgvectorscale_spark.operators import routing_store
+
+    rng = np.random.default_rng(91)
+    # two well-separated blobs -> two stable kmeans shards
+    lo = rng.random((60, 8)).astype(np.float32)
+    hi = (rng.random((60, 8)) + 20.0).astype(np.float32)
+    rows = [(i, lo[i].tolist()) for i in range(60)] + [
+        (60 + i, hi[i].tolist()) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = DiskannIndex.build(
+        df, os.path.join(tmpdir, "pin_lc"), distance_type="l2", num_shards=2,
+        shard_assignment="kmeans", id_col="vec_id", vector_col="embedding",
+    )
+    orig_shard = int(idx.nodes().filter("node_id = 3").first()["shard"])
+    far = hi[0] + rng.random(8).astype(np.float32)  # nearest the OTHER blob
+
+    # delete then re-insert far away: tombstoned row still exists, so the
+    # pin holds — exactly one row for the id, in the original shard
+    idx.delete([3])
+    idx.insert(
+        spark.createDataFrame([(3, far.tolist())], "vec_id long, embedding array<float>")
+    )
+    got = idx.nodes().filter("node_id = 3").select("shard", "deleted").collect()
+    assert len(got) == 1 and not got[0]["deleted"]
+    assert int(got[0]["shard"]) == orig_shard  # pinned, no duplicate
+    assert idx.search(far.tolist(), k=1).first()["node_id"] == 3  # served
+
+    # compact physically drops tombstones and rewrites the sidecar from
+    # live rows; delete + compact evicts the id from the sidecar entirely
+    idx.delete([3])
+    idx = idx.compact()
+    probe = routing_store.lookup(
+        spark, idx.path, idx.meta,
+        spark.createDataFrame([(3,)], "node_id long"),
+    )
+    assert probe.count() == 0  # no stale entry survives the rebuild
+
+    # the next insert routes FRESH: nearest centroid, not the old shard
+    idx.insert(
+        spark.createDataFrame([(3, far.tolist())], "vec_id long, embedding array<float>")
+    )
+    rows2 = idx.nodes().filter("node_id = 3").select("shard").collect()
+    assert len(rows2) == 1
+    new_shard = int(rows2[0]["shard"])
+    # shard ids can permute across the rebuild: compare against where the
+    # far blob's members now live
+    far_shard = int(idx.nodes().filter("node_id = 70").first()["shard"])
+    assert new_shard == far_shard
+    assert idx.search(far.tolist(), k=1).first()["node_id"] == 3

@@ -462,3 +462,84 @@ def test_stream_dedup_neardup_end_to_end(spark, tmpdir):
     assert set(got) == want
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert all(got[i] == texts[i] for i in got)  # payloads intact
+
+
+def test_stream_neardup_out_of_order_one_survivor_per_clique(spark, tmpdir):
+    """Arrival order != id order: the stream keeps EXACTLY ONE member of
+    every pairwise-bucket-sharing near-dup cluster under shuffled arrival
+    (the operator's documented out-of-order invariant), and the survivor
+    is the FIRST ARRIVAL (here: the cluster's largest id, fed in the
+    earliest micro-batch), not the batch pass's min id. Singleton docs
+    always survive."""
+    import random
+
+    from pgvectorscale_spark.operators import dedup
+    from pgvectorscale_spark.streaming.dedup import stream_dedup_neardup
+
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    ).split()
+    rng = random.Random(99)
+    rows = []
+    n_clusters, n_members = 4, 4
+    for c in range(n_clusters):
+        base = list(words)
+        rng.shuffle(base)
+        base = [f"c{c}{w}" for w in base]  # cluster marker: no cross-match
+        for j in range(n_members):
+            # append-only variation: members stay pairwise near-identical
+            # (high Jaccard => every pair shares band buckets, asserted
+            # below), which is the boilerplate-cluster shape the invariant
+            # covers
+            variant = base + [f"edit{c}{j}"]
+            rows.append((10 * j + c, " ".join(variant)))
+    for s in range(4):  # singletons: unrelated content
+        rows.append((100 + s, " ".join(f"solo{s}{w}" for w in words[s : s + 12])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # precondition for the invariant: every cluster is a CLIQUE in the
+    # batch candidate-pair graph (members pairwise share a band bucket)
+    pair_set = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidate_pairs(df).collect()
+    }
+    for c in range(n_clusters):
+        members = sorted(10 * j + c for j in range(n_members))
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                assert (members[x], members[y]) in pair_set, (c, members[x], members[y])
+    assert not any(a >= 100 or b >= 100 for a, b in pair_set)  # singletons clean
+
+    # arrival order REVERSES id order: batch k carries ids {30-k*10 + c}
+    # (so the largest-id member of every cluster arrives first); the
+    # singletons ride the third batch
+    path = str(tmpdir.join("sndo_in"))
+    for k, j in enumerate(reversed(range(n_members))):
+        batch_ids = [10 * j + c for c in range(n_clusters)]
+        if k == 2:
+            batch_ids += [100 + s for s in range(4)]
+        df.filter(F.col("doc_id").isin(batch_ids)).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    got = {}
+
+    def sink(keepers_df, batch_id):
+        for r in keepers_df.collect():
+            got[r["doc_id"]] = batch_id
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    q = stream_dedup_neardup(stream, sink, checkpoint_dir=str(tmpdir.join("ckpt_sndo")))
+    q.awaitTermination(180)
+
+    survivors = set(got)
+    # exactly one survivor per clique-cluster: the FIRST ARRIVAL, which by
+    # construction is the largest id (30 + c), proving the stream follows
+    # arrival order, not id order
+    for c in range(n_clusters):
+        cluster_survivors = survivors & {10 * j + c for j in range(n_members)}
+        assert cluster_survivors == {30 + c}, (c, cluster_survivors)
+    # singletons all survive
+    assert {100 + s for s in range(4)} <= survivors
+    assert len(survivors) == n_clusters + 4
