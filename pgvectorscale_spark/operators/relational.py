@@ -199,6 +199,47 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def top_orders_per_customer_salted(
+    orders: DataFrame, k: int = 3, salt_buckets: int = 16
+) -> DataFrame:
+    """Skew-robust twin of ``top_orders_per_customer``: a customer holding
+    a disproportionate share of orders (marketplace aggregator, bot
+    account) makes the plain per-key window one straggler task. Two-phase
+    top-k instead: phase 1 ranks within (custkey, SALT) — a deterministic
+    hash of the order id splitting the hot key across ``salt_buckets``
+    tasks — and keeps k per salted group, so phase 2's per-key window
+    ranks at most ``salt_buckets * k`` rows per customer regardless of the
+    key's true row count. Identical output to the plain form for every
+    input: the global top k per key survives every per-salt top k
+    (each kept list is a superset of its salt's contribution to the
+    global top k). Pytest parity on a pathological fixture."""
+    from pyspark.sql import Window
+
+    salted = orders.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(int(salt_buckets))).cast("int")
+    )
+    w1 = Window.partitionBy("o_custkey", "_salt").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    survivors = salted.withColumn("_rn1", F.row_number().over(w1)).filter(
+        F.col("_rn1") <= k
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            "rn",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
 def top_orders_per_customer_sql(k: int = 3) -> str:
     return f"""
 SELECT o_custkey, o_orderkey,

@@ -271,3 +271,113 @@ def test_kmeans_reinsert_pin_lifecycle(spark, tmpdir):
     far_shard = int(idx.nodes().filter("node_id = 70").first()["shard"])
     assert new_shard == far_shard
     assert idx.search(far.tolist(), k=1).first()["node_id"] == 3
+
+
+# ---- 5. skewed-key robustness for the relational surface --------------------
+
+
+def _skewed_events(spark, hot_n=30000, cold_users=50, cold_n=40):
+    """One pathological user carrying hot_n events (bursts separated by
+    > gap so many sessions form) plus cold_users ordinary users."""
+    rows = []
+    t = 1_000_000
+    for i in range(hot_n):
+        # bursts of 100 events 10s apart, then a 2h quiet gap
+        t += 7200 if i % 100 == 0 else 10
+        rows.append((999, t))
+    for u in range(cold_users):
+        base = 2_000_000 + u * 50_000
+        for j in range(cold_n):
+            rows.append((u, base + j * (1700 if j % 5 else 2000)))
+    return spark.createDataFrame(rows, "user_id long, ts_sec long")
+
+
+def test_sessionize_salted_parity_on_pathological_key(spark):
+    """The time-chunked two-phase sessionize returns EXACTLY the plain
+    formulation's sessions on a fixture whose hottest key holds ~94% of
+    all events, and its first window partitions on (user, chunk) so the
+    hot key fans out across tasks instead of forming one straggler."""
+    from pgvectorscale_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_batch_salted,
+    )
+
+    ev = _skewed_events(spark)
+    plain = sessionize_batch(ev, gap_seconds=1800, ts_col="ts_sec")
+    salted = sessionize_batch_salted(ev, gap_seconds=1800, ts_col="ts_sec")
+    key = ["user_id", "session_start", "session_end", "event_count"]
+    a = sorted(tuple(r[c] for c in key) for r in plain.collect())
+    b = sorted(tuple(r[c] for c in key) for r in salted.collect())
+    assert a == b and len(a) > 300
+    # the hot user's events split across many (user, chunk) groups in the
+    # first pass: its distinct chunk count bounds the fan-out
+    n_chunks = (
+        ev.filter("user_id = 999")
+        .select(F.floor(F.col("ts_sec") / (64 * 1800)).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert n_chunks > 10, n_chunks
+    # plan: the first exchange hashes (user, _chunk), not user alone
+    txt = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_chunk" in txt, txt
+
+
+def test_sessionize_salted_boundary_merges(spark):
+    """Sessions spanning chunk boundaries merge exactly: events 10s apart
+    straddling a chunk edge form ONE session; events gap+1 apart straddling
+    it stay two."""
+    from pgvectorscale_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_batch_salted,
+    )
+
+    chunk = 3600  # minimal legal chunk (== gap) exercises many boundaries
+    edge = 7 * chunk
+    rows = [
+        (1, edge - 15), (1, edge - 5), (1, edge + 5),        # one session across edge
+        (2, edge - 10), (2, edge + 3591),                    # 3601 > gap: two sessions
+        (3, edge - 2 * chunk), (3, edge - chunk), (3, edge), # chain across 3 chunks
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_sec long")
+    for gap in (3600, 1800):
+        plain = sessionize_batch(ev, gap_seconds=gap, ts_col="ts_sec")
+        salted = sessionize_batch_salted(
+            ev, gap_seconds=gap, ts_col="ts_sec", chunk_seconds=chunk
+        )
+        key = ["user_id", "session_start", "session_end", "event_count"]
+        assert sorted(tuple(r[c] for c in key) for r in plain.collect()) == sorted(
+            tuple(r[c] for c in key) for r in salted.collect()
+        ), gap
+
+
+def test_top_orders_salted_parity_on_pathological_key(spark):
+    """Two-phase salted top-k equals the plain window on a fixture where
+    one customer owns ~90% of all orders, including exact tie handling
+    (equal totalprice broken by orderkey)."""
+    from pgvectorscale_spark.operators.relational import (
+        top_orders_per_customer,
+        top_orders_per_customer_salted,
+    )
+
+    rows = [(i, 7, float(100 + (i * 37) % 500)) for i in range(20000)]
+    rows += [(100000 + 10 * u + j, 1000 + u, float(50 + j)) for u in range(40) for j in range(5)]
+    rows += [(300000 + i, 7, 599.0) for i in range(8)]  # ties at the top
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    key = ["o_custkey", "rn", "o_orderkey", "price_cents"]
+    plain = sorted(
+        tuple(r[c] for c in key) for r in top_orders_per_customer(orders, k=3).collect()
+    )
+    salted = sorted(
+        tuple(r[c] for c in key)
+        for r in top_orders_per_customer_salted(orders, k=3, salt_buckets=8).collect()
+    )
+    assert plain == salted
+    # phase-1 exchange hashes (custkey, salt): the hot key fans out
+    txt = (
+        top_orders_per_customer_salted(orders, k=3, salt_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_salt" in txt, txt
