@@ -913,8 +913,16 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = load_table(spark, "events", sf_dir)
     events = raw.withColumn("ts_sec", ts_epoch_seconds(raw))
-    return sessionize_batch(events, gap_seconds=1800, ts_col="ts_sec").select(
-        "user_id", "session_start", "session_end", "event_count"
+    cols = ["user_id", "session_start", "session_end", "event_count"]
+    plain = sessionize_batch(events, gap_seconds=1800, ts_col="ts_sec").select(*cols)
+    # tagged union: the skew-robust time-chunked two-phase variant
+    # (streaming/sessionize.py) must produce the identical session set —
+    # one driver row hash-verifies both formulations against the oracle
+    from pgvectorscale_spark.streaming.sessionize import sessionize_batch_salted
+
+    salted = sessionize_batch_salted(events, gap_seconds=1800, ts_col="ts_sec").select(*cols)
+    return plain.select(F.lit("plain").alias("form"), "*").unionByName(
+        salted.select(F.lit("salted").alias("form"), "*")
     )
 
 
@@ -923,7 +931,15 @@ def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.top_orders_per_customer(load_table(spark, "orders", sf_dir), k=3)
+    """Plain per-key window top-k AND its skew-robust two-phase twin
+    (relational.top_orders_per_customer_salted) in one tagged union — the
+    salted form must reproduce the identical ranking, ties included."""
+    orders = load_table(spark, "orders", sf_dir)
+    plain = relational.top_orders_per_customer(orders, k=3)
+    salted = relational.top_orders_per_customer_salted(orders, k=3)
+    return plain.select(F.lit("plain").alias("form"), "*").unionByName(
+        salted.select(F.lit("salted").alias("form"), "*")
+    )
 
 
 def _tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1101,8 +1117,20 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": relational.top_customers_sql(10),
         "events_hourly": relational.events_hourly_sql(),
         "events_json": relational.events_json_rollup_sql(),
-        "sessionize": oracles.sessionize_oracle(1800),
-        "top_orders_per_customer": relational.top_orders_per_customer_sql(3),
+        "sessionize": oracles.tagged_union_oracle(
+            "form",
+            [
+                ("'plain'", oracles.sessionize_oracle(1800)),
+                ("'salted'", oracles.sessionize_oracle(1800)),
+            ],
+        ),
+        "top_orders_per_customer": oracles.tagged_union_oracle(
+            "form",
+            [
+                ("'plain'", relational.top_orders_per_customer_sql(3)),
+                ("'salted'", relational.top_orders_per_customer_sql(3)),
+            ],
+        ),
         "tokenize_bpe": oracles.tokenize_bpe_oracle(),
         "pack_sequences": oracles.pack_sequences_oracle(2048),
         "hash_split": oracles.hash_split_oracle(
