@@ -122,6 +122,41 @@ def main() -> None:
         ),
     ]
 
+    # skew-robust variants (round 9): the salted twins must show their
+    # first exchange hashing the SALTED key, which is what splits a
+    # pathological key across tasks
+    from pgvectorscale_spark.operators.relational import (
+        top_orders_per_customer_salted,
+        ts_epoch_seconds,
+    )
+    from pgvectorscale_spark.streaming.sessionize import sessionize_batch_salted
+
+    events = load_table(spark, "events", SF)
+    ev = events.withColumn("ts_sec", ts_epoch_seconds(events))
+    sections.append(
+        (
+            "sessionize_batch_salted (skew-robust two-phase sessionize)",
+            "Two windows: the FIRST (over the event rows) partitions on "
+            "(user_id, _chunk) — the time-chunk salt — so a hot key's "
+            "events fan out across tasks; the second window runs over "
+            "per-chunk session INTERVALS (rows ~ sessions, not events), so "
+            "its per-key row count is bounded by session count. Output "
+            "identical to the plain formulation (driver tagged union "
+            "hash-verifies both).",
+            sessionize_batch_salted(ev, gap_seconds=1800, ts_col="ts_sec"),
+        )
+    )
+    sections.append(
+        (
+            "top_orders_per_customer_salted (skew-robust two-phase top-k)",
+            "Phase-1 exchange hashes (o_custkey, _salt): the hot key's rows "
+            "split across salt_buckets tasks, each keeping only k; the "
+            "final per-key window ranks at most salt_buckets x k rows per "
+            "customer regardless of the key's true row count.",
+            top_orders_per_customer_salted(orders, k=3),
+        )
+    )
+
     # shard-restricted merge view (round 7): build a tiny index with an
     # open delta chain so the plan shows base + delta scans, every one
     # carrying a shard PartitionFilter
