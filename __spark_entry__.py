@@ -865,17 +865,56 @@ def _multimodal_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_frame.unionByName(melted).orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_lossy_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-audio SAMPLE decode, no media libraries: genuine G.711
+    mu-law/A-law WAVs (format tags 7/6, digest bytes as companded samples)
+    and IMA/DVI ADPCM WAVs (tag 0x11, digest nibbles through the adaptive
+    quantizer) are synthesized JVM-side, then decoded to linear int16 by
+    the spec-exact integer decoders in multimodal.parse_wav. The oracle
+    replays the G.711 segment formulas and the full ADPCM recurrence
+    independently in SQL (g711_decode_oracle / ima_adpcm_decode_oracle) —
+    a companding, clamp, sign, or state-update bug on either side breaks
+    the hash. Long format: (doc_id, media, metric, value)."""
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_g711_payload,
+        attach_ima_payload,
+        decode_wav_audio,
+    )
+
+    docs = _docs(spark, sf_dir)
+    metrics = ["channels", "sample_rate", "n_samples", "mean_amp", "last_amp"]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+    parts = []
+    for media, attached in (
+        ("ulaw", attach_g711_payload(docs, law="ulaw")),
+        ("alaw", attach_g711_payload(docs, law="alaw")),
+        ("ima", attach_ima_payload(docs)),
+    ):
+        parts.append(
+            decode_wav_audio(attached).selectExpr(
+                "doc_id",
+                f"'{media}' as media",
+                f"stack({len(metrics)}, {stack}) as (metric, value)",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every real pure-numpy container decode (P6 PPM, RIFF/WAVE PCM16,
     compressed PNG with CRC + zlib inflate + defiltering, and AVI/MJPEG
     video frames through the baseline JPEG entropy decoder) in one
-    long-format result set — the `media` column already discriminates, so
+long-format result set — the `media` column already discriminates, so
     one driver row hash-verifies all four decoders against their
     closed-form oracles."""
     return (
         _multimodal_decode(spark, sf_dir)
         .unionByName(_multimodal_decode_png(spark, sf_dir))
         .unionByName(_multimodal_decode_mjpeg(spark, sf_dir))
+        .unionByName(_multimodal_decode_lossy_audio(spark, sf_dir))
     )
 
 
@@ -1109,6 +1148,8 @@ def oracle_sql() -> dict[str, str]:
                 oracles.multimodal_decode_oracle(),
                 oracles.multimodal_decode_png_oracle(),
                 oracles.mjpeg_decode_oracle(),
+                oracles.g711_decode_oracle(),
+                oracles.ima_adpcm_decode_oracle(),
             ]
         ),
         "decontaminate": oracles.decontaminate_oracle(5, "doc_id % 97 = 0"),

@@ -34,10 +34,14 @@ from pgvectorscale_spark.operators.jpeg import decode_jpeg_image, parse_jpeg  # 
 
 __all__ = [
     "attach_binary_payload",
+    "attach_g711_payload",
+    "attach_ima_payload",
     "attach_png_payload",
     "attach_ppm_payload",
     "attach_wav_payload",
     "binary_metadata",
+    "decode_ima_adpcm",
+    "decode_ms_adpcm",
     "attach_mp3_payload",
     "attach_mp4_payload",
     "decode_av_samples",
@@ -152,12 +156,234 @@ def parse_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or body is None:
         raise ValueError("WAV missing fmt or data chunk")
-    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits})")
-    n = len(body) // (2 * channels)
-    samples = np.frombuffer(body[: n * 2 * channels], dtype="<i2").reshape(n, channels)
-    return channels, rate, samples
+    audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    if audio_format == 1 and bits == 16:
+        n = len(body) // (2 * channels)
+        samples = np.frombuffer(body[: n * 2 * channels], dtype="<i2").reshape(n, channels)
+        return channels, rate, samples
+    if audio_format in (6, 7) and bits == 8:  # G.711 A-law / mu-law
+        table = ALAW_TABLE if audio_format == 6 else ULAW_TABLE
+        n = len(body) // channels
+        enc = np.frombuffer(body[: n * channels], dtype=np.uint8).reshape(n, channels)
+        return channels, rate, table[enc]
+    if audio_format == 0x11 and bits == 4:  # IMA/DVI ADPCM
+        return channels, rate, decode_ima_adpcm(body, channels, block_align)
+    if audio_format == 0x02 and bits == 4:  # Microsoft ADPCM
+        return channels, rate, decode_ms_adpcm(body, channels, block_align)
+    raise ValueError(
+        f"unsupported WAV encoding (format={audio_format}, bits={bits}): "
+        "only PCM16, G.711 ulaw/alaw, and IMA/MS ADPCM decode natively"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lossy audio codecs with REAL sample decode, pure numpy, zero dependencies:
+# ITU-T G.711 mu-law/A-law companding (WAV format tags 7/6) and IMA/DVI +
+# Microsoft ADPCM (tags 0x11/0x02). These are genuine lossy codecs — after
+# them the decode_av_samples gate covers ONLY transform codecs (MP3 Layer
+# III synthesis filterbank, H.264 macroblock reconstruction). The decode
+# tables are COMPUTED from the published companding formulas, not typed in,
+# so the DuckDB oracle (which replays the same formulas in SQL, written
+# independently) cross-checks the arithmetic, not a shared constant.
+# ---------------------------------------------------------------------------
+
+
+def _build_ulaw_table() -> np.ndarray:
+    """ITU-T G.711 mu-law byte -> linear int16 (the canonical BIAS=0x84
+    segment expansion; e.g. 0xFF -> 0, 0x00 -> -32124)."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        out[b] = (0x84 - t) if u & 0x80 else (t - 0x84)
+    return out
+
+
+def _build_alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law byte -> linear int16 (XOR 0x55 then segment
+    expansion; e.g. 0x55 -> -8, 0xAA -> +32256)."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        m, seg = a & 0x0F, (a >> 4) & 0x07
+        if seg == 0:
+            t = (m << 4) + 8
+        elif seg == 1:
+            t = (m << 4) + 0x108
+        else:
+            t = ((m << 4) + 0x108) << (seg - 1)
+        out[b] = t if a & 0x80 else -t
+    return out
+
+
+ULAW_TABLE = _build_ulaw_table()
+ALAW_TABLE = _build_alaw_table()
+
+# IMA/DVI ADPCM quantizer tables (public spec data: IMA "Recommended
+# Practices for Enhancing Digital Audio Compatibility", rev 3.00)
+IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+        19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+        50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+        337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+        876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+        5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+        15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64
+)
+
+
+def _ima_decode_nibbles(nibbles: np.ndarray, pred0: np.ndarray, idx0: np.ndarray) -> np.ndarray:
+    """Vectorized-over-blocks IMA ADPCM core: ``nibbles`` is (n_blocks, T)
+    uint8 in decode order, ``pred0``/``idx0`` are per-block seeds. Returns
+    (n_blocks, T + 1) int16 — sample 0 is the block-header predictor (the
+    IMA block contract). Sequential in T (the codec's data dependence),
+    vector across blocks: one numpy pass per nibble position, so the work
+    per Arrow batch is O(T) numpy ops, not O(rows * T) Python."""
+    pred = pred0.astype(np.int64).copy()
+    idx = np.clip(idx0.astype(np.int64), 0, 88)
+    out = np.empty((nibbles.shape[0], nibbles.shape[1] + 1), dtype=np.int16)
+    out[:, 0] = pred
+    for t in range(nibbles.shape[1]):
+        nib = nibbles[:, t].astype(np.int64)
+        step = IMA_STEP_TABLE[idx]
+        diff = (step >> 3) + np.where(nib & 4, step, 0)
+        diff += np.where(nib & 2, step >> 1, 0) + np.where(nib & 1, step >> 2, 0)
+        pred = np.clip(pred + np.where(nib & 8, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + IMA_INDEX_TABLE[nib], 0, 88)
+        out[:, t + 1] = pred
+    return out
+
+
+def _ima_block_nibbles(data: np.ndarray) -> np.ndarray:
+    """(n_blocks, n_bytes) uint8 -> (n_blocks, 2 * n_bytes) nibbles in IMA
+    decode order: LOW nibble of each byte first."""
+    nib = np.empty((data.shape[0], data.shape[1] * 2), dtype=np.uint8)
+    nib[:, 0::2] = data & 0x0F
+    nib[:, 1::2] = data >> 4
+    return nib
+
+
+def decode_ima_adpcm(body: bytes, channels: int, block_align: int) -> np.ndarray:
+    """Decode an IMA/DVI ADPCM WAV 'data' payload to (n, channels) int16.
+
+    Block layout (WAV format registry, tag 0x11): per channel a 4-byte
+    header (int16 LE predictor = output sample 0, uint8 step index,
+    reserved), then 4-byte sub-blocks (8 nibbles, low first) interleaved
+    channel by channel. A short trailing block decodes to its actual
+    nibble count (what stream writers produce on flush)."""
+    if channels not in (1, 2):
+        raise ValueError(f"IMA ADPCM: 1 or 2 channels supported, got {channels}")
+    if block_align < 4 * channels or block_align % (4 * channels):
+        raise ValueError(f"IMA ADPCM: bad block_align {block_align} for {channels}ch")
+    raw = np.frombuffer(body, dtype=np.uint8)
+    n_full = len(raw) // block_align
+    chunks = []
+    tail = raw[n_full * block_align :]
+    blocks_list = [raw[: n_full * block_align].reshape(n_full, block_align)]
+    # a partial final block still carries headers + whole 4-byte groups
+    tail_groups = (len(tail) - 4 * channels) // (4 * channels) if len(tail) >= 4 * channels else -1
+    if tail_groups >= 0:
+        blocks_list.append(tail[: 4 * channels + tail_groups * 4 * channels][None, :])
+    for blocks in blocks_list:
+        if blocks.shape[0] == 0:
+            continue
+        hdr = blocks[:, : 4 * channels].reshape(blocks.shape[0], channels, 4)
+        pred0 = (
+            hdr[:, :, 0].astype(np.int64) | (hdr[:, :, 1].astype(np.int64) << 8)
+        )
+        pred0 = np.where(pred0 >= 32768, pred0 - 65536, pred0)
+        idx0 = hdr[:, :, 2]
+        data = blocks[:, 4 * channels :]
+        if data.shape[1]:
+            # groups of 4 bytes alternate channels: (blocks, groups, ch, 4)
+            grouped = data.reshape(blocks.shape[0], -1, channels, 4)
+            per_ch = []
+            for c in range(channels):
+                nib = _ima_block_nibbles(
+                    grouped[:, :, c, :].reshape(blocks.shape[0], -1)
+                )
+                per_ch.append(_ima_decode_nibbles(nib, pred0[:, c], idx0[:, c]))
+            samples = np.stack(per_ch, axis=2)  # (blocks, T+1, ch)
+        else:
+            samples = pred0.astype(np.int16)[:, None, :]
+        chunks.append(samples.reshape(-1, channels))
+    if not chunks:
+        return np.empty((0, channels), dtype=np.int16)
+    return np.concatenate(chunks, axis=0)
+
+
+# Microsoft ADPCM tables (public spec data: MS "Multimedia Programmer's
+# Reference", WAVE_FORMAT_ADPCM)
+MS_ADAPTATION_TABLE = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230],
+    dtype=np.int64,
+)
+MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], dtype=np.int64)
+MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], dtype=np.int64)
+
+
+def decode_ms_adpcm(body: bytes, channels: int, block_align: int) -> np.ndarray:
+    """Decode a Microsoft ADPCM WAV 'data' payload to (n, channels) int16.
+
+    Block layout (tag 0x02), headers interleaved per channel: uint8
+    predictor-coefficient index, int16 LE idelta, int16 sample1 (newer),
+    int16 sample2 (older); then nibbles HIGH-first, alternating channels
+    for stereo. Output per block starts sample2 then sample1, then one
+    sample per nibble via the adaptive two-tap predictor. Vectorized
+    across blocks, sequential in the nibble axis (the codec's recurrence)."""
+    if channels not in (1, 2):
+        raise ValueError(f"MS ADPCM: 1 or 2 channels supported, got {channels}")
+    hdr_len = 7 * channels
+    if block_align < hdr_len:
+        raise ValueError(f"MS ADPCM: bad block_align {block_align} for {channels}ch")
+    raw = np.frombuffer(body, dtype=np.uint8)
+    n_blocks = len(raw) // block_align
+    if n_blocks == 0:
+        return np.empty((0, channels), dtype=np.int16)
+    blocks = raw[: n_blocks * block_align].reshape(n_blocks, block_align)
+
+    def i16(lo, hi):
+        v = lo.astype(np.int64) | (hi.astype(np.int64) << 8)
+        return np.where(v >= 32768, v - 65536, v)
+
+    bpred = np.clip(blocks[:, 0:channels].astype(np.int64), 0, 6)
+    # after the bpred bytes: three int16 LE fields (idelta, sample1,
+    # sample2), each stored for all channels in turn — (blocks, field,
+    # channel, lo/hi byte)
+    fields = blocks[:, channels:hdr_len].reshape(n_blocks, 3, channels, 2)
+    idelta = i16(fields[:, 0, :, 0], fields[:, 0, :, 1])
+    s1 = i16(fields[:, 1, :, 0], fields[:, 1, :, 1])
+    s2 = i16(fields[:, 2, :, 0], fields[:, 2, :, 1])
+    data = blocks[:, hdr_len:]
+    nib = np.empty((n_blocks, data.shape[1] * 2), dtype=np.uint8)
+    nib[:, 0::2] = data >> 4  # HIGH nibble first (opposite of IMA)
+    nib[:, 1::2] = data & 0x0F
+    # per-channel nibble streams: stereo alternates L,R per nibble
+    n_per_ch = nib.shape[1] // channels
+    c1, c2 = MS_COEF1[bpred], MS_COEF2[bpred]  # (blocks, ch)
+    out = np.empty((n_blocks, 2 + n_per_ch, channels), dtype=np.int16)
+    out[:, 0, :] = s2
+    out[:, 1, :] = s1
+    s1w, s2w, idw = s1.copy(), s2.copy(), np.maximum(idelta.copy(), 16)
+    for t in range(n_per_ch):
+        for c in range(channels):
+            nb = nib[:, t * channels + c].astype(np.int64)
+            signed = np.where(nb >= 8, nb - 16, nb)
+            predictor = (s1w[:, c] * c1[:, c] + s2w[:, c] * c2[:, c]) >> 8
+            sample = np.clip(predictor + signed * idw[:, c], -32768, 32767)
+            out[:, 2 + t, c] = sample
+            s2w[:, c] = s1w[:, c]
+            s1w[:, c] = sample
+            idw[:, c] = np.maximum((MS_ADAPTATION_TABLE[nb] * idw[:, c]) >> 8, 16)
+    return out.reshape(-1, channels)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\x0a"
@@ -260,16 +486,32 @@ def _png_prefix_hex(width: int, height: int, color: int = 2, depth: int = 8) -> 
 _PNG_IEND_HEX = "0000000049454e44ae426082"
 
 
-def _wav_header_hex(data_len: int, rate: int = 8000, channels: int = 1, bits: int = 16) -> str:
-    """Canonical 44-byte RIFF/WAVE PCM header for a given payload size."""
+def _wav_header_hex(
+    data_len: int,
+    rate: int = 8000,
+    channels: int = 1,
+    bits: int = 16,
+    fmt_tag: int = 1,
+    block_align: int | None = None,
+    samples_per_block: int | None = None,
+) -> str:
+    """Canonical RIFF/WAVE header for a given payload size. ``fmt_tag`` 1
+    (PCM), 6/7 (G.711 A-law/mu-law, bits=8), 0x11 (IMA ADPCM, bits=4 with
+    the 2-byte wSamplesPerBlock fmt extension)."""
     import struct
 
-    block = channels * bits // 8
+    block = block_align if block_align is not None else channels * bits // 8
+    ext = b""
+    if samples_per_block is not None:
+        ext = struct.pack("<HH", 2, samples_per_block)  # cbSize=2 + wSamplesPerBlock
+    fmt = struct.pack(
+        "<IHHIIHH", 16 + len(ext), fmt_tag, channels, rate, rate * block, block, bits
+    ) + ext
     hdr = (
         b"RIFF"
-        + struct.pack("<I", 36 + data_len)
+        + struct.pack("<I", 16 + len(fmt) + data_len)
         + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits)
+        + fmt
         + b"data"
         + struct.pack("<I", data_len)
     )
@@ -321,6 +563,62 @@ def attach_wav_payload(df: DataFrame, source_col: str = "text", payload_col: str
             f"{', '.join([u] * WAV_TILE)})"
         ),
     ).withColumn("media_type", F.lit("audio/wav"))
+
+
+def attach_g711_payload(
+    df: DataFrame, law: str = "ulaw", source_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL G.711 WAV payload per row, built JVM-side: a
+    format-tag 7 (mu-law) or 6 (A-law) RIFF header + md5(source) digest
+    bytes tiled WAV_TILE x as 8-bit companded samples. Every byte value is
+    a legal G.711 code, so the payload is a genuine lossy-audio file any
+    G.711-capable WAV reader decodes."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    data_len = 16 * WAV_TILE
+    hdr = _wav_header_hex(data_len, WAV_RATE, bits=8, fmt_tag=7 if law == "ulaw" else 6)
+    u = f"unhex(md5(`{source_col}`))"
+    return df.withColumn(
+        payload_col,
+        F.expr(f"concat(unhex('{hdr}'), {', '.join([u] * WAV_TILE)})"),
+    ).withColumn("media_type", F.lit(f"audio/wav-{law}"))
+
+
+# IMA ADPCM synth geometry: one mono block of block_align 20 = 4-byte
+# header + the 16 digest bytes as 32 nibbles -> 33 decoded samples.
+IMA_BLOCK_ALIGN = 4 + 16
+IMA_SAMPLES_PER_BLOCK = (IMA_BLOCK_ALIGN - 4) * 2 + 1
+
+
+def attach_ima_payload(
+    df: DataFrame, source_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL IMA ADPCM WAV payload per row, built JVM-side:
+    format-tag 0x11 header (with the wSamplesPerBlock fmt extension) + one
+    mono block whose predictor seed is digest bytes 0-1 (int16 LE), step
+    index is byte 2 mod 89, and whose 32 nibbles are the digest itself —
+    so the full adaptive-quantizer recurrence has a closed form over the
+    digest hex that the DuckDB oracle replays step by step
+    (oracles.ima_adpcm_decode_oracle)."""
+    hdr = _wav_header_hex(
+        IMA_BLOCK_ALIGN,
+        WAV_RATE,
+        bits=4,
+        fmt_tag=0x11,
+        block_align=IMA_BLOCK_ALIGN,
+        samples_per_block=IMA_SAMPLES_PER_BLOCK,
+    )
+    d = f"md5(`{source_col}`)"
+    idx_byte = (
+        f"unhex(lpad(hex(cast(conv(substr({d}, 5, 2), 16, 10) as int) % 89), 2, '0'))"
+    )
+    return df.withColumn(
+        payload_col,
+        F.expr(
+            f"concat(unhex('{hdr}'), unhex(substr({d}, 1, 4)), {idx_byte}, "
+            f"unhex('00'), unhex({d}))"
+        ),
+    ).withColumn("media_type", F.lit("audio/wav-ima-adpcm"))
 
 
 # MPEG-1 Layer III header tables (ISO/IEC 11172-3): bitrate index 1..14 and
@@ -964,20 +1262,31 @@ def decode_wav_audio(
 
     def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"channels": [], "sample_rate": [], "n_samples": [], "mean_amp": []}
+            out = {
+                "channels": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "mean_amp": [],
+                "last_amp": [],
+            }
             for payload in pdf[payload_col]:
                 ch, rate, samples = parse_wav(payload)
                 out["channels"].append(ch)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(samples.shape[0])
                 out["mean_amp"].append(round(float(samples.mean(dtype=np.float64)), 6))
+                out["last_amp"].append(
+                    round(float(samples[-1].mean(dtype=np.float64)), 6)
+                    if samples.shape[0]
+                    else 0.0
+                )
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), **out})
 
     return df.select(id_col, payload_col).mapInPandas(
         decode,
         schema=(
             f"{id_col} long, channels long, sample_rate long, "
-            "n_samples long, mean_amp double"
+            "n_samples long, mean_amp double, last_amp double"
         ),
     )
 
@@ -1019,23 +1328,25 @@ def decode_image(
 
 
 def decode_av_samples(df: DataFrame, payload_col: str = "payload"):
-    """Sample-level decode of INTERFRAME/lossy-transform A/V codecs (MP3
-    synthesis filterbank, H.264 macroblock reconstruction) — STUB: needs
+    """Sample-level decode of TRANSFORM-coded A/V (MP3 Layer III synthesis
+    filterbank, H.264 macroblock reconstruction) — STUB: needs
     torchaudio/pyav, absent here. The gate is narrower than it looks:
     MJPEG video decodes real SAMPLES natively (``mjpeg.decode_mjpeg_frames``
     — AVI/concatenated-JFIF container walk feeding every frame through the
-    pure-numpy baseline JPEG decoder), WAV-PCM audio decodes natively
-    (``decode_wav_audio``), and MP3/MP4/H.264 container METADATA is
-    genuinely parsed without sample decode (``decode_mp3_meta``,
-    ``decode_mp4_meta``, ``decode_h264_meta``)."""
+    pure-numpy baseline JPEG decoder); WAV audio decodes real SAMPLES for
+    PCM16 AND the lossy G.711 mu-law/A-law and IMA/MS ADPCM codecs
+    (``decode_wav_audio`` / ``parse_wav``, spec-exact integer decode); and
+    MP3/MP4/H.264 container METADATA is genuinely parsed without sample
+    decode (``decode_mp3_meta``, ``decode_mp4_meta``, ``decode_h264_meta``)."""
     if not MEDIA_DECODERS_AVAILABLE:
         raise NotImplementedError(
-            "interframe audio/video decoders not available in this "
-            "environment; MJPEG video decodes natively "
-            "(mjpeg.decode_mjpeg_frames), WAV-PCM decodes natively "
-            "(decode_wav_audio); use decode_mp3_meta/decode_mp4_meta/"
-            "decode_h264_meta for MP3/MP4/H.264 header-scan metadata or "
-            "fake_feature_extract for pipeline tests"
+            "transform-codec audio/video decoders (MP3 Layer III, H.264) "
+            "not available in this environment; MJPEG video decodes "
+            "natively (mjpeg.decode_mjpeg_frames), WAV PCM16/G.711/ADPCM "
+            "audio decodes natively (decode_wav_audio); use "
+            "decode_mp3_meta/decode_mp4_meta/decode_h264_meta for "
+            "MP3/MP4/H.264 header-scan metadata or fake_feature_extract "
+            "for pipeline tests"
         )
     raise NotImplementedError  # pragma: no cover — real decoder path
 

@@ -959,6 +959,147 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def g711_decode_oracle() -> str:
+    """Twin of the G.711 lossy-audio decode pipeline
+    (multimodal.attach_g711_payload → parse_wav): the payload body tiles
+    md5(text) digest bytes WAV_TILE x as companded 8-bit samples, so every
+    decoded feature has a closed form over the digest hex. The oracle
+    expands each byte through the ITU-T G.711 segment formulas WRITTEN
+    INDEPENDENTLY IN SQL (bias-132 shift for mu-law, XOR-0x55 segment
+    expansion for A-law) — it never touches the numpy decode tables, so a
+    companding-arithmetic bug on either side diverges the means and fails
+    the hash. Canonical anchors baked into the formulas: mu-law 0xFF -> 0,
+    0x00 -> -32124; A-law 0x55 -> -8, 0xAA -> +32256."""
+    from pgvectorscale_spark.operators.multimodal import WAV_RATE, WAV_TILE
+
+    def nib(pos: int) -> str:  # 1-based hex-char position -> nibble value
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:  # 0-based byte index into the digest
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    def ulaw(b: str) -> str:
+        u = f"(255 - {b})"
+        t = f"((({u} % 16) * 8 + 132) * CAST(power(2, ({u} // 16) % 8) AS BIGINT))"
+        return f"(CASE WHEN {u} >= 128 THEN 132 - {t} ELSE {t} - 132 END)"
+
+    def alaw(b: str) -> str:
+        a = f"xor({b}, 85)"
+        m, seg = f"({a} % 16)", f"(({a} // 16) % 8)"
+        t = (
+            f"(CASE WHEN {seg} = 0 THEN {m} * 16 + 8 "
+            f"WHEN {seg} = 1 THEN {m} * 16 + 264 "
+            f"ELSE ({m} * 16 + 264) * CAST(power(2, {seg} - 1) AS BIGINT) END)"
+        )
+        return f"(CASE WHEN {a} >= 128 THEN {t} ELSE -{t} END)"
+
+    rows = []
+    n_samples = 16 * WAV_TILE
+    for media, law in (("ulaw", ulaw), ("alaw", alaw)):
+        terms = [law(byte(j)) for j in range(16)]
+        rows.append(
+            f"SELECT doc_id, '{media}' AS media, 'mean_amp' AS metric, "
+            f"round(({' + '.join(terms)}) / 16.0, 6) AS value FROM m"
+        )
+        rows.append(
+            f"SELECT doc_id, '{media}' AS media, 'last_amp' AS metric, "
+            f"round(CAST({law(byte(15))} AS DOUBLE), 6) AS value FROM m"
+        )
+        for name, val in (("channels", 1), ("sample_rate", WAV_RATE), ("n_samples", n_samples)):
+            rows.append(
+                f"SELECT doc_id, '{media}' AS media, '{name}' AS metric, "
+                f"CAST({val} AS DOUBLE) AS value FROM m"
+            )
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
+def ima_adpcm_decode_oracle() -> str:
+    """Twin of the IMA/DVI ADPCM lossy-audio decode pipeline
+    (multimodal.attach_ima_payload → parse_wav → decode_ima_adpcm): the
+    single mono block seeds predictor/step-index from digest bytes 0-2 and
+    feeds the digest's 32 nibbles (LOW nibble of each byte first) through
+    the adaptive-quantizer recurrence. The oracle replays that recurrence
+    STEP BY STEP in a recursive CTE — clamps, bit-tests and the sign nibble
+    written independently in SQL (only the published 89-entry step-size
+    table is shared with the decoder, as spec data) — so a drift anywhere
+    in the sequential state machine diverges pred/index and fails the
+    hash on mean_amp/last_amp."""
+    from pgvectorscale_spark.operators.multimodal import (
+        IMA_INDEX_TABLE,
+        IMA_SAMPLES_PER_BLOCK,
+        IMA_STEP_TABLE,
+        WAV_RATE,
+    )
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    steps = "[" + ", ".join(str(int(v)) for v in IMA_STEP_TABLE) + "]"
+    idxs = "[" + ", ".join(str(int(v)) for v in IMA_INDEX_TABLE) + "]"
+    pred0 = (
+        f"({byte(0)} + {byte(1)} * 256 "
+        f"- 65536 * (CASE WHEN {byte(1)} >= 128 THEN 1 ELSE 0 END))"
+    )
+    idx0 = f"({byte(2)} % 89)"
+    # nibble consumed at recursion step i (0-based): byte i//2, LOW nibble
+    # first — hex char position i+2 when i is even (low nibble = second hex
+    # char of the pair), i when i is odd (high nibble = first hex char)
+    nb = (
+        "(strpos('0123456789abcdef', "
+        "substr(h, CASE WHEN i % 2 = 0 THEN i + 2 ELSE i END, 1)) - 1)"
+    )
+    step = f"({steps}[CAST(idx AS INT) + 1])"
+    diff = (
+        f"(({step} >> 3)"
+        f" + (CASE WHEN ({nb} & 4) != 0 THEN {step} ELSE 0 END)"
+        f" + (CASE WHEN ({nb} & 2) != 0 THEN ({step} >> 1) ELSE 0 END)"
+        f" + (CASE WHEN ({nb} & 1) != 0 THEN ({step} >> 2) ELSE 0 END))"
+    )
+    newpred = (
+        f"greatest(-32768, least(32767, pred + "
+        f"(CASE WHEN ({nb} & 8) != 0 THEN -{diff} ELSE {diff} END)))"
+    )
+    newidx = f"greatest(0, least(88, idx + {idxs}[CAST({nb} AS INT) + 1]))"
+    n_nibbles = IMA_SAMPLES_PER_BLOCK - 1
+    finals = " UNION ALL ".join(
+        [
+            "SELECT doc_id, 'ima' AS media, 'mean_amp' AS metric, "
+            f"round(total / {IMA_SAMPLES_PER_BLOCK}.0, 6) AS value FROM walk WHERE i = {n_nibbles}",
+            "SELECT doc_id, 'ima' AS media, 'last_amp' AS metric, "
+            f"round(CAST(pred AS DOUBLE), 6) AS value FROM walk WHERE i = {n_nibbles}",
+            "SELECT doc_id, 'ima' AS media, 'channels' AS metric, CAST(1 AS DOUBLE) AS value FROM m",
+            "SELECT doc_id, 'ima' AS media, 'sample_rate' AS metric, "
+            f"CAST({WAV_RATE} AS DOUBLE) AS value FROM m",
+            "SELECT doc_id, 'ima' AS media, 'n_samples' AS metric, "
+            f"CAST({IMA_SAMPLES_PER_BLOCK} AS DOUBLE) AS value FROM m",
+        ]
+    )
+    return f"""
+WITH RECURSIVE m AS (SELECT doc_id, md5(text) AS h FROM documents),
+walk AS (
+  SELECT doc_id, h, 0 AS i,
+         CAST({pred0} AS BIGINT) AS pred,
+         CAST({idx0} AS BIGINT) AS idx,
+         CAST({pred0} AS DOUBLE) AS total
+  FROM m
+  UNION ALL
+  SELECT doc_id, h, i + 1,
+         CAST({newpred} AS BIGINT),
+         CAST({newidx} AS BIGINT),
+         total + {newpred}
+  FROM walk WHERE i < {n_nibbles}
+)
+SELECT * FROM ({finals}) ORDER BY doc_id, media, metric
+"""
+
+
 def pack_sequences_oracle(window_tokens: int) -> str:
     """Twin of packing.pack_sequences over documents: the distributed
     two-phase prefix sum must equal the plain global running total."""

