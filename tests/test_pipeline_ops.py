@@ -83,7 +83,7 @@ def test_decode_image_dispatches_and_gates(spark, documents):
         parse_image(b"\x00\x01garbage")
     with pytest.raises(Exception, match="unsupported image format"):
         decode_image(attach_binary_payload(src)).collect()  # utf-8 payloads
-    with pytest.raises(NotImplementedError, match="media decoders"):
+    with pytest.raises(NotImplementedError, match="MP3 Layer III"):
         decode_av_samples(attach_binary_payload(src))
 
 
