@@ -903,18 +903,48 @@ def _multimodal_decode_lossy_audio(spark: SparkSession, sf_dir: str) -> DataFram
     return out.orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video PIXEL decode from genuine H.264 streams, no media
+    libraries: complete Annex-B SPS+PPS+IDR pictures are synthesized
+    JVM-side (top macroblock I_PCM with digest-nibble luma, bottom
+    macroblock I_16x16 VERTICAL prediction with a parsed all-zero CAVLC
+    residual), then decoded back — NAL walk, emulation-prevention strip,
+    Exp-Golomb slice/MB syntax, PCM alignment, intra prediction and
+    reconstruction — by h264.parse_h264_picture in Arrow-batched
+    mapInPandas. The oracle replays the digest closed forms
+    (oracles.h264_decode_oracle)."""
+    from pgvectorscale_spark.operators.h264 import (
+        attach_h264_payload,
+        decode_h264_picture,
+    )
+
+    pic = decode_h264_picture(attach_h264_payload(_docs(spark, sf_dir)))
+    metrics = [
+        "width", "height", "n_mbs", "n_nal_units",
+        "mean_y", "mean_cb", "mean_cr", "y00", "y_last",
+    ]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+    return pic.selectExpr(
+        "doc_id",
+        "'h264' as media",
+        f"stack({len(metrics)}, {stack}) as (metric, value)",
+    ).orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every real pure-numpy container decode (P6 PPM, RIFF/WAVE PCM16,
-    compressed PNG with CRC + zlib inflate + defiltering, and AVI/MJPEG
-    video frames through the baseline JPEG entropy decoder) in one
-long-format result set — the `media` column already discriminates, so
-    one driver row hash-verifies all four decoders against their
-    closed-form oracles."""
+    compressed PNG with CRC + zlib inflate + defiltering, AVI/MJPEG video
+    frames through the baseline JPEG entropy decoder, G.711/ADPCM lossy
+    audio, and H.264 I-frame pixel reconstruction) in one long-format
+    result set — the `media` column already discriminates, so one driver
+    row hash-verifies all the decoders against their closed-form
+    oracles."""
     return (
         _multimodal_decode(spark, sf_dir)
         .unionByName(_multimodal_decode_png(spark, sf_dir))
         .unionByName(_multimodal_decode_mjpeg(spark, sf_dir))
         .unionByName(_multimodal_decode_lossy_audio(spark, sf_dir))
+        .unionByName(_multimodal_decode_h264(spark, sf_dir))
     )
 
 
@@ -1150,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
                 oracles.mjpeg_decode_oracle(),
                 oracles.g711_decode_oracle(),
                 oracles.ima_adpcm_decode_oracle(),
+                oracles.h264_decode_oracle(),
             ]
         ),
         "decontaminate": oracles.decontaminate_oracle(5, "doc_id % 97 = 0"),

@@ -1004,8 +1004,10 @@ def parse_h264_meta(data: bytes) -> tuple[int, int, int, int, int]:
     baseline/main and the high-profile chroma branch, POC types 0/1/2,
     interlaced map units, and frame cropping with chroma-dependent crop
     units. Scaling matrices and streams without an SPS raise loudly.
-    Macroblock reconstruction (the lossy part) stays behind
-    ``decode_av_samples`` — everything here is header arithmetic."""
+    Macroblock reconstruction lives in ``operators/h264.py`` for the
+    closed-form I-frame subclass (I_PCM + intra prediction with parsed
+    zero residual); entropy-coded residual levels stay behind
+    ``decode_av_samples`` — everything HERE is header arithmetic."""
     if not isinstance(data, (bytes, bytearray)):
         data = bytes(data)
     data = bytes(data)
@@ -1328,25 +1330,34 @@ def decode_image(
 
 
 def decode_av_samples(df: DataFrame, payload_col: str = "payload"):
-    """Sample-level decode of TRANSFORM-coded A/V (MP3 Layer III synthesis
-    filterbank, H.264 macroblock reconstruction) — STUB: needs
-    torchaudio/pyav, absent here. The gate is narrower than it looks:
-    MJPEG video decodes real SAMPLES natively (``mjpeg.decode_mjpeg_frames``
-    — AVI/concatenated-JFIF container walk feeding every frame through the
-    pure-numpy baseline JPEG decoder); WAV audio decodes real SAMPLES for
-    PCM16 AND the lossy G.711 mu-law/A-law and IMA/MS ADPCM codecs
+    """Sample-level decode of the REMAINING entropy/transform-coded A/V —
+    STUB: needs decoders absent here. The gate is narrow and precisely
+    bounded: MJPEG video decodes real SAMPLES natively
+    (``mjpeg.decode_mjpeg_frames`` — AVI/concatenated-JFIF container walk
+    feeding every frame through the pure-numpy baseline JPEG decoder);
+    H.264 I-frame PIXELS decode natively for the closed-form subclass
+    (``h264.parse_h264_picture`` — I_PCM + all intra prediction modes with
+    parsed zero residual); WAV audio decodes real SAMPLES for PCM16 AND
+    the lossy G.711 mu-law/A-law and IMA/MS ADPCM codecs
     (``decode_wav_audio`` / ``parse_wav``, spec-exact integer decode); and
     MP3/MP4/H.264 container METADATA is genuinely parsed without sample
-    decode (``decode_mp3_meta``, ``decode_mp4_meta``, ``decode_h264_meta``)."""
+    decode (``decode_mp3_meta``, ``decode_mp4_meta``, ``decode_h264_meta``).
+    What stays gated: MP3 Layer III (the ISO Huffman tables + 512-entry
+    synthesis window are tabulated spec data, not closed-form, and are
+    unavailable offline) and H.264 entropy-coded residual LEVELS / CABAC /
+    inter prediction / deblocking (same reason: table 9-5/9-6/9-7 and the
+    alpha/beta/tC0 tables)."""
     if not MEDIA_DECODERS_AVAILABLE:
         raise NotImplementedError(
-            "transform-codec audio/video decoders (MP3 Layer III, H.264) "
-            "not available in this environment; MJPEG video decodes "
-            "natively (mjpeg.decode_mjpeg_frames), WAV PCM16/G.711/ADPCM "
-            "audio decodes natively (decode_wav_audio); use "
-            "decode_mp3_meta/decode_mp4_meta/decode_h264_meta for "
-            "MP3/MP4/H.264 header-scan metadata or fake_feature_extract "
-            "for pipeline tests"
+            "entropy-table codecs gated: MP3 Layer III audio and H.264 "
+            "streams with entropy-coded residuals/CABAC/inter prediction "
+            "need decoder tables unavailable in this environment. "
+            "Natively decodable instead: MJPEG video samples "
+            "(mjpeg.decode_mjpeg_frames), H.264 intra/zero-residual/I_PCM "
+            "pictures (h264.decode_h264_picture), WAV PCM16/G.711/ADPCM "
+            "audio (decode_wav_audio); decode_mp3_meta/decode_mp4_meta/"
+            "decode_h264_meta give MP3/MP4/H.264 header-scan metadata and "
+            "fake_feature_extract covers pipeline tests"
         )
     raise NotImplementedError  # pragma: no cover — real decoder path
 

@@ -1100,6 +1100,45 @@ SELECT * FROM ({finals}) ORDER BY doc_id, media, metric
 """
 
 
+def h264_decode_oracle() -> str:
+    """Twin of the H.264 I-frame PIXEL-decode pipeline
+    (h264.attach_h264_payload → parse_h264_picture → decode_h264_picture):
+    the synthesized stream is a genuine 16x32 IDR picture whose top
+    macroblock is I_PCM carrying the digest nibbles as luma bytes
+    (16*nib + 8, even rows = digest half A, odd rows = half B) and whose
+    bottom macroblock is I_16x16 VERTICAL prediction (copies MB0's bottom
+    row — half B) with chroma DC over the 0x80 PCM chroma. Every decoded
+    metric therefore has a closed form over the digest hex, exact in
+    double arithmetic (the only division is by 512). A NAL-walk,
+    Exp-Golomb, PCM-alignment, coeff_token, prediction or reconstruction
+    bug on either side diverges the means/corners and fails the hash."""
+
+    def nib(pos: int) -> str:  # 1-based hex-char position -> nibble value
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    sum_a = "(" + " + ".join(nib(k) for k in range(1, 17)) + ")"
+    sum_b = "(" + " + ".join(nib(k) for k in range(17, 33)) + ")"
+    # MB0 luma sum = 128*(sumA+sumB) + 2048; MB1 = V-pred of row B:
+    # 256*sumB + 2048; frame mean over 512 samples
+    mean_y = f"((128 * {sum_a} + 384 * {sum_b} + 4096) / 512.0)"
+    rows = [
+        f"SELECT doc_id, 'h264' AS media, 'mean_y' AS metric, {mean_y} AS value FROM m",
+        "SELECT doc_id, 'h264' AS media, 'mean_cb' AS metric, CAST(128 AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'h264' AS media, 'mean_cr' AS metric, CAST(128 AS DOUBLE) AS value FROM m",
+        f"SELECT doc_id, 'h264' AS media, 'y00' AS metric, CAST(16 * {nib(1)} + 8 AS DOUBLE) AS value FROM m",
+        f"SELECT doc_id, 'h264' AS media, 'y_last' AS metric, CAST(16 * {nib(32)} + 8 AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'h264' AS media, 'width' AS metric, CAST(16 AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'h264' AS media, 'height' AS metric, CAST(32 AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'h264' AS media, 'n_mbs' AS metric, CAST(2 AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'h264' AS media, 'n_nal_units' AS metric, CAST(3 AS DOUBLE) AS value FROM m",
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def pack_sequences_oracle(window_tokens: int) -> str:
     """Twin of packing.pack_sequences over documents: the distributed
     two-phase prefix sum must equal the plain global running total."""

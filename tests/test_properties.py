@@ -159,8 +159,11 @@ def test_media_parsers_fail_only_with_valueerror(data):
         parse_wav,
     )
 
+    from pgvectorscale_spark.operators.h264 import parse_h264_picture
+
     for fn in (parse_ppm, parse_wav, parse_png, parse_jpeg,
-               parse_mp3_meta, parse_mp4_meta, parse_h264_meta):
+               parse_mp3_meta, parse_mp4_meta, parse_h264_meta,
+               parse_h264_picture):
         try:
             fn(data)
         except (ValueError, NotImplementedError):
@@ -183,6 +186,8 @@ def test_media_parsers_reject_plausible_prefixes_cleanly(tail, which):
         parse_mp4_meta,
     )
 
+    from pgvectorscale_spark.operators.h264 import parse_h264_picture
+
     prefixed = [
         (parse_jpeg, b"\xff\xd8" + tail),
         (parse_mp3_meta, b"\xff\xfb" + tail),
@@ -194,3 +199,10 @@ def test_media_parsers_reject_plausible_prefixes_cleanly(tail, which):
         fn(data)
     except ValueError:
         pass
+    # the pixel decoder sees the same prefixed garbage; its contract adds
+    # NotImplementedError for honestly-gated syntax reached mid-stream
+    if which == 3:
+        try:
+            parse_h264_picture(data)
+        except (ValueError, NotImplementedError):
+            pass
