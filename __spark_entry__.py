@@ -791,13 +791,28 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing any 5-word
     shingle with a benchmark set (here: the doc_id % 97 == 0 subset of the
     same corpus, so the benchmark docs self-flag and any near-dups of them
-    get partial hit counts). Broadcast semijoin — no corpus-sized shuffle."""
-    from pgvectorscale_spark.operators.curation import decontaminate
+    get partial hit counts). Broadcast semijoin — no corpus-sized shuffle.
+    Tagged union: the Bloom-prefiltered scale variant
+    (curation.decontaminate_bloom, exact by construction — the bit-array
+    probe has no false negatives and survivors re-verify in the exact
+    join) must produce the identical result set; one driver row
+    hash-verifies both formulations. num_bits=4096 on purpose: small
+    enough that false positives OCCUR here and exactness is earned by the
+    verify join, not by a lucky empty intersection."""
+    from pgvectorscale_spark.operators.curation import (
+        decontaminate,
+        decontaminate_bloom,
+    )
 
     docs = _docs(spark, sf_dir)
-    return decontaminate(
-        docs, docs.filter("doc_id % 97 = 0"), shingle_n=5
-    ).orderBy("doc_id")
+    bench = docs.filter("doc_id % 97 = 0")
+    plain = decontaminate(docs, bench, shingle_n=5)
+    bloom = decontaminate_bloom(docs, bench, shingle_n=5, num_bits=4096)
+    return (
+        plain.select(F.lit("plain").alias("form"), "*")
+        .unionByName(bloom.select(F.lit("bloom").alias("form"), "*"))
+        .orderBy("form", "doc_id")
+    )
 
 
 def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,7 +1198,13 @@ def oracle_sql() -> dict[str, str]:
                 oracles.h264_decode_oracle(),
             ]
         ),
-        "decontaminate": oracles.decontaminate_oracle(5, "doc_id % 97 = 0"),
+        "decontaminate": oracles.tagged_union_oracle(
+            "form",
+            [
+                ("'plain'", oracles.decontaminate_oracle(5, "doc_id % 97 = 0")),
+                ("'bloom'", oracles.decontaminate_oracle(5, "doc_id % 97 = 0")),
+            ],
+        ),
         "repetition_stats": oracles.repetition_stats_oracle(),
         "pricing_summary": relational.pricing_summary_sql(),
         "top_customers": relational.top_customers_sql(10),

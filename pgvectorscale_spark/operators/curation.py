@@ -11,6 +11,9 @@ Two standard large-scale training-data pipeline stages:
   exploded corpus shingles — map-side, no corpus-sized shuffle; only the
   matching rows (rare) shuffle into the per-doc hit count, and the final
   left join back to ids is by the corpus' own id column.
+  ``decontaminate_bloom`` computes the same EXACT result behind a packed
+  Bloom bit-array prefilter, for benchmark sets whose string form
+  outgrows a broadcast set but whose bits do not.
 - **Repetition stats** (``repetition_stats``): per-document repetition
   signals in the Gopher/RefinedWeb family — duplicate n-gram fractions
   and the most-frequent-token share. Duplicate-n-gram fractions are pure
@@ -30,7 +33,7 @@ from pyspark.sql import functions as F
 
 from pgvectorscale_spark.functions.hashing import SPARK, tokens, word_shingles
 
-__all__ = ["decontaminate", "repetition_stats"]
+__all__ = ["decontaminate", "decontaminate_bloom", "repetition_stats"]
 
 
 def decontaminate(
@@ -59,6 +62,89 @@ def decontaminate(
     )
     hits = (
         corpus_sh.join(F.broadcast(bench_sh), "_sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """EXACT ``decontaminate`` with a Bloom-filter prefilter — the scale
+    path when the benchmark's distinct-shingle SET outgrows a comfortable
+    broadcast hash join but its BIT ARRAY does not (a 2^30-bit filter is
+    128 MB regardless of shingle count; the string set at that scale is
+    GBs). Results are bit-identical to ``decontaminate``: the Bloom probe
+    only discards corpus shingles that PROVABLY miss the benchmark (no
+    false negatives), and every surviving shingle still goes through the
+    exact join, so false positives cost work, never correctness.
+
+    Shape, all JVM-side: (1) benchmark shingles → ``num_hashes`` positions
+    via seeded xxhash64 → per-word bit_or → ONE row holding the packed
+    array<long> (num_bits/64 elements); (2) the corpus' exploded shingles
+    crossJoin-broadcast that single row and keep only shingles whose k
+    bits are all set — a map-side filter, no corpus shuffle; (3) survivors
+    (rare: true hits + the controlled false-positive trickle) run the same
+    join + per-doc count as ``decontaminate``. At 100 TB the prefilter
+    shrinks the shuffle-or-probe volume from every-corpus-shingle to
+    ~hits; ``num_bits`` sizes the false-positive rate
+    ((1 - e^(-k·n/m))^k — 2^30 bits / 3 hashes holds ~100M benchmark
+    shingles at <2% FP)."""
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    n_words = num_bits // 64
+    sh = word_shingles(tokens(f"`{text_col}`", SPARK), shingle_n, SPARK)
+    bench_sh = (
+        benchmark.select(F.explode(F.expr(f"array_distinct({sh})")).alias("_sh"))
+        .distinct()
+    )
+    # seeded hash family: appending a distinct literal to xxhash64's input
+    # yields independent positions per seed
+    def pos(i: int, col: str = "_sh") -> str:
+        return f"pmod(xxhash64({col}, {i}), {num_bits})"
+
+    positions = bench_sh.selectExpr(
+        f"explode(array({', '.join(pos(i) for i in range(num_hashes))})) as p"
+    )
+    word_bits = positions.selectExpr(
+        "cast(p div 64 as int) as w", "shiftleft(1L, cast(p % 64 as int)) as b"
+    ).groupBy("w").agg(F.expr("bit_or(b)").alias("b"))
+    bloom = word_bits.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "b"))).alias("m")
+    ).selectExpr(
+        f"transform(sequence(0, {n_words - 1}), "
+        "i -> coalesce(element_at(m, i), 0L)) as _bloom"
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(F.expr(f"array_distinct({sh})")).alias("_sh")
+    )
+    probe = " AND ".join(
+        f"(element_at(_bloom, cast({pos(i)} div 64 as int) + 1) "
+        f"& shiftleft(1L, cast({pos(i)} % 64 as int))) != 0"
+        for i in range(num_hashes)
+    )
+    survivors = (
+        corpus_sh.join(F.broadcast(bloom))  # 1-row broadcast, map-side probe
+        .where(F.expr(probe))
+        .drop("_bloom")
+    )
+    hits = (
+        survivors.join(F.broadcast(bench_sh), "_sh")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )

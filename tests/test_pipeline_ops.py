@@ -273,6 +273,65 @@ class TestCuration:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin [_sh" not in plan
 
+    def test_decontaminate_bloom_matches_plain(self, spark, documents):
+        """The Bloom-prefiltered variant is bit-identical to the exact
+        broadcast form on the real documents table."""
+        from pgvectorscale_spark.operators.curation import (
+            decontaminate,
+            decontaminate_bloom,
+        )
+
+        docs = documents.limit(120)
+        bench = docs.filter("doc_id % 7 = 0")
+        plain = {(r["doc_id"], r["n_hits"], r["contaminated"])
+                 for r in decontaminate(docs, bench, shingle_n=5).collect()}
+        bloom = {(r["doc_id"], r["n_hits"], r["contaminated"])
+                 for r in decontaminate_bloom(docs, bench, shingle_n=5).collect()}
+        assert plain == bloom and any(h > 0 for _, h, _ in plain)
+
+    def test_decontaminate_bloom_exact_under_false_positives(self, spark):
+        """A deliberately tiny filter (64 bits, 3 hashes, dozens of
+        benchmark shingles) saturates with false positives — the verify
+        join must still produce the exact result."""
+        from pyspark.sql import functions as F
+
+        from pgvectorscale_spark.operators.curation import (
+            decontaminate,
+            decontaminate_bloom,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(8))) for i in range(60)],
+            "doc_id long, text string",
+        )
+        bench = corpus.filter("doc_id % 9 = 0").select(
+            "doc_id", F.col("text").alias("text")
+        )
+        plain = {(r["doc_id"], r["n_hits"]) for r in
+                 decontaminate(corpus, bench, shingle_n=5).collect()}
+        tiny = {(r["doc_id"], r["n_hits"]) for r in
+                decontaminate_bloom(corpus, bench, shingle_n=5, num_bits=64).collect()}
+        assert plain == tiny
+
+    def test_decontaminate_bloom_plan_and_validation(self, spark):
+        """The corpus side reaches the Bloom probe map-side: the only
+        joins before the hit-count aggregation are broadcasts (the 1-row
+        bit array and the verify set) — no corpus-shingle shuffle join."""
+        import pytest as _pytest
+
+        from pgvectorscale_spark.operators.curation import decontaminate_bloom
+
+        corpus = spark.createDataFrame(
+            [(i, f"a{i} b{i} c{i} d{i} e{i} f{i}") for i in range(40)],
+            "doc_id long, text string",
+        )
+        bench = corpus.limit(4)
+        plan = decontaminate_bloom(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin [_sh" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row bit-array attach
+        with _pytest.raises(ValueError, match="multiple of 64"):
+            decontaminate_bloom(corpus, bench, num_bits=100)
+
     def test_repetition_stats_known_values(self, spark):
         from pgvectorscale_spark.operators.curation import repetition_stats
 
