@@ -539,13 +539,26 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test assignment by salted id hash —
     stable across runs, row order, and engines (DuckDB replays the same
-    md5-h60 bucket)."""
+    md5-h60 bucket). Tagged union: the exact-size stratified sampler
+    (curation.stratified_sample — two-phase salted per-stratum top-n, the
+    balanced-subsampling step of a data mix) rides the same key with its
+    kept rows tagged by source stratum; the oracle replays the hash-order
+    window, so the salted two-phase form must match it row-for-row."""
+    from pgvectorscale_spark.operators.curation import stratified_sample
     from pgvectorscale_spark.operators.packing import hash_split
 
     docs = _docs(spark, sf_dir)
-    return hash_split(
+    split = hash_split(
         docs, {"train": 0.98, "valid": 0.01, "test": 0.01}, id_col="doc_id"
     ).select("doc_id", "split")
+    strat = stratified_sample(docs, "source", 25, id_col="doc_id").select(
+        "doc_id", F.col("source").alias("split")
+    )
+    return (
+        split.select(F.lit("split").alias("form"), "*")
+        .unionByName(strat.select(F.lit("stratified").alias("form"), "*"))
+        .orderBy("form", "doc_id")
+    )
 
 
 def _sql_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,7 +1239,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tokenize_bpe": oracles.tokenize_bpe_oracle(),
         "pack_sequences": oracles.pack_sequences_oracle(2048),
-        "hash_split": oracles.hash_split_oracle(
-            {"train": 0.98, "valid": 0.01, "test": 0.01}
+        "hash_split": oracles.tagged_union_oracle(
+            "form",
+            [
+                (
+                    "'split'",
+                    oracles.hash_split_oracle(
+                        {"train": 0.98, "valid": 0.01, "test": 0.01}
+                    ),
+                ),
+                ("'stratified'", oracles.stratified_sample_oracle("source", 25)),
+            ],
         ),
     }

@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 
 from pgvectorscale_spark.functions.hashing import SPARK, tokens, word_shingles
 
-__all__ = ["decontaminate", "decontaminate_bloom", "repetition_stats"]
+__all__ = [
+    "decontaminate",
+    "decontaminate_bloom",
+    "repetition_stats",
+    "stratified_sample",
+]
 
 
 def decontaminate(
@@ -156,6 +161,56 @@ def decontaminate_bloom(
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic EXACT-size stratified sampling: keep exactly
+    ``n_per_stratum`` rows per ``strata_col`` value (fewer iff the stratum
+    is smaller), selected by md5-hash order — the balanced-subsampling
+    step of a training-data mix (per-language / per-source caps).
+    Unlike ``DataFrame.sampleBy`` the counts are exact and the selection
+    is a pure function of (salt, id): stable across runs, partitionings
+    and engines.
+
+    Scale shape: a naive per-stratum window shuffles the WHOLE corpus
+    into one task per stratum — hopeless when strata are few (languages)
+    and data is 100 TB. Two-phase instead (same argument as
+    relational.top_orders_per_customer_salted): phase 1 ranks within
+    (stratum, salt-bucket) and keeps n per salted group, phase 2 ranks at
+    most ``salt_buckets * n`` survivors per stratum. The global hash-order
+    top n per stratum survives phase 1 by the superset argument, so the
+    output is identical to the naive form for every input."""
+    from pyspark.sql import Window
+
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
+    salt_lit = str(salt).replace("\\", "\\\\").replace("'", "''")
+    keyed = df.withColumn(
+        "_key", F.expr(f"md5(concat('{salt_lit}:', cast(`{id_col}` as string)))")
+    ).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt_buckets))).cast("int")
+    )
+    w1 = Window.partitionBy(strata_col, "_salt").orderBy(
+        F.col("_key").asc(), F.col(id_col).asc()
+    )
+    survivors = keyed.withColumn("_rn1", F.row_number().over(w1)).filter(
+        F.col("_rn1") <= n_per_stratum
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(
+        F.col("_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .drop("_key", "_salt", "_rn1")
     )
 
 

@@ -1157,6 +1157,27 @@ FROM c ORDER BY doc_id
 """
 
 
+def stratified_sample_oracle(
+    strata_col: str, n_per_stratum: int, salt: str = "sample"
+) -> str:
+    """Twin of curation.stratified_sample projected to (doc_id, split):
+    exact n-per-stratum by md5-hash order, replayed as a plain window —
+    the salted two-phase Spark form must produce the identical row set."""
+
+    def q(s: str) -> str:
+        return str(s).replace("'", "''")
+
+    key = f"md5(concat('{q(salt)}:', cast(doc_id AS VARCHAR)))"
+    return f"""
+SELECT doc_id, {strata_col} AS split FROM (
+  SELECT doc_id, {strata_col},
+         row_number() OVER (PARTITION BY {strata_col} ORDER BY {key}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {int(n_per_stratum)}
+ORDER BY doc_id
+"""
+
+
 def hash_split_oracle(
     weights: dict[str, float], salt: str = "split", resolution: int = 1_000_000
 ) -> str:

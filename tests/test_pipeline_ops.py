@@ -332,6 +332,56 @@ class TestCuration:
         with _pytest.raises(ValueError, match="multiple of 64"):
             decontaminate_bloom(corpus, bench, num_bits=100)
 
+    def test_stratified_sample_exact_counts_and_determinism(self, spark, documents):
+        from pgvectorscale_spark.operators.curation import stratified_sample
+
+        out = stratified_sample(documents, "source", 10).collect()
+        by_stratum = {}
+        for r in out:
+            by_stratum.setdefault(r["source"], []).append(r["doc_id"])
+        sizes = {r["source"]: c for r, c in
+                 ((row, row["cnt"]) for row in
+                  documents.groupBy("source").count().withColumnRenamed("count", "cnt").collect())}
+        for s, ids in by_stratum.items():
+            assert len(ids) == min(10, sizes[s])
+        # determinism: same rows under a different partitioning
+        again = stratified_sample(documents.repartition(7), "source", 10).collect()
+        assert {(r["source"], r["doc_id"]) for r in out} == {
+            (r["source"], r["doc_id"]) for r in again
+        }
+
+    def test_stratified_sample_matches_naive_window(self, spark, documents):
+        """The salted two-phase form equals the naive single-window form
+        (the superset argument) — including ranks."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from pgvectorscale_spark.operators.curation import stratified_sample
+
+        got = {(r["source"], r["doc_id"], r["sample_rank"])
+               for r in stratified_sample(documents, "source", 7, salt_buckets=5).collect()}
+        keyed = documents.withColumn(
+            "_key", F.expr("md5(concat('sample:', cast(doc_id as string)))")
+        )
+        w = Window.partitionBy("source").orderBy(F.col("_key"), F.col("doc_id"))
+        naive = {(r["source"], r["doc_id"], r["rn"]) for r in
+                 keyed.withColumn("rn", F.row_number().over(w).cast("long"))
+                 .filter("rn <= 7").collect()}
+        assert got == naive
+
+    def test_stratified_sample_small_stratum_and_validation(self, spark):
+        import pytest as _pytest
+
+        from pgvectorscale_spark.operators.curation import stratified_sample
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+        )
+        out = stratified_sample(df, "source", 5).collect()
+        assert len(out) == 3  # strata smaller than n keep everything
+        with _pytest.raises(ValueError, match="positive"):
+            stratified_sample(df, "source", 0)
+
     def test_repetition_stats_known_values(self, spark):
         from pgvectorscale_spark.operators.curation import repetition_stats
 
