@@ -948,7 +948,7 @@ def _multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pic = decode_h264_picture(attach_h264_payload(_docs(spark, sf_dir)))
     metrics = [
-        "width", "height", "n_mbs", "n_nal_units",
+        "width", "height", "n_mbs", "n_pictures", "n_nal_units",
         "mean_y", "mean_cb", "mean_cr", "y00", "y_last",
     ]
     stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)

@@ -647,9 +647,23 @@ def _read_cbp_intra(br: _BitReader) -> int:
 
 def parse_h264_picture(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray, np.ndarray, int]:
     """Decode the FIRST coded picture of an Annex-B H.264 stream to pixel
-    planes: returns (width, height, Y, Cb, Cr, n_nal_units).  Supports the
-    closed-form I-frame subclass (module docstring); anything beyond it
-    raises NotImplementedError naming the gate, malformed streams raise
+    planes: returns (width, height, Y, Cb, Cr, n_nal_units).  Thin wrapper
+    over :func:`parse_h264_stream`."""
+    w, h, pictures, n_nals = parse_h264_stream(data)
+    Y, Cb, Cr = pictures[0]
+    return w, h, Y, Cb, Cr, n_nals
+
+
+def parse_h264_stream(
+    data: bytes,
+) -> tuple[int, int, list[tuple[np.ndarray, np.ndarray, np.ndarray]], int]:
+    """Decode EVERY coded picture of an all-intra Annex-B H.264 stream:
+    returns (width, height, [(Y, Cb, Cr), ...], n_nal_units).  A new
+    picture starts at each slice with first_mb_in_slice == 0 once the
+    previous picture is fully covered (all-intra streams need no POC
+    reordering — decode order is output order).  Supports the closed-form
+    I-frame subclass (module docstring); anything beyond it raises
+    NotImplementedError naming the gate, malformed streams raise
     ValueError."""
     if not isinstance(data, (bytes, bytearray)):
         data = bytes(data)
@@ -675,13 +689,14 @@ def parse_h264_picture(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray, n
     if not slice_nals:
         raise ValueError("no coded slice NAL units in stream")
 
-    first = True
     W = H = 0
     mbs: dict[tuple[int, int], _MbState] = {}
     Y = Cb = Cr = None
     sps = None
+    crop = (0, 0, 0, 0)
     n_decoded = 0
     pic_size = 0
+    pictures: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for sl, nal in enumerate(slice_nals):
         idr = (nal[0] & 0x1F) == 5
         br = _BitReader(strip_emulation(nal))
@@ -698,20 +713,33 @@ def parse_h264_picture(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray, n
         sps = sps_by_id.get(pps["sps_id"])
         if sps is None:
             raise ValueError("PPS references unknown SPS")
-        if first:
+        if W == 0:
             W = sps["pic_width_in_mbs"]
             H = sps["pic_height_in_map_units"]
             pic_size = W * H
+            crop = sps["crop"]
             # level 5.2 caps MaxFS at 36,864 MBs; anything far beyond that
             # is a malformed SPS — refuse before allocating planes
             if pic_size > (1 << 20):
                 raise ValueError(f"implausible picture size {W}x{H} MBs")
+        elif (sps["pic_width_in_mbs"], sps["pic_height_in_map_units"]) != (W, H):
+            raise ValueError("mid-stream picture-dimension change")
+        if first_mb == 0:
+            # a fresh picture start; the previous one must be complete
+            if Y is not None:
+                if n_decoded < pic_size:
+                    raise ValueError(
+                        f"picture not fully covered: {n_decoded}/{pic_size} "
+                        "macroblocks before next picture"
+                    )
+                pictures.append(_crop_planes(Y, Cb, Cr, W, H, crop))
             Y = np.zeros((H * 16, W * 16), dtype=np.int32)
-            Cb = np.full((H * 8, W * 8), 0, dtype=np.int32)
-            Cr = np.full((H * 8, W * 8), 0, dtype=np.int32)
-            first = False
-        if n_decoded >= pic_size:
-            break  # later pictures: first-picture decode only
+            Cb = np.zeros((H * 8, W * 8), dtype=np.int32)
+            Cr = np.zeros((H * 8, W * 8), dtype=np.int32)
+            mbs = {}
+            n_decoded = 0
+        elif Y is None:
+            raise ValueError("first slice does not start at macroblock 0")
         br.u(sps["log2_max_frame_num"])  # frame_num
         if idr:
             br.ue()  # idr_pic_id
@@ -865,16 +893,27 @@ def parse_h264_picture(data: bytes) -> tuple[int, int, np.ndarray, np.ndarray, n
         raise ValueError(
             f"picture not fully covered: {n_decoded}/{pic_size} macroblocks"
         )
-
-    # frame cropping (SPS): 4:2:0 crop units — x2 luma horizontally, x2
-    # vertically for frame_mbs_only streams (the only kind decoded here)
-    cl, cr_, ct, cb_ = sps["crop"]
+    pictures.append(_crop_planes(Y, Cb, Cr, W, H, crop))
+    cl, cr_, ct, cb_ = crop
     w = W * 16 - 2 * (cl + cr_)
     h = H * 16 - 2 * (ct + cb_)
-    Yc = Y[2 * ct : 2 * ct + h, 2 * cl : 2 * cl + w]
-    Cbc = Cb[ct : ct + h // 2, cl : cl + w // 2]
-    Crc = Cr[ct : ct + h // 2, cl : cl + w // 2]
-    return w, h, Yc.astype(np.uint8), Cbc.astype(np.uint8), Crc.astype(np.uint8), len(nals)
+    return w, h, pictures, len(nals)
+
+
+def _crop_planes(
+    Y: np.ndarray, Cb: np.ndarray, Cr: np.ndarray, W: int, H: int, crop
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Apply SPS frame cropping: 4:2:0 crop units — x2 luma horizontally,
+    x2 vertically for frame_mbs_only streams (the only kind decoded
+    here)."""
+    cl, cr_, ct, cb_ = crop
+    w = W * 16 - 2 * (cl + cr_)
+    h = H * 16 - 2 * (ct + cb_)
+    return (
+        Y[2 * ct : 2 * ct + h, 2 * cl : 2 * cl + w].astype(np.uint8),
+        Cb[ct : ct + h // 2, cl : cl + w // 2].astype(np.uint8),
+        Cr[ct : ct + h // 2, cl : cl + w // 2].astype(np.uint8),
+    )
 
 
 def _pred_mode4(
@@ -940,22 +979,27 @@ def _avail4(
 def decode_h264_picture(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Arrow-batched H.264 I-frame pixel decode over ``parse_h264_picture``:
-    returns (id, width, height, n_mbs, n_nal_units, mean_y, mean_cb,
-    mean_cr, y00, y_last).  Scale shape: mapInPandas, one payload per row,
-    no shuffle — the same contract as every other decoder in this package."""
+    """Arrow-batched H.264 all-intra pixel decode over
+    ``parse_h264_stream``: returns (id, width, height, n_mbs, n_pictures,
+    n_nal_units, mean_y, mean_cb, mean_cr, y00, y_last) — pixel features
+    of the FIRST picture plus the stream's decoded picture count.  Scale
+    shape: mapInPandas, one payload per row, no shuffle — the same
+    contract as every other decoder in this package."""
 
     def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
-                "width": [], "height": [], "n_mbs": [], "n_nal_units": [],
-                "mean_y": [], "mean_cb": [], "mean_cr": [], "y00": [], "y_last": [],
+                "width": [], "height": [], "n_mbs": [], "n_pictures": [],
+                "n_nal_units": [], "mean_y": [], "mean_cb": [], "mean_cr": [],
+                "y00": [], "y_last": [],
             }
             for payload in pdf[payload_col]:
-                w, h, Y, Cb, Cr, n_nals = parse_h264_picture(bytes(payload))
+                w, h, pictures, n_nals = parse_h264_stream(bytes(payload))
+                Y, Cb, Cr = pictures[0]
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_mbs"].append((w // 16) * (h // 16))
+                out["n_pictures"].append(len(pictures))
                 out["n_nal_units"].append(n_nals)
                 out["mean_y"].append(float(Y.mean()))
                 out["mean_cb"].append(float(Cb.mean()))
@@ -968,8 +1012,8 @@ def decode_h264_picture(
         decode,
         schema=(
             f"{id_col} long, width long, height long, n_mbs long, "
-            "n_nal_units long, mean_y double, mean_cb double, "
-            "mean_cr double, y00 long, y_last long"
+            "n_pictures long, n_nal_units long, mean_y double, "
+            "mean_cb double, mean_cr double, y00 long, y_last long"
         ),
     )
 
@@ -1093,13 +1137,32 @@ def _synth_fixed_parts() -> tuple[str, str]:
     t.u(1, 1)  # rbsp_stop_one_bit
     t.align_zero()
     post_pcm = t.raw_bytes()
+    # ---- picture 2 (fixed): both MBs I_16x16 DC with no usable neighbors
+    # in row 0 / only-i16 above in row 1 -> flat 128 planes; exercises the
+    # multi-picture walk and the nC=0 zero coeff_token on both MBs
+    p2 = _BitWriter()
+    p2.ue(0)  # first_mb_in_slice
+    p2.ue(7)  # slice_type I
+    p2.ue(0)  # pps_id
+    p2.u(0, 4)  # frame_num (IDR resets)
+    p2.ue(1)  # idr_pic_id (differs from picture 1)
+    p2.u(0, 4)  # pic_order_cnt_lsb
+    p2.u(0, 1).u(0, 1)  # no_output_of_prior_pics, long_term_reference
+    p2.se(0)  # slice_qp_delta
+    p2.ue(1)  # disable_deblocking_filter_idc
+    for _ in range(2):  # MB0 then MB1
+        p2.ue(3)  # mb_type I_16x16, pred DC, cbp (0,0)
+        p2.ue(0)  # intra_chroma_pred_mode DC
+        p2.se(0)  # mb_qp_delta
+        p2.u(1, 1)  # coeff_token '1' (nC=0, TotalCoeff 0)
+    pic2 = _rbsp_nal(0x65, p2)
     # the PCM bytes end with values >= 8 so no zero-run crosses the seam;
     # escape the fixed segments independently
     prefix = (
         b"\x00\x00\x00\x01" + sps + b"\x00\x00\x01" + pps
         + b"\x00\x00\x01\x65" + _ep_escape(pre_pcm)
     )
-    suffix = _ep_escape(post_pcm)
+    suffix = _ep_escape(post_pcm) + b"\x00\x00\x01" + pic2
     # seam safety for the PCM hole: the luma bytes are all >= 0x08, so an
     # emulation-prevention pattern (00 00 00..03) can only cross the seam if
     # the prefix ends with TWO zero bytes (a single trailing alignment zero
@@ -1108,25 +1171,28 @@ def _synth_fixed_parts() -> tuple[str, str]:
     return prefix.hex(), suffix.hex()
 
 
-#: synthesized-picture geometry (decode_h264_picture metric contract)
+#: synthesized-stream geometry (decode_h264_picture metric contract)
 H264_SYNTH_WIDTH = 16
 H264_SYNTH_HEIGHT = 32
-H264_SYNTH_N_NALS = 3
+H264_SYNTH_N_NALS = 4  # SPS + PPS + two IDR pictures
+H264_SYNTH_N_PICTURES = 2
 
 
 def attach_h264_payload(
     df: DataFrame, source_col: str = "text", payload_col: str = "payload"
 ) -> DataFrame:
     """Deterministic REAL H.264 Annex-B stream per row, built JVM-side:
-    SPS + PPS + one 16x32 IDR picture whose top macroblock is I_PCM with
-    digest-derived luma (rows alternate the two digest halves, each nibble
-    mapped to 16*nib+8 — never an emulation-prevention pattern) and whose
-    bottom macroblock is I_16x16 VERTICAL prediction with chroma DC and a
-    parsed all-zero residual (the nC=16 FLC coeff_token path).  Every
-    byte is a conformant stream any H.264 decoder reproduces bit-exactly,
-    and the closed-form oracle (oracles.h264_decode_oracle) recomputes the
-    decoded means from the digest hex — a syntax, alignment, prediction,
-    or reconstruction bug on either side breaks the hash."""
+    SPS + PPS + TWO 16x32 IDR pictures.  Picture 1's top macroblock is
+    I_PCM with digest-derived luma (rows alternate the two digest halves,
+    each nibble mapped to 16*nib+8 — never an emulation-prevention
+    pattern) and its bottom macroblock is I_16x16 VERTICAL prediction with
+    chroma DC and a parsed all-zero residual (the nC=16 FLC coeff_token
+    path); picture 2 is all-DC flat 128 (the nC=0 token path + the
+    multi-picture walk).  Every byte is a conformant stream any H.264
+    decoder reproduces bit-exactly, and the closed-form oracle
+    (oracles.h264_decode_oracle) recomputes the decoded means from the
+    digest hex — a syntax, alignment, prediction, or reconstruction bug
+    on either side breaks the hash."""
     prefix_hex, suffix_hex = _synth_fixed_parts()
     nib = lambda k: f"cast(conv(substring(md5(`{source_col}`), {k}, 1), 16, 10) as int)"
     vals = ", ".join(f"'{16 * v + 8:02x}'" for v in range(16))

@@ -1103,11 +1103,12 @@ SELECT * FROM ({finals}) ORDER BY doc_id, media, metric
 def h264_decode_oracle() -> str:
     """Twin of the H.264 I-frame PIXEL-decode pipeline
     (h264.attach_h264_payload → parse_h264_picture → decode_h264_picture):
-    the synthesized stream is a genuine 16x32 IDR picture whose top
-    macroblock is I_PCM carrying the digest nibbles as luma bytes
-    (16*nib + 8, even rows = digest half A, odd rows = half B) and whose
-    bottom macroblock is I_16x16 VERTICAL prediction (copies MB0's bottom
-    row — half B) with chroma DC over the 0x80 PCM chroma. Every decoded
+    the synthesized stream carries two genuine 16x32 IDR pictures; the
+    first one's top macroblock is I_PCM carrying the digest nibbles as
+    luma bytes (16*nib + 8, even rows = digest half A, odd rows = half B)
+    and its bottom macroblock is I_16x16 VERTICAL prediction (copies MB0's
+    bottom row — half B) with chroma DC over the 0x80 PCM chroma; the
+    second is all-DC (multi-picture walk, fixed content). Every decoded
     metric therefore has a closed form over the digest hex, exact in
     double arithmetic (the only division is by 512). A NAL-walk,
     Exp-Golomb, PCM-alignment, coeff_token, prediction or reconstruction
@@ -1130,7 +1131,8 @@ def h264_decode_oracle() -> str:
         "SELECT doc_id, 'h264' AS media, 'width' AS metric, CAST(16 AS DOUBLE) AS value FROM m",
         "SELECT doc_id, 'h264' AS media, 'height' AS metric, CAST(32 AS DOUBLE) AS value FROM m",
         "SELECT doc_id, 'h264' AS media, 'n_mbs' AS metric, CAST(2 AS DOUBLE) AS value FROM m",
-        "SELECT doc_id, 'h264' AS media, 'n_nal_units' AS metric, CAST(3 AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'h264' AS media, 'n_pictures' AS metric, CAST(2 AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'h264' AS media, 'n_nal_units' AS metric, CAST(4 AS DOUBLE) AS value FROM m",
     ]
     union = " UNION ALL ".join(rows)
     return f"""

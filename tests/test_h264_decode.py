@@ -612,6 +612,46 @@ class TestSlices:
         stream = encode_picture(2, 2, specs, slice_starts=(0, 2))
         _check(stream, 2, 2, specs, slice_starts=(0, 2))
 
+    def test_multi_picture_stream(self):
+        """Two all-intra pictures in one stream decode independently —
+        picture 2 must NOT predict from picture 1's pixels, and
+        parse_h264_picture returns picture 1."""
+        from pgvectorscale_spark.operators.h264 import (
+            parse_h264_picture,
+            parse_h264_stream,
+        )
+
+        specs1 = [("pcm", *_rand_pcm()), ("pcm", *_rand_pcm())]
+        specs2 = [("pcm", *_rand_pcm()), ("i16", 2, 0)]  # DC from pic2's own MB0
+        s1 = encode_picture(1, 2, specs1)
+        s2 = encode_picture(1, 2, specs2)
+        from pgvectorscale_spark.operators.h264 import split_annexb_nals
+
+        nals1, nals2 = split_annexb_nals(s1), split_annexb_nals(s2)
+        stream = annexb(nals1[0], nals1[1], nals1[2], nals2[2])
+        w, h, pics, n = parse_h264_stream(stream)
+        assert (w, h, len(pics), n) == (16, 32, 2, 4)
+        np.testing.assert_array_equal(pics[0][0][:16], specs1[0][1])
+        np.testing.assert_array_equal(pics[1][0][:16], specs2[0][1])
+        # pic2 MB1 is DC-predicted from pic2's MB0 bottom row, not pic1
+        exp_dc = (int(specs2[0][1][15].astype(int).sum()) + 8) >> 4
+        assert (pics[1][0][16:] == exp_dc).all()
+        first = parse_h264_picture(stream)
+        np.testing.assert_array_equal(first[2], pics[0][0])
+
+    def test_incomplete_picture_before_next_raises(self):
+        from pgvectorscale_spark.operators.h264 import (
+            parse_h264_stream,
+            split_annexb_nals,
+        )
+
+        # a 1x2 picture whose slice covers 1 MB, followed by a new picture
+        one_mb = encode_picture(1, 1, [("i16", 2, 0)])
+        nals = split_annexb_nals(one_mb)
+        bad = annexb(make_sps(1, 2), nals[1], nals[2], nals[2])
+        with pytest.raises(ValueError, match="not fully covered"):
+            parse_h264_stream(bad)
+
     def test_non_idr_i_slice(self):
         """nal type 1 I slices (non-IDR) parse the dec_ref_pic_marking
         branch."""
@@ -717,8 +757,13 @@ class TestSynthAndSpark:
             rowA = bytes(16 * n + 8 for n in nibs[:16])
             rowB = bytes(16 * n + 8 for n in nibs[16:])
             payload = bytes.fromhex(prefix_hex) + (rowA + rowB) * 8 + bytes.fromhex(suffix_hex)
-            w, h, Y, Cb, Cr, n = parse_h264_picture(payload)
-            assert (w, h, n) == (16, 32, 3)
+            from pgvectorscale_spark.operators.h264 import parse_h264_stream
+
+            w, h, pics, n = parse_h264_stream(payload)
+            assert (w, h, n, len(pics)) == (16, 32, 4, 2)
+            Y, Cb, Cr = pics[0]
+            Y2, Cb2, Cr2 = pics[1]
+            assert (Y2 == 128).all() and (Cb2 == 128).all() and (Cr2 == 128).all()
             sA, sB = sum(nibs[:16]), sum(nibs[16:])
             assert Y[0, 0] == 16 * nibs[0] + 8
             assert Y[-1, -1] == 16 * nibs[31] + 8
@@ -740,7 +785,9 @@ class TestSynthAndSpark:
             nibs = [int(c, 16) for c in hashlib.md5(f"document {i}".encode()).hexdigest()]
             sA, sB = sum(nibs[:16]), sum(nibs[16:])
             r = rows[i]
-            assert (r["width"], r["height"], r["n_mbs"], r["n_nal_units"]) == (16, 32, 2, 3)
+            assert (
+                r["width"], r["height"], r["n_mbs"], r["n_pictures"], r["n_nal_units"]
+            ) == (16, 32, 2, 2, 4)
             assert r["y00"] == 16 * nibs[0] + 8 and r["y_last"] == 16 * nibs[31] + 8
             assert abs(r["mean_y"] - (128 * sA + 384 * sB + 4096) / 512) < 1e-9
             assert r["mean_cb"] == 128.0 and r["mean_cr"] == 128.0
