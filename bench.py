@@ -295,7 +295,6 @@ def main() -> None:
     t0 = time.time()
     clusters8 = dedup.dedup_clusters(docs8).filter("is_canonical").count()
     clusters8_sec = round(time.time() - t0, 3)
-    docs8.unpersist()
     dedup_scale = {
         "docs_1x": int(n_docs),
         "docs_8x": int(n_docs8),
@@ -306,6 +305,30 @@ def main() -> None:
         "clusters_8x_sec": clusters8_sec,
         "canonical_1x": int(clusters1),
         "canonical_8x": int(clusters8),
+    }
+
+    # ---- Media decode scale point (outside the headline total): the H.264
+    # pixel-decode path (JVM-side stream synthesis -> Arrow-batched
+    # mapInPandas NAL/slice/MB decode) at 1x and 8x documents. Embarrassingly
+    # parallel per row — the ratio should track rows, not blow up.
+    from pgvectorscale_spark.operators.h264 import (
+        attach_h264_payload,
+        decode_h264_picture,
+    )
+
+    t0 = time.time()
+    n_dec1 = decode_h264_picture(attach_h264_payload(docs)).count()
+    h264_1_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_dec8 = decode_h264_picture(attach_h264_payload(docs8)).count()
+    h264_8_sec = round(time.time() - t0, 3)
+    assert (n_dec1, n_dec8) == (n_docs, n_docs8)
+    docs8.unpersist()
+    media_scale = {
+        "h264_1x_sec": h264_1_sec,
+        "h264_8x_sec": h264_8_sec,
+        "h264_docs_per_sec_8x": round(n_dec8 / h264_8_sec, 1),
+        "h264_8x_ratio": round(h264_8_sec / max(h264_1_sec, 1e-9), 2),
     }
 
     encoded.unpersist()
@@ -320,6 +343,7 @@ def main() -> None:
                 "queries": timings,
                 "ann_scale": ann_scale,
                 "dedup_scale": dedup_scale,
+                "media_scale": media_scale,
                 "sf": float(sf),
             }
         )
