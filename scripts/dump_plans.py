@@ -157,6 +157,39 @@ def main() -> None:
         )
     )
 
+    # round-9 second-session additions: Bloom-prefiltered decontamination
+    # and exact-size stratified sampling
+    from pgvectorscale_spark.operators.curation import (
+        decontaminate_bloom,
+        stratified_sample,
+    )
+
+    sections.append(
+        (
+            "decontaminate_bloom (bit-array prefilter, exact verify)",
+            "The corpus side meets only broadcasts before the hit-count "
+            "aggregation: a 1-row `BroadcastNestedLoopJoin` attaches the "
+            "packed bit array (bit_or-aggregated from the benchmark "
+            "shingles), the probe is a map-side filter over element_at + "
+            "bit masks, and survivors verify through a "
+            "`BroadcastHashJoin`. No corpus-shingle shuffle join anywhere; "
+            "at 100 TB the bit array stays 2^30 bits regardless of "
+            "benchmark string volume.",
+            decontaminate_bloom(docs, docs.filter("doc_id % 97 = 0"), shingle_n=5),
+        )
+    )
+    sections.append(
+        (
+            "stratified_sample (salted two-phase per-stratum top-n)",
+            "Phase-1 exchange hashes (stratum, _salt) so few-strata corpora "
+            "do not funnel into one task per stratum; phase 2's per-stratum "
+            "window ranks at most salt_buckets x n survivors. Selection is "
+            "a pure function of (salt, id) — deterministic across runs and "
+            "engines (DuckDB oracle replays the naive window).",
+            stratified_sample(docs, "source", 25),
+        )
+    )
+
     # shard-restricted merge view (round 7): build a tiny index with an
     # open delta chain so the plan shows base + delta scans, every one
     # carrying a shard PartitionFilter
