@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "parse_h264_picture",
+    "parse_h264_stream",
     "decode_h264_picture",
     "attach_h264_payload",
 ]
