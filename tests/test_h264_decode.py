@@ -745,6 +745,92 @@ class TestGates:
             parse_h264_picture(bad)
 
 
+class TestGenerative:
+    def test_random_mb_grids_match_reference(self):
+        """Hypothesis-style generative sweep (fixed rng for determinism):
+        random W x H grids mixing I_PCM / I_16x16 / I_4x4 with
+        availability-valid modes, one and two slices — encode with the
+        independent test encoder, decode, compare to the per-pixel
+        reference."""
+        g = np.random.default_rng(0xC0DEC)
+        for trial in range(12):
+            w_mbs = int(g.integers(1, 4))
+            h_mbs = int(g.integers(1, 4))
+            specs = []
+            for addr in range(w_mbs * h_mbs):
+                mbx, mby = addr % w_mbs, addr // w_mbs
+                kind = int(g.integers(0, 3))
+                if kind == 0:
+                    specs.append((
+                        "pcm",
+                        g.integers(0, 256, (16, 16)).astype(np.uint8),
+                        g.integers(0, 256, (8, 8)).astype(np.uint8),
+                        g.integers(0, 256, (8, 8)).astype(np.uint8),
+                    ))
+                    continue
+                # availability-safe mode pools (single slice, raster order)
+                has_l, has_t = mbx > 0, mby > 0
+                has_tl = has_l and has_t
+                if kind == 1:  # i16
+                    pool = [2]
+                    if has_t:
+                        pool.append(0)
+                    if has_l:
+                        pool.append(1)
+                    if has_tl:
+                        pool.append(3)
+                    cpool = [0]
+                    if has_t:
+                        cpool.append(2)
+                    if has_l:
+                        cpool.append(1)
+                    if has_tl:
+                        cpool.append(3)
+                    specs.append((
+                        "i16",
+                        int(g.choice(pool)),
+                        int(g.choice(cpool)),
+                    ))
+                else:  # i4: per-block pools from block-level availability
+                    modes = []
+                    for blk in range(16):
+                        bx = 2 * ((blk >> 2) & 1) + (blk & 1)
+                        by = 2 * ((blk >> 3) & 1) + ((blk >> 1) & 1)
+                        b_l = has_l or bx > 0
+                        b_t = has_t or by > 0
+                        b_tl = (b_l and b_t) and (has_tl or (bx > 0 and by > 0)
+                                                  or (bx > 0 and has_t)
+                                                  or (by > 0 and has_l))
+                        pool = [2]
+                        if b_t:
+                            pool += [0, 3, 7]
+                        if b_l:
+                            pool += [1, 8]
+                        if b_l and b_t and b_tl:
+                            pool += [4, 5, 6]
+                        modes.append(int(g.choice(pool)))
+                    cpool = [0]
+                    if has_t:
+                        cpool.append(2)
+                    if has_l:
+                        cpool.append(1)
+                    if has_tl:
+                        cpool.append(3)
+                    specs.append(("i4", modes, int(g.choice(cpool))))
+            # sometimes split into two slices at a random MB-row boundary;
+            # slice-2 MBs then lose cross-boundary neighbors, so only keep
+            # the split when every affected MB stays availability-valid
+            slice_starts = (0,)
+            if h_mbs > 1 and g.integers(0, 2) and all(
+                s[0] == "pcm" or (s[0] == "i16" and s[1] == 2 and s[2] == 0)
+                or (s[0] == "i4" and all(m == 2 for m in s[1]) and s[2] == 0)
+                for s in specs
+            ):
+                slice_starts = (0, int(g.integers(1, h_mbs)) * w_mbs)
+            stream = encode_picture(w_mbs, h_mbs, specs, slice_starts=slice_starts)
+            _check(stream, w_mbs, h_mbs, specs, slice_starts=slice_starts)
+
+
 class TestSynthAndSpark:
     def test_synth_closed_form(self):
         """The JVM-synth layout decodes to the digest closed form the
