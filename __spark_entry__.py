@@ -902,12 +902,17 @@ def _multimodal_decode_lossy_audio(spark: SparkSession, sf_dir: str) -> DataFram
     replays the G.711 segment formulas and the full ADPCM recurrence
     independently in SQL (g711_decode_oracle / ima_adpcm_decode_oracle) —
     a companding, clamp, sign, or state-update bug on either side breaks
-    the hash. Long format: (doc_id, media, metric, value)."""
+    the hash. The 'f32' part rides along: IEEE-float32 WAVs (format tag
+    3, nibble-encoded exact floats) decode through parse_wav's
+    round(x*32767) int16 mapping, replayed by f32_wav_decode_oracle.
+    Long format: (doc_id, media, metric, value)."""
     from pgvectorscale_spark.operators.multimodal import (
         attach_g711_payload,
         attach_ima_payload,
         decode_wav_audio,
     )
+
+    from pgvectorscale_spark.operators.multimodal import attach_float_wav_payload
 
     docs = _docs(spark, sf_dir)
     metrics = ["channels", "sample_rate", "n_samples", "mean_amp", "last_amp"]
@@ -917,6 +922,7 @@ def _multimodal_decode_lossy_audio(spark: SparkSession, sf_dir: str) -> DataFram
         ("ulaw", attach_g711_payload(docs, law="ulaw")),
         ("alaw", attach_g711_payload(docs, law="alaw")),
         ("ima", attach_ima_payload(docs)),
+        ("f32", attach_float_wav_payload(docs)),
     ):
         parts.append(
             decode_wav_audio(attached).selectExpr(
@@ -929,6 +935,28 @@ def _multimodal_decode_lossy_audio(spark: SparkSession, sf_dir: str) -> DataFram
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("doc_id", "media", "metric")
+
+
+def _multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode, no media libraries: canonical 24bpp bottom-up
+    BMPs (BITMAPINFOHEADER + digest bytes as padded BGR rows) are
+    synthesized JVM-side, then decoded back — header walk, stride/padding
+    skip, bottom-up flip, BGR→RGB — by multimodal.parse_bmp through the
+    magic-bytes decode_image dispatcher. The oracle recomputes the
+    per-channel means from the digest hex (oracles.bmp_decode_oracle)."""
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_image,
+    )
+
+    img = decode_image(attach_bmp_payload(_docs(spark, sf_dir)))
+    metrics = ["width", "height", "channels", "mean_r", "mean_g", "mean_b"]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+    return img.selectExpr(
+        "doc_id",
+        "'bmp' as media",
+        f"stack({len(metrics)}, {stack}) as (metric, value)",
+    ).orderBy("doc_id", "media", "metric")
 
 
 def _multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,6 +1000,7 @@ def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_multimodal_decode_png(spark, sf_dir))
         .unionByName(_multimodal_decode_mjpeg(spark, sf_dir))
         .unionByName(_multimodal_decode_lossy_audio(spark, sf_dir))
+        .unionByName(_multimodal_decode_bmp(spark, sf_dir))
         .unionByName(_multimodal_decode_h264(spark, sf_dir))
     )
 
@@ -1208,6 +1237,8 @@ def oracle_sql() -> dict[str, str]:
                 oracles.mjpeg_decode_oracle(),
                 oracles.g711_decode_oracle(),
                 oracles.ima_adpcm_decode_oracle(),
+                oracles.f32_wav_decode_oracle(),
+                oracles.bmp_decode_oracle(),
                 oracles.h264_decode_oracle(),
             ]
         ),

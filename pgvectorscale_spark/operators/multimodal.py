@@ -34,11 +34,14 @@ from pgvectorscale_spark.operators.jpeg import decode_jpeg_image, parse_jpeg  # 
 
 __all__ = [
     "attach_binary_payload",
+    "attach_bmp_payload",
+    "attach_float_wav_payload",
     "attach_g711_payload",
     "attach_ima_payload",
     "attach_png_payload",
     "attach_ppm_payload",
     "attach_wav_payload",
+    "parse_bmp",
     "binary_metadata",
     "decode_ima_adpcm",
     "decode_ms_adpcm",
@@ -170,9 +173,19 @@ def parse_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         return channels, rate, decode_ima_adpcm(body, channels, block_align)
     if audio_format == 0x02 and bits == 4:  # Microsoft ADPCM
         return channels, rate, decode_ms_adpcm(body, channels, block_align)
+    if audio_format == 3 and bits == 32:  # IEEE float32
+        n = len(body) // (4 * channels)
+        x = np.frombuffer(body[: n * 4 * channels], dtype="<f4").reshape(n, channels)
+        # NaN -> 0, +/-inf -> full scale (a conformant writer emits
+        # neither; a fuzzer can), then the conventional round-to-nearest
+        # int16 mapping with clip
+        x = np.nan_to_num(x.astype(np.float64), nan=0.0, posinf=1.0, neginf=-1.0)
+        samples = np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int16)
+        return channels, rate, samples
     raise ValueError(
         f"unsupported WAV encoding (format={audio_format}, bits={bits}): "
-        "only PCM16, G.711 ulaw/alaw, and IMA/MS ADPCM decode natively"
+        "only PCM16, float32, G.711 ulaw/alaw, and IMA/MS ADPCM decode "
+        "natively"
     )
 
 
@@ -470,6 +483,55 @@ def parse_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, ch, out.reshape(height, width, ch)
 
 
+def parse_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse an uncompressed Windows BMP (BITMAPINFOHEADER or the V4/V5
+    extensions, BI_RGB, 24/32 bpp): returns (width, height, channels,
+    pixels (h, w, ch) uint8 in RGB/RGBA order).  Handles 4-byte row
+    padding, bottom-up (positive height) and top-down (negative height)
+    layouts, and the BGR(A) channel order.  RLE/bitfields compression and
+    palette depths raise loudly — the dispatcher's honest gate."""
+    import struct
+
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (data_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {hdr_size}")
+    width, height = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if planes != 1:
+        raise ValueError(f"bad BMP planes {planes}")
+    if compression != 0:
+        raise ValueError(
+            f"unsupported BMP compression {compression}: only BI_RGB decodes"
+        )
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}: only 24/32 bpp")
+    if width <= 0 or height == 0 or abs(width) * abs(height) > (1 << 26):
+        raise ValueError(f"implausible BMP dimensions {width}x{height}")
+    top_down = height < 0
+    h = abs(height)
+    ch = bpp // 8
+    stride = (width * ch + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + stride * h
+    if need > len(data):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(data[data_off : data_off + stride * h], dtype=np.uint8)
+    px = rows.reshape(h, stride)[:, : width * ch].reshape(h, width, ch)
+    if not top_down:
+        px = px[::-1]
+    # BGR(A) -> RGB(A)
+    if ch == 3:
+        px = px[:, :, ::-1]
+    else:
+        px = px[:, :, [2, 1, 0, 3]]
+    return width, h, ch, np.ascontiguousarray(px)
+
+
 def _png_prefix_hex(width: int, height: int, color: int = 2, depth: int = 8) -> str:
     """PNG signature + complete IHDR chunk (fixed for a given geometry,
     CRC included) as a hex literal."""
@@ -563,6 +625,70 @@ def attach_wav_payload(df: DataFrame, source_col: str = "text", payload_col: str
             f"{', '.join([u] * WAV_TILE)})"
         ),
     ).withColumn("media_type", F.lit("audio/wav"))
+
+
+#: BMP synth geometry: 3x2 at 24bpp — stride pads 9 row bytes to 12, so the
+#: body is 24 bytes (digest + its first half) and the decoder must SKIP the
+#: 3 pad bytes per row; each RGB channel sees a DISTINCT digest-byte subset
+#: (w*3=9 is not coprime-trivial against the 16-byte digest), so a BGR-order
+#: or stride bug diverges the closed-form channel means.
+BMP_W, BMP_H = 3, 2
+
+
+def attach_bmp_payload(
+    df: DataFrame, source_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL 24bpp bottom-up BMP per row, built JVM-side: a
+    canonical BITMAPINFOHEADER + md5(source) digest bytes as raw padded
+    BGR pixel rows (BMP needs no byte escaping, so digest bytes embed
+    directly).  Per-channel means have closed forms over the digest hex
+    (oracles.bmp_decode_oracle) — a stride, padding, or BGR-order bug on
+    either side breaks the hash (the bottom-up flip is mean-invariant and
+    covered by pytest's top-down round-trips instead)."""
+    import struct
+
+    stride = (BMP_W * 3 + 3) & ~3
+    body_len = stride * BMP_H
+    assert body_len == 24, "synth geometry: digest + first half exactly"
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + body_len, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, BMP_W, BMP_H, 1, 24, 0, body_len, 2835, 2835, 0, 0)
+    ).hex()
+    d = f"md5(`{source_col}`)"
+    return df.withColumn(
+        payload_col,
+        F.expr(f"concat(unhex('{hdr}'), unhex({d}), unhex(substr({d}, 1, 16)))"),
+    ).withColumn("media_type", F.lit("image/bmp"))
+
+
+#: float32 WAV synth: 32 mono samples, one per digest nibble, value
+#: (nib - 7.5) / 8 — exact in binary (16ths), never a .5 rounding boundary
+#: after the int16 mapping, so Spark/numpy and DuckDB agree bit-for-bit.
+F32_WAV_N_SAMPLES = 32
+
+
+def attach_float_wav_payload(
+    df: DataFrame, source_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL IEEE-float32 WAV (format tag 3) per row, built
+    JVM-side: each digest nibble selects one of 16 pre-encoded float32
+    little-endian patterns for (nib - 7.5)/8.  parse_wav decodes the
+    floats and maps them to int16 by the conventional round(x*32767)
+    with clip; the oracle replays that arithmetic in SQL
+    (oracles.f32_wav_decode_oracle)."""
+    import struct
+
+    hdr = _wav_header_hex(4 * F32_WAV_N_SAMPLES, WAV_RATE, bits=32, fmt_tag=3)
+    pats = ", ".join(
+        f"'{struct.pack('<f', (v - 7.5) / 8.0).hex()}'" for v in range(16)
+    )
+    nib = lambda k: f"cast(conv(substring(md5(`{source_col}`), {k}, 1), 16, 10) as int)"
+    body = ", ".join(f"elt({nib(k)} + 1, {pats})" for k in range(1, 33))
+    return df.withColumn(
+        payload_col,
+        F.expr(f"unhex(concat('{hdr}', {body}))"),
+    ).withColumn("media_type", F.lit("audio/wav-f32"))
 
 
 def attach_g711_payload(
@@ -1310,10 +1436,12 @@ def parse_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
         return parse_png(data)
     if data[:2] == b"\xff\xd8":
         return parse_jpeg(data)
+    if data[:2] == b"BM":
+        return parse_bmp(data)
     raise NotImplementedError(
-        f"unsupported image format (magic {bytes(data[:4])!r}); PPM, PNG and "
-        "baseline JPEG decode natively — other codecs need external media "
-        "decoders (MEDIA_DECODERS_AVAILABLE)"
+        f"unsupported image format (magic {bytes(data[:4])!r}); PPM, PNG, "
+        "BMP and baseline JPEG decode natively — other codecs need external "
+        "media decoders (MEDIA_DECODERS_AVAILABLE)"
     )
 
 

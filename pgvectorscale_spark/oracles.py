@@ -1100,6 +1100,87 @@ SELECT * FROM ({finals}) ORDER BY doc_id, media, metric
 """
 
 
+def bmp_decode_oracle() -> str:
+    """Twin of the BMP decode pipeline (multimodal.attach_bmp_payload →
+    parse_bmp via the decode_image dispatcher): the 3x2 24bpp body lays
+    digest bytes as padded BGR rows (stride 12, 9 used), so each decoded
+    channel's mean is a closed form over six specific digest bytes — a
+    stride, padding, or BGR-order bug on either side diverges the means.
+    The bottom-up flip is mean-invariant by construction; pytest's
+    top-down round-trips cover it."""
+    from pgvectorscale_spark.operators.multimodal import BMP_H, BMP_W
+
+    assert (BMP_W, BMP_H) == (3, 2), "oracle mirrors the synth geometry"
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:  # 0-based BODY byte -> digest byte (24 = 16 + 8)
+        j %= 16
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    stride = 12
+    rows = []
+    # decoded channel c (RGB) reads body bytes row*stride + 3*px + (2 - c)
+    for name, c in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+        terms = [
+            byte(r * stride + 3 * px + (2 - c))
+            for r in range(BMP_H)
+            for px in range(BMP_W)
+        ]
+        rows.append(
+            f"SELECT doc_id, 'bmp' AS media, '{name}' AS metric, "
+            f"round(({' + '.join(terms)}) / {len(terms)}.0, 6) AS value FROM m"
+        )
+    for name, val in (("width", BMP_W), ("height", BMP_H), ("channels", 3)):
+        rows.append(
+            f"SELECT doc_id, 'bmp' AS media, '{name}' AS metric, "
+            f"CAST({val} AS DOUBLE) AS value FROM m"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
+def f32_wav_decode_oracle() -> str:
+    """Twin of the float32-WAV decode (multimodal.attach_float_wav_payload
+    → parse_wav format-tag-3 branch): each digest nibble encodes the
+    float32 (nib - 7.5)/8 — exact in binary and never a .5 boundary after
+    the conventional round(x*32767) int16 mapping, so numpy's rint and
+    SQL's round agree bit-for-bit and the oracle replays the mapping in
+    closed form."""
+    from pgvectorscale_spark.operators.multimodal import (
+        F32_WAV_N_SAMPLES,
+        WAV_RATE,
+    )
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def amp(pos: int) -> str:
+        return f"round(({nib(pos)} - 7.5) / 8.0 * 32767)"
+
+    terms = [amp(k) for k in range(1, F32_WAV_N_SAMPLES + 1)]
+    rows = [
+        "SELECT doc_id, 'f32' AS media, 'mean_amp' AS metric, "
+        f"round(({' + '.join(terms)}) / {F32_WAV_N_SAMPLES}.0, 6) AS value FROM m",
+        "SELECT doc_id, 'f32' AS media, 'last_amp' AS metric, "
+        f"round(CAST({amp(F32_WAV_N_SAMPLES)} AS DOUBLE), 6) AS value FROM m",
+        "SELECT doc_id, 'f32' AS media, 'channels' AS metric, CAST(1 AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'f32' AS media, 'sample_rate' AS metric, "
+        f"CAST({WAV_RATE} AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'f32' AS media, 'n_samples' AS metric, "
+        f"CAST({F32_WAV_N_SAMPLES} AS DOUBLE) AS value FROM m",
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def h264_decode_oracle() -> str:
     """Twin of the H.264 I-frame PIXEL-decode pipeline
     (h264.attach_h264_payload → parse_h264_picture → decode_h264_picture):
