@@ -959,6 +959,26 @@ def _multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed GIF decode, no media libraries: genuine GIF89a
+    files (flat frames LZW-encoded at SQL-construction time, selected per
+    document by a digest nibble) are decoded back — header walk, color
+    table, sub-block reassembly, spec-exact variable-width LZW — by
+    gif.parse_gif through the magic-bytes decode_image dispatcher. The
+    oracle replays the nibble draw (oracles.gif_decode_oracle)."""
+    from pgvectorscale_spark.operators.gif import attach_gif_payload
+    from pgvectorscale_spark.operators.multimodal import decode_image
+
+    img = decode_image(attach_gif_payload(_docs(spark, sf_dir)))
+    metrics = ["width", "height", "channels", "mean_r", "mean_g", "mean_b"]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+    return img.selectExpr(
+        "doc_id",
+        "'gif' as media",
+        f"stack({len(metrics)}, {stack}) as (metric, value)",
+    ).orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video PIXEL decode from genuine H.264 streams, no media
     libraries: complete Annex-B SPS+PPS+IDR pictures are synthesized
@@ -1001,6 +1021,7 @@ def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_multimodal_decode_mjpeg(spark, sf_dir))
         .unionByName(_multimodal_decode_lossy_audio(spark, sf_dir))
         .unionByName(_multimodal_decode_bmp(spark, sf_dir))
+        .unionByName(_multimodal_decode_gif(spark, sf_dir))
         .unionByName(_multimodal_decode_h264(spark, sf_dir))
     )
 
@@ -1239,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
                 oracles.ima_adpcm_decode_oracle(),
                 oracles.f32_wav_decode_oracle(),
                 oracles.bmp_decode_oracle(),
+                oracles.gif_decode_oracle(),
                 oracles.h264_decode_oracle(),
             ]
         ),

@@ -1438,10 +1438,14 @@ def parse_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
         return parse_jpeg(data)
     if data[:2] == b"BM":
         return parse_bmp(data)
+    if data[:4] == b"GIF8":
+        from pgvectorscale_spark.operators.gif import parse_gif
+
+        return parse_gif(data)
     raise NotImplementedError(
         f"unsupported image format (magic {bytes(data[:4])!r}); PPM, PNG, "
-        "BMP and baseline JPEG decode natively — other codecs need external "
-        "media decoders (MEDIA_DECODERS_AVAILABLE)"
+        "BMP, GIF and baseline JPEG decode natively — other codecs need "
+        "external media decoders (MEDIA_DECODERS_AVAILABLE)"
     )
 
 

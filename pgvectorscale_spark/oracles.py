@@ -1144,6 +1144,34 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def gif_decode_oracle() -> str:
+    """Twin of the GIF decode pipeline (gif.attach_gif_payload → parse_gif
+    via the decode_image dispatcher): each payload is a genuine GIF89a
+    whose full-canvas frame is the flat gray 16*nib+8, LZW-encoded once at
+    SQL-construction time, so every decoded channel mean IS that value —
+    a color-table, LZW, sub-block, or interlace-flag bug on either side
+    breaks the hash."""
+    from pgvectorscale_spark.operators.gif import GIF_DIM
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    val = f"CAST(16 * {nib(1)} + 8 AS DOUBLE)"
+    rows = [
+        f"SELECT doc_id, 'gif' AS media, '{m}' AS metric, {val} AS value FROM m"
+        for m in ("mean_r", "mean_g", "mean_b")
+    ] + [
+        f"SELECT doc_id, 'gif' AS media, '{name}' AS metric, "
+        f"CAST({v} AS DOUBLE) AS value FROM m"
+        for name, v in (("width", GIF_DIM), ("height", GIF_DIM), ("channels", 3))
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def f32_wav_decode_oracle() -> str:
     """Twin of the float32-WAV decode (multimodal.attach_float_wav_payload
     → parse_wav format-tag-3 branch): each digest nibble encodes the
