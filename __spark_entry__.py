@@ -931,6 +931,18 @@ def _multimodal_decode_lossy_audio(spark: SparkSession, sf_dir: str) -> DataFram
                 f"stack({len(metrics)}, {stack}) as (metric, value)",
             )
         )
+    from pgvectorscale_spark.operators.flac import (
+        attach_flac_payload,
+        decode_flac_audio,
+    )
+
+    parts.append(
+        decode_flac_audio(attach_flac_payload(docs)).selectExpr(
+            "doc_id",
+            "'flac' as media",
+            f"stack({len(metrics)}, {stack}) as (metric, value)",
+        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1259,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
                 oracles.g711_decode_oracle(),
                 oracles.ima_adpcm_decode_oracle(),
                 oracles.f32_wav_decode_oracle(),
+                oracles.flac_decode_oracle(),
                 oracles.bmp_decode_oracle(),
                 oracles.gif_decode_oracle(),
                 oracles.h264_decode_oracle(),

@@ -1486,7 +1486,8 @@ def decode_av_samples(df: DataFrame, payload_col: str = "payload"):
             "need decoder tables unavailable in this environment. "
             "Natively decodable instead: MJPEG video samples "
             "(mjpeg.decode_mjpeg_frames), H.264 intra/zero-residual/I_PCM "
-            "pictures (h264.decode_h264_picture), WAV PCM16/G.711/ADPCM "
+            "pictures (h264.decode_h264_picture), FLAC lossless audio "
+            "(flac.decode_flac_audio), WAV PCM16/float32/G.711/ADPCM "
             "audio (decode_wav_audio); decode_mp3_meta/decode_mp4_meta/"
             "decode_h264_meta give MP3/MP4/H.264 header-scan metadata and "
             "fake_feature_extract covers pipeline tests"

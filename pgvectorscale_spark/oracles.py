@@ -1144,6 +1144,41 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def flac_decode_oracle() -> str:
+    """Twin of the FLAC sample-decode pipeline (flac.attach_flac_payload →
+    parse_flac → decode_flac_audio): digest nibble 1 draws frame 1's
+    CONSTANT value v = 128*(16*nib+8) and nibble 2 the FIXED-order-1 ramp
+    step s (warmup 0, residuals all s through a real Rice partition), so
+    the decoded stream is 64 samples of v then the ramp 0, s, ..., 63s —
+    mean (v + 63s/2)/2, last 63s, all exact in double. A Rice, predictor,
+    CRC, or frame-walk bug on either side breaks the hash."""
+    from pgvectorscale_spark.operators.flac import FLAC_BLOCK, FLAC_RATE
+
+    assert FLAC_BLOCK == 64, "oracle mirrors the synth geometry"
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    v = f"(128.0 * (16 * {nib(1)} + 8))"
+    s = f"(16 * {nib(2)} + 8)"
+    rows = [
+        f"SELECT doc_id, 'flac' AS media, 'mean_amp' AS metric, "
+        f"(({v}) + 63 * ({s}) / 2.0) / 2.0 AS value FROM m",
+        f"SELECT doc_id, 'flac' AS media, 'last_amp' AS metric, "
+        f"CAST(63 * {s} AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'flac' AS media, 'channels' AS metric, CAST(1 AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'flac' AS media, 'sample_rate' AS metric, "
+        f"CAST({FLAC_RATE} AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'flac' AS media, 'n_samples' AS metric, "
+        f"CAST(2 * {FLAC_BLOCK} AS DOUBLE) AS value FROM m",
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def gif_decode_oracle() -> str:
     """Twin of the GIF decode pipeline (gif.attach_gif_payload → parse_gif
     via the decode_image dispatcher): each payload is a genuine GIF89a

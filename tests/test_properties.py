@@ -160,12 +160,13 @@ def test_media_parsers_fail_only_with_valueerror(data):
         parse_wav,
     )
 
+    from pgvectorscale_spark.operators.flac import parse_flac
     from pgvectorscale_spark.operators.gif import parse_gif
     from pgvectorscale_spark.operators.h264 import parse_h264_picture
 
     for fn in (parse_ppm, parse_wav, parse_png, parse_jpeg,
                parse_mp3_meta, parse_mp4_meta, parse_h264_meta,
-               parse_h264_picture, parse_bmp, parse_gif):
+               parse_h264_picture, parse_bmp, parse_gif, parse_flac):
         try:
             fn(data)
         except (ValueError, NotImplementedError):
