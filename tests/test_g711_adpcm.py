@@ -352,7 +352,7 @@ class TestMsAdpcm:
         assert s[:, 1].tolist() == wantR
 
     def test_unsupported_format_still_rejected(self):
-        fmt = struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        fmt = struct.pack("<IHHIIHH", 16, 0x55, 1, 8000, 32000, 4, 32)  # MP3-in-WAV
         raw = b"RIFF" + struct.pack("<I", 28) + b"WAVEfmt " + fmt + b"data" + struct.pack("<I", 0)
         with pytest.raises(ValueError, match="only PCM16"):
             mm.parse_wav(raw)

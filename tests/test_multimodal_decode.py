@@ -87,7 +87,7 @@ class TestParseWav:
             parse_wav(b"OggS" + b"\x00" * 40)
 
     def test_rejects_non_pcm(self):
-        fmt = struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)  # float32
+        fmt = struct.pack("<IHHIIHH", 16, 0x55, 1, 8000, 32000, 4, 32)  # MP3-in-WAV
         raw = b"RIFF" + struct.pack("<I", 28) + b"WAVEfmt " + fmt + b"data" + struct.pack("<I", 0)
         with pytest.raises(ValueError, match="only PCM16"):
             parse_wav(raw)
