@@ -106,12 +106,14 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 def parse_gif_frames(
     data: bytes,
-) -> tuple[int, int, list[tuple[int, int, np.ndarray]], int]:
+) -> tuple[int, int, list[tuple[int, int, np.ndarray]], np.ndarray | None]:
     """Decode every image block of a GIF: returns (canvas_w, canvas_h,
-    [(left, top, rgb (h, w, 3) uint8), ...], bg_color_index).  Each frame
-    is decoded in its own rect through its own (or the global) color
-    table; animation DISPOSAL semantics are the caller's concern — this
-    returns the decoded pixel data, like mjpeg.parse_mjpeg does."""
+    [(left, top, rgb (h, w, 3) uint8), ...], bg_rgb-or-None).  The
+    background color resolves through the GLOBAL color table (None
+    without one).  Each frame is decoded in its own rect through its own
+    (or the global) color table; animation DISPOSAL semantics are the
+    caller's concern — this returns the decoded pixel data, like
+    mjpeg.parse_mjpeg does."""
     if not isinstance(data, (bytes, bytearray)):
         data = bytes(data)
     data = bytes(data)
@@ -178,7 +180,8 @@ def parse_gif_frames(
         frames.append((left, top, table[grid]))
     if not frames:
         raise ValueError("GIF has no image blocks")
-    return cw, ch, frames, bg
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else None
+    return cw, ch, frames, bg_rgb
 
 
 def parse_gif(data: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -186,16 +189,18 @@ def parse_gif(data: bytes) -> tuple[int, int, int, np.ndarray]:
     (width, height, 3, rgb pixels) with the first image block composited
     onto a background-color canvas (frames smaller than the canvas are
     padded with the background color)."""
-    cw, ch, frames, bg = parse_gif_frames(data)
+    cw, ch, frames, bg_rgb = parse_gif_frames(data)
     left, top, px = frames[0]
     h, w = px.shape[:2]
     if (left, top, w, h) == (0, 0, cw, ch):
         return cw, ch, 3, px
     if left + w > cw or top + h > ch:
         raise ValueError("GIF frame rect exceeds canvas")
-    # background color resolves through the GLOBAL table; GIFs without one
-    # but with frame rects smaller than the canvas are pathological — pad 0
+    # GIFs without a global table but with a frame rect smaller than the
+    # canvas are pathological — pad 0 there
     canvas = np.zeros((ch, cw, 3), dtype=np.uint8)
+    if bg_rgb is not None:
+        canvas[:] = bg_rgb
     canvas[top : top + h, left : left + w] = px
     return cw, ch, 3, canvas
 

@@ -67,7 +67,7 @@ def _subblocks(raw):
 
 
 def encode_gif(frames, canvas=None, palette=None, interlace=False,
-               local_tables=False, with_extensions=False):
+               local_tables=False, with_extensions=False, bg=0):
     """Independent GIF writer. frames = [(left, top, idx (h, w) array)];
     palette = (n, 3) uint8 (global unless local_tables)."""
     if palette is None:
@@ -86,7 +86,7 @@ def encode_gif(frames, canvas=None, palette=None, interlace=False,
     if local_tables:
         out += bytes([0x00, 0, 0])
     else:
-        out += bytes([0x80 | size_field, 0, 0]) + pal.tobytes()
+        out += bytes([0x80 | size_field, bg, 0]) + pal.tobytes()
     if with_extensions:
         out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE
         out += b"\x21\xfe" + _subblocks(b"a comment")
@@ -145,6 +145,18 @@ class TestGifRoundTrip:
         # parse_gif returns the composited FIRST frame
         _, _, _, px = parse_gif(stream)
         np.testing.assert_array_equal(px, pal[f0])
+
+    def test_small_first_frame_composites_on_background(self):
+        """A first frame smaller than the canvas pads with the global
+        table's background color under the parse_image contract."""
+        pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+        idx = rng.integers(0, 4, (2, 2))
+        stream = encode_gif([(1, 1, idx)], canvas=(4, 4), palette=pal, bg=3)
+        w, h, ch, px = parse_gif(stream)
+        assert (w, h) == (4, 4)
+        np.testing.assert_array_equal(px[1:3, 1:3], pal[idx])
+        np.testing.assert_array_equal(px[0, 0], pal[3])
+        np.testing.assert_array_equal(px[3, 3], pal[3])
 
     def test_kwkwk_case(self):
         """Index stream [0,0,0] forces code == next_code at the decoder."""
