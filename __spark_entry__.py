@@ -935,11 +935,22 @@ def _multimodal_decode_lossy_audio(spark: SparkSession, sf_dir: str) -> DataFram
         attach_flac_payload,
         decode_flac_audio,
     )
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_aiff_payload,
+        decode_aiff_audio,
+    )
 
     parts.append(
         decode_flac_audio(attach_flac_payload(docs)).selectExpr(
             "doc_id",
             "'flac' as media",
+            f"stack({len(metrics)}, {stack}) as (metric, value)",
+        )
+    )
+    parts.append(
+        decode_aiff_audio(attach_aiff_payload(docs)).selectExpr(
+            "doc_id",
+            "'aiff' as media",
             f"stack({len(metrics)}, {stack}) as (metric, value)",
         )
     )
@@ -1271,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
                 oracles.g711_decode_oracle(),
                 oracles.ima_adpcm_decode_oracle(),
                 oracles.f32_wav_decode_oracle(),
+                oracles.aiff_decode_oracle(),
                 oracles.flac_decode_oracle(),
                 oracles.bmp_decode_oracle(),
                 oracles.gif_decode_oracle(),

@@ -40,7 +40,10 @@ __all__ = [
     "attach_ima_payload",
     "attach_png_payload",
     "attach_ppm_payload",
+    "attach_aiff_payload",
     "attach_wav_payload",
+    "decode_aiff_audio",
+    "parse_aiff",
     "parse_bmp",
     "binary_metadata",
     "decode_ima_adpcm",
@@ -625,6 +628,113 @@ def attach_wav_payload(df: DataFrame, source_col: str = "text", payload_col: str
             f"{', '.join([u] * WAV_TILE)})"
         ),
     ).withColumn("media_type", F.lit("audio/wav"))
+
+
+def parse_aiff(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an AIFF/AIFF-C file (the big-endian IFF twin of RIFF/WAVE):
+    returns (channels, sample_rate, samples (n, channels) int16) — the
+    ``parse_wav`` contract. Walks the chunk list (COMM before or after
+    SSND), decodes the COMM chunk's 80-bit extended-float sample rate
+    from its sign/exponent/mantissa fields (no struct support for
+    float80 — spec arithmetic), honors SSND's offset field, and supports
+    PCM16 including AIFF-C streams whose compressionType is 'NONE'/
+    'twos' (big-endian) or 'sowt' (little-endian). Other compression
+    types raise loudly."""
+    import struct
+
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFF-C file")
+    pos, comm, body = 12, None, None
+    little = False
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + size]
+        if len(payload) < size:
+            raise ValueError("truncated AIFF chunk")
+        if cid == b"COMM":
+            if size < 18:
+                raise ValueError("COMM chunk too short")
+            channels, _frames, bits = struct.unpack(">HIH", payload[:8])
+            # 80-bit extended float: 1 sign + 15 exponent (bias 16383),
+            # 64-bit mantissa with explicit integer bit
+            (se,) = struct.unpack(">H", payload[8:10])
+            (mant,) = struct.unpack(">Q", payload[10:18])
+            exp = se & 0x7FFF
+            if mant == 0 or exp == 0:
+                rate = 0
+            elif exp == 0x7FFF:
+                raise ValueError("non-finite AIFF sample rate")
+            else:
+                rate = int(round(mant * 2.0 ** (exp - 16383 - 63)))
+            if se & 0x8000 or rate <= 0:
+                raise ValueError(f"bad AIFF sample rate {rate}")
+            if size >= 22:  # AIFF-C: compressionType fourcc
+                ctype = payload[18:22]
+                if ctype == b"sowt":
+                    little = True
+                elif ctype not in (b"NONE", b"twos"):
+                    raise ValueError(
+                        f"unsupported AIFF-C compression {ctype!r}: only "
+                        "uncompressed PCM ('NONE'/'twos'/'sowt') decodes"
+                    )
+            comm = (channels, rate, bits)
+        elif cid == b"SSND":
+            if size < 8:
+                raise ValueError("SSND chunk too short")
+            offset, _block = struct.unpack(">II", payload[:8])
+            if 8 + offset > size:
+                raise ValueError("SSND offset beyond chunk")
+            body = payload[8 + offset :]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if comm is None or body is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    channels, rate, bits = comm
+    if bits != 16 or channels < 1:
+        raise ValueError(
+            f"unsupported AIFF encoding (bits={bits}, channels={channels}): "
+            "only PCM16 decodes natively"
+        )
+    n = len(body) // (2 * channels)
+    dtype = "<i2" if little else ">i2"
+    samples = np.frombuffer(body[: n * 2 * channels], dtype=dtype).reshape(n, channels)
+    return channels, rate, samples.astype(np.int16)
+
+
+def _f80_hex(rate: int) -> str:
+    """Encode a positive integer as an 80-bit extended float (hex)."""
+    import struct
+
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    return struct.pack(">HQ", 16383 + e, mant).hex()
+
+
+def attach_aiff_payload(
+    df: DataFrame, source_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL AIFF payload per row, built JVM-side: canonical
+    FORM/AIFF header with an 80-bit extended-float COMM rate + md5(source)
+    digest bytes tiled as BIG-endian PCM16 samples — the byte-order twin
+    of attach_wav_payload, so an endianness bug on either side diverges
+    every amplitude (oracles.aiff_decode_oracle replays the BE layout)."""
+    import struct
+
+    data_len = 16 * WAV_TILE
+    n_frames = data_len // 2
+    comm = b"COMM" + struct.pack(">IHIH", 18, 1, n_frames, 16) + bytes.fromhex(
+        _f80_hex(WAV_RATE)
+    )
+    ssnd_hdr = b"SSND" + struct.pack(">III", data_len + 8, 0, 0)
+    form_len = 4 + len(comm) + len(ssnd_hdr) + data_len
+    hdr = (b"FORM" + struct.pack(">I", form_len) + b"AIFF" + comm + ssnd_hdr).hex()
+    u = f"unhex(md5(`{source_col}`))"
+    return df.withColumn(
+        payload_col,
+        F.expr(f"concat(unhex('{hdr}'), {', '.join([u] * WAV_TILE)})"),
+    ).withColumn("media_type", F.lit("audio/aiff"))
 
 
 #: BMP synth geometry: 3x2 at 24bpp — stride pads 9 row bytes to 12, so the
@@ -1383,11 +1493,24 @@ def decode_ppm_image(
 def decode_wav_audio(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Decode RIFF/WAVE PCM16 payloads to typed audio features — Arrow-
-    batched mapInPandas, pure numpy. Returns (id, channels, sample_rate,
+    """Decode RIFF/WAVE payloads to typed audio features — Arrow-batched
+    mapInPandas, pure numpy. Returns (id, channels, sample_rate,
     n_samples, mean_amp) with the mean signed amplitude (the DC offset a
     feature extractor removes first)."""
+    return _decode_audio_features(df, parse_wav, payload_col, id_col)
 
+
+def decode_aiff_audio(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """AIFF twin of ``decode_wav_audio`` (same feature contract) over
+    ``parse_aiff``."""
+    return _decode_audio_features(df, parse_aiff, payload_col, id_col)
+
+
+def _decode_audio_features(
+    df: DataFrame, parse_fn, payload_col: str, id_col: str
+) -> DataFrame:
     def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
@@ -1398,7 +1521,7 @@ def decode_wav_audio(
                 "last_amp": [],
             }
             for payload in pdf[payload_col]:
-                ch, rate, samples = parse_wav(payload)
+                ch, rate, samples = parse_fn(payload)
                 out["channels"].append(ch)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(samples.shape[0])

@@ -1144,6 +1144,46 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def aiff_decode_oracle() -> str:
+    """Twin of the AIFF decode pipeline (multimodal.attach_aiff_payload →
+    parse_aiff): digest bytes tile as BIG-endian PCM16 samples, so each
+    amplitude is byte(2j)*256 + byte(2j+1) sign-extended — the byte-order
+    mirror of the WAV PCM16 oracle; an endianness, chunk-walk, f80-rate,
+    or SSND-offset bug on either side diverges the hash."""
+    from pgvectorscale_spark.operators.multimodal import WAV_RATE, WAV_TILE
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    def samp(j: int) -> str:  # big-endian int16 from digest bytes 2j, 2j+1
+        hi, lo = byte(2 * j), byte(2 * j + 1)
+        return (
+            f"({hi} * 256 + {lo} - 65536 * (CASE WHEN {hi} >= 128 THEN 1 ELSE 0 END))"
+        )
+
+    terms = [samp(j) for j in range(8)]
+    n_samples = 8 * WAV_TILE
+    rows = [
+        "SELECT doc_id, 'aiff' AS media, 'mean_amp' AS metric, "
+        f"round(({' + '.join(terms)}) / 8.0, 6) AS value FROM m",
+        "SELECT doc_id, 'aiff' AS media, 'last_amp' AS metric, "
+        f"round(CAST({samp(7)} AS DOUBLE), 6) AS value FROM m",
+        "SELECT doc_id, 'aiff' AS media, 'channels' AS metric, CAST(1 AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'aiff' AS media, 'sample_rate' AS metric, "
+        f"CAST({WAV_RATE} AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'aiff' AS media, 'n_samples' AS metric, "
+        f"CAST({n_samples} AS DOUBLE) AS value FROM m",
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def flac_decode_oracle() -> str:
     """Twin of the FLAC sample-decode pipeline (flac.attach_flac_payload →
     parse_flac → decode_flac_audio): digest nibble 1 draws frame 1's

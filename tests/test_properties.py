@@ -150,6 +150,7 @@ def test_media_parsers_fail_only_with_valueerror(data):
     struct.error — so decode pipelines can catch the documented type."""
     from pgvectorscale_spark.operators.jpeg import parse_jpeg
     from pgvectorscale_spark.operators.multimodal import (
+        parse_aiff,
         parse_bmp,
         parse_h264_meta,
         parse_image,
@@ -166,7 +167,7 @@ def test_media_parsers_fail_only_with_valueerror(data):
 
     for fn in (parse_ppm, parse_wav, parse_png, parse_jpeg,
                parse_mp3_meta, parse_mp4_meta, parse_h264_meta,
-               parse_h264_picture, parse_bmp, parse_gif, parse_flac):
+               parse_h264_picture, parse_bmp, parse_gif, parse_flac, parse_aiff):
         try:
             fn(data)
         except (ValueError, NotImplementedError):
