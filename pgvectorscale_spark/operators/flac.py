@@ -458,11 +458,19 @@ def decode_flac_audio(df, payload_col: str = "payload", id_col: str = "doc_id"):
                 out["channels"].append(ch)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(samples.shape[0])
+                # same feature contract as _decode_audio_features
+                # (multimodal.py): mean over ALL samples, and the mean
+                # over channels of the LAST frame — not the last sample
+                # of the last channel, which diverges for stereo
                 out["mean_amp"].append(
-                    float(samples.mean()) if samples.size else 0.0
+                    round(float(samples.mean(dtype=np.float64)), 6)
+                    if samples.size
+                    else 0.0
                 )
                 out["last_amp"].append(
-                    float(samples[-1, -1]) if samples.size else 0.0
+                    round(float(samples[-1].mean(dtype=np.float64)), 6)
+                    if samples.shape[0]
+                    else 0.0
                 )
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), **out})
 

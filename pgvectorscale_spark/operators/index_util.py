@@ -291,7 +291,11 @@ def _live_lease_min_epoch(path: str) -> int | None:
                 # authoritative bound from the filename: past its own
                 # expiry the lease cannot be live, readable or not
                 if now > float(fn_exp.group(1)):
+                    # re-derive fsys/p: if _pa_fs(fpath) itself raised
+                    # above, the loop-carried bindings would point at the
+                    # PREVIOUS iteration's (possibly live) lease file
                     try:
+                        fsys, p = _pa_fs(fpath)
                         fsys.delete_file(p)
                     except Exception:
                         pass

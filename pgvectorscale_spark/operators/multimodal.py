@@ -388,12 +388,17 @@ def decode_ms_adpcm(body: bytes, channels: int, block_align: int) -> np.ndarray:
     out = np.empty((n_blocks, 2 + n_per_ch, channels), dtype=np.int16)
     out[:, 0, :] = s2
     out[:, 1, :] = s1
-    s1w, s2w, idw = s1.copy(), s2.copy(), np.maximum(idelta.copy(), 16)
+    # initial idelta is used AS READ for the first expanded nibble; the
+    # >=16 floor applies only in the adaptation step (MS spec / canonical
+    # C decoders, which also truncate the /256 toward zero rather than
+    # flooring — the two differ by 1 LSB on negative coefficient sums)
+    s1w, s2w, idw = s1.copy(), s2.copy(), idelta.copy()
     for t in range(n_per_ch):
         for c in range(channels):
             nb = nib[:, t * channels + c].astype(np.int64)
             signed = np.where(nb >= 8, nb - 16, nb)
-            predictor = (s1w[:, c] * c1[:, c] + s2w[:, c] * c2[:, c]) >> 8
+            psum = s1w[:, c] * c1[:, c] + s2w[:, c] * c2[:, c]
+            predictor = np.sign(psum) * (np.abs(psum) >> 8)  # trunc, not floor
             sample = np.clip(predictor + signed * idw[:, c], -32768, 32767)
             out[:, 2 + t, c] = sample
             s2w[:, c] = s1w[:, c]
@@ -516,6 +521,11 @@ def parse_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError(f"unsupported BMP bit depth {bpp}: only 24/32 bpp")
     if width <= 0 or height == 0 or abs(width) * abs(height) > (1 << 26):
         raise ValueError(f"implausible BMP dimensions {width}x{height}")
+    if data_off < 14 + hdr_size:
+        raise ValueError(
+            f"BMP pixel offset {data_off} points inside the header "
+            f"(ends at {14 + hdr_size})"
+        )
     top_down = height < 0
     h = abs(height)
     ch = bpp // 8
@@ -667,6 +677,10 @@ def parse_aiff(data: bytes) -> tuple[int, int, np.ndarray]:
                 rate = 0
             elif exp == 0x7FFF:
                 raise ValueError("non-finite AIFF sample rate")
+            elif exp > 16383 + 64:
+                # 2**(exp-16446) would overflow float (OverflowError);
+                # no plausible sample rate needs an exponent past 2**64
+                raise ValueError(f"implausible AIFF sample-rate exponent {exp}")
             else:
                 rate = int(round(mant * 2.0 ** (exp - 16383 - 63)))
             if se & 0x8000 or rate <= 0:

@@ -84,6 +84,12 @@ class TestParseAiff:
         bad[28:30] = struct.pack(">H", 0xFFFF)  # exponent all-ones
         with pytest.raises(ValueError, match="sample rate"):
             parse_aiff(bytes(bad))
+        huge = bytearray(encode_aiff(s, 8000))
+        # exp just under all-ones would make 2.0**(exp-16446) overflow
+        # float; must raise the documented ValueError, not OverflowError
+        huge[28:30] = struct.pack(">H", 0x7FFE)
+        with pytest.raises(ValueError, match="exponent"):
+            parse_aiff(bytes(huge))
 
     def test_synth_closed_form(self):
         """Mirror of oracles.aiff_decode_oracle: BE samples from digest."""

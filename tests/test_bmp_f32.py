@@ -81,6 +81,10 @@ class TestParseBmp:
             parse_bmp(bytes(good[:-4]))
         with pytest.raises(ValueError, match="not a BMP"):
             parse_bmp(b"XX" + bytes(good[2:]))
+        inhdr = bytearray(good)
+        inhdr[10:14] = struct.pack("<I", 30)  # data_off inside the header
+        with pytest.raises(ValueError, match="inside the header"):
+            parse_bmp(bytes(inhdr))
 
     def test_synth_closed_form(self):
         """Mirror of oracles.bmp_decode_oracle: padded digest rows."""

@@ -108,14 +108,17 @@ def ima_encode_block(samples, pred, idx):
 
 
 def ms_decode_scalar(nibbles, bpred, idelta, s1, s2):
-    """Scalar MS ADPCM reference for one mono channel."""
+    """Scalar MS ADPCM reference for one mono channel — MS-spec
+    conventions: /256 truncates toward zero (C integer division), the
+    initial idelta is used as read, and the >=16 floor applies only in
+    the adaptation step."""
     AT = mm.MS_ADAPTATION_TABLE
     c1, c2 = int(mm.MS_COEF1[bpred]), int(mm.MS_COEF2[bpred])
-    idelta = max(16, idelta)
     out = [s2, s1]
     for nib in nibbles:
         signed = nib - 16 if nib >= 8 else nib
-        predictor = (s1 * c1 + s2 * c2) >> 8
+        psum = s1 * c1 + s2 * c2
+        predictor = abs(psum) >> 8 if psum >= 0 else -(abs(psum) >> 8)
         sample = max(-32768, min(32767, predictor + signed * idelta))
         out.append(sample)
         s2, s1 = s1, sample
@@ -310,6 +313,27 @@ class TestMsAdpcm:
             nibs += [b >> 4, b & 0x0F]  # HIGH nibble first
         want = ms_decode_scalar(nibs, bpred, idelta, s1, s2)
         assert got[:, 0].tolist() == want
+
+    def test_negative_predictor_truncates_toward_zero(self):
+        # Ground truth hand-computed with the MS-spec recurrence (C
+        # integer division): bpred=3 -> coeffs (192, 64); s1=-3, s2=0
+        # gives psum = -576, and -576/256 truncates to -2 (floor would
+        # give -3 — the 1-LSB divergence ADVICE r9 flagged). nibble 0
+        # (signed 0) makes the first output exactly the predictor;
+        # the second nibble then sees s1=-2, s2=-3 -> psum = -576 again.
+        body = bytes([3]) + struct.pack("<hhh", 16, -3, 0) + bytes([0x00])
+        got = mm.decode_ms_adpcm(body, 1, len(body))[:, 0].tolist()
+        assert got == [0, -3, -2, -2]
+
+    def test_initial_idelta_used_as_read(self):
+        # idelta=1 must be honored for the first nibble (no up-front
+        # >=16 floor — canonical decoders clamp only after adaptation):
+        # nib +7 -> sample 0 + 7*1 = 7; adaptation then floors idelta to
+        # 16; nib 0 -> predictor trunc(7*256/256) = 7.
+        body = bytes([0]) + struct.pack("<hhh", 1, 0, 0) + bytes([0x70])
+        got = mm.decode_ms_adpcm(body, 1, len(body))[:, 0].tolist()
+        assert got == [0, 0, 7, 7]
+        assert got == ms_decode_scalar([7, 0], 0, 1, 0, 0)
 
     def test_encoder_round_trip_snr(self):
         t = np.arange(2050)
