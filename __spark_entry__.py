@@ -617,7 +617,30 @@ def _sql_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_exact(_docs(spark, sf_dir))
+    """Tagged union: the document-level exact pass ('exact' rows — keep_id
+    + dup_count riding the dup_tokens slot) AND the span-level substring
+    dedup (dedup.span_dedup, 'span' rows: repeated >=5-token runs within/
+    across documents, merged coverage spans, keeper-preserving clean text
+    hashed VERBATIM against the DuckDB twin — the strongest form of the
+    check, no digest indirection)."""
+    docs = _docs(spark, sf_dir)
+    exact = dedup.dedup_exact(docs).select(
+        F.lit("exact").alias("form"),
+        F.col("keep_id").cast("long").alias("id"),
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.col("dup_count").cast("long").alias("dup_tokens"),
+        F.lit(0.0).alias("dup_ratio"),
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit("").alias("spans_str"),
+        F.lit("").alias("clean_text"),
+    )
+    span = dedup.span_dedup(docs, k=5).select(
+        F.lit("span").alias("form"),
+        F.col("doc_id").alias("id"),
+        "n_tokens", "dup_tokens", "dup_ratio", "n_spans",
+        "spans_str", "clean_text",
+    )
+    return exact.unionByName(span)
 
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1254,7 +1277,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sql_ann": oracles.knn_exact_oracle(0, 10, "l2"),
         "sql_ann_filtered": oracles.knn_exact_oracle(0, 10, "l2", where_sql="vec_id % 2 = 0"),
-        "dedup_exact": oracles.dedup_exact_oracle(),
+        "dedup_exact": oracles.dedup_exact_union_oracle(5),
         "minhash_signatures": oracles.minhash_signature_str_oracle(8, 3),
         "minhash_pairs": oracles.minhash_pairs_oracle(8, 4, 3),
         "dedup_clusters": oracles.dedup_clusters_oracle(8, 4, 3),

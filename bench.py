@@ -59,7 +59,6 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     q0 = emb.filter("vec_id = 0").first()["embedding"]
-    tmp_index = tempfile.mkdtemp(prefix="bench_diskann_")
 
     def q_pricing():
         return relational.pricing_summary(lineitem).collect()
@@ -81,12 +80,17 @@ def main() -> None:
     def q_ivf():
         return ivf_search(emb, q0, k=10, num_centroids=32, nprobe=4).collect()
 
-    built_idx = {}
+    built_idx = {"dirs": []}
 
     def q_diskann_build():
         from pgvectorscale_spark.operators.diskann import DiskannIndex
 
-        built_idx["idx"] = DiskannIndex.build(emb, tmp_index, distance_type="l2", num_shards=8)
+        # fresh dir per run: a re-build at a live path exercises the
+        # rebuild/trash path, which is a different code path than the
+        # cold build this query is meant to time
+        d = tempfile.mkdtemp(prefix="bench_diskann_")
+        built_idx["dirs"].append(d)
+        built_idx["idx"] = DiskannIndex.build(emb, d, distance_type="l2", num_shards=8)
         return built_idx["idx"]
 
     def q_diskann_serve():
@@ -118,40 +122,46 @@ def main() -> None:
         ev = events.withColumn("ts_sec", ts_epoch_seconds(events))
         return sessionize_batch(ev, gap_seconds=1800, ts_col="ts_sec").count()
 
-    # (name, fn, runs): steady-state queries run three times and report the
-    # MEDIAN — host variance on interpreted-expression queries is ±30-50%,
-    # so round-over-round comparisons on single runs are noise (the
-    # q_minhash_pairs "regression" chased across rounds 1-3 was exactly
-    # this); the median also absorbs the one-off ~0.5-1s whole-stage-codegen
-    # compile on the first run of each distinct plan. One-shot entries
-    # (index build) run once.
+    # (name, fn, runs): variance protocol (round 10 — the r9 8.48->10.53 s
+    # headline swing was uniform across UNTOUCHED queries, i.e. host noise
+    # a median-of-3-without-warm-up could not separate from a regression):
+    # every query gets one UNTIMED warm-up run (absorbs whole-stage-codegen
+    # compile, shuffle-file page cache, Python-worker reuse) and then
+    # `runs` timed runs; the JSON reports the median AND the full sample
+    # list per query, so a reader can tell a tight 5-sample cluster from a
+    # noisy one without re-running. The index build times median-of-3
+    # (each into a fresh dir) — it dominates the total, so single-run
+    # noise there moved the whole headline in past rounds.
     queries = [
-        ("q_pricing", q_pricing, 3),
-        ("q_top_customers", q_top_customers, 3),
-        ("q_events_hourly", q_events_hourly, 3),
-        ("q_sessionize", q_sessionize, 3),
-        ("q_knn_batch", q_knn_batch, 3),
-        ("q_sbq_rescore", q_sbq_rescore, 3),
-        ("q_ivf", q_ivf, 3),
-        ("q_diskann_build", q_diskann_build, 1),
-        ("q_diskann_serve", q_diskann_serve, 3),
-        ("q_diskann_serve_batch16", q_diskann_serve_batch16, 3),
-        ("q_dedup_exact", q_dedup_exact, 3),
-        ("q_minhash_pairs", q_minhash_pairs, 3),
-        ("q_simhash", q_simhash, 3),
-        ("q_text_features", q_text_features, 3),
+        ("q_pricing", q_pricing, 5),
+        ("q_top_customers", q_top_customers, 5),
+        ("q_events_hourly", q_events_hourly, 5),
+        ("q_sessionize", q_sessionize, 5),
+        ("q_knn_batch", q_knn_batch, 5),
+        ("q_sbq_rescore", q_sbq_rescore, 5),
+        ("q_ivf", q_ivf, 5),
+        ("q_diskann_build", q_diskann_build, 3),
+        ("q_diskann_serve", q_diskann_serve, 5),
+        ("q_diskann_serve_batch16", q_diskann_serve_batch16, 5),
+        ("q_dedup_exact", q_dedup_exact, 5),
+        ("q_minhash_pairs", q_minhash_pairs, 5),
+        ("q_simhash", q_simhash, 5),
+        ("q_text_features", q_text_features, 5),
     ]
 
     import statistics
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name, fn, runs in queries:
+        fn()  # warm-up, untimed
         samples = []
         for _ in range(runs):
             t0 = time.time()
             fn()
-            samples.append(time.time() - t0)
+            samples.append(round(time.time() - t0, 3))
         timings[name] = round(statistics.median(samples), 3)
+        spreads[name] = samples
 
     # ---- ANN scale point (NOT in the headline total: totals stay
     # comparable round-over-round). Build+serve at 8x the rows with 8x the
@@ -295,6 +305,19 @@ def main() -> None:
     t0 = time.time()
     clusters8 = dedup.dedup_clusters(docs8).filter("is_canonical").count()
     clusters8_sec = round(time.time() - t0, 3)
+    # span-level (substring) dedup at 1x/8x: gram hash groupBy + interval
+    # merge; the Caesar-rotated copies keep within-copy span structure, so
+    # dup-span density per doc is constant as rows grow
+    t0 = time.time()
+    span1 = dedup.span_dedup(docs, k=5).agg(
+        F.sum("dup_tokens").alias("d"), F.sum(F.col("n_spans")).alias("s")
+    ).first()
+    span1_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    span8 = dedup.span_dedup(docs8, k=5).agg(
+        F.sum("dup_tokens").alias("d"), F.sum(F.col("n_spans")).alias("s")
+    ).first()
+    span8_sec = round(time.time() - t0, 3)
     dedup_scale = {
         "docs_1x": int(n_docs),
         "docs_8x": int(n_docs8),
@@ -305,6 +328,10 @@ def main() -> None:
         "clusters_8x_sec": clusters8_sec,
         "canonical_1x": int(clusters1),
         "canonical_8x": int(clusters8),
+        "span_1x_sec": span1_sec,
+        "span_8x_sec": span8_sec,
+        "span_dup_tokens_1x": int(span1["d"] or 0),
+        "span_dup_tokens_8x": int(span8["d"] or 0),
     }
 
     # ---- Media decode scale point (outside the headline total): the H.264
@@ -332,7 +359,8 @@ def main() -> None:
     }
 
     encoded.unpersist()
-    shutil.rmtree(tmp_index, ignore_errors=True)
+    for d in built_idx["dirs"]:
+        shutil.rmtree(d, ignore_errors=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -341,6 +369,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "ann_scale": ann_scale,
                 "dedup_scale": dedup_scale,
                 "media_scale": media_scale,

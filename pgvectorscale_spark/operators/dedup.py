@@ -49,6 +49,7 @@ __all__ = [
     "lsh_planes",
     "connected_components",
     "dedup_clusters",
+    "span_dedup",
 ]
 
 
@@ -751,3 +752,170 @@ def dedup_clusters(
         F.coalesce("component", F.col(id_col)).alias("cluster_id"),
         (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
     )
+
+
+def _merge_spans(occ: DataFrame, k: int, part_cols: list[str]) -> DataFrame:
+    """Merge k-token coverage intervals [pos, pos+k-1] into maximal spans
+    per partition key (gaps-and-islands): an occurrence starts a new span
+    iff its pos exceeds the running max end of everything before it by 2+.
+    Windows partition by (document, tag), so state is bounded by per-doc
+    gram count, never corpus size. Input (*part_cols, pos) unique; output
+    (*part_cols, s, e)."""
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy(*part_cols).orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*part_cols).orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        occ.withColumn("_pe", F.max(F.col("pos") + k - 1).over(w_prev))
+        .withColumn(
+            "_new",
+            F.when(F.col("_pe").isNull() | (F.col("pos") > F.col("_pe") + 1), 1)
+            .otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_run))
+        .groupBy(*part_cols, "_isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k - 1).alias("e"))
+        .select(*part_cols, "s", "e")
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level (substring) exact dedup: find repeated runs of >= k
+    tokens WITHIN and ACROSS documents, and produce a cleaned corpus that
+    keeps exactly one occurrence of every duplicated span (the
+    "deduplicating training data" operator; document-level dedup cannot
+    see a boilerplate paragraph pasted into otherwise-distinct pages).
+
+    Exactness without a corpus-wide suffix array: a token belongs to some
+    repeated span of length >= k IFF one of the k-grams covering it occurs
+    >= 2 times in the corpus — if a span S (|S| >= k) appears twice, every
+    k-gram inside S appears twice; conversely a duplicated k-gram IS a
+    repeated span of length exactly k. So hash every k-gram (h60, engine-
+    portable), count occurrences, and merge the duplicated grams' coverage
+    intervals per document. Scale shape: one groupBy on the gram hash
+    (map-side combine), one equi-join back, per-DOC windows — the shuffle
+    carries (doc, pos, hash) rows, linear in corpus tokens; nothing is
+    ever pairwise.
+
+    Removal is keeper-preserving and deterministic: for each duplicated
+    k-gram the occurrence with the smallest (doc_id, pos) is the KEEPER; a
+    token is removed iff it is covered by some non-keeper occurrence and
+    by NO keeper occurrence. Every duplicated span therefore survives at
+    its first corpus position and vanishes everywhere else; documents
+    shorter than k tokens are never touched.
+
+    Returns one row per input document:
+      (doc_id, n_tokens, dup_tokens, dup_ratio, n_spans, spans_str,
+       clean_text)
+    where spans_str renders the merged duplicated spans as "s-e,s-e" in
+    position order, dup_tokens = total tokens under those spans, and
+    clean_text is the keeper-preserving cleaned text. clean_text costs
+    O(n_tokens x merged-span-count) per doc (the exists() probe) — spans
+    are maximal/disjoint, so this is near-linear on natural text.
+
+    Reference parity: no analog in pgvectorscale (vector index extension);
+    this is the standard training-corpus operator from the public
+    "Deduplicating Training Data Makes Language Models Better" recipe,
+    re-expressed as hash-groupBy + interval merge instead of suffix
+    arrays."""
+    toks = tokens(f"`{text_col}`", SPARK)
+    base = _widen(df).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.expr(toks).alias("_toks"),
+    )
+    gram = h60(f"concat_ws(' ', slice(_toks, i + 1, {k}))", SPARK)
+    occ = base.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(_toks) >= {k} THEN "
+                f"transform(sequence(0, size(_toks) - {k}), i -> {gram}) "
+                "ELSE cast(array() as array<bigint>) END"
+            )
+        ).alias("pos", "gh"),
+    )
+    dup_grams = (
+        occ.groupBy("gh")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+                "_keep"
+            ),
+        )
+        .filter("_c >= 2")
+        .select("gh", "_keep")
+    )
+    docc = occ.join(dup_grams, "gh").select(
+        id_col,
+        "pos",
+        (
+            (F.col(id_col) == F.col("_keep.d")) & (F.col("pos") == F.col("_keep.p"))
+        ).alias("is_keeper"),
+    )
+    # three span sets — full coverage (stats), keeper coverage, non-keeper
+    # coverage — from ONE pass: tag-explode each occurrence into its sets
+    # ('all' + 'kp'|'nk', so rows double, never triple), merge islands
+    # with a single window chain over (doc, tag), and fold everything into
+    # one per-doc aggregate. The heavy subtree (gram explode + hash,
+    # gh groupBy, join back) appears exactly once in the plan — a naive
+    # one-merge-per-set formulation recomputes it three times.
+    tagged = docc.select(
+        id_col,
+        "pos",
+        F.explode(
+            F.array(
+                F.lit("all"),
+                F.when(F.col("is_keeper"), F.lit("kp")).otherwise(F.lit("nk")),
+            )
+        ).alias("tag"),
+    )
+    spans = _merge_spans(tagged, k, [id_col, "tag"])
+    # array_sort on (tag, s, e) structs orders by tag then s — and
+    # 'all' < 'kp' < 'nk', so each tag's spans come out position-ordered
+    perdoc = spans.groupBy(id_col).agg(
+        F.expr("array_sort(collect_list(struct(tag, s, e)))").alias("_sp")
+    )
+    span_struct = "array<struct<tag:string,s:int,e:int>>"
+    empty = f"cast(array() as {span_struct})"
+    out = (
+        base.join(perdoc, id_col, "left")
+        .withColumn("_sp", F.expr(f"coalesce(_sp, {empty})"))
+        .withColumn("_all", F.expr("filter(_sp, x -> x.tag = 'all')"))
+        .select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.expr(
+                "aggregate(_all, 0L, (a, x) -> a + x.e - x.s + 1)"
+            ).alias("dup_tokens"),
+            F.size("_all").cast("long").alias("n_spans"),
+            F.expr(
+                "concat_ws(',', transform(_all, x -> concat(x.s, '-', x.e)))"
+            ).alias("spans_str"),
+            F.expr(
+                "concat_ws(' ', filter(_toks, (t, i) -> NOT ("
+                "exists(_sp, x -> x.tag = 'nk' AND i >= x.s AND i <= x.e) "
+                "AND NOT exists(_sp, x -> x.tag = 'kp' AND i >= x.s AND i <= x.e)"
+                ")))"
+            ).alias("clean_text"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("dup_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 6),
+        )
+        .select(
+            id_col, "n_tokens", "dup_tokens", "dup_ratio", "n_spans",
+            "spans_str", "clean_text",
+        )
+    )
+    return out

@@ -420,6 +420,108 @@ FROM documents GROUP BY {h60('text', DUCKDB)} ORDER BY keep_id
 """
 
 
+def span_dedup_oracle(k: int) -> str:
+    """Twin of dedup.span_dedup: repeated >=k-token spans within/across
+    documents via duplicated k-gram hashes; merged coverage intervals per
+    doc (gaps-and-islands windows mirror the operator's per-doc windows);
+    keeper-preserving removal — per duplicated gram the smallest
+    (doc_id, pos) occurrence survives, a token is dropped iff covered by
+    a non-keeper occurrence and no keeper occurrence. The clean text is
+    rebuilt token-by-token with list lambdas, so a bug in the operator's
+    interval merge, keeper rule, or filter lambda cannot cancel out."""
+
+    def isl(pred: str, name: str) -> str:
+        return f"""
+isl_{name} AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {k} - 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         THEN 1 ELSE 0 END AS newf
+  FROM dup WHERE {pred}
+),
+isl2_{name} AS (
+  SELECT doc_id, pos, sum(newf) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM isl_{name}
+),
+spans_{name} AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {k} - 1 AS e
+  FROM isl2_{name} GROUP BY doc_id, isl
+)"""
+
+    gram = "array_to_string(b.t[CAST(r.i AS INTEGER) + 1 : CAST(r.i AS INTEGER) + " f"{k}], ' ')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+occ AS (
+  SELECT b.doc_id, CAST(r.i AS INTEGER) AS pos, {h60(gram, DUCKDB)} AS gh
+  FROM base b, unnest(range(0, greatest(b.n - {k} + 1, 0))) AS r(i)
+),
+marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gh) AS c,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+  FROM occ
+),
+dup AS (SELECT doc_id, pos, (rn = 1) AS is_keeper FROM marked WHERE c >= 2),
+{isl('TRUE', 'all')},
+{isl('NOT is_keeper', 'nk')},
+{isl('is_keeper', 'kp')},
+stats AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_tokens,
+         array_to_string(list(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR)
+                              ORDER BY s), ',') AS spans_str
+  FROM spans_all GROUP BY doc_id
+),
+nk_lists AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS nk
+             FROM spans_nk GROUP BY doc_id),
+kp_lists AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS kp
+             FROM spans_kp GROUP BY doc_id)
+SELECT 'span' AS form,
+       b.doc_id AS id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(st.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(st.dup_tokens, 0) / greatest(b.n, 1), 6) AS dup_ratio,
+       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+       coalesce(st.spans_str, '') AS spans_str,
+       coalesce(array_to_string(
+         list_filter(
+           list_transform(range(0, b.n), i ->
+             CASE WHEN len(list_filter(coalesce(nk.nk, []),
+                                       x -> i >= x.s AND i <= x.e)) > 0
+                   AND len(list_filter(coalesce(kp.kp, []),
+                                       x -> i >= x.s AND i <= x.e)) = 0
+             THEN NULL ELSE b.t[CAST(i AS INTEGER) + 1] END),
+           x -> x IS NOT NULL),
+         ' '), '') AS clean_text
+FROM base b
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN nk_lists nk USING (doc_id)
+LEFT JOIN kp_lists kp USING (doc_id)
+"""
+
+
+def dedup_exact_union_oracle(k: int) -> str:
+    """Tagged union riding the dedup_exact key: the exact document-level
+    pass ('exact' rows, dup_count in the dup_tokens slot) plus the
+    span-level substring dedup ('span' rows, one per document)."""
+    exact = f"""
+SELECT 'exact' AS form, min(doc_id) AS id,
+       CAST(0 AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS dup_tokens,
+       CAST(0.0 AS DOUBLE) AS dup_ratio,
+       CAST(0 AS BIGINT) AS n_spans,
+       '' AS spans_str, '' AS clean_text
+FROM documents GROUP BY {h60('text', DUCKDB)}
+"""
+    # the span twin opens with a WITH chain, so it rides in a subquery
+    return f"{exact} UNION ALL SELECT * FROM ({span_dedup_oracle(k)}) AS span_side"
+
+
 def _minhash_sig_ctes(num_hashes: int, shingle_n: int) -> str:
     """CTE chain ending in sig(doc_id, signature) — hash once per shingle,
     min(xor(h, seed_j)) per hash function (mirrors dedup.minhash_signatures)."""
