@@ -1136,11 +1136,34 @@ def _top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pgvectorscale_spark.functions.text import bpe_token_count_sql
-
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.expr(bpe_token_count_sql("text", SPARK)).alias("bpe_token_count")
+    """Tagged union: the raw pre-tokenizer count ('pre' rows) AND the count
+    under the trained BPE merge table ('merged' rows — FROZEN_BPE_MERGES,
+    learned by the distributed trainer functions/text.train_bpe and pinned
+    by pytest; applied as a flat replace() chain over the symbol-wrapped
+    string, the same greedy pass DuckDB replays). Training itself is
+    iterative/driver-coordinated, so its parity lives in pytest
+    (test_bpe_train.py vs a single-node reference); the APPLICATION is
+    what the oracle hash-verifies here."""
+    from pgvectorscale_spark.functions.text import (
+        FROZEN_BPE_MERGES,
+        bpe_merged_token_count_sql,
+        bpe_token_count_sql,
     )
+
+    docs = _docs(spark, sf_dir)
+    pre = docs.select(
+        F.lit("pre").alias("form"),
+        "doc_id",
+        F.expr(bpe_token_count_sql("text", SPARK)).alias("bpe_token_count"),
+    )
+    merged = docs.select(
+        F.lit("merged").alias("form"),
+        "doc_id",
+        F.expr(
+            bpe_merged_token_count_sql("text", list(FROZEN_BPE_MERGES), SPARK)
+        ).alias("bpe_token_count"),
+    )
+    return pre.unionByName(merged)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

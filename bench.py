@@ -193,13 +193,38 @@ def main() -> None:
     emb8 = _scale_embeddings(emb, 8).persist()
     n_rows8 = emb8.count()  # materialize outside the timed region
     assert n_rows8 == 8 * n_rows, (n_rows, n_rows8)  # no id collisions
-    tmp_index8 = tempfile.mkdtemp(prefix="bench_diskann8_")
-    t0 = time.time()
-    idx8 = DiskannIndex.build(emb8, tmp_index8, distance_type="l2", num_shards=64)
-    build8 = round(time.time() - t0, 3)
-    t0 = time.time()
-    idx8.search(q0, k=10).collect()
-    serve8 = round(time.time() - t0, 3)
+
+    # scale blocks get the SAME warm-up + median treatment as the headline
+    # (round 10: a cold 8x build measured 22 s where the warmed steady
+    # state is ~2.5 s — comparing a warmed 1x median against a cold 8x
+    # single shot made the scale ratio pure noise)
+    def timed(fn, runs=2):
+        """Warm-up + median-of-runs; the last run's result is kept in
+        timed.last so count/row outputs don't need an extra pass."""
+        fn()  # warm-up, untimed
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            timed.last = fn()
+            samples.append(round(time.time() - t0, 3))
+        import statistics as _st
+
+        return round(_st.median(samples), 3), samples
+
+    idx8_box = {}
+
+    def _build8():
+        d = tempfile.mkdtemp(prefix="bench_diskann8_")
+        idx8_box.setdefault("dirs", []).append(d)
+        idx8_box["idx"] = DiskannIndex.build(
+            emb8, d, distance_type="l2", num_shards=64
+        )
+
+    build8, build8_samples = timed(_build8, runs=2)
+    idx8 = idx8_box["idx"]
+    serve8, serve8_samples = timed(
+        lambda: idx8.search(q0, k=10).collect(), runs=3
+    )
     # quality gate at the 8x point: routed fan-out recall@10 vs the exact
     # oracle over the same 16 queries (the reference's own >=0.9 bar,
     # build.rs:1390-1414 — wall time without recall would let a degraded
@@ -223,7 +248,8 @@ def main() -> None:
         / len(exact8),
         4,
     )
-    shutil.rmtree(tmp_index8, ignore_errors=True)
+    for d in idx8_box.get("dirs", []):
+        shutil.rmtree(d, ignore_errors=True)
     # ROUTED fan-out at the 8x point: kmeans (Voronoi) shards served with
     # probe_shards=8 of 64 — per-query cost stops growing with shard count
     # (the regime 100x actually stresses; full scatter/gather above is the
@@ -234,15 +260,16 @@ def main() -> None:
         emb8, tmp_routed, distance_type="l2", num_shards=64, shard_assignment="kmeans"
     )
     build8r = round(time.time() - t0, 3)
-    t0 = time.time()
-    got8r = {
-        r["query_id"]: set(r["ids"])
-        for r in idx8r.search_batch(qvecs, k=10, probe_shards=8)
-        .groupBy("query_id")
-        .agg(F.collect_set("node_id").alias("ids"))
-        .collect()
-    }
-    serve8r = round(time.time() - t0, 3)
+    def _routed_batch():
+        return (
+            idx8r.search_batch(qvecs, k=10, probe_shards=8)
+            .groupBy("query_id")
+            .agg(F.collect_set("node_id").alias("ids"))
+            .collect()
+        )
+
+    serve8r, serve8r_samples = timed(_routed_batch, runs=3)
+    got8r = {r["query_id"]: set(r["ids"]) for r in timed.last}
     recall8r = round(
         sum(len(got8r[q] & exact8[q]) / max(len(exact8[q]), 1) for q in exact8)
         / len(exact8),
@@ -255,12 +282,15 @@ def main() -> None:
         "rows_8x": int(n_rows8),
         "build_1x_sec": timings["q_diskann_build"],
         "build_8x_sec": build8,
+        "build_8x_samples": build8_samples,
         "serve_1x_sec": timings["q_diskann_serve"],
         "serve_8x_sec": serve8,
+        "serve_8x_samples": serve8_samples,
         "recall_8x_at10": recall8,
         "recall_8x_gate_pass": bool(recall8 >= 0.9),
         "kmeans_build_8x_sec": build8r,
         "routed_serve_8x_sec": serve8r,
+        "routed_serve_8x_samples": serve8r_samples,
         "routed_probe_shards": 8,
         "routed_recall_8x_at10": recall8r,
         "routed_recall_8x_gate_pass": bool(recall8r >= 0.9),
@@ -296,28 +326,30 @@ def main() -> None:
     n_docs8 = docs8.count()
     n_docs = docs.count()
     assert n_docs8 == 8 * n_docs, (n_docs, n_docs8)
-    t0 = time.time()
-    n_pairs8 = dedup.minhash_candidate_pairs(docs8, num_hashes=16, bands=4).count()
-    pairs8_sec = round(time.time() - t0, 3)
-    t0 = time.time()
-    clusters1 = dedup.dedup_clusters(docs).filter("is_canonical").count()
-    clusters1_sec = round(time.time() - t0, 3)
-    t0 = time.time()
-    clusters8 = dedup.dedup_clusters(docs8).filter("is_canonical").count()
-    clusters8_sec = round(time.time() - t0, 3)
+    pairs8_sec, _ = timed(
+        lambda: dedup.minhash_candidate_pairs(docs8, num_hashes=16, bands=4).count()
+    )
+    n_pairs8 = timed.last
+    clusters1_sec, _ = timed(
+        lambda: dedup.dedup_clusters(docs).filter("is_canonical").count()
+    )
+    clusters1 = timed.last
+    clusters8_sec, _ = timed(
+        lambda: dedup.dedup_clusters(docs8).filter("is_canonical").count()
+    )
+    clusters8 = timed.last
     # span-level (substring) dedup at 1x/8x: gram hash groupBy + interval
     # merge; the Caesar-rotated copies keep within-copy span structure, so
     # dup-span density per doc is constant as rows grow
-    t0 = time.time()
-    span1 = dedup.span_dedup(docs, k=5).agg(
-        F.sum("dup_tokens").alias("d"), F.sum(F.col("n_spans")).alias("s")
-    ).first()
-    span1_sec = round(time.time() - t0, 3)
-    t0 = time.time()
-    span8 = dedup.span_dedup(docs8, k=5).agg(
-        F.sum("dup_tokens").alias("d"), F.sum(F.col("n_spans")).alias("s")
-    ).first()
-    span8_sec = round(time.time() - t0, 3)
+    def _span_agg(d):
+        return dedup.span_dedup(d, k=5).agg(
+            F.sum("dup_tokens").alias("d"), F.sum(F.col("n_spans")).alias("s")
+        ).first()
+
+    span1_sec, _ = timed(lambda: _span_agg(docs))
+    span1 = timed.last
+    span8_sec, _ = timed(lambda: _span_agg(docs8))
+    span8 = timed.last
     dedup_scale = {
         "docs_1x": int(n_docs),
         "docs_8x": int(n_docs8),
@@ -343,12 +375,14 @@ def main() -> None:
         decode_h264_picture,
     )
 
-    t0 = time.time()
-    n_dec1 = decode_h264_picture(attach_h264_payload(docs)).count()
-    h264_1_sec = round(time.time() - t0, 3)
-    t0 = time.time()
-    n_dec8 = decode_h264_picture(attach_h264_payload(docs8)).count()
-    h264_8_sec = round(time.time() - t0, 3)
+    h264_1_sec, _ = timed(
+        lambda: decode_h264_picture(attach_h264_payload(docs)).count()
+    )
+    n_dec1 = timed.last
+    h264_8_sec, _ = timed(
+        lambda: decode_h264_picture(attach_h264_payload(docs8)).count()
+    )
+    n_dec8 = timed.last
     assert (n_dec1, n_dec8) == (n_docs, n_docs8)
     docs8.unpersist()
     media_scale = {

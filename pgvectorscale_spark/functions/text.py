@@ -139,3 +139,165 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_id", F.expr(lang_id_sql(t, SPARK)))
         .withColumn("fingerprint", F.expr(document_fingerprint_sql(t, SPARK)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE vocabulary TRAINING (the merge-table learner; the
+# pre-tokenizer above only counts). Classic Sennrich-style BPE re-expressed
+# as a Spark aggregation loop: the corpus compresses to a (word, freq)
+# table once, then each merge step is one pair-count aggregation (map-side
+# combine over the distinct-word table, never the raw corpus) plus a
+# broadcast of the single winning pair baked into a fold expression.
+# ---------------------------------------------------------------------------
+
+# Symbol/word separators for the flat-string APPLY representation: every
+# symbol is wrapped as SEP+sym+SEP and words join with WORD_SEP, so a merge
+# (x, y) -> xy is exactly replace(SEP x SEP SEP y SEP -> SEP xy SEP); SQL
+# replace() scans left-to-right non-overlapping, which IS the BPE greedy
+# pass, and the WORD_SEP breaks the SEP SEP adjacency so merges can never
+# cross word boundaries. Control characters are stripped from the input
+# first, so corpus text can never forge a boundary.
+BPE_SYM_SEP = "\x1f"
+BPE_WORD_SEP = "\x1e"
+
+
+def _sql_str(s: str, dialect: str) -> str:
+    """String literal for the dialect (Spark escapes backslashes)."""
+    body = s.replace("'", "''")
+    if dialect == SPARK:
+        body = s.replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{body}'"
+
+
+def bpe_wrapped_sql(text_expr: str, dialect: str) -> str:
+    """Char-decomposed symbol string: pre-tokenize, wrap every character c
+    as SEP c SEP, join words with WORD_SEP (see separator notes above)."""
+    strip = f"[{BPE_SYM_SEP}{BPE_WORD_SEP}]"
+    clean = (
+        f"regexp_replace({text_expr}, '{strip}', '')"
+        if dialect == SPARK
+        else f"regexp_replace({text_expr}, '{strip}', '', 'g')"
+    )
+    toks = bpe_tokens_sql(clean, dialect)
+    if dialect == SPARK:
+        wrap = f"regexp_replace(w, '(.)', '{BPE_SYM_SEP}$1{BPE_SYM_SEP}')"
+        return f"array_join(transform({toks}, w -> {wrap}), '{BPE_WORD_SEP}')"
+    wrap = f"regexp_replace(w, '(.)', '{BPE_SYM_SEP}\\1{BPE_SYM_SEP}', 'g')"
+    return f"array_to_string(list_transform({toks}, w -> {wrap}), '{BPE_WORD_SEP}')"
+
+
+def bpe_apply_sql(text_expr: str, merges: list[tuple[str, str]], dialect: str) -> str:
+    """Apply a learned merge table in order as a flat replace() chain —
+    identical greedy semantics in Spark and DuckDB, no lambdas."""
+    s = bpe_wrapped_sql(text_expr, dialect)
+    sep = BPE_SYM_SEP
+    for a, b in merges:
+        pat = _sql_str(f"{sep}{a}{sep}{sep}{b}{sep}", dialect)
+        rep = _sql_str(f"{sep}{a}{b}{sep}", dialect)
+        s = f"replace({s}, {pat}, {rep})"
+    return s
+
+
+def bpe_merged_token_count_sql(
+    text_expr: str, merges: list[tuple[str, str]], dialect: str
+) -> str:
+    """Token count under a learned merge table: symbols remaining after the
+    replace chain = SEP occurrences / 2 (each symbol carries exactly two)."""
+    s = bpe_apply_sql(text_expr, merges, dialect)
+    seps = f"length({s}) - length(replace({s}, '{BPE_SYM_SEP}', ''))"
+    if dialect == SPARK:
+        return f"cast({seps} as bigint) div 2"
+    return f"(({seps})::BIGINT // 2)"
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 16,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from a corpus, distributed.
+
+    Classic byte-pair encoding (the public Sennrich et al. recipe): the
+    corpus is pre-tokenized (BPE_PATTERN) and compressed to a distinct
+    (word-symbol-array, frequency) table — ONE pass over the raw corpus,
+    everything after runs on the distinct-word table (Heaps' law: tiny
+    next to 100 TB of text). Each merge step:
+
+    1. pair counts: explode adjacent symbol pairs weighted by word
+       frequency (overlapping positions count, as in the reference
+       implementation), groupBy pair with map-side partial aggregation;
+    2. winner: max count, ties broken by (a, b) ascending — fully
+       deterministic across partitionings and engines;
+    3. apply: the winning pair is baked into a greedy left-to-right fold
+       expression (JVM-side `aggregate`) over every word's symbols.
+
+    Stops early when no pair reaches ``min_pair_freq``. Returns the merge
+    list in learned order. Lineage is truncated every 8 steps
+    (localCheckpoint) so hundreds of merges don't accumulate a deep plan.
+    """
+    words = (
+        df.select(F.expr(bpe_tokens_sql(f"`{text_col}`", SPARK)).alias("_ws"))
+        .select(F.explode("_ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(F.expr("regexp_extract_all(w, '.', 0)").alias("syms"), "freq")
+    )
+    words = words.persist()
+    words.count()
+    merges: list[tuple[str, str]] = []
+    pair_arr = (
+        "CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms) - 1), "
+        "i -> struct(element_at(syms, i) as a, element_at(syms, i + 1) as b)) "
+        "ELSE cast(array() as array<struct<a:string,b:string>>) END"
+    )
+    try:
+        for step in range(num_merges):
+            best = (
+                words.select("freq", F.explode(F.expr(pair_arr)).alias("p"))
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["c"] < min_pair_freq:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            la, lb, lab = (
+                _sql_str(a, SPARK), _sql_str(b, SPARK), _sql_str(a + b, SPARK)
+            )
+            fold = (
+                "aggregate(syms, cast(array() as array<string>), (acc, s) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {la} "
+                f"AND s = {lb} "
+                "THEN concat(slice(acc, 1, size(acc) - 1), array(" + lab + ")) "
+                "ELSE concat(acc, array(s)) END)"
+            )
+            new_words = words.select(F.expr(fold).alias("syms"), "freq").persist()
+            new_words.count()
+            words.unpersist()
+            words = new_words
+            if (step + 1) % 8 == 0:
+                cp = words.localCheckpoint(eager=True)
+                words.unpersist()
+                words = cp
+    finally:
+        try:
+            words.unpersist()
+        except Exception:
+            pass
+    return merges
+
+
+# Merge table learned by train_bpe on the sf0.001 documents corpus
+# (num_merges=12) and FROZEN here so the driver's tagged-union apply is a
+# static, engine-replayable expression at any SF. test_bpe_train.py pins
+# this constant to a live training run, so trainer and constant cannot
+# drift apart silently. Note the multi-level merges ('p','ar'), ('m','er'):
+# they only tokenize correctly if earlier merges were applied in order.
+FROZEN_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+)

@@ -703,11 +703,23 @@ FROM documents ORDER BY doc_id
 
 
 def tokenize_bpe_oracle() -> str:
-    from pgvectorscale_spark.functions.text import bpe_token_count_sql
+    """Tagged union: raw pre-tokenizer count ('pre') + count under the
+    frozen trained merge table ('merged' — the same symbol-wrapped
+    replace() chain the Spark side runs; SQL replace scans left-to-right
+    non-overlapping, which IS the BPE greedy pass)."""
+    from pgvectorscale_spark.functions.text import (
+        FROZEN_BPE_MERGES,
+        bpe_merged_token_count_sql,
+        bpe_token_count_sql,
+    )
 
+    merged = bpe_merged_token_count_sql("text", list(FROZEN_BPE_MERGES), DUCKDB)
     return f"""
-SELECT doc_id, {bpe_token_count_sql('text', DUCKDB)} AS bpe_token_count
-FROM documents ORDER BY doc_id
+SELECT 'pre' AS form, doc_id, {bpe_token_count_sql('text', DUCKDB)} AS bpe_token_count
+FROM documents
+UNION ALL
+SELECT 'merged' AS form, doc_id, {merged} AS bpe_token_count
+FROM documents
 """
 
 
