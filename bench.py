@@ -255,9 +255,14 @@ def main() -> None:
     # (the regime 100x actually stresses; full scatter/gather above is the
     # exact baseline). Same >=0.9 recall bar against the same exact oracle.
     tmp_routed = tempfile.mkdtemp(prefix="bench_diskann8r_")
+    emb8l = emb8.withColumn("labels", F.array("label").cast("array<smallint>"))
     t0 = time.time()
+    # labeled kmeans build: per-label start nodes under 64 Voronoi shards is
+    # the regime a 100x corpus stresses; the build also auto-tunes the
+    # routing-recall curve (tune_routing default) used by the auto gate below
     idx8r = DiskannIndex.build(
-        emb8, tmp_routed, distance_type="l2", num_shards=64, shard_assignment="kmeans"
+        emb8l, tmp_routed, distance_type="l2", num_shards=64,
+        shard_assignment="kmeans", label_col="labels",
     )
     build8r = round(time.time() - t0, 3)
     def _routed_batch():
@@ -273,6 +278,51 @@ def main() -> None:
     recall8r = round(
         sum(len(got8r[q] & exact8[q]) / max(len(exact8[q]), 1) for q in exact8)
         / len(exact8),
+        4,
+    )
+    # AUTO-tuned probes: probe count chosen from the build-time
+    # routing-recall curve for a 0.95 target must hit the same >=0.9
+    # end-to-end bar with no hand-set fan-out
+    auto_p = idx8r.auto_probe_shards(0.95)
+    got8a = {
+        r["query_id"]: set(r["ids"])
+        for r in idx8r.search_batch(qvecs, k=10, recall_target=0.95)
+        .groupBy("query_id")
+        .agg(F.collect_set("node_id").alias("ids"))
+        .collect()
+    }
+    recall8a = round(
+        sum(len(got8a[q] & exact8[q]) / max(len(exact8[q]), 1) for q in exact8)
+        / len(exact8),
+        4,
+    )
+    # LABELED routed gate: label-filtered queries through the same routed
+    # index (per-label start nodes + label-aware probe widening) vs the
+    # exact label-filtered oracle
+    lbl = 3
+    exact8_lbl = {
+        r["query_id"]: set(r["ids"])
+        for r in search_exact_batch(
+            emb8.filter(F.col("label") == lbl), qvecs, k=10,
+            distance_type="l2", impl="numpy",
+        )
+        .groupBy("query_id")
+        .agg(F.collect_set("vec_id").alias("ids"))
+        .collect()
+    }
+    got8_lbl = {
+        r["query_id"]: set(r["ids"])
+        for r in idx8r.search_batch(qvecs, k=10, probe_shards=8, labels=[lbl])
+        .groupBy("query_id")
+        .agg(F.collect_set("node_id").alias("ids"))
+        .collect()
+    }
+    recall8_lbl = round(
+        sum(
+            len(got8_lbl.get(q, set()) & exact8_lbl[q]) / max(len(exact8_lbl[q]), 1)
+            for q in exact8_lbl
+        )
+        / max(len(exact8_lbl), 1),
         4,
     )
     emb8.unpersist()
@@ -294,6 +344,12 @@ def main() -> None:
         "routed_probe_shards": 8,
         "routed_recall_8x_at10": recall8r,
         "routed_recall_8x_gate_pass": bool(recall8r >= 0.9),
+        "auto_probe_shards": int(auto_p),
+        "auto_routed_recall_8x_at10": recall8a,
+        "auto_routed_gate_pass": bool(recall8a >= 0.9 and auto_p <= 8),
+        "labeled_routed_recall_8x_at10": recall8_lbl,
+        "labeled_routed_gate_pass": bool(recall8_lbl >= 0.9),
+        "routing_recall_curve": idx8r.meta.routing_recall_curve,
     }
 
     # ---- Dedup scale point (also outside the headline total): MinHash-LSH

@@ -109,9 +109,25 @@ def decontaminate_bloom(
     shrinks the shuffle-or-probe volume from every-corpus-shingle to
     ~hits; ``num_bits`` sizes the false-positive rate
     ((1 - e^(-k·n/m))^k — 2^30 bits / 3 hashes holds ~100M benchmark
-    shingles at <2% FP)."""
+    shingles at <2% FP).
+
+    MEMORY CEILING: the packed bit array is materialized as a SINGLE ROW
+    (one array<long> of num_bits/64 elements) and broadcast to every
+    executor — num_bits/8 bytes must fit comfortably in one row on the
+    driver AND in each executor's broadcast memory. 2^30 bits = 128 MB is
+    the sane ceiling (and already holds ~100M shingles); 2^33 is capped
+    below because a multi-GB single row breaks row-size and broadcast
+    limits long before correctness does. Need more capacity? lower the FP
+    target instead by raising num_hashes, or shard the benchmark and OR
+    the verdicts."""
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    if num_bits > (1 << 33):
+        raise ValueError(
+            f"num_bits={num_bits} exceeds the 2^33 single-row/broadcast "
+            "ceiling (the packed filter is one row of num_bits/8 bytes; "
+            "2^30 ~ 128 MB is the recommended maximum)"
+        )
     n_words = num_bits // 64
     sh = word_shingles(tokens(f"`{text_col}`", SPARK), shingle_n, SPARK)
     bench_sh = (

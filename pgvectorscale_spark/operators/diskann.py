@@ -808,6 +808,7 @@ class DiskannIndex:
         label_col: str | None = None,
         build_mode: str = "bulk",
         shard_assignment: str = "hash",
+        tune_routing: bool = True,
         _locked: bool = False,
     ) -> "DiskannIndex":
         """``build_mode='bulk'`` (default): exact-prefix BLAS candidates per
@@ -840,7 +841,7 @@ class DiskannIndex:
                     num_shards=num_shards, target_shard_size=target_shard_size,
                     vector_col=vector_col, id_col=id_col, label_col=label_col,
                     build_mode=build_mode, shard_assignment=shard_assignment,
-                    _locked=True,
+                    tune_routing=tune_routing, _locked=True,
                 )
         spark = df.sparkSession
         # reloption validation (build.rs:264-290, :192-196)
@@ -1127,6 +1128,13 @@ class DiskannIndex:
             # every build for data nothing ever reads (and that inserts,
             # which skip _write_routing on hash, would then let go stale)
             idx._write_routing()
+            if tune_routing:
+                # routing-recall curve for recall_target probe selection
+                # (one exact linear pass over the fresh index; see
+                # tune_routing's docstring for the staleness contract)
+                sc.setJobDescription("diskann build: tuning routing recall")
+                idx.tune_routing()
+                sc.setJobDescription(None)
         return idx
 
     @classmethod
@@ -1374,6 +1382,121 @@ class DiskannIndex:
         cents = np.stack([np.array(r["centroid"], dtype=np.float64) for r in rows])
         return sids, cents
 
+    def tune_routing(self, sample_queries: int = 16, k: int = 10) -> dict[str, float]:
+        """Measure the routing-recall curve and store it in the meta.
+
+        For a deterministic query sample (the ``sample_queries`` smallest
+        live node ids), compute the exact top-k (one distributed pass) and
+        each true neighbor's home shard; the curve maps probe count p to
+        the fraction of true neighbors whose shard is among the query's p
+        nearest centroids. This is the ROUTING term of routed recall —
+        an upper bound the per-shard graph walk then approaches, and the
+        full fan-out recall gates bound the graph term separately.
+        ``search(recall_target=r)`` picks the smallest p on the curve
+        reaching r. Label-aware probe widening at query time only ADDS
+        shards, so labeled queries route at least this well.
+
+        Build-time measurement: mutations shift centroids and contents
+        without re-measuring (same staleness contract as the routing
+        table itself); rebuilds re-tune. Cost: one exact linear pass over
+        the corpus for ``sample_queries`` queries — opt out with
+        ``build(..., tune_routing=False)``."""
+        table = self._routing_table()
+        if table is None:
+            raise ValueError(
+                f"index at {self.path} has no routing table: the recall "
+                "curve only exists for kmeans-sharded indexes"
+            )
+        from pgvectorscale_spark.operators.knn import search_exact_batch
+
+        sids, cents = table
+        live = self.nodes().filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+        sample = (
+            live.select("node_id", "vector")
+            .orderBy("node_id")
+            .limit(int(sample_queries))
+            .collect()
+        )
+        if not sample:
+            raise ValueError("cannot tune routing on an empty index")
+        qids = [int(r["node_id"]) for r in sample]
+        qmat = np.array([r["vector"] for r in sample], dtype=np.float64)
+        qdf = self.spark.createDataFrame(
+            [(qid, [float(x) for x in row]) for qid, row in zip(qids, qmat)],
+            "query_id long, query_vec array<float>",
+        )
+        topk = search_exact_batch(
+            live.select("node_id", "vector"),
+            qdf,
+            k=k,
+            distance_type=self.meta.distance_type,
+            vector_col="vector",
+            id_col="node_id",
+            impl="numpy",
+        ).collect()
+        by_q: dict[int, list[int]] = {}
+        for r in topk:
+            by_q.setdefault(int(r["query_id"]), []).append(int(r["node_id"]))
+        ids = sorted({int(r["node_id"]) for r in topk})
+        shard_of = {
+            int(r["node_id"]): int(r["shard"])
+            for r in self.nodes()
+            .select("node_id", "shard")
+            .filter(F.col("node_id").isin(ids))
+            .collect()
+        }
+        if self.meta.distance_type == DistanceType.COSINE.value:
+            qmat = np_normalize(qmat)
+            cents = np_normalize(cents)
+        order = np.argsort(
+            np.stack(
+                [
+                    np_distance(
+                        cents, qmat[qi], self.meta.distance_type,
+                        assume_normalized=True,
+                    )
+                    for qi in range(len(qmat))
+                ]
+            ),
+            axis=1,
+        )  # (queries, shards): shard-table row indices by proximity
+        n_shards = len(sids)
+        ladder: list[int] = []
+        p = 1
+        while p < n_shards:
+            ladder.append(p)
+            p *= 2
+        ladder.append(n_shards)
+        curve: dict[str, float] = {}
+        for p in ladder:
+            tot = hit = 0
+            for qi, qid in enumerate(qids):
+                probed = {int(sids[c]) for c in order[qi, :p]}
+                for nid in by_q.get(qid, []):
+                    tot += 1
+                    hit += int(shard_of[nid] in probed)
+            curve[str(p)] = round(hit / max(tot, 1), 4)
+        self.meta.routing_recall_curve = curve
+        self.meta.routing_recall_k = int(k)
+        self.meta.save(self.path)
+        return curve
+
+    def auto_probe_shards(self, recall_target: float) -> int:
+        """Smallest probe count whose measured routing recall reaches the
+        target (falls back to every shard when even the full curve point
+        sits below it — which cannot happen for the stored curve, whose
+        last point is 1.0 by construction)."""
+        curve = self.meta.routing_recall_curve
+        if not curve:
+            raise ValueError(
+                f"index at {self.path} has no routing-recall curve: build "
+                "with tune_routing=True (kmeans) or call tune_routing()"
+            )
+        for p in sorted(int(x) for x in curve):
+            if curve[str(p)] >= recall_target:
+                return p
+        return int(self.meta.num_shards)
+
     def _routing_stats(self) -> dict[int, tuple] | None:
         """Stored routing rows WITH sufficient statistics, as
         {shard: (shard, centroid, count, vsum)} — or None when the sidecar
@@ -1591,8 +1714,13 @@ class DiskannIndex:
         post_filter: str | None = None,
         overfetch: float = 2.0,
         probe_shards: int | None = None,
+        recall_target: float | None = None,
     ) -> DataFrame:
         """Single-query top-k → DataFrame (node_id, distance).
+
+        ``recall_target=r`` picks ``probe_shards`` automatically from the
+        build-time routing-recall curve (see ``tune_routing``) — the
+        smallest probe count whose measured routing recall reaches r.
 
         ``search_list_size``/``rescore`` default to the session confs
         ``spark.pgvectorscale.query_search_list_size`` / ``query_rescore``
@@ -1621,7 +1749,7 @@ class DiskannIndex:
                 None, k=fetch_k,
                 search_list_size=sls if sls is not None else search_list_size,
                 rescore=rescore, labels=labels, stats=stats, probe_shards=probe_shards,
-                _qrows=qrows,
+                recall_target=recall_target, _qrows=qrows,
             )
             return res.select("node_id", "distance").orderBy("rank")
 
@@ -1696,6 +1824,7 @@ class DiskannIndex:
         query_vec_col: str = "query_vec",
         stats: "QueryStats | None" = None,
         probe_shards: int | None = None,
+        recall_target: float | None = None,
         _qrows: list | None = None,
     ) -> DataFrame:
         """Scatter/gather batch search: (query_id, node_id, distance, rank).
@@ -1747,6 +1876,18 @@ class DiskannIndex:
             return self.spark.createDataFrame(
                 [], "query_id long, node_id long, distance double, rank integer"
             )
+        if recall_target is not None:
+            if probe_shards is not None:
+                raise ValueError(
+                    "pass either probe_shards or recall_target, not both"
+                )
+            if (
+                self.meta.shard_assignment == "kmeans"
+                and self.meta.routing_recall_curve
+            ):
+                probe_shards = self.auto_probe_shards(recall_target)
+            # else: full fan-out probes every shard — routing recall 1.0
+            # meets any target (hash shards and untuned kmeans indexes)
         qlabels = frozenset(int(l) for l in labels) if labels else None
         limit = max(k, rescore)
         # shard routing: per-query top-p shards by centroid distance. The

@@ -268,6 +268,17 @@ class IndexMeta:
     quantizer_variances: list[float] = field(default_factory=list)
     # default + per-label start nodes (graph/start_nodes.rs:14-21)
     start_nodes: dict[str, int] = field(default_factory=dict)
+    # Routing-recall curve measured at build time on kmeans shards
+    # (additive field, no version bump: absent = no curve = recall_target
+    # routing unavailable, the exact pre-field behavior). Maps
+    # str(probe_shards) -> fraction of exact top-k neighbors (over a
+    # deterministic query sample) whose home shard is among each query's
+    # that-many nearest centroids — the ROUTING term of routed recall;
+    # the graph term is gated separately by the full fan-out recall gates.
+    # search(recall_target=r) picks the smallest probe count whose curve
+    # value reaches r.
+    routing_recall_curve: dict[str, float] = field(default_factory=dict)
+    routing_recall_k: int = 0
 
     @property
     def delta_seq(self) -> int:

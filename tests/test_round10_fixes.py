@@ -78,3 +78,14 @@ def test_expired_unreadable_lease_is_reaped_via_its_own_path(leases, monkeypatch
     got = iu._live_lease_min_epoch(str(leases.parent))
     assert got is None
     assert not os.path.exists(dead)
+
+
+def test_bloom_num_bits_ceiling():
+    """decontaminate_bloom refuses num_bits past the single-row/broadcast
+    ceiling (validated before any plan is built, so no frames needed)."""
+    from pgvectorscale_spark.operators.curation import decontaminate_bloom
+
+    with pytest.raises(ValueError, match="ceiling"):
+        decontaminate_bloom(None, None, num_bits=1 << 34)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        decontaminate_bloom(None, None, num_bits=100)
