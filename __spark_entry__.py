@@ -977,6 +977,20 @@ def _multimodal_decode_lossy_audio(spark: SparkSession, sf_dir: str) -> DataFram
             f"stack({len(metrics)}, {stack}) as (metric, value)",
         )
     )
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_au_payload,
+        decode_au_audio,
+    )
+
+    # Sun AU: big-endian .snd container (annotation-skipping offset walk)
+    # over the same mu-law companding — the G.711 oracle's container twin
+    parts.append(
+        decode_au_audio(attach_au_payload(docs)).selectExpr(
+            "doc_id",
+            "'au' as media",
+            f"stack({len(metrics)}, {stack}) as (metric, value)",
+        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1329,6 +1343,7 @@ def oracle_sql() -> dict[str, str]:
                 oracles.ima_adpcm_decode_oracle(),
                 oracles.f32_wav_decode_oracle(),
                 oracles.aiff_decode_oracle(),
+                oracles.au_decode_oracle(),
                 oracles.flac_decode_oracle(),
                 oracles.bmp_decode_oracle(),
                 oracles.gif_decode_oracle(),

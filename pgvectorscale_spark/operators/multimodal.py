@@ -43,6 +43,9 @@ __all__ = [
     "attach_aiff_payload",
     "attach_wav_payload",
     "decode_aiff_audio",
+    "parse_au",
+    "attach_au_payload",
+    "decode_au_audio",
     "parse_aiff",
     "parse_bmp",
     "binary_metadata",
@@ -749,6 +752,105 @@ def attach_aiff_payload(
         payload_col,
         F.expr(f"concat(unhex('{hdr}'), {', '.join([u] * WAV_TILE)})"),
     ).withColumn("media_type", F.lit("audio/aiff"))
+
+
+def parse_au(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a Sun AU (.au/.snd) file: returns (channels, rate, samples
+    (n, ch) int16). REAL decoder, no media libraries: big-endian header
+    (magic '.snd', data offset >= 24 with an optional annotation the
+    decoder must SKIP, data size or 0xffffffff for 'to end of file',
+    encoding, rate, channels) and the linear/companded encodings —
+    1 = G.711 mu-law (shared ULAW_TABLE), 2 = signed linear PCM8
+    (value << 8), 3 = linear PCM16 BIG-endian, 6 = IEEE float32
+    big-endian (same round(x*32767) int16 mapping as float WAV),
+    27 = G.711 A-law. Anything else (ADPCM/G.72x encodings) raises
+    loudly."""
+    import struct
+
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    if len(data) < 24 or data[:4] != b".snd":
+        raise ValueError(f"not an AU file (magic {data[:4]!r})")
+    data_off, data_size, encoding, rate, channels = struct.unpack(
+        ">IIIII", data[4:24]
+    )
+    if data_off < 24:
+        raise ValueError(f"AU data offset {data_off} points inside the header")
+    if channels < 1 or channels > 64 or rate <= 0:
+        raise ValueError(f"implausible AU geometry ({channels} ch @ {rate} Hz)")
+    if data_off > len(data):
+        raise ValueError("truncated AU file (offset past end)")
+    body = data[data_off:]
+    if data_size != 0xFFFFFFFF:
+        if data_size > len(body):
+            raise ValueError("truncated AU data")
+        body = body[:data_size]
+    if encoding in (1, 27):  # G.711 mu-law / A-law
+        table = ULAW_TABLE if encoding == 1 else ALAW_TABLE
+        n = len(body) // channels
+        enc = np.frombuffer(body[: n * channels], dtype=np.uint8).reshape(n, channels)
+        return channels, rate, table[enc]
+    if encoding == 2:  # signed linear PCM8
+        n = len(body) // channels
+        s8 = np.frombuffer(body[: n * channels], dtype=np.int8).reshape(n, channels)
+        return channels, rate, (s8.astype(np.int16) << 8)
+    if encoding == 3:  # linear PCM16 big-endian
+        n = len(body) // (2 * channels)
+        samples = np.frombuffer(body[: n * 2 * channels], dtype=">i2").reshape(
+            n, channels
+        ).astype(np.int16)
+        return channels, rate, samples
+    if encoding == 6:  # IEEE float32 big-endian
+        n = len(body) // (4 * channels)
+        x = np.frombuffer(body[: n * 4 * channels], dtype=">f4").reshape(n, channels)
+        x = np.nan_to_num(x.astype(np.float64), nan=0.0, posinf=1.0, neginf=-1.0)
+        return channels, rate, np.clip(
+            np.rint(x * 32767.0), -32768, 32767
+        ).astype(np.int16)
+    raise ValueError(
+        f"unsupported AU encoding {encoding}: only mu-law(1), PCM8(2), "
+        "PCM16-BE(3), float32-BE(6), and A-law(27) decode natively"
+    )
+
+
+#: AU synth: the header carries an 8-byte annotation ('sparkau\\x00') so
+#: the decoder's data_off skip is actually exercised, and the body tiles
+#: the digest bytes as mu-law samples — the container twin of the G.711
+#: WAV synth (same companding closed form, big-endian header walk).
+AU_ANNOTATION = b"sparkau\x00"
+
+
+def attach_au_payload(
+    df: DataFrame, source_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL Sun AU payload per row, built JVM-side:
+    big-endian .snd header with data offset 32 (24 + the 8-byte
+    annotation the parser must skip) + md5(source) digest bytes tiled
+    WAV_TILE x as G.711 mu-law samples. The closed-form oracle
+    (oracles.au_decode_oracle) replays the ITU-T mu-law segment formula
+    over the digest hex — the WAV G.711 oracle's container twin, so an
+    offset/endianness bug in the AU header walk breaks the hash."""
+    import struct
+
+    data_len = 16 * WAV_TILE
+    hdr = (
+        b".snd"
+        + struct.pack(">IIIII", 24 + len(AU_ANNOTATION), data_len, 1, WAV_RATE, 1)
+        + AU_ANNOTATION
+    ).hex()
+    u = f"unhex(md5(`{source_col}`))"
+    return df.withColumn(
+        payload_col,
+        F.expr(f"concat(unhex('{hdr}'), {', '.join([u] * WAV_TILE)})"),
+    ).withColumn("media_type", F.lit("audio/basic"))
+
+
+def decode_au_audio(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """AU twin of ``decode_wav_audio`` (same feature contract) over
+    ``parse_au``."""
+    return _decode_audio_features(df, parse_au, payload_col, id_col)
 
 
 #: BMP synth geometry: 3x2 at 24bpp — stride pads 9 row bytes to 12, so the

@@ -1073,6 +1073,49 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def _g711_ulaw_sql(b: str) -> str:
+    """ITU-T G.711 mu-law expansion written directly in SQL (bias-132
+    segment shift; anchors 0xFF -> 0, 0x00 -> -32124) — shared by the WAV
+    (g711_decode_oracle) and AU (au_decode_oracle) container twins."""
+    u = f"(255 - {b})"
+    t = f"((({u} % 16) * 8 + 132) * CAST(power(2, ({u} // 16) % 8) AS BIGINT))"
+    return f"(CASE WHEN {u} >= 128 THEN 132 - {t} ELSE {t} - 132 END)"
+
+
+def au_decode_oracle() -> str:
+    """Twin of the Sun AU decode pipeline (multimodal.attach_au_payload →
+    parse_au): the big-endian .snd header carries an 8-byte annotation
+    (data offset 32), then digest bytes tile as mu-law samples — the
+    container twin of the G.711 WAV oracle, so a header-walk, offset-skip,
+    or companding bug on either side diverges the means."""
+    from pgvectorscale_spark.operators.multimodal import WAV_RATE, WAV_TILE
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    terms = [_g711_ulaw_sql(byte(j)) for j in range(16)]
+    n_samples = 16 * WAV_TILE
+    rows = [
+        "SELECT doc_id, 'au' AS media, 'mean_amp' AS metric, "
+        f"round(({' + '.join(terms)}) / 16.0, 6) AS value FROM m",
+        "SELECT doc_id, 'au' AS media, 'last_amp' AS metric, "
+        f"round(CAST({_g711_ulaw_sql(byte(15))} AS DOUBLE), 6) AS value FROM m",
+        "SELECT doc_id, 'au' AS media, 'channels' AS metric, CAST(1 AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'au' AS media, 'sample_rate' AS metric, "
+        f"CAST({WAV_RATE} AS DOUBLE) AS value FROM m",
+        "SELECT doc_id, 'au' AS media, 'n_samples' AS metric, "
+        f"CAST({n_samples} AS DOUBLE) AS value FROM m",
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def g711_decode_oracle() -> str:
     """Twin of the G.711 lossy-audio decode pipeline
     (multimodal.attach_g711_payload → parse_wav): the payload body tiles
@@ -1092,10 +1135,7 @@ def g711_decode_oracle() -> str:
     def byte(j: int) -> str:  # 0-based byte index into the digest
         return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
 
-    def ulaw(b: str) -> str:
-        u = f"(255 - {b})"
-        t = f"((({u} % 16) * 8 + 132) * CAST(power(2, ({u} // 16) % 8) AS BIGINT))"
-        return f"(CASE WHEN {u} >= 128 THEN 132 - {t} ELSE {t} - 132 END)"
+    ulaw = _g711_ulaw_sql  # shared with au_decode_oracle (container twin)
 
     def alaw(b: str) -> str:
         a = f"xor({b}, 85)"
