@@ -1019,6 +1019,28 @@ def _multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode, no media libraries: conformant 20x2 QOI streams
+    exercising EVERY op (explicit RGB, index readback with the real
+    (3,5,7,11) hash, DIFF with mod-256 wraparound, LUMA, RUN) are
+    synthesized JVM-side, then decoded back by qoi.parse_qoi through the
+    magic-bytes dispatcher. The oracle recomputes the channel means from
+    the digest hex (oracles.qoi_decode_oracle)."""
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_qoi_payload,
+        decode_image,
+    )
+
+    img = decode_image(attach_qoi_payload(_docs(spark, sf_dir)))
+    metrics = ["width", "height", "channels", "mean_r", "mean_g", "mean_b"]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+    return img.selectExpr(
+        "doc_id",
+        "'qoi' as media",
+        f"stack({len(metrics)}, {stack}) as (metric, value)",
+    ).orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL LZW-compressed GIF decode, no media libraries: genuine GIF89a
     files (flat frames LZW-encoded at SQL-construction time, selected per
@@ -1081,6 +1103,7 @@ def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_multimodal_decode_mjpeg(spark, sf_dir))
         .unionByName(_multimodal_decode_lossy_audio(spark, sf_dir))
         .unionByName(_multimodal_decode_bmp(spark, sf_dir))
+        .unionByName(_multimodal_decode_qoi(spark, sf_dir))
         .unionByName(_multimodal_decode_gif(spark, sf_dir))
         .unionByName(_multimodal_decode_h264(spark, sf_dir))
     )
@@ -1346,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
                 oracles.au_decode_oracle(),
                 oracles.flac_decode_oracle(),
                 oracles.bmp_decode_oracle(),
+                oracles.qoi_decode_oracle(),
                 oracles.gif_decode_oracle(),
                 oracles.h264_decode_oracle(),
             ]

@@ -45,6 +45,7 @@ __all__ = [
     "decode_aiff_audio",
     "parse_au",
     "attach_au_payload",
+    "attach_qoi_payload",
     "decode_au_audio",
     "parse_aiff",
     "parse_bmp",
@@ -888,6 +889,47 @@ def attach_bmp_payload(
     ).withColumn("media_type", F.lit("image/bmp"))
 
 
+#: QOI synth geometry: 20x2 RGB, one pixel stream exercising EVERY op —
+#: p0 explicit RGB(10,20,30); p1 = QOI_OP_INDEX slot 9 (the hash of p0,
+#: (10*3+20*5+30*7+255*11)%64, read back before any digest pixel can
+#: clobber the slot); p2..p17 explicit RGB from rotated digest bytes
+#: (r=b_j, g=b_{j+1 mod 16}, b=b_{j+2 mod 16}); p18 = QOI_OP_DIFF
+#: (+1,+1,+1) with mod-256 wraparound; p19 = QOI_OP_LUMA all-zero deltas;
+#: p20..p39 = QOI_OP_RUN 20. Channel means then have closed forms over
+#: the digest hex (oracles.qoi_decode_oracle).
+QOI_W, QOI_H = 20, 2
+QOI_MAGIC_HEX = b"qoif".hex()
+
+
+def attach_qoi_payload(
+    df: DataFrame, source_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL QOI file per row, built JVM-side (see the
+    geometry note above): a conformant stream any QOI decoder reproduces
+    bit-exactly, covering the index/diff/luma/run ops — an index-hash,
+    bias, wraparound, or run-length bug on either side breaks the hash."""
+    hdr = (
+        QOI_MAGIC_HEX  # 'qoif'
+        + f"{QOI_W:08x}{QOI_H:08x}" + "0300"  # w, h BE; channels 3; srgb
+        + "fe0a141e"  # p0 = RGB(10, 20, 30)
+        + "09"  # p1 = INDEX slot 9 = hash(10,20,30,255)
+    )
+    d = f"md5(`{source_col}`)"
+    chunks = []
+    for j in range(16):
+        r = f"substr({d}, {2 * j + 1}, 2)"
+        g = f"substr({d}, {2 * ((j + 1) % 16) + 1}, 2)"
+        b = f"substr({d}, {2 * ((j + 2) % 16) + 1}, 2)"
+        chunks.append(f"'fe', {r}, {g}, {b}")
+    tail = "7fa088d3" + "0000000000000001"  # DIFF+1, LUMA 0, RUN 20, end
+    return df.withColumn(
+        payload_col,
+        F.expr(
+            f"unhex(concat('{hdr}', {', '.join(chunks)}, '{tail}'))"
+        ),
+    ).withColumn("media_type", F.lit("image/qoi"))
+
+
 #: float32 WAV synth: 32 mono samples, one per digest nibble, value
 #: (nib - 7.5) / 8 — exact in binary (16ths), never a .5 rounding boundary
 #: after the int16 mapping, so Spark/numpy and DuckDB agree bit-for-bit.
@@ -1681,9 +1723,13 @@ def parse_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
         from pgvectorscale_spark.operators.gif import parse_gif
 
         return parse_gif(data)
+    if data[:4] == b"qoif":
+        from pgvectorscale_spark.operators.qoi import parse_qoi
+
+        return parse_qoi(data)
     raise NotImplementedError(
         f"unsupported image format (magic {bytes(data[:4])!r}); PPM, PNG, "
-        "BMP, GIF and baseline JPEG decode natively — other codecs need "
+        "BMP, GIF, QOI and baseline JPEG decode natively — other codecs need "
         "external media decoders (MEDIA_DECODERS_AVAILABLE)"
     )
 

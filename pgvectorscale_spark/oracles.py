@@ -1298,6 +1298,53 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def qoi_decode_oracle() -> str:
+    """Twin of the QOI decode pipeline (multimodal.attach_qoi_payload →
+    qoi.parse_qoi via the decode_image dispatcher). The 20x2 synth stream
+    exercises every op; the decoded pixels have closed forms over the
+    digest bytes:
+
+      p0 = p1 = (10, 20, 30)            explicit RGB + INDEX readback
+      p_{2+j} = (b_j, b_{j+1}, b_{j+2}) 16 explicit RGB, rotated bytes
+      p18 = p19 = p17 + 1 mod 256       DIFF(+1,+1,+1) then zero LUMA
+      p20..p39 = p18                    RUN 20
+
+    so mean_r = (20 + sum(b) + 22*((b15+1) mod 256)) / 40 and the g/b
+    twins rotate to b0/b1 — an index-hash, bias, wraparound, or run-length
+    bug on either side diverges the channel means."""
+    from pgvectorscale_spark.operators.multimodal import QOI_H, QOI_W
+
+    assert (QOI_W, QOI_H) == (20, 2), "oracle mirrors the synth geometry"
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:
+        j %= 16
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    n_px = QOI_W * QOI_H
+    all_bytes = " + ".join(byte(j) for j in range(16))
+    rows = []
+    for name, fixed, wrap_j in (("mean_r", 10, 15), ("mean_g", 20, 0), ("mean_b", 30, 1)):
+        wrapped = f"(({byte(wrap_j)} + 1) % 256)"
+        rows.append(
+            f"SELECT doc_id, 'qoi' AS media, '{name}' AS metric, "
+            f"round((2 * {fixed} + {all_bytes} + 22 * {wrapped}) / {n_px}.0, 6) "
+            "AS value FROM m"
+        )
+    for name, val in (("width", QOI_W), ("height", QOI_H), ("channels", 3)):
+        rows.append(
+            f"SELECT doc_id, 'qoi' AS media, '{name}' AS metric, "
+            f"CAST({val} AS DOUBLE) AS value FROM m"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def aiff_decode_oracle() -> str:
     """Twin of the AIFF decode pipeline (multimodal.attach_aiff_payload →
     parse_aiff): digest bytes tile as BIG-endian PCM16 samples, so each
