@@ -1041,6 +1041,29 @@ def _multimodal_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RLE TGA decode, no media libraries: conformant type-10
+    top-down streams (one raw packet + one RLE run over digest BGR bytes)
+    synthesized JVM-side, decoded back by multimodal.parse_tga — genuine
+    run-length decompression, packet kinds, BGR reorder. TGA has no magic
+    bytes, so it uses its own typed entry (decode_tga_image) instead of
+    the dispatcher; the oracle recomputes the channel means from the
+    digest hex (oracles.tga_decode_oracle)."""
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_tga_payload,
+        decode_tga_image,
+    )
+
+    img = decode_tga_image(attach_tga_payload(_docs(spark, sf_dir)))
+    metrics = ["width", "height", "channels", "mean_r", "mean_g", "mean_b"]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+    return img.selectExpr(
+        "doc_id",
+        "'tga' as media",
+        f"stack({len(metrics)}, {stack}) as (metric, value)",
+    ).orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL LZW-compressed GIF decode, no media libraries: genuine GIF89a
     files (flat frames LZW-encoded at SQL-construction time, selected per
@@ -1104,6 +1127,7 @@ def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_multimodal_decode_lossy_audio(spark, sf_dir))
         .unionByName(_multimodal_decode_bmp(spark, sf_dir))
         .unionByName(_multimodal_decode_qoi(spark, sf_dir))
+        .unionByName(_multimodal_decode_tga(spark, sf_dir))
         .unionByName(_multimodal_decode_gif(spark, sf_dir))
         .unionByName(_multimodal_decode_h264(spark, sf_dir))
     )
@@ -1370,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
                 oracles.flac_decode_oracle(),
                 oracles.bmp_decode_oracle(),
                 oracles.qoi_decode_oracle(),
+                oracles.tga_decode_oracle(),
                 oracles.gif_decode_oracle(),
                 oracles.h264_decode_oracle(),
             ]

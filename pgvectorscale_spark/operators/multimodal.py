@@ -46,6 +46,9 @@ __all__ = [
     "parse_au",
     "attach_au_payload",
     "attach_qoi_payload",
+    "attach_tga_payload",
+    "parse_tga",
+    "decode_tga_image",
     "decode_au_audio",
     "parse_aiff",
     "parse_bmp",
@@ -887,6 +890,115 @@ def attach_bmp_payload(
         payload_col,
         F.expr(f"concat(unhex('{hdr}'), unhex({d}), unhex(substr({d}, 1, 16)))"),
     ).withColumn("media_type", F.lit("image/bmp"))
+
+
+def parse_tga(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a Truevision TGA: returns (width, height, channels, pixels
+    (h, w, ch) uint8, RGB(A) order). REAL decoder, no media libraries:
+    18-byte little-endian header, id-field skip, uncompressed (types 2/3)
+    and RLE (types 10/11) at 8 (gray) / 24 (BGR) / 32 (BGRA) bits,
+    bottom-up (default) and top-down (descriptor bit 5) row orders. The
+    RLE layer is genuine run-length decompression — packets are a header
+    byte (bit 7 = RLE, low 7 bits = count-1) then one pixel (RLE) or
+    count pixels (raw), and packets may cross scanlines. Colormapped
+    types, 15/16-bit depths, and right-to-left order raise loudly."""
+    import struct
+
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    if len(data) < 18:
+        raise ValueError("not a TGA file (header short)")
+    (id_len, cmap_type, img_type, _cm_first, _cm_len, _cm_size,
+     _x0, _y0, width, height, depth, desc) = struct.unpack(
+        "<BBBHHBHHHHBB", data[:18]
+    )
+    if img_type not in (2, 3, 10, 11):
+        raise ValueError(
+            f"unsupported TGA image type {img_type}: only truecolor/gray "
+            "(2/3) and their RLE forms (10/11) decode natively"
+        )
+    if cmap_type != 0:
+        raise ValueError("colormapped TGA does not decode natively")
+    if depth not in (8, 24, 32):
+        raise ValueError(f"unsupported TGA depth {depth}: only 8/24/32")
+    if (img_type in (3, 11)) != (depth == 8):
+        raise ValueError(f"TGA type {img_type} with depth {depth} mismatched")
+    if desc & 0x10:
+        raise ValueError("right-to-left TGA order does not decode natively")
+    if width == 0 or height == 0 or width * height > (1 << 26):
+        raise ValueError(f"implausible TGA dimensions {width}x{height}")
+    ch = depth // 8
+    n_px = width * height
+    body = data[18 + id_len :]
+    if img_type in (2, 3):  # uncompressed
+        need = n_px * ch
+        if len(body) < need:
+            raise ValueError("truncated TGA pixel data")
+        px = np.frombuffer(body[:need], dtype=np.uint8).reshape(n_px, ch)
+    else:  # RLE
+        out = np.empty((n_px, ch), dtype=np.uint8)
+        pos, filled = 0, 0
+        while filled < n_px:
+            if pos >= len(body):
+                raise ValueError("truncated TGA RLE stream")
+            hdrb = body[pos]
+            pos += 1
+            count = (hdrb & 0x7F) + 1
+            if filled + count > n_px:
+                raise ValueError("TGA RLE packet overruns the pixel count")
+            if hdrb & 0x80:  # RLE packet: one pixel repeated
+                if pos + ch > len(body):
+                    raise ValueError("truncated TGA RLE packet")
+                out[filled : filled + count] = np.frombuffer(
+                    body[pos : pos + ch], dtype=np.uint8
+                )
+                pos += ch
+            else:  # raw packet: count literal pixels
+                need = count * ch
+                if pos + need > len(body):
+                    raise ValueError("truncated TGA raw packet")
+                out[filled : filled + count] = np.frombuffer(
+                    body[pos : pos + need], dtype=np.uint8
+                ).reshape(count, ch)
+                pos += need
+            filled += count
+        px = out
+    px = px.reshape(height, width, ch)
+    if not desc & 0x20:  # default bottom-up; bit 5 = top-down
+        px = px[::-1]
+    if ch >= 3:  # BGR(A) -> RGB(A)
+        px = px[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+    return width, height, ch, np.ascontiguousarray(px)
+
+
+#: TGA synth geometry: 5x2 24bpp top-down RLE (type 10) — one raw packet
+#: of 5 digest-BGR pixels (px j: B=b_{3j}, G=b_{3j+1}, R=b_{3j+2}) then
+#: one RLE run of 5 copies of (B=b15, G=b0, R=b1), so each channel mean
+#: is a closed form over specific digest bytes and both packet kinds are
+#: exercised (oracles.tga_decode_oracle).
+TGA_W, TGA_H = 5, 2
+
+
+def attach_tga_payload(
+    df: DataFrame, source_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL RLE TGA per row, built JVM-side (see geometry
+    note): a conformant type-10 stream any TGA reader reproduces — a
+    packet-kind, count-bias, BGR-order, or row-order bug on either side
+    breaks the hash."""
+    import struct
+
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0, TGA_W, TGA_H, 24, 0x20
+    ).hex()
+    d = f"md5(`{source_col}`)"
+    return df.withColumn(
+        payload_col,
+        F.expr(
+            f"unhex(concat('{hdr}', '04', substr({d}, 1, 30), "
+            f"'84', substr({d}, 31, 2), substr({d}, 1, 4)))"
+        ),
+    ).withColumn("media_type", F.lit("image/tga"))
 
 
 #: QOI synth geometry: 20x2 RGB, one pixel stream exercising EVERY op —
@@ -1732,6 +1844,15 @@ def parse_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
         "BMP, GIF, QOI and baseline JPEG decode natively — other codecs need "
         "external media decoders (MEDIA_DECODERS_AVAILABLE)"
     )
+
+
+def decode_tga_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """TGA twin of ``decode_image`` over ``parse_tga`` — TGA carries no
+    magic bytes (only an optional v2 footer), so it cannot ride the
+    parse_image dispatcher and gets its own typed entry point."""
+    return decode_image_features(df, parse_tga, payload_col, id_col)
 
 
 def decode_image(

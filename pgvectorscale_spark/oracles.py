@@ -1298,6 +1298,46 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def tga_decode_oracle() -> str:
+    """Twin of the TGA decode pipeline (multimodal.attach_tga_payload →
+    parse_tga): a 5x2 24bpp top-down type-10 stream with one RAW packet
+    (5 digest-BGR pixels: px j = B b_{3j}, G b_{3j+1}, R b_{3j+2}) and one
+    RLE run (5 x (B b15, G b0, R b1)), so each channel mean is
+    (sum of its 5 raw bytes + 5 * its run byte) / 10 — a packet-kind,
+    count-bias, BGR-order, or truncation bug on either side diverges."""
+    from pgvectorscale_spark.operators.multimodal import TGA_H, TGA_W
+
+    assert (TGA_W, TGA_H) == (5, 2), "oracle mirrors the synth geometry"
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:
+        j %= 16
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    rows = []
+    # decoded channel c (RGB) reads raw-packet byte 3*px + (2 - c); the
+    # run pixel's channels are (R, G, B) = (b1, b0, b15)
+    for name, c, run_b in (("mean_r", 0, 1), ("mean_g", 1, 0), ("mean_b", 2, 15)):
+        terms = [byte(3 * px + (2 - c)) for px in range(TGA_W)]
+        rows.append(
+            f"SELECT doc_id, 'tga' AS media, '{name}' AS metric, "
+            f"round(({' + '.join(terms)} + 5 * {byte(run_b)}) / 10.0, 6) "
+            "AS value FROM m"
+        )
+    for name, val in (("width", TGA_W), ("height", TGA_H), ("channels", 3)):
+        rows.append(
+            f"SELECT doc_id, 'tga' AS media, '{name}' AS metric, "
+            f"CAST({val} AS DOUBLE) AS value FROM m"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def qoi_decode_oracle() -> str:
     """Twin of the QOI decode pipeline (multimodal.attach_qoi_payload →
     qoi.parse_qoi via the decode_image dispatcher). The 20x2 synth stream
