@@ -692,7 +692,37 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=3, threshold=0.2)
+    """Tagged union: n-gram Jaccard near-dup pairs ('jaccard' rows) AND
+    BM25 top-k lexical search ('bm25' rows — operators/bm25.py, the
+    inverted-index-as-postings-DataFrame path; query_id rides the doc_a
+    slot, doc_id rides doc_b, score rides the jaccard slot; jaccard rows
+    fill the rank slot with 0). Queries are the doc_id % 53 == 0 docs'
+    first 4 tokens, so candidate generation, IDF, length normalization,
+    6-decimal score rounding and the rank cut all hash-verify against the
+    in-SQL DuckDB replay."""
+    from pgvectorscale_spark.operators.bm25 import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    jac = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).select(
+        F.lit("jaccard").alias("form"),
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(0).cast("long").alias("rank"),
+    )
+    toks = "split(text, ' ')"
+    queries = docs.filter("doc_id % 53 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr(f"concat_ws(' ', slice({toks}, 1, 4))").alias("q_text"),
+    )
+    bm = bm25_topk(docs, queries, k=5).select(
+        F.lit("bm25").alias("form"),
+        F.col("query_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("score").alias("jaccard"),
+        "rank",
+    )
+    return jac.unionByName(bm)
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,9 +748,42 @@ def _simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _melt_str(df: DataFrame, form: str, metrics: list[str]) -> DataFrame:
+    """Long-format (form, doc_id, metric, value string) melt — the Spark
+    twin of oracles._melt_sql. String values keep the union schema-stable
+    across int/bool/string metrics; both engines render bigints as plain
+    digits and booleans as 'true'/'false'."""
+    stack = ", ".join(f"'{m}', cast(`{m}` as string)" for m in metrics)
+    return df.selectExpr(
+        f"'{form}' as form",
+        "doc_id",
+        f"stack({len(metrics)}, {stack}) as (metric, value)",
+    )
+
+
 def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged long-format union over the per-document text-analysis family
+    (one driver row hash-verifies all four surfaces):
+
+    - 'features': the six original text signals (token/punct/stopword/
+      quality/lang-id/fingerprint),
+    - 'pii': PII detection + redaction (functions/pii.py) over the
+      digest-synthesized PII text — category counts, REAL Luhn-checksum
+      card validation, and the h60 of the scrubbed output text,
+    - 'rules': the Gopher-style quality-gate rule verdicts + overall pass
+      (functions/text.quality_rule_sqls — all integer-permille map-side
+      expressions),
+    - 'lm': bigram stupid-backoff LM scores (functions/lm.py), trained on
+      the doc_id % 2 = 0 slice so held-out docs exercise the backoff
+      branch; logprob in integer micro-nats.
+    """
+    from pgvectorscale_spark.functions import pii
+    from pgvectorscale_spark.functions.lm import bigram_lm_scores
+    from pgvectorscale_spark.functions.text import quality_passes_sql, quality_rule_sqls
+
+    docs = _docs(spark, sf_dir)
     t = "text"
-    return _docs(spark, sf_dir).select(
+    features = docs.select(
         "doc_id",
         F.expr(token_count_sql(t, SPARK)).cast("long").alias("token_count"),
         F.expr(punct_ratio_sql(t, SPARK)).alias("punct_permille"),
@@ -728,6 +791,49 @@ def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(quality_score_sql(t, SPARK)).alias("quality_micro"),
         F.expr(lang_id_sql(t, SPARK)).alias("lang_id"),
         F.expr(document_fingerprint_sql(t, SPARK)).alias("fingerprint"),
+    )
+    pii_df = pii.pii_stats(
+        pii.attach_pii_text(docs).select("doc_id", "pii_text"), text_col="pii_text"
+    )
+    rules = quality_rule_sqls(t, SPARK)
+    rules_df = docs.select(
+        "doc_id",
+        *[F.expr(e).alias(n) for n, e in sorted(rules.items())],
+        F.expr(quality_passes_sql(t, SPARK)).alias("passes"),
+    )
+    lm_df = bigram_lm_scores(docs)
+    return (
+        _melt_str(
+            features,
+            "features",
+            [
+                "token_count",
+                "punct_permille",
+                "stopword_permille",
+                "quality_micro",
+                "lang_id",
+                "fingerprint",
+            ],
+        )
+        .unionByName(
+            _melt_str(
+                pii_df,
+                "pii",
+                [
+                    "n_emails",
+                    "n_ipv4",
+                    "n_ssns",
+                    "n_phones",
+                    "n_card_candidates",
+                    "n_cards_valid",
+                    "redacted_fp",
+                ],
+            )
+        )
+        .unionByName(_melt_str(rules_df, "rules", sorted(rules) + ["passes"]))
+        .unionByName(
+            _melt_str(lm_df, "lm", ["n_bigrams", "n_unseen", "logprob_micro"])
+        )
     )
 
 
@@ -1366,7 +1472,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": oracles.minhash_pairs_oracle(8, 4, 3),
         "dedup_clusters": oracles.dedup_clusters_oracle(8, 4, 3),
         "corpus_curation": oracles.corpus_curation_oracle(8, 4, 3, 400000),
-        "ngram_jaccard": oracles.ngram_jaccard_oracle(3, 0.2),
+        "ngram_jaccard": oracles.ngram_jaccard_union_oracle(
+            3, 0.2, bm25_k=5, bm25_query_pred="doc_id % 53 = 0", bm25_prefix_tokens=4
+        ),
         "simhash": oracles.simhash_oracle(32),
         "simhash_pairs": oracles.simhash_pairs_oracle(32, 6),
         "simhash60_pairs": oracles.simhash_pairs_oracle(60, 3),

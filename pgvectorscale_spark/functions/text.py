@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pgvectorscale_spark.functions.hashing import DUCKDB, SPARK, rolling_fingerprint, tokens
+from pgvectorscale_spark.functions.hashing import (
+    DUCKDB,
+    SPARK,
+    rolling_fingerprint,
+    tokens,
+    word_shingles,
+)
 
 # Marker tokens per language for the n-gram/stopword language-ID heuristic.
 # Disjoint lists; ties broken by language name ascending ('unknown' if no hits).
@@ -108,6 +114,75 @@ def lang_id_sql(text_expr: str, dialect: str) -> str:
 
 def document_fingerprint_sql(text_expr: str, dialect: str) -> str:
     return rolling_fingerprint(text_expr, dialect)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-filter RULES (Rae et al. 2021 §A1.1 shape, thresholds
+# tuned to the synthetic corpus so both verdicts occur at driver SF). Every
+# rule is integer-exact (permille + integer division — no float rounding
+# seams between engines) and map-side (per-row array expressions, no
+# shuffle): the 100 TB quality gate pipelines into the scan that feeds it.
+# ---------------------------------------------------------------------------
+
+QUALITY_THRESHOLDS = {
+    "min_tokens": 40,  # Gopher: 50 words; corpus docs run 10-99
+    "max_tokens": 100_000,
+    "min_mean_word_len_pm": 3_000,  # Gopher: mean word length in [3, 10]
+    "max_mean_word_len_pm": 10_000,
+    "min_stopwords": 2,  # Gopher: >= 2 of a small English stopword list
+    "min_alpha_token_pm": 800,  # Gopher: >= 80% words with an alphabetic char
+    "max_top_token_pm": 90,  # repetition: most frequent token <= 9%
+    "max_dup_3gram_pm": 30,  # repetition: duplicate 3-gram share <= 3%
+}
+
+
+def quality_rule_sqls(text_expr: str, dialect: str) -> dict[str, str]:
+    """Each named rule as a boolean SQL expression (same formula in both
+    engines); compose with AND for the overall verdict
+    (:func:`quality_passes_sql`)."""
+    th = QUALITY_THRESHOLDS
+    toks = tokens(text_expr, dialect)
+    if dialect == SPARK:
+        n = f"size({toks})"
+        charsum = f"aggregate({toks}, 0, (acc, t) -> acc + length(t))"
+        alpha = f"size(filter({toks}, t -> t rlike '[A-Za-z]'))"
+        top = (
+            f"array_max(transform(array_distinct({toks}), "
+            f"d -> size(filter({toks}, t -> t = d))))"
+        )
+        g3 = word_shingles(toks, 3, SPARK)
+        dup3 = f"(size({g3}) - size(array_distinct({g3}))) * 1000 div size({g3})"
+        div = "div"
+    else:
+        n = f"len({toks})"
+        charsum = f"list_sum(list_transform({toks}, t -> length(t)))"
+        alpha = f"len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]')))"
+        top = (
+            f"list_max(list_transform(list_distinct({toks}), "
+            f"d -> len(list_filter({toks}, t -> t = d))))"
+        )
+        g3 = word_shingles(toks, 3, DUCKDB)
+        dup3 = f"(len({g3}) - len(list_distinct({g3}))) * 1000 // len({g3})"
+        div = "//"
+    sw = _marker_count_sql(toks, EN_STOPWORDS, dialect)
+    mwl = f"({charsum}) * 1000 {div} greatest({n}, 1)"
+    return {
+        "r_token_count": f"{n} >= {th['min_tokens']} AND {n} <= {th['max_tokens']}",
+        "r_mean_word_len": (
+            f"({mwl}) >= {th['min_mean_word_len_pm']} "
+            f"AND ({mwl}) <= {th['max_mean_word_len_pm']}"
+        ),
+        "r_stopwords": f"{sw} >= {th['min_stopwords']}",
+        "r_alpha_tokens": f"({alpha}) * 1000 {div} greatest({n}, 1) >= {th['min_alpha_token_pm']}",
+        "r_top_token": f"({top}) * 1000 {div} greatest({n}, 1) <= {th['max_top_token_pm']}",
+        "r_dup_3gram": f"({dup3}) <= {th['max_dup_3gram_pm']}",
+    }
+
+
+def quality_passes_sql(text_expr: str, dialect: str) -> str:
+    """The overall Gopher-gate verdict: AND of every rule."""
+    rules = quality_rule_sqls(text_expr, dialect)
+    return "(" + ") AND (".join(rules[k] for k in sorted(rules)) + ")"
 
 
 # ASCII-class BPE-style pre-tokenizer: letter runs, digit runs, and single

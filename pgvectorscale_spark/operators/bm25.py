@@ -1,0 +1,121 @@
+"""BM25 full-text top-k search — the lexical twin of the vector ANN path.
+
+A training-data pipeline needs keyword retrieval next to embedding
+retrieval (targeted corpus audits, eval-set mining, hybrid search).
+This is the standard Okapi BM25 (Robertson & Walker 1994; k1 = 1.2,
+b = 0.75) re-expressed as DataFrame algebra:
+
+- **The "inverted index" IS the postings DataFrame**: ``(term, doc_id,
+  tf, dl)`` from one explode + groupBy (map-side combine), the exact
+  relational encoding of a posting list. Persist/bucket it by ``term``
+  and repeated query batches become co-located joins — no custom index
+  file, Parquet + partitioning already is one.
+- **Scoring is a broadcast join**: the query-term table is tiny next to
+  the corpus, so candidate generation is a map-side semijoin from the
+  postings table (docs sharing no term with the query are never touched
+  — the same sparsity argument as a real inverted index). Per-(query,
+  doc) scores are one aggregation; top-k is a per-query window over the
+  candidates only.
+- **Determinism**: scores are rounded to 6 decimals BEFORE ranking and
+  ties break on doc_id, so the cut is identical across engines and
+  partitionings (the only float seam is summation order at ~1e-15,
+  eight orders below the rounding step).
+
+IDF uses the non-negative BM25+ floor form ``ln(1 + (N - df + 0.5) /
+(df + 0.5))`` (Lucene's choice) so stopword-grade terms can't produce
+negative contributions that would make top-k order depend on which
+non-matching terms a doc HAPPENS to share.
+
+No reference analog (pgvectorscale is the vector side); serves the
+training-data-pipeline brief alongside operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.functions.hashing import SPARK, tokens
+
+__all__ = ["BM25_B", "BM25_K1", "bm25_postings", "bm25_topk"]
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The postings table: (term, doc_id, tf, dl). One explode + one
+    groupBy; at 100 TB, write it bucketed by ``term`` and every later
+    query batch joins without a corpus shuffle."""
+    toks = tokens(f"`{text_col}`", SPARK)
+    return (
+        docs.select(
+            F.col(id_col), F.expr(f"size({toks})").alias("dl"), F.explode(F.expr(toks)).alias("term")
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_text_col: str = "q_text",
+    q_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k BM25 matches per query: (query_id, doc_id, score, rank).
+
+    ``rank`` is dense over (rounded score desc, doc_id asc); only docs
+    sharing at least one term with the query are candidates (docs with
+    zero overlap score 0 and are not returned — inverted-index
+    semantics)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    post = bm25_postings(docs, text_col=text_col, id_col=id_col)
+
+    stats = docs.agg(
+        F.count("*").cast("double").alias("N"),
+        F.avg(F.expr(f"size({tokens(f'`{text_col}`', SPARK)})")).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = float(stats["N"]), float(stats["avgdl"])
+
+    df_t = post.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = df_t.select(
+        "term",
+        F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    )
+
+    qtoks = tokens(f"`{q_text_col}`", SPARK)
+    qterms = queries.select(
+        F.col(q_id_col), F.explode(F.expr(f"array_distinct({qtoks})")).alias("term")
+    )
+
+    contrib = (
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        .select(
+            q_id_col,
+            id_col,
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("_s"),
+        )
+    )
+    scored = contrib.groupBy(q_id_col, id_col).agg(
+        F.round(F.sum("_s"), 6).alias("score")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "score", "rank")
+    )

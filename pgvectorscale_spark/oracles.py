@@ -663,6 +663,65 @@ ORDER BY doc_a, doc_b
 """
 
 
+def bm25_oracle(
+    k: int, query_pred: str, query_prefix_tokens: int, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Full in-SQL replay of operators/bm25.bm25_topk over queries drawn
+    from the corpus itself (``query_pred`` rows, first
+    ``query_prefix_tokens`` tokens as the query text). Literals are cast
+    to DOUBLE and the arithmetic order mirrors the Spark column expression
+    exactly; scores round to 6 decimals BEFORE ranking (ties on doc_id)
+    so the top-k cut is identical."""
+    toks = tokens("text", DUCKDB)
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+post AS (
+  SELECT term, doc_id, dl, count(*) AS tf
+  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM base)
+  GROUP BY term, doc_id, dl),
+stats AS (SELECT count(*)::DOUBLE AS N, avg(len(t)) AS avgdl FROM base),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term),
+idf AS (
+  SELECT term, ln(1.0::DOUBLE + (stats.N - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) AS idf
+  FROM dft, stats),
+q AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(t[1:{query_prefix_tokens}])) AS term
+  FROM base WHERE {query_pred}),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         idf.idf * (p.tf * {k1 + 1.0!r}::DOUBLE)
+           / (p.tf + {k1!r}::DOUBLE * ({1.0 - b!r}::DOUBLE + ({b!r}::DOUBLE * p.dl) / stats.avgdl)) AS s
+  FROM post p JOIN q USING (term) JOIN idf ON p.term = idf.term, stats),
+scored AS (
+  SELECT query_id, doc_id, round(sum(s), 6) AS score
+  FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def ngram_jaccard_union_oracle(
+    shingle_n: int,
+    threshold: float,
+    bm25_k: int,
+    bm25_query_pred: str,
+    bm25_prefix_tokens: int,
+) -> str:
+    """Tagged union: the n-gram Jaccard near-dup pairs ('jaccard' rows)
+    AND BM25 top-k lexical search ('bm25' rows, query_id riding the doc_a
+    slot, doc_id riding doc_b, score riding the jaccard slot, rank riding
+    a new column that the jaccard rows fill with 0)."""
+    jac = f"""
+SELECT doc_a, doc_b, jaccard, 0::BIGINT AS rank
+FROM ({ngram_jaccard_oracle(shingle_n, threshold)}) j"""
+    bm = f"""
+SELECT query_id AS doc_a, doc_id AS doc_b, score AS jaccard, rank
+FROM ({bm25_oracle(bm25_k, bm25_query_pred, bm25_prefix_tokens)}) b"""
+    return tagged_union_oracle("form", [("'jaccard'", jac), ("'bm25'", bm)])
+
+
 def simhash_oracle(num_bits: int) -> str:
     toks = tokens("text", DUCKDB)
     return f"""
@@ -689,8 +748,34 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _melt_sql(inner_sql: str, form: str, metrics: list[str]) -> str:
+    """Long-format (form, doc_id, metric, value VARCHAR) melt of a wide
+    SELECT — the DuckDB twin of the Spark side's ``stack()``. VARCHAR
+    values keep the union schema-stable across int/bool/string metrics
+    (both engines render bigints as plain digits and booleans as
+    'true'/'false', so no float-format seam exists)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{form}' AS form, doc_id, '{m}' AS metric, "
+        f"cast({m} AS VARCHAR) AS value FROM ({inner_sql}) s"
+        for m in metrics
+    )
+
+
 def text_features_oracle() -> str:
-    return f"""
+    """Tagged long-format union over the per-document text-analysis family:
+
+    - ``features``: the original six text signals,
+    - ``pii``: detection counts + Luhn-valid card count + redacted-output
+      h60 over the digest-synthesized PII text (functions/pii.py),
+    - ``rules``: the Gopher-style quality-gate rule verdicts + overall
+      pass (functions/text.quality_rule_sqls),
+    - ``lm``: bigram stupid-backoff LM scores, trained in-SQL on the
+      doc_id % 2 = 0 slice (functions/lm.py twin).
+    """
+    from pgvectorscale_spark.functions import pii
+    from pgvectorscale_spark.functions.text import quality_passes_sql, quality_rule_sqls
+
+    features_inner = f"""
 SELECT doc_id,
        {token_count_sql('text', DUCKDB)} AS token_count,
        {punct_ratio_sql('text', DUCKDB)} AS punct_permille,
@@ -698,8 +783,94 @@ SELECT doc_id,
        {quality_score_sql('text', DUCKDB)} AS quality_micro,
        {lang_id_sql('text', DUCKDB)} AS lang_id,
        {document_fingerprint_sql('text', DUCKDB)} AS fingerprint
-FROM documents ORDER BY doc_id
-"""
+FROM documents"""
+
+    pii_metrics = {
+        "n_emails": pii.pii_count_sql("pt", "email", DUCKDB),
+        "n_ipv4": pii.pii_count_sql("pt", "ipv4", DUCKDB),
+        "n_ssns": pii.pii_count_sql("pt", "ssn", DUCKDB),
+        "n_phones": pii.pii_count_sql("pt", "phone", DUCKDB),
+        "n_card_candidates": pii.pii_count_sql("pt", "card", DUCKDB),
+        "n_cards_valid": pii.pii_count_sql("pt", "card_valid", DUCKDB),
+        "redacted_fp": h60(pii.redacted_text_sql("pt", DUCKDB), DUCKDB),
+    }
+    pii_sel = ", ".join(f"{e} AS {n}" for n, e in pii_metrics.items())
+    pii_inner = (
+        f"SELECT doc_id, {pii_sel} FROM (SELECT doc_id, "
+        f"{pii.pii_text_sql('text', 'doc_id', DUCKDB)} AS pt FROM documents) p"
+    )
+
+    rules = quality_rule_sqls("text", DUCKDB)
+    rules_sel = ", ".join(f"({e}) AS {n}" for n, e in sorted(rules.items()))
+    rules_inner = (
+        f"SELECT doc_id, {rules_sel}, "
+        f"({quality_passes_sql('text', DUCKDB)}) AS passes FROM documents"
+    )
+
+    lm_inner = bigram_lm_inner_sql()
+
+    return union_oracle(
+        [
+            _melt_sql(
+                features_inner,
+                "features",
+                [
+                    "token_count",
+                    "punct_permille",
+                    "stopword_permille",
+                    "quality_micro",
+                    "lang_id",
+                    "fingerprint",
+                ],
+            ),
+            _melt_sql(pii_inner, "pii", list(pii_metrics)),
+            _melt_sql(rules_inner, "rules", sorted(rules) + ["passes"]),
+            _melt_sql(lm_inner, "lm", ["n_bigrams", "n_unseen", "logprob_micro"]),
+        ]
+    )
+
+
+def bigram_lm_inner_sql(train_pred: str = "doc_id % 2 = 0", alpha: float = 0.4) -> str:
+    """Full in-SQL replay of functions/lm.bigram_lm_scores: train unigram/
+    bigram counts on the ``train_pred`` slice, score every document with
+    stupid backoff ``c12/c1`` else ``alpha * (c2 + 1) / (T + V)``. Every
+    literal is cast to DOUBLE so DuckDB's DECIMAL literal arithmetic can't
+    diverge from Spark's double path; the log-sum is reported in integer
+    micro-nats (see lm.py float discipline)."""
+    from pgvectorscale_spark.functions.lm import bigram_pairs_sql
+
+    toks = tokens("text", DUCKDB)
+    pairs = bigram_pairs_sql("t", DUCKDB)
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(t) AS w FROM base WHERE {train_pred}) GROUP BY w),
+tot AS (SELECT sum(c)::DOUBLE AS T, count(*)::DOUBLE AS V FROM uni),
+bigp AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+  FROM (SELECT doc_id, unnest({pairs}) AS u FROM base)),
+big AS (
+  SELECT w1, w2, count(*) AS c12 FROM bigp WHERE {train_pred}
+  GROUP BY w1, w2),
+doc AS (
+  SELECT bp.doc_id,
+         count(*) AS n_bigrams,
+         sum(CASE WHEN big.c12 IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+         round(sum(ln(
+           CASE WHEN big.c12 IS NOT NULL THEN big.c12 / u1.c
+           ELSE ({alpha!r}::DOUBLE * (coalesce(u2.c, 0) + 1)) / (tot.T + tot.V)
+           END)) * 1e6)::BIGINT AS logprob_micro
+  FROM bigp bp
+  LEFT JOIN big ON bp.w1 = big.w1 AND bp.w2 = big.w2
+  LEFT JOIN uni u1 ON bp.w1 = u1.w
+  LEFT JOIN uni u2 ON bp.w2 = u2.w, tot
+  GROUP BY bp.doc_id)
+SELECT d.doc_id,
+       coalesce(doc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(doc.n_unseen, 0)::BIGINT AS n_unseen,
+       coalesce(doc.logprob_micro, 0)::BIGINT AS logprob_micro
+FROM documents d LEFT JOIN doc ON d.doc_id = doc.doc_id"""
 
 
 def tokenize_bpe_oracle() -> str:

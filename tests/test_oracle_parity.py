@@ -211,20 +211,51 @@ def test_simhash_pairs_parity(spark, documents, ddb):
 
 
 def test_text_features_parity(spark, documents, ddb):
+    """The 'features' slice of the text-analysis union (the wide six-signal
+    select) still hash-matches its oracle after the round-10 long-format
+    rework; the full four-form union is covered by the driver entry and
+    test_text_analysis_union_parity below."""
     t = "text"
     res = documents.select(
         "doc_id",
-        F.expr(token_count_sql(t, SPARK)).alias("token_count"),
+        F.expr(token_count_sql(t, SPARK)).cast("long").alias("token_count"),
         F.expr(punct_ratio_sql(t, SPARK)).alias("punct_permille"),
         F.expr(stopword_ratio_sql(t, SPARK)).alias("stopword_permille"),
         F.expr(quality_score_sql(t, SPARK)).alias("quality_micro"),
         F.expr(lang_id_sql(t, SPARK)).alias("lang_id"),
         F.expr(document_fingerprint_sql(t, SPARK)).alias("fingerprint"),
+    ).selectExpr(
+        "doc_id",
+        "stack(6, 'token_count', cast(token_count as string), "
+        "'punct_permille', cast(punct_permille as string), "
+        "'stopword_permille', cast(stopword_permille as string), "
+        "'quality_micro', cast(quality_micro as string), "
+        "'lang_id', lang_id, "
+        "'fingerprint', cast(fingerprint as string)) as (metric, value)",
     )
+    exp = ddb.execute(
+        f"SELECT doc_id, metric, value FROM ({oracles.text_features_oracle()}) u "
+        "WHERE form = 'features'"
+    ).df()
+    assert_match(res, exp)
+
+
+def test_text_analysis_union_parity(spark, ddb):
+    """The full four-form union (features/pii/rules/lm) the driver runs,
+    replayed at test SF against the new oracle."""
+    import __spark_entry__ as e
+
+    res = e.queries()["text_features"](spark, SF_DIR)
     exp = ddb.execute(oracles.text_features_oracle()).df()
-    for c in ("token_count", "punct_permille", "stopword_permille", "quality_micro"):
-        exp[c] = exp[c].astype("int64")
-    res = res.withColumn("token_count", F.col("token_count").cast("long"))
+    assert_match(res, exp)
+
+
+def test_bm25_union_parity(spark, ddb):
+    """The jaccard+bm25 tagged union the driver runs, at test SF."""
+    import __spark_entry__ as e
+
+    res = e.queries()["ngram_jaccard"](spark, SF_DIR)
+    exp = ddb.execute(e.oracle_sql()["ngram_jaccard"]).df()
     assert_match(res, exp, float_tol=1e-6)
 
 
