@@ -1170,6 +1170,37 @@ def _multimodal_decode_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode, no media libraries, BOTH compressions and
+    BOTH byte orders in one union: (a) little-endian PackBits files (one
+    literal + one repeat packet over digest bytes) and (b) big-endian
+    Compression-5 files whose strips were genuinely LZW-encoded at
+    SQL-build time (MSB-first, early-change — operators/tiff.py), each
+    decoded back through the magic-bytes decode_image dispatcher. The
+    oracles recompute the gray means from the digest hex
+    (oracles.tiff_decode_oracle / tiff_lzw_decode_oracle)."""
+    from pgvectorscale_spark.operators.multimodal import decode_image
+    from pgvectorscale_spark.operators.tiff import (
+        attach_tiff_lzw_payload,
+        attach_tiff_payload,
+    )
+
+    docs = _docs(spark, sf_dir)
+    metrics = ["width", "height", "channels", "mean_r", "mean_g", "mean_b"]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+
+    def melt(df: DataFrame, media: str) -> DataFrame:
+        return df.selectExpr(
+            "doc_id",
+            f"'{media}' as media",
+            f"stack({len(metrics)}, {stack}) as (metric, value)",
+        )
+
+    pb = melt(decode_image(attach_tiff_payload(docs)), "tiff")
+    lzw = melt(decode_image(attach_tiff_lzw_payload(docs)), "tiff_lzw")
+    return pb.unionByName(lzw).orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL LZW-compressed GIF decode, no media libraries: genuine GIF89a
     files (flat frames LZW-encoded at SQL-construction time, selected per
@@ -1234,6 +1265,7 @@ def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_multimodal_decode_bmp(spark, sf_dir))
         .unionByName(_multimodal_decode_qoi(spark, sf_dir))
         .unionByName(_multimodal_decode_tga(spark, sf_dir))
+        .unionByName(_multimodal_decode_tiff(spark, sf_dir))
         .unionByName(_multimodal_decode_gif(spark, sf_dir))
         .unionByName(_multimodal_decode_h264(spark, sf_dir))
     )
@@ -1503,6 +1535,8 @@ def oracle_sql() -> dict[str, str]:
                 oracles.bmp_decode_oracle(),
                 oracles.qoi_decode_oracle(),
                 oracles.tga_decode_oracle(),
+                oracles.tiff_decode_oracle(),
+                oracles.tiff_lzw_decode_oracle(),
                 oracles.gif_decode_oracle(),
                 oracles.h264_decode_oracle(),
             ]

@@ -1839,10 +1839,14 @@ def parse_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
         from pgvectorscale_spark.operators.qoi import parse_qoi
 
         return parse_qoi(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from pgvectorscale_spark.operators.tiff import parse_tiff
+
+        return parse_tiff(data)
     raise NotImplementedError(
         f"unsupported image format (magic {bytes(data[:4])!r}); PPM, PNG, "
-        "BMP, GIF, QOI and baseline JPEG decode natively — other codecs need "
-        "external media decoders (MEDIA_DECODERS_AVAILABLE)"
+        "BMP, GIF, QOI, TIFF and baseline JPEG decode natively — other codecs "
+        "need external media decoders (MEDIA_DECODERS_AVAILABLE)"
     )
 
 

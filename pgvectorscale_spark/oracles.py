@@ -1509,6 +1509,73 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def tiff_decode_oracle() -> str:
+    """Twin of the PackBits-TIFF decode pipeline (tiff.attach_tiff_payload
+    → tiff.parse_tiff via the magic dispatcher): a 6x2 little-endian 8-bit
+    grayscale file whose ONE strip holds a literal packet (digest bytes
+    b0..b5, row 0) and a repeat packet (6 x b6, row 1), so the gray mean —
+    reported in all three channel slots — is (b0+..+b5 + 6*b6)/12. A
+    header-walk, IFD-value, packet-kind, count-bias or strip-assembly bug
+    on either side diverges."""
+    from pgvectorscale_spark.operators.tiff import TIFF_H, TIFF_W
+
+    assert (TIFF_W, TIFF_H) == (6, 2), "oracle mirrors the synth geometry"
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    mean = (
+        f"round(({' + '.join(byte(j) for j in range(6))} + 6 * {byte(6)}) "
+        "/ 12.0, 6)"
+    )
+    rows = [
+        f"SELECT doc_id, 'tiff' AS media, '{name}' AS metric, {mean} AS value FROM m"
+        for name in ("mean_r", "mean_g", "mean_b")
+    ] + [
+        f"SELECT doc_id, 'tiff' AS media, '{name}' AS metric, "
+        f"CAST({val} AS DOUBLE) AS value FROM m"
+        for name, val in (("width", TIFF_W), ("height", TIFF_H), ("channels", 1))
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
+def tiff_lzw_decode_oracle() -> str:
+    """Twin of the LZW-TIFF decode pipeline (tiff.attach_tiff_lzw_payload
+    → tiff.parse_tiff): big-endian 4x2 flat gray files whose strips were
+    genuinely LZW-encoded at SQL-build time; the digest's first hex char
+    picks the gray level nib*17, so every channel mean IS that value. An
+    MSB-bit-order, early-change, KwKwK or byte-order bug on either side
+    diverges."""
+    from pgvectorscale_spark.operators.tiff import TIFF_LZW_H, TIFF_LZW_W
+
+    nib = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)"
+    rows = [
+        f"SELECT doc_id, 'tiff_lzw' AS media, '{name}' AS metric, "
+        f"round({nib} * 17.0, 6) AS value FROM m"
+        for name in ("mean_r", "mean_g", "mean_b")
+    ] + [
+        f"SELECT doc_id, 'tiff_lzw' AS media, '{name}' AS metric, "
+        f"CAST({val} AS DOUBLE) AS value FROM m"
+        for name, val in (
+            ("width", TIFF_LZW_W),
+            ("height", TIFF_LZW_H),
+            ("channels", 1),
+        )
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def qoi_decode_oracle() -> str:
     """Twin of the QOI decode pipeline (multimodal.attach_qoi_payload →
     qoi.parse_qoi via the decode_image dispatcher). The 20x2 synth stream
