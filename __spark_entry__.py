@@ -1201,6 +1201,25 @@ def _multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pb.unionByName(lzw).orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_pcx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCX decode, no media libraries: conformant version-5 24-bit
+    planar RLE files (runs + sub-0xC0 literals over digest bytes)
+    synthesized JVM-side, decoded back by pcx.parse_pcx through the magic
+    dispatcher; the oracle recomputes the channel means from the digest
+    hex (oracles.pcx_decode_oracle)."""
+    from pgvectorscale_spark.operators.multimodal import decode_image
+    from pgvectorscale_spark.operators.pcx import attach_pcx_payload
+
+    img = decode_image(attach_pcx_payload(_docs(spark, sf_dir)))
+    metrics = ["width", "height", "channels", "mean_r", "mean_g", "mean_b"]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+    return img.selectExpr(
+        "doc_id",
+        "'pcx' as media",
+        f"stack({len(metrics)}, {stack}) as (metric, value)",
+    ).orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL LZW-compressed GIF decode, no media libraries: genuine GIF89a
     files (flat frames LZW-encoded at SQL-construction time, selected per
@@ -1266,6 +1285,7 @@ def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_multimodal_decode_qoi(spark, sf_dir))
         .unionByName(_multimodal_decode_tga(spark, sf_dir))
         .unionByName(_multimodal_decode_tiff(spark, sf_dir))
+        .unionByName(_multimodal_decode_pcx(spark, sf_dir))
         .unionByName(_multimodal_decode_gif(spark, sf_dir))
         .unionByName(_multimodal_decode_h264(spark, sf_dir))
     )
@@ -1537,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
                 oracles.tga_decode_oracle(),
                 oracles.tiff_decode_oracle(),
                 oracles.tiff_lzw_decode_oracle(),
+                oracles.pcx_decode_oracle(),
                 oracles.gif_decode_oracle(),
                 oracles.h264_decode_oracle(),
             ]

@@ -1843,10 +1843,14 @@ def parse_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
         from pgvectorscale_spark.operators.tiff import parse_tiff
 
         return parse_tiff(data)
+    if data[:1] == b"\x0a":
+        from pgvectorscale_spark.operators.pcx import parse_pcx
+
+        return parse_pcx(data)
     raise NotImplementedError(
         f"unsupported image format (magic {bytes(data[:4])!r}); PPM, PNG, "
-        "BMP, GIF, QOI, TIFF and baseline JPEG decode natively — other codecs "
-        "need external media decoders (MEDIA_DECODERS_AVAILABLE)"
+        "BMP, GIF, QOI, TIFF, PCX and baseline JPEG decode natively — other "
+        "codecs need external media decoders (MEDIA_DECODERS_AVAILABLE)"
     )
 
 

@@ -1576,6 +1576,42 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def pcx_decode_oracle() -> str:
+    """Twin of the PCX decode pipeline (pcx.attach_pcx_payload → parse_pcx
+    via the magic dispatcher): a 4x2 24-bit planar RLE file — row 0 is
+    three 4-byte runs (plane p = digest byte b_p), row 1 is twelve
+    literals (plane p byte k = b_{3+4p+k} % 192), so
+    mean_c = (4*b_c + sum_k b_{3+4c+k} % 192) / 8. A run-flag, count-mask,
+    plane-interleave or literal-threshold bug on either side diverges."""
+    from pgvectorscale_spark.operators.pcx import PCX_H, PCX_W
+
+    assert (PCX_W, PCX_H) == (4, 2), "oracle mirrors the synth geometry"
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    rows = []
+    for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+        lits = " + ".join(f"({byte(3 + 4 * c + k)} % 192)" for k in range(4))
+        rows.append(
+            f"SELECT doc_id, 'pcx' AS media, '{name}' AS metric, "
+            f"round((4 * {byte(c)} + {lits}) / 8.0, 6) AS value FROM m"
+        )
+    rows += [
+        f"SELECT doc_id, 'pcx' AS media, '{name}' AS metric, "
+        f"CAST({val} AS DOUBLE) AS value FROM m"
+        for name, val in (("width", PCX_W), ("height", PCX_H), ("channels", 3))
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def qoi_decode_oracle() -> str:
     """Twin of the QOI decode pipeline (multimodal.attach_qoi_payload →
     qoi.parse_qoi via the decode_image dispatcher). The 20x2 synth stream
