@@ -250,7 +250,25 @@ def _full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=_NEARDUP_THRESHOLD)
+    """Tagged union: exact cosine near-dup pairs ('pairs' rows) AND
+    SemDeDup-style semantic dedup ('semdedup' rows — dedup.semantic_dedup:
+    deterministic Lloyd clusters, pairwise min-id-wins keep rule within
+    each cluster; vec_id rides the id_a slot, cluster_id rides id_b, the
+    0/1 keep flag rides the cosine_sim slot). One driver row hash-verifies
+    the pair formula AND the full cluster->pair->keep pipeline."""
+    emb = _emb(spark, sf_dir)
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=_NEARDUP_THRESHOLD).select(
+        F.lit("pairs").alias("form"), "id_a", "id_b", "cosine_sim"
+    )
+    sem = dedup.semantic_dedup(
+        emb, num_clusters=8, iterations=2, threshold=_NEARDUP_THRESHOLD
+    ).select(
+        F.lit("semdedup").alias("form"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        F.col("keep").cast("int").cast("double").alias("cosine_sim"),
+    )
+    return pairs.unionByName(sem)
 
 
 # DiskANN exact-parity discipline (reference's own accuracy method,
@@ -1530,7 +1548,18 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oracles.simhash_oracle(32),
         "simhash_pairs": oracles.simhash_pairs_oracle(32, 6),
         "simhash60_pairs": oracles.simhash_pairs_oracle(60, 3),
-        "embedding_neardup": oracles.embedding_neardup_oracle(_NEARDUP_THRESHOLD),
+        "embedding_neardup": oracles.tagged_union_oracle(
+            "form",
+            [
+                ("'pairs'", oracles.embedding_neardup_oracle(_NEARDUP_THRESHOLD)),
+                (
+                    "'semdedup'",
+                    f"""SELECT vec_id AS id_a, cluster_id AS id_b,
+  keep::INT::DOUBLE AS cosine_sim
+FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
+                ),
+            ],
+        ),
         # d=64 is the driver embeddings schema at every SF (TESTDATA.md)
         "embedding_neardup_lsh": oracles.embedding_neardup_lsh_oracle(
             _NEARDUP_THRESHOLD, dedup.lsh_planes(64)

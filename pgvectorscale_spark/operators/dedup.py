@@ -47,6 +47,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "lsh_planes",
+    "semantic_dedup",
     "connected_components",
     "dedup_clusters",
     "span_dedup",
@@ -919,3 +920,77 @@ def span_dedup(
         )
     )
     return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    num_clusters: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.9,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embeddings, then drop every vector that is
+    >= ``threshold`` cosine-similar to a LOWER-ID vector in its own
+    cluster. Returns (id, cluster_id, keep) for EVERY input row.
+
+    Two deliberate determinism choices (both oracle-replayable):
+
+    - clustering is the engine's deterministic Lloyd training
+      (similarity.kmeans_centroids — lowest-id seeds, fixed iteration
+      count), so cluster membership is a pure function of the data;
+    - the keep rule is PAIRWISE min-id-wins, not transitive closure:
+      A~B and B~C with A<B<C drops B and C even if A!~C. The same
+      convention as the streaming near-dup screen (streaming/dedup.py) —
+      one survivor per pairwise-similar group, order-free.
+
+    Scale shape: the quadratic work is confined within clusters
+    (O(sum c_i^2), not O(n^2)) and the pair join is an equi-join on
+    cluster_id — at 100 TB, raise ``num_clusters`` so clusters stay
+    executor-sized (SemDeDup's own recipe: ~sqrt(n) clusters); the
+    centroid table stays broadcast-sized throughout."""
+    from pgvectorscale_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    cents = kmeans_centroids(
+        df, num_clusters, iterations, vector_col=vector_col, id_col=id_col
+    )
+    assign = ivf_assign(
+        df, centroids_df=cents, vector_col=vector_col, id_col=id_col
+    ).select(F.col(id_col), F.col("centroid_id").alias("cluster_id"))
+    src = df.select(
+        F.col(id_col), F.col(vector_col), l2_norm(F.col(vector_col)).alias("_n")
+    ).join(assign, id_col)
+    a = src.select(
+        F.col(id_col).alias("_ida"), F.col("cluster_id"),
+        F.col(vector_col).alias("_va"), F.col("_n").alias("_na"),
+    )
+    b = src.select(
+        F.col(id_col).alias("_idb"), F.col("cluster_id"),
+        F.col(vector_col).alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    dups = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(
+                _pair_cosine_sim(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        src.select(id_col, "cluster_id")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -302,12 +302,11 @@ ORDER BY round(distance, 6), vec_id LIMIT {k}
 """
 
 
-def ivf_kmeans_oracle(
-    query_id: int, k: int, num_centroids: int, nprobe: int, iterations: int
-) -> str:
-    """IVF with Lloyd-trained centroids: the `iterations` rounds unroll into
-    CTE layers of the same assignment SQL (deterministic lowest-id seeds make
-    the whole training replayable — mirrors similarity.kmeans_centroids)."""
+def _kmeans_assign_ctes(num_centroids: int, iterations: int) -> str:
+    """CTE chain replaying similarity.kmeans_centroids (lowest-id seeds,
+    ``iterations`` unrolled Lloyd rounds) plus the final nearest-centroid
+    ``assign`` (vec_id, centroid_id). Expects an ``e`` CTE (vec_id, i, v)
+    in scope; shared by ivf_kmeans_oracle and semantic_dedup_oracle."""
     layers = [
         f"""c0 AS (SELECT vec_id AS centroid_id, i, v FROM e
       WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {num_centroids}))"""
@@ -324,15 +323,25 @@ a{it} AS (
   SELECT a.centroid_id, e.i, avg(e.v) AS v
   FROM e JOIN a{it} a USING (vec_id) GROUP BY a.centroid_id, e.i)""")
     final = f"c{iterations}"
-    return f"""
-WITH e AS ({_UNNEST}),
-{", ".join(layers)},
+    return f"""{", ".join(layers)},
 assign_d AS (
   SELECT e.vec_id, c.centroid_id, sum((e.v - c.v) * (e.v - c.v)) AS ad
   FROM e JOIN {final} c USING (i) GROUP BY e.vec_id, c.centroid_id),
 assign AS (
   SELECT vec_id, centroid_id FROM assign_d
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ad, centroid_id) = 1),
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ad, centroid_id) = 1)"""
+
+
+def ivf_kmeans_oracle(
+    query_id: int, k: int, num_centroids: int, nprobe: int, iterations: int
+) -> str:
+    """IVF with Lloyd-trained centroids: the `iterations` rounds unroll into
+    CTE layers of the same assignment SQL (deterministic lowest-id seeds make
+    the whole training replayable — mirrors similarity.kmeans_centroids)."""
+    final = f"c{iterations}"
+    return f"""
+WITH e AS ({_UNNEST}),
+{_kmeans_assign_ctes(num_centroids, iterations)},
 q AS ({_query_unnest(query_id)}),
 probe AS (
   SELECT c.centroid_id, sum((c.v - q.v) * (c.v - q.v)) AS qd
@@ -345,6 +354,33 @@ d AS (
 SELECT vec_id, round(distance, 6) AS distance FROM d
 ORDER BY round(distance, 6), vec_id LIMIT {k}
 """
+
+
+def semantic_dedup_oracle(
+    num_clusters: int, iterations: int, threshold: float
+) -> str:
+    """Twin of dedup.semantic_dedup: the same unrolled Lloyd clustering
+    (shared _kmeans_assign_ctes) then the pairwise min-id-wins keep rule
+    over within-cluster cosine similarity (same least(dot/(na*nb), 1)
+    formula and 6-decimal rounding as embedding_neardup_oracle)."""
+    return f"""
+WITH e AS ({_UNNEST}),
+{_kmeans_assign_ctes(num_clusters, iterations)},
+v AS (
+  SELECT a.vec_id, a.centroid_id AS cluster_id, x.e,
+         sqrt(list_dot_product(x.e, x.e)) AS nrm
+  FROM assign a JOIN (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) x
+    ON a.vec_id = x.vec_id),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM v a JOIN v b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+              ELSE least(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 1.0)
+              END, 6) >= {threshold})
+SELECT v.vec_id, v.cluster_id::BIGINT AS cluster_id,
+       (dups.vec_id IS NULL) AS keep
+FROM v LEFT JOIN dups ON v.vec_id = dups.vec_id
+ORDER BY v.vec_id"""
 
 
 def embedding_neardup_oracle(threshold: float) -> str:
