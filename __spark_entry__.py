@@ -1238,6 +1238,25 @@ def _multimodal_decode_pcx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Windows ICO decode, no media libraries: conformant single-entry
+    32bpp DIB icons (doubled-height header, bottom-up BGRA from two
+    digests, AND mask) synthesized JVM-side, decoded back by ico.parse_ico
+    through the magic dispatcher; the oracle recomputes the channel means
+    from the two digest hexes (oracles.ico_decode_oracle)."""
+    from pgvectorscale_spark.operators.ico import attach_ico_payload
+    from pgvectorscale_spark.operators.multimodal import decode_image
+
+    img = decode_image(attach_ico_payload(_docs(spark, sf_dir)))
+    metrics = ["width", "height", "channels", "mean_r", "mean_g", "mean_b"]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+    return img.selectExpr(
+        "doc_id",
+        "'ico' as media",
+        f"stack({len(metrics)}, {stack}) as (metric, value)",
+    ).orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL LZW-compressed GIF decode, no media libraries: genuine GIF89a
     files (flat frames LZW-encoded at SQL-construction time, selected per
@@ -1304,6 +1323,7 @@ def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_multimodal_decode_tga(spark, sf_dir))
         .unionByName(_multimodal_decode_tiff(spark, sf_dir))
         .unionByName(_multimodal_decode_pcx(spark, sf_dir))
+        .unionByName(_multimodal_decode_ico(spark, sf_dir))
         .unionByName(_multimodal_decode_gif(spark, sf_dir))
         .unionByName(_multimodal_decode_h264(spark, sf_dir))
     )
@@ -1587,6 +1607,7 @@ FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
                 oracles.tiff_decode_oracle(),
                 oracles.tiff_lzw_decode_oracle(),
                 oracles.pcx_decode_oracle(),
+                oracles.ico_decode_oracle(),
                 oracles.gif_decode_oracle(),
                 oracles.h264_decode_oracle(),
             ]

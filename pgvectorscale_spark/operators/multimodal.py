@@ -1847,10 +1847,14 @@ def parse_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
         from pgvectorscale_spark.operators.pcx import parse_pcx
 
         return parse_pcx(data)
+    if data[:4] == b"\x00\x00\x01\x00":
+        from pgvectorscale_spark.operators.ico import parse_ico
+
+        return parse_ico(data)
     raise NotImplementedError(
         f"unsupported image format (magic {bytes(data[:4])!r}); PPM, PNG, "
-        "BMP, GIF, QOI, TIFF, PCX and baseline JPEG decode natively — other "
-        "codecs need external media decoders (MEDIA_DECODERS_AVAILABLE)"
+        "BMP, GIF, QOI, TIFF, PCX, ICO and baseline JPEG decode natively — "
+        "other codecs need external media decoders (MEDIA_DECODERS_AVAILABLE)"
     )
 
 

@@ -1648,6 +1648,42 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def ico_decode_oracle() -> str:
+    """Twin of the ICO decode pipeline (ico.attach_ico_payload → parse_ico
+    via the magic dispatcher): one 4x2 32bpp DIB whose 8 bottom-up BGRA
+    pixels are md5(text) then md5(text || ':ico'), so channel c's mean
+    averages bytes 4j+(2-c... BGRA: R=4j+2, G=4j+1, B=4j) across both
+    digests. A direction, doubled-height, or BGRA-order bug diverges."""
+    from pgvectorscale_spark.operators.ico import ICO_H, ICO_W
+
+    assert (ICO_W, ICO_H) == (4, 2), "oracle mirrors the synth geometry"
+
+    def byte(col: str, j: int) -> str:
+        pos = 2 * j + 1
+        return (
+            f"((strpos('0123456789abcdef', substr({col}, {pos}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr({col}, {pos + 1}, 1)) - 1))"
+        )
+
+    rows = []
+    for name, cofs in (("mean_r", 2), ("mean_g", 1), ("mean_b", 0)):
+        terms = [byte(col, 4 * j + cofs) for col in ("h1", "h2") for j in range(4)]
+        rows.append(
+            f"SELECT doc_id, 'ico' AS media, '{name}' AS metric, "
+            f"round(({' + '.join(terms)}) / 8.0, 6) AS value FROM m"
+        )
+    rows += [
+        f"SELECT doc_id, 'ico' AS media, '{name}' AS metric, "
+        f"CAST({val} AS DOUBLE) AS value FROM m"
+        for name, val in (("width", ICO_W), ("height", ICO_H), ("channels", 4))
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h1, md5(text || ':ico') AS h2 FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def qoi_decode_oracle() -> str:
     """Twin of the QOI decode pipeline (multimodal.attach_qoi_payload →
     qoi.parse_qoi via the decode_image dispatcher). The 20x2 synth stream
