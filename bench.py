@@ -440,12 +440,52 @@ def main() -> None:
     )
     n_dec8 = timed.last
     assert (n_dec1, n_dec8) == (n_docs, n_docs8)
-    docs8.unpersist()
     media_scale = {
         "h264_1x_sec": h264_1_sec,
         "h264_8x_sec": h264_8_sec,
         "h264_docs_per_sec_8x": round(n_dec8 / h264_8_sec, 1),
         "h264_8x_ratio": round(h264_8_sec / max(h264_1_sec, 1e-9), 2),
+    }
+
+    # ---- Text-pipeline scale point (outside the headline total): the
+    # round-10 scrub gate (PII detection + Luhn + redaction fingerprint +
+    # Gopher rule verdicts — all map-side expressions, so the ratio should
+    # track rows) and BM25 search (postings grow 8x while the query set is
+    # held fixed to the 1x draws, so this measures index-side scaling).
+    from pgvectorscale_spark.functions import pii as pii_mod
+    from pgvectorscale_spark.functions.text import quality_passes_sql
+    from pgvectorscale_spark.operators.bm25 import bm25_topk
+
+    def _scrub(d):
+        scrubbed = pii_mod.attach_pii_text(d).select(
+            "doc_id",
+            F.expr(quality_passes_sql("text", "spark")).alias("passes"),
+            F.expr(pii_mod.pii_count_sql("pii_text", "card_valid", "spark")).alias("ncv"),
+        )
+        return scrubbed.agg(
+            F.sum(F.col("passes").cast("int")), F.sum("ncv"), F.count("*")
+        ).collect()
+
+    scrub1_sec, _ = timed(lambda: _scrub(docs))
+    scrub8_sec, _ = timed(lambda: _scrub(docs8))
+    queries_1x = docs.filter("doc_id % 53 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 1, 4))").alias("q_text"),
+    ).persist()
+    n_queries = queries_1x.count()
+    bm25_1_sec, _ = timed(lambda: bm25_topk(docs, queries_1x, k=10).count())
+    bm25_8_sec, _ = timed(lambda: bm25_topk(docs8, queries_1x, k=10).count())
+    queries_1x.unpersist()
+    docs8.unpersist()
+    text_scale = {
+        "scrub_1x_sec": scrub1_sec,
+        "scrub_8x_sec": scrub8_sec,
+        "scrub_docs_per_sec_8x": round(n_docs8 / scrub8_sec, 1),
+        "scrub_8x_ratio": round(scrub8_sec / max(scrub1_sec, 1e-9), 2),
+        "bm25_queries": int(n_queries),
+        "bm25_1x_sec": bm25_1_sec,
+        "bm25_8x_sec": bm25_8_sec,
+        "bm25_8x_ratio": round(bm25_8_sec / max(bm25_1_sec, 1e-9), 2),
     }
 
     encoded.unpersist()
@@ -463,6 +503,7 @@ def main() -> None:
                 "ann_scale": ann_scale,
                 "dedup_scale": dedup_scale,
                 "media_scale": media_scale,
+                "text_scale": text_scale,
                 "sf": float(sf),
             }
         )

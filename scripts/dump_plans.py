@@ -190,6 +190,67 @@ def main() -> None:
         )
     )
 
+    # round-10 additions: PII scrub gate, BM25 search, bigram LM scoring,
+    # SemDeDup semantic dedup
+    from pgvectorscale_spark.functions import pii
+    from pgvectorscale_spark.functions.lm import bigram_lm_scores
+    from pgvectorscale_spark.functions.text import quality_passes_sql
+    from pgvectorscale_spark.operators.bm25 import bm25_topk
+
+    sections.append(
+        (
+            "pii_stats + quality gate (map-side scrub)",
+            "The entire scrub — synthesis, five detector counts, Luhn "
+            "checksum folds, redaction hash, Gopher rule verdicts — is ONE "
+            "projection over the scan: zero `Exchange` nodes anywhere in "
+            "the plan. At 100 TB the gate pipelines into whatever "
+            "read/write surrounds it and costs no shuffle.",
+            pii.pii_stats(
+                pii.attach_pii_text(docs).select("doc_id", "pii_text"),
+                text_col="pii_text",
+            ).withColumn("passes", F.expr(quality_passes_sql("'x'", "spark"))),
+        )
+    )
+    qdf_bm = docs.filter("doc_id % 53 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 1, 4))").alias("q_text"),
+    )
+    sections.append(
+        (
+            "bm25_topk (inverted-index search as postings joins)",
+            "The corpus-sized postings table meets ONLY `BroadcastHashJoin`s "
+            "(query terms, then query-restricted IDF) — candidate docs are "
+            "the posting rows of the query's terms, never a corpus scan per "
+            "query; the per-(query, doc) score is one hash aggregate and "
+            "the top-k window runs over candidates only. No SortMergeJoin "
+            "on the corpus path.",
+            bm25_topk(docs, qdf_bm, k=5),
+        )
+    )
+    sections.append(
+        (
+            "bigram_lm_scores (stupid-backoff LM scoring)",
+            "Training is two map-side-combined aggregates (unigram, bigram "
+            "counts over the train slice); scoring joins each document's "
+            "bigram OCCURRENCES against those Heaps-law-sized count tables "
+            "(AQE broadcasts them while they fit; at vocabulary scale the "
+            "join shuffles on the bigram key) and folds ln(p) per doc.",
+            bigram_lm_scores(docs),
+        )
+    )
+    sections.append(
+        (
+            "semantic_dedup (SemDeDup cluster-confined cosine)",
+            "Centroid training and assignment touch the corpus only through "
+            "broadcast joins; the quadratic cosine pass is an EQUI-join on "
+            "cluster_id (never a cross join), so pair work is O(sum "
+            "c_i^2) and shrinks as num_clusters grows — SemDeDup's own "
+            "sqrt(n)-clusters recipe keeps clusters executor-sized at "
+            "100 TB.",
+            dedup.semantic_dedup(emb, num_clusters=8, iterations=2, threshold=0.45),
+        )
+    )
+
     # shard-restricted merge view (round 7): build a tiny index with an
     # open delta chain so the plan shows base + delta scans, every one
     # carrying a shard PartitionFilter
