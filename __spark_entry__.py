@@ -838,6 +838,7 @@ def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pii_df,
                 "pii",
                 [
+                    "n_urls",
                     "n_emails",
                     "n_ipv4",
                     "n_ssns",

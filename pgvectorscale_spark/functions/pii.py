@@ -47,9 +47,11 @@ __all__ = [
 
 # Anchor-free pattern bodies; every token is tested as a FULL match.
 # Backslash-free on purpose (identical literal in Java regex and RE2).
-# Order matters for redaction: first match wins. ssn (3-2-4) and phone
-# (3-3-4) are disjoint by the middle group's width.
+# Order matters for redaction: first match wins (url before email so
+# userinfo-style URLs never half-match as addresses). ssn (3-2-4) and
+# phone (3-3-4) are disjoint by the middle group's width.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("url", "https?://[a-z0-9.-]+(:[0-9]+)?(/[^ ]*)?"),
     ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"),
     ("ipv4", "([0-9]{1,3}[.]){3}[0-9]{1,3}"),
     ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
@@ -140,10 +142,10 @@ def pii_text_sql(text_expr: str, id_expr: str, dialect: str) -> str:
     """Text with a deterministic PII tail derived from md5(text):
 
     - ``id % 3 == 0``: unchanged (zero-count docs are exercised),
-    - ``id % 3 == 1``: one email, one IPv4, one 16-digit card candidate
-      (Luhn validity falls where the digest digits put it — ~10% of these
-      docs carry a VALID card number, so the checksum path is exercised
-      with both outcomes),
+    - ``id % 3 == 1``: one URL, one email, one IPv4, one 16-digit card
+      candidate (Luhn validity falls where the digest digits put it —
+      ~10% of these docs carry a VALID card number, so the checksum path
+      is exercised with both outcomes),
     - ``id % 3 == 2``: two emails, one SSN-shaped and one phone-shaped
       number.
     """
@@ -152,6 +154,7 @@ def pii_text_sql(text_expr: str, id_expr: str, dialect: str) -> str:
     def dig(*idx: int) -> str:
         return ", ".join(_digit(h, i, dialect) for i in idx)
 
+    url = f"'https://ex', substr({h}, 11, 2), '.com/', substr({h}, 13, 3)"
     email = f"'user', substr({h}, 1, 4), '@ex', substr({h}, 5, 2), '.com'"
     email2 = f"'alt', substr({h}, 7, 3), '@ex', substr({h}, 10, 2), '.org'"
     ip = ", '.', ".join(f"cast({_byte(h, i, dialect)} as string)" for i in range(4))
@@ -159,8 +162,8 @@ def pii_text_sql(text_expr: str, id_expr: str, dialect: str) -> str:
     phone = f"'555-', {dig(9, 10, 11)}, '-', {dig(12, 13, 14, 15)}"
     card = dig(*range(16))
     return (
-        f"CASE WHEN {id_expr} % 3 = 1 THEN concat({text_expr}, ' ', {email}, "
-        f"' ', {ip}, ' ', {card}) "
+        f"CASE WHEN {id_expr} % 3 = 1 THEN concat({text_expr}, ' ', {url}, "
+        f"' ', {email}, ' ', {ip}, ' ', {card}) "
         f"WHEN {id_expr} % 3 = 2 THEN concat({text_expr}, ' ', {ssn}, "
         f"' contact ', {email}, ' or ', {email2}, ' ', {phone}) "
         f"ELSE {text_expr} END"
@@ -189,6 +192,7 @@ def pii_stats(
     red = redacted_text_sql(t, SPARK)
     return df.select(
         F.col(id_col),
+        F.expr(pii_count_sql(t, "url", SPARK)).alias("n_urls"),
         F.expr(pii_count_sql(t, "email", SPARK)).alias("n_emails"),
         F.expr(pii_count_sql(t, "ipv4", SPARK)).alias("n_ipv4"),
         F.expr(pii_count_sql(t, "ssn", SPARK)).alias("n_ssns"),

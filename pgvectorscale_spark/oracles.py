@@ -822,6 +822,7 @@ SELECT doc_id,
 FROM documents"""
 
     pii_metrics = {
+        "n_urls": pii.pii_count_sql("pt", "url", DUCKDB),
         "n_emails": pii.pii_count_sql("pt", "email", DUCKDB),
         "n_ipv4": pii.pii_count_sql("pt", "ipv4", DUCKDB),
         "n_ssns": pii.pii_count_sql("pt", "ssn", DUCKDB),

@@ -65,16 +65,17 @@ def test_luhn_and_candidates(spark, num, valid):
 
 def test_detection_and_redaction_literal(spark):
     txt = (
-        "mail bob.smith@corp.io or x@y.de from 10.0.0.1 ssn 123-45-6789 "
-        "call 555-123-4567 card 4111111111111111 ok"
+        "see https://ex.com/a?b=1 mail bob.smith@corp.io or x@y.de from "
+        "10.0.0.1 ssn 123-45-6789 call 555-123-4567 card 4111111111111111 ok"
     )
     df = spark.createDataFrame([(0, txt)], "doc_id long, text string")
     row = pii.pii_stats(df).collect()[0]
-    assert (row["n_emails"], row["n_ipv4"], row["n_ssns"], row["n_phones"]) == (2, 1, 1, 1)
+    assert (row["n_urls"], row["n_emails"], row["n_ipv4"]) == (1, 2, 1)
+    assert (row["n_ssns"], row["n_phones"]) == (1, 1)
     assert row["n_card_candidates"] == 1 and row["n_cards_valid"] == 1
     red = df.select(F.expr(pii.redacted_text_sql("text", SPARK)).alias("r")).collect()[0]["r"]
     assert red == (
-        "mail <EMAIL> or <EMAIL> from <IPV4> ssn <SSN> "
+        "see <URL> mail <EMAIL> or <EMAIL> from <IPV4> ssn <SSN> "
         "call <PHONE> card <CARD> ok"
     )
 
@@ -83,8 +84,8 @@ def test_plain_words_never_match(spark, documents):
     """The raw corpus is word-soup: zero PII detections on every doc."""
     agg = pii.pii_stats(documents).agg(
         F.sum(
-            F.col("n_emails") + F.col("n_ipv4") + F.col("n_ssns")
-            + F.col("n_phones") + F.col("n_card_candidates")
+            F.col("n_urls") + F.col("n_emails") + F.col("n_ipv4")
+            + F.col("n_ssns") + F.col("n_phones") + F.col("n_card_candidates")
         ).alias("s")
     ).collect()[0]
     assert agg["s"] == 0
@@ -103,17 +104,20 @@ def test_pii_synthesis_classes(spark, documents):
     saw_valid = saw_invalid = False
     for r in rows:
         m = r["doc_id"] % 3
-        got = (r["n_emails"], r["n_ipv4"], r["n_ssns"], r["n_phones"], r["n_card_candidates"])
+        got = (
+            r["n_urls"], r["n_emails"], r["n_ipv4"], r["n_ssns"],
+            r["n_phones"], r["n_card_candidates"],
+        )
         if m == 0:
-            assert got == (0, 0, 0, 0, 0)
+            assert got == (0, 0, 0, 0, 0, 0)
         elif m == 1:
-            assert got == (1, 1, 0, 0, 1)
+            assert got == (1, 1, 1, 0, 0, 1)
             if r["n_cards_valid"]:
                 saw_valid = True
             else:
                 saw_invalid = True
         else:
-            assert got == (2, 0, 1, 1, 0)
+            assert got == (0, 2, 0, 1, 1, 0)
     assert saw_valid and saw_invalid  # the Luhn branch is exercised both ways
 
 
