@@ -1258,6 +1258,25 @@ def _multimodal_decode_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_ras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Sun Raster decode, no media libraries: conformant big-endian
+    type-1 24-bit files (odd width exercising the 16-bit row pad, BGR
+    bytes from two digests) synthesized JVM-side, decoded back by
+    sunras.parse_ras through the magic dispatcher; the oracle recomputes
+    the channel means from the digest hexes (oracles.ras_decode_oracle)."""
+    from pgvectorscale_spark.operators.multimodal import decode_image
+    from pgvectorscale_spark.operators.sunras import attach_ras_payload
+
+    img = decode_image(attach_ras_payload(_docs(spark, sf_dir)))
+    metrics = ["width", "height", "channels", "mean_r", "mean_g", "mean_b"]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+    return img.selectExpr(
+        "doc_id",
+        "'ras' as media",
+        f"stack({len(metrics)}, {stack}) as (metric, value)",
+    ).orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL LZW-compressed GIF decode, no media libraries: genuine GIF89a
     files (flat frames LZW-encoded at SQL-construction time, selected per
@@ -1325,6 +1344,7 @@ def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_multimodal_decode_tiff(spark, sf_dir))
         .unionByName(_multimodal_decode_pcx(spark, sf_dir))
         .unionByName(_multimodal_decode_ico(spark, sf_dir))
+        .unionByName(_multimodal_decode_ras(spark, sf_dir))
         .unionByName(_multimodal_decode_gif(spark, sf_dir))
         .unionByName(_multimodal_decode_h264(spark, sf_dir))
     )
@@ -1609,6 +1629,7 @@ FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
                 oracles.tiff_lzw_decode_oracle(),
                 oracles.pcx_decode_oracle(),
                 oracles.ico_decode_oracle(),
+                oracles.ras_decode_oracle(),
                 oracles.gif_decode_oracle(),
                 oracles.h264_decode_oracle(),
             ]

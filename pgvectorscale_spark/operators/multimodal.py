@@ -1851,10 +1851,15 @@ def parse_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
         from pgvectorscale_spark.operators.ico import parse_ico
 
         return parse_ico(data)
+    if data[:4] == b"\x59\xa6\x6a\x95":
+        from pgvectorscale_spark.operators.sunras import parse_ras
+
+        return parse_ras(data)
     raise NotImplementedError(
         f"unsupported image format (magic {bytes(data[:4])!r}); PPM, PNG, "
-        "BMP, GIF, QOI, TIFF, PCX, ICO and baseline JPEG decode natively — "
-        "other codecs need external media decoders (MEDIA_DECODERS_AVAILABLE)"
+        "BMP, GIF, QOI, TIFF, PCX, ICO, Sun Raster and baseline JPEG decode "
+        "natively — other codecs need external media decoders "
+        "(MEDIA_DECODERS_AVAILABLE)"
     )
 
 

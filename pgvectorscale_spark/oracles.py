@@ -1685,6 +1685,42 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def ras_decode_oracle() -> str:
+    """Twin of the Sun Raster decode pipeline (sunras.attach_ras_payload →
+    parse_ras via the magic dispatcher): a 5x2 24-bit type-1 BGR file with
+    16-bit row padding; row r's pixels are digest bytes of md5(text) /
+    md5(text || ':ras'), so channel c's mean averages bytes 3j+(2-c) of
+    both digests. A byte-order, BGR, or pad bug diverges."""
+    from pgvectorscale_spark.operators.sunras import RAS_H, RAS_W
+
+    assert (RAS_W, RAS_H) == (5, 2), "oracle mirrors the synth geometry"
+
+    def byte(col: str, j: int) -> str:
+        pos = 2 * j + 1
+        return (
+            f"((strpos('0123456789abcdef', substr({col}, {pos}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr({col}, {pos + 1}, 1)) - 1))"
+        )
+
+    rows = []
+    for name, cofs in (("mean_r", 2), ("mean_g", 1), ("mean_b", 0)):
+        terms = [byte(col, 3 * j + cofs) for col in ("h1", "h2") for j in range(RAS_W)]
+        rows.append(
+            f"SELECT doc_id, 'ras' AS media, '{name}' AS metric, "
+            f"round(({' + '.join(terms)}) / 10.0, 6) AS value FROM m"
+        )
+    rows += [
+        f"SELECT doc_id, 'ras' AS media, '{name}' AS metric, "
+        f"CAST({val} AS DOUBLE) AS value FROM m"
+        for name, val in (("width", RAS_W), ("height", RAS_H), ("channels", 3))
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h1, md5(text || ':ras') AS h2 FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def qoi_decode_oracle() -> str:
     """Twin of the QOI decode pipeline (multimodal.attach_qoi_payload →
     qoi.parse_qoi via the decode_image dispatcher). The 20x2 synth stream
