@@ -819,7 +819,9 @@ def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(e).alias(n) for n, e in sorted(rules.items())],
         F.expr(quality_passes_sql(t, SPARK)).alias("passes"),
     )
-    lm_df = bigram_lm_scores(docs)
+    from pgvectorscale_spark.functions.lm import trigram_lm_scores
+
+    lm_df = bigram_lm_scores(docs).join(trigram_lm_scores(docs), "doc_id")
     return (
         _melt_str(
             features,
@@ -851,7 +853,18 @@ def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(_melt_str(rules_df, "rules", sorted(rules) + ["passes"]))
         .unionByName(
-            _melt_str(lm_df, "lm", ["n_bigrams", "n_unseen", "logprob_micro"])
+            _melt_str(
+                lm_df,
+                "lm",
+                [
+                    "n_bigrams",
+                    "n_unseen",
+                    "logprob_micro",
+                    "n_trigrams",
+                    "n_tri_unseen",
+                    "logprob3_micro",
+                ],
+            )
         )
     )
 

@@ -862,22 +862,37 @@ FROM documents"""
             ),
             _melt_sql(pii_inner, "pii", list(pii_metrics)),
             _melt_sql(rules_inner, "rules", sorted(rules) + ["passes"]),
-            _melt_sql(lm_inner, "lm", ["n_bigrams", "n_unseen", "logprob_micro"]),
+            _melt_sql(
+                lm_inner,
+                "lm",
+                [
+                    "n_bigrams",
+                    "n_unseen",
+                    "logprob_micro",
+                    "n_trigrams",
+                    "n_tri_unseen",
+                    "logprob3_micro",
+                ],
+            ),
         ]
     )
 
 
 def bigram_lm_inner_sql(train_pred: str = "doc_id % 2 = 0", alpha: float = 0.4) -> str:
-    """Full in-SQL replay of functions/lm.bigram_lm_scores: train unigram/
-    bigram counts on the ``train_pred`` slice, score every document with
-    stupid backoff ``c12/c1`` else ``alpha * (c2 + 1) / (T + V)``. Every
-    literal is cast to DOUBLE so DuckDB's DECIMAL literal arithmetic can't
-    diverge from Spark's double path; the log-sum is reported in integer
-    micro-nats (see lm.py float discipline)."""
-    from pgvectorscale_spark.functions.lm import bigram_pairs_sql
+    """Full in-SQL replay of functions/lm.bigram_lm_scores AND
+    trigram_lm_scores over shared count CTEs: train unigram/bigram/trigram
+    counts on the ``train_pred`` slice, score every document with stupid
+    backoff (bigram: ``c12/c1`` else ``alpha*(c2+1)/(T+V)``; trigram: the
+    full ``c123/c12`` → ``alpha*c23/c2`` → ``alpha^2*(c3+1)/(T+V)``
+    recursion). Every literal is cast to DOUBLE so DuckDB's DECIMAL
+    literal arithmetic can't diverge from Spark's double path; log-sums
+    are integer micro-nats (see lm.py float discipline)."""
+    from pgvectorscale_spark.functions.lm import bigram_pairs_sql, trigram_triples_sql
 
     toks = tokens("text", DUCKDB)
     pairs = bigram_pairs_sql("t", DUCKDB)
+    triples = trigram_triples_sql("t", DUCKDB)
+    a2 = alpha * alpha
     return f"""
 WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
 uni AS (
@@ -902,12 +917,39 @@ doc AS (
   LEFT JOIN big ON bp.w1 = big.w1 AND bp.w2 = big.w2
   LEFT JOIN uni u1 ON bp.w1 = u1.w
   LEFT JOIN uni u2 ON bp.w2 = u2.w, tot
-  GROUP BY bp.doc_id)
+  GROUP BY bp.doc_id),
+trip AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3
+  FROM (SELECT doc_id, unnest({triples}) AS u FROM base)),
+tri AS (
+  SELECT w1, w2, w3, count(*) AS c123 FROM trip WHERE {train_pred}
+  GROUP BY w1, w2, w3),
+doc3 AS (
+  SELECT tp.doc_id,
+         count(*) AS n_trigrams,
+         sum(CASE WHEN tri.c123 IS NULL THEN 1 ELSE 0 END) AS n_tri_unseen,
+         round(sum(ln(
+           CASE WHEN tri.c123 IS NOT NULL THEN tri.c123 / b12.c12
+           WHEN b23.c12 IS NOT NULL THEN ({alpha!r}::DOUBLE * b23.c12) / u2.c
+           ELSE ({a2!r}::DOUBLE * (coalesce(u3.c, 0) + 1)) / (tot.T + tot.V)
+           END)) * 1e6)::BIGINT AS logprob3_micro
+  FROM trip tp
+  LEFT JOIN tri ON tp.w1 = tri.w1 AND tp.w2 = tri.w2 AND tp.w3 = tri.w3
+  LEFT JOIN big b12 ON tp.w1 = b12.w1 AND tp.w2 = b12.w2
+  LEFT JOIN big b23 ON tp.w2 = b23.w1 AND tp.w3 = b23.w2
+  LEFT JOIN uni u2 ON tp.w2 = u2.w
+  LEFT JOIN uni u3 ON tp.w3 = u3.w, tot
+  GROUP BY tp.doc_id)
 SELECT d.doc_id,
        coalesce(doc.n_bigrams, 0)::BIGINT AS n_bigrams,
        coalesce(doc.n_unseen, 0)::BIGINT AS n_unseen,
-       coalesce(doc.logprob_micro, 0)::BIGINT AS logprob_micro
-FROM documents d LEFT JOIN doc ON d.doc_id = doc.doc_id"""
+       coalesce(doc.logprob_micro, 0)::BIGINT AS logprob_micro,
+       coalesce(doc3.n_trigrams, 0)::BIGINT AS n_trigrams,
+       coalesce(doc3.n_tri_unseen, 0)::BIGINT AS n_tri_unseen,
+       coalesce(doc3.logprob3_micro, 0)::BIGINT AS logprob3_micro
+FROM documents d
+LEFT JOIN doc ON d.doc_id = doc.doc_id
+LEFT JOIN doc3 ON d.doc_id = doc3.doc_id"""
 
 
 def tokenize_bpe_oracle() -> str:

@@ -265,6 +265,62 @@ def test_bigram_lm_against_reference(spark, documents):
     assert any(got[d][1] > 0 for d in got if d % 2 == 1)
 
 
+def _trigram_reference(texts: dict[int, str], train_pred, alpha=0.4):
+    """Independent single-node trigram stupid backoff."""
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    tri: dict[tuple[str, str, str], int] = {}
+    for doc_id, text in texts.items():
+        if not train_pred(doc_id):
+            continue
+        toks = text.split(" ")
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    t_tokens, vocab = float(sum(uni.values())), float(len(uni))
+    out = {}
+    for doc_id, text in texts.items():
+        toks = text.split(" ")
+        lp, unseen = 0.0, 0
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            if (a, b, c) in tri:
+                lp += math.log(tri[(a, b, c)] / big[(a, b)])
+            elif (b, c) in big:
+                unseen += 1
+                lp += math.log(alpha * big[(b, c)] / uni[b])
+            else:
+                unseen += 1
+                lp += math.log(
+                    alpha * alpha * (uni.get(c, 0) + 1) / (t_tokens + vocab)
+                )
+        out[doc_id] = (max(len(toks) - 2, 0), unseen, round(lp * 1e6))
+    return out
+
+
+def test_trigram_lm_against_reference(spark, documents):
+    from pgvectorscale_spark.functions.lm import trigram_lm_scores
+
+    texts = {r["doc_id"]: r["text"] for r in documents.select("doc_id", "text").collect()}
+    ref = _trigram_reference(texts, lambda d: d % 2 == 0)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["n_tri_unseen"], r["logprob3_micro"])
+        for r in trigram_lm_scores(documents).collect()
+    }
+    assert set(got) == set(ref)
+    for doc_id in ref:
+        rn, ru, rlp = ref[doc_id]
+        gn, gu, glp = got[doc_id]
+        assert (gn, gu) == (rn, ru), doc_id
+        assert abs(glp - rlp) <= 1, doc_id
+    # train docs never leave the trigram branch; held-out docs do, and the
+    # trigram model must be 'more surprised' than the bigram one overall
+    assert all(got[d][1] == 0 for d in got if d % 2 == 0)
+    assert any(got[d][1] > 0 for d in got if d % 2 == 1)
+
+
 def test_bigram_lm_short_docs(spark):
     df = spark.createDataFrame(
         [(0, "a b a b"), (1, "a"), (2, "a b"), (3, "zz qq")],
