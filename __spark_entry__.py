@@ -744,7 +744,25 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_docs(spark, sf_dir), num_bits=32)
+    """Tagged union: 32-bit simhash fingerprints ('simhash' rows, pos slot
+    0) AND winnowing document fingerprints ('winnow' rows —
+    dedup.winnowing_fingerprints, the MOSS robust-winnowing arg-min with
+    rightmost ties; gram_hash rides the simhash slot). One driver row
+    hash-verifies both fingerprint families."""
+    docs = _docs(spark, sf_dir)
+    sim = dedup.simhash(docs, num_bits=32).select(
+        F.lit("simhash").alias("form"),
+        "doc_id",
+        "simhash",
+        F.lit(0).cast("long").alias("pos"),
+    )
+    win = dedup.winnowing_fingerprints(docs, shingle_n=3, window=4).select(
+        F.lit("winnow").alias("form"),
+        "doc_id",
+        F.col("gram_hash").alias("simhash"),
+        "pos",
+    )
+    return sim.unionByName(win)
 
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1599,7 +1617,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": oracles.ngram_jaccard_union_oracle(
             3, 0.2, bm25_k=5, bm25_query_pred="doc_id % 53 = 0", bm25_prefix_tokens=4
         ),
-        "simhash": oracles.simhash_oracle(32),
+        "simhash": oracles.simhash_union_oracle(32, shingle_n=3, window=4),
         "simhash_pairs": oracles.simhash_pairs_oracle(32, 6),
         "simhash60_pairs": oracles.simhash_pairs_oracle(60, 3),
         "embedding_neardup": oracles.tagged_union_oracle(

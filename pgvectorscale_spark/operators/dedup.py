@@ -48,6 +48,7 @@ __all__ = [
     "embedding_neardup_lsh",
     "lsh_planes",
     "semantic_dedup",
+    "winnowing_fingerprints",
     "connected_components",
     "dedup_clusters",
     "span_dedup",
@@ -993,4 +994,69 @@ def semantic_dedup(
             F.col("cluster_id").cast("long").alias("cluster_id"),
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    shingle_n: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm, public): hash every ``shingle_n``-gram, slide a
+    ``window``-wide window over the hash sequence, and in each window
+    select the MINIMUM hash, ties broken by the RIGHTMOST position (the
+    paper's robust-winnowing rule). The distinct selected (hash, pos)
+    pairs are the document's fingerprint set — guaranteed to share a
+    fingerprint with any other document containing a matching run of at
+    least ``window + shingle_n - 1`` tokens, while keeping only
+    ~2/(window+1) of all gram hashes.
+
+    Returns (id, pos, gram_hash) — one row per selected fingerprint,
+    1-based gram positions.
+
+    Scale shape: the window scan is the LITERAL algorithm as relational
+    algebra — each gram row fans out to the <= ``window`` window-ends it
+    participates in (an explode, bounded replication), and the per-window
+    arg-min is ``min(struct(hash, -pos))`` — an associative aggregate, so
+    it combines map-side; the final dedupe groups on the fingerprint
+    itself. No per-document state, no UDF; shuffle volume is
+    O(rows x window). Docs with fewer than ``window`` grams winnow their
+    whole hash sequence as one window (the paper's n < w degenerate
+    case)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = tokens(f"`{text_col}`", SPARK)
+    grams = word_shingles(toks, shingle_n, SPARK)
+    hashed = f"transform({grams}, s -> {h60('s', SPARK)})"
+    g = df.select(
+        F.col(id_col),
+        F.expr(f"size({grams})").alias("_n"),  # map-side, no window needed
+        F.posexplode(F.expr(hashed)).alias("_p0", "h"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "h", "_n")
+    # window ends this gram participates in: e in [pos, pos+window-1],
+    # clamped to the valid end range [least(window, n), n]
+    ends = g.select(
+        id_col,
+        "pos",
+        "h",
+        F.explode(
+            F.expr(
+                f"filter(sequence(pos, least(pos + {window} - 1, _n)), "
+                f"e -> e >= least({window}, _n))"
+            )
+        ).alias("e"),
+    )
+    picked = ends.groupBy(id_col, "e").agg(
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("_m")
+    )
+    return (
+        picked.select(
+            id_col,
+            (-F.col("_m.np")).cast("long").alias("pos"),
+            F.col("_m.h").alias("gram_hash"),
+        )
+        .distinct()
     )

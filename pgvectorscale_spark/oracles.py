@@ -758,6 +758,47 @@ FROM ({bm25_oracle(bm25_k, bm25_query_pred, bm25_prefix_tokens)}) b"""
     return tagged_union_oracle("form", [("'jaccard'", jac), ("'bm25'", bm)])
 
 
+def winnowing_oracle(shingle_n: int, window: int) -> str:
+    """Twin of dedup.winnowing_fingerprints: per-window arg-min with the
+    rightmost-tie robust-winnowing rule, replayed as a bounded position
+    fan-out + QUALIFY row_number (integer comparisons only — no float
+    seam)."""
+    toks = tokens("text", DUCKDB)
+    grams = word_shingles(toks, shingle_n, DUCKDB)
+    return f"""
+WITH s AS (
+  SELECT doc_id, list_transform({grams}, s -> {h60('s', DUCKDB)}) AS hs
+  FROM documents),
+g AS (
+  SELECT doc_id, len(hs) AS n, unnest(hs) AS h,
+         generate_subscripts(hs, 1) AS pos
+  FROM s),
+e AS (
+  SELECT doc_id, pos, h,
+         unnest(list_filter(range(pos, least(pos + {window}, n + 1)),
+                            e -> e >= least({window}, n))) AS e
+  FROM g),
+p AS (
+  SELECT doc_id, e, h, pos,
+         row_number() OVER (PARTITION BY doc_id, e ORDER BY h, pos DESC) AS rn
+  FROM e)
+SELECT DISTINCT doc_id, pos::BIGINT AS pos, h AS gram_hash
+FROM p WHERE rn = 1"""
+
+
+def simhash_union_oracle(num_bits: int, shingle_n: int, window: int) -> str:
+    """Tagged union: the simhash fingerprints ('simhash' rows, pos slot 0)
+    AND the winnowing fingerprint set ('winnow' rows — gram_hash riding
+    the simhash slot, one row per selected (hash, pos))."""
+    sim = f"""
+SELECT doc_id, simhash, 0::BIGINT AS pos
+FROM ({simhash_oracle(num_bits)}) s"""
+    win = f"""
+SELECT doc_id, gram_hash AS simhash, pos
+FROM ({winnowing_oracle(shingle_n, window)}) w"""
+    return tagged_union_oracle("form", [("'simhash'", sim), ("'winnow'", win)])
+
+
 def simhash_oracle(num_bits: int) -> str:
     toks = tokens("text", DUCKDB)
     return f"""
