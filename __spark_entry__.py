@@ -1308,6 +1308,35 @@ def _multimodal_decode_ras(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary PGM (P5 gray) + PBM (P4 packed 1-bit, 1 = black) decode
+    completing the Netpbm family next to the P6 PPM row; oracle recomputes
+    the gray means from digest bytes / popcounts
+    (oracles.pnm_decode_oracle)."""
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_pbm_payload,
+        attach_pgm_payload,
+        decode_image,
+    )
+
+    docs = _docs(spark, sf_dir)
+    metrics = ["width", "height", "channels", "mean_r", "mean_g", "mean_b"]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+
+    def melt(df: DataFrame, media: str) -> DataFrame:
+        return df.selectExpr(
+            "doc_id",
+            f"'{media}' as media",
+            f"stack({len(metrics)}, {stack}) as (metric, value)",
+        )
+
+    return (
+        melt(decode_image(attach_pgm_payload(docs)), "pgm")
+        .unionByName(melt(decode_image(attach_pbm_payload(docs)), "pbm"))
+        .orderBy("doc_id", "media", "metric")
+    )
+
+
 def _multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL LZW-compressed GIF decode, no media libraries: genuine GIF89a
     files (flat frames LZW-encoded at SQL-construction time, selected per
@@ -1376,6 +1405,7 @@ def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_multimodal_decode_pcx(spark, sf_dir))
         .unionByName(_multimodal_decode_ico(spark, sf_dir))
         .unionByName(_multimodal_decode_ras(spark, sf_dir))
+        .unionByName(_multimodal_decode_pnm(spark, sf_dir))
         .unionByName(_multimodal_decode_gif(spark, sf_dir))
         .unionByName(_multimodal_decode_h264(spark, sf_dir))
     )
@@ -1661,6 +1691,7 @@ FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
                 oracles.pcx_decode_oracle(),
                 oracles.ico_decode_oracle(),
                 oracles.ras_decode_oracle(),
+                oracles.pnm_decode_oracle(),
                 oracles.gif_decode_oracle(),
                 oracles.h264_decode_oracle(),
             ]

@@ -145,6 +145,61 @@ def parse_ppm(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, maxval, px
 
 
+def _pnm_header(data: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Netpbm header tokenizer (shared by P4/P5): whitespace-separated
+    integers with '#' comments to end-of-line; returns (tokens, pos of the
+    raw payload — one whitespace byte past the last token)."""
+    pos, tokens = 2, []
+    while len(tokens) < n_tokens and pos < len(data):
+        c = data[pos : pos + 1]
+        if c == b"#":
+            eol = data.find(b"\n", pos)
+            pos = len(data) if eol < 0 else eol + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(data[pos:end]))
+            pos = end
+    if len(tokens) < n_tokens:
+        raise ValueError("truncated PNM header")
+    return tokens, pos + 1
+
+
+def parse_pnm(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse binary PGM (P5, 8-bit grayscale) and PBM (P4, 1-bit packed
+    MSB-first, 1 = black per the netpbm spec — mapped to 0, white to 255)
+    images: returns (width, height, 1, pixels (h, w, 1) uint8). The P6
+    color sibling is :func:`parse_ppm`."""
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    magic = data[:2]
+    if magic == b"P5":
+        (width, height, maxval), pos = _pnm_header(data, 3)
+        if not (0 < maxval < 256):
+            raise ValueError(f"unsupported PGM maxval {maxval} (8-bit only)")
+        need = width * height
+        body = data[pos : pos + need]
+        if len(body) != need:
+            raise ValueError(f"PGM payload {len(body)}B, header implies {need}B")
+        px = np.frombuffer(body, dtype=np.uint8).reshape(height, width, 1)
+        return width, height, 1, px
+    if magic == b"P4":
+        (width, height), pos = _pnm_header(data, 2)
+        stride = (width + 7) // 8
+        need = stride * height
+        body = data[pos : pos + need]
+        if len(body) != need:
+            raise ValueError(f"PBM payload {len(body)}B, header implies {need}B")
+        rows = np.frombuffer(body, dtype=np.uint8).reshape(height, stride)
+        bits = np.unpackbits(rows, axis=1)[:, :width]  # MSB first per spec
+        px = np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None]
+        return width, height, 1, px
+    raise ValueError(f"not a binary PGM/PBM (magic {magic!r})")
+
+
 def parse_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a RIFF/WAVE PCM file: returns (channels, sample_rate,
     samples (n, channels) int16). Walks the chunk list properly (a WAV
@@ -630,6 +685,38 @@ def attach_ppm_payload(df: DataFrame, source_col: str = "text", payload_col: str
             f"substring(concat({', '.join([u] * reps)}), 1, {body_len}))"
         ),
     ).withColumn("media_type", F.lit("image/x-portable-pixmap"))
+
+
+#: PGM/PBM synth geometry: 8x2. PGM = the 16 md5(text) bytes as gray
+#: samples (mean = digest-byte average); PBM = the first 2 digest bytes as
+#: packed MSB-first bits, 1 = black = 0 (mean = 255 * zero-bit fraction) —
+#: a bit-order or polarity bug on either side breaks the hash.
+PNM_W, PNM_H = 8, 2
+
+
+def attach_pgm_payload(
+    df: DataFrame, source_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL binary PGM (P5) per row, built JVM-side."""
+    header = f"P5\n{PNM_W} {PNM_H}\n255\n"
+    return df.withColumn(
+        payload_col,
+        F.expr(f"concat(encode('{header}', 'utf-8'), unhex(md5(`{source_col}`)))"),
+    ).withColumn("media_type", F.lit("image/x-portable-graymap"))
+
+
+def attach_pbm_payload(
+    df: DataFrame, source_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL binary PBM (P4) per row, built JVM-side."""
+    header = f"P4\n{PNM_W} {PNM_H}\n"
+    return df.withColumn(
+        payload_col,
+        F.expr(
+            f"concat(encode('{header}', 'utf-8'), "
+            f"substring(unhex(md5(`{source_col}`)), 1, 2))"
+        ),
+    ).withColumn("media_type", F.lit("image/x-portable-bitmap"))
 
 
 def attach_wav_payload(df: DataFrame, source_col: str = "text", payload_col: str = "payload") -> DataFrame:
@@ -1825,6 +1912,8 @@ def parse_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if data[:2] == b"P6":
         w, h, _maxval, px = parse_ppm(data)
         return w, h, 3, px
+    if data[:2] in (b"P4", b"P5"):
+        return parse_pnm(data)
     if data[:8] == _PNG_MAGIC:
         return parse_png(data)
     if data[:2] == b"\xff\xd8":

@@ -1732,6 +1732,45 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def pnm_decode_oracle() -> str:
+    """Twin of the PGM/PBM decode pipeline (multimodal.attach_pgm_payload /
+    attach_pbm_payload → parse_pnm via the dispatcher): PGM's gray mean is
+    the average of all 16 digest bytes; PBM packs the first two digest
+    bytes MSB-first with 1 = black = 0, so its mean is 255 * zero-bit
+    fraction (bit_count replays the popcount on both engines)."""
+    from pgvectorscale_spark.operators.multimodal import PNM_H, PNM_W
+
+    assert (PNM_W, PNM_H) == (8, 2), "oracle mirrors the synth geometry"
+
+    def byte(j: int) -> str:
+        pos = 2 * j + 1
+        return (
+            f"((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(h, {pos + 1}, 1)) - 1))"
+        )
+
+    gray = f"round(({' + '.join(byte(j) for j in range(16))}) / 16.0, 6)"
+    ones = f"(bit_count({byte(0)}) + bit_count({byte(1)}))"
+    pbm = f"round(255.0 * (16 - {ones}) / 16.0, 6)"
+    rows = []
+    for media, mean in (("pgm", gray), ("pbm", pbm)):
+        rows += [
+            f"SELECT doc_id, '{media}' AS media, '{name}' AS metric, "
+            f"{mean} AS value FROM m"
+            for name in ("mean_r", "mean_g", "mean_b")
+        ]
+        rows += [
+            f"SELECT doc_id, '{media}' AS media, '{name}' AS metric, "
+            f"CAST({val} AS DOUBLE) AS value FROM m"
+            for name, val in (("width", PNM_W), ("height", PNM_H), ("channels", 1))
+        ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def ico_decode_oracle() -> str:
     """Twin of the ICO decode pipeline (ico.attach_ico_payload → parse_ico
     via the magic dispatcher): one 4x2 32bpp DIB whose 8 bottom-up BGRA
