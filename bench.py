@@ -1,6 +1,9 @@
 """Headline benchmark: runs the engine's flagship queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE compact
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"gates": {...}, "sf": ...}. The full payload (per-query sample spreads and the
+8x/64x ANN, dedup, media, and text scale blocks) is written to bench_full.json
+next to this script — stdout stays small enough for a bounded tail capture.
 
 Query set spans the engine's planes: relational (scan/agg, broadcast join,
 time rollup), vector search (batch exact k-NN, SBQ two-stage, IVF, DiskANN
@@ -193,6 +196,15 @@ def main() -> None:
     emb8 = _scale_embeddings(emb, 8).persist()
     n_rows8 = emb8.count()  # materialize outside the timed region
     assert n_rows8 == 8 * n_rows, (n_rows, n_rows8)  # no id collisions
+    # OUT-OF-SAMPLE gate corpus (round 11): the 16 gate queries' own rows
+    # (vec_id < 16) are excluded from the scale indexes AND the exact
+    # oracle, so every recall gate below measures serving for queries the
+    # index has never stored — an in-corpus query finds its neighborhood
+    # inside its own Voronoi cell almost by construction, which let the
+    # r10 routing-recall curve saturate at p=1 and under-report the probe
+    # count real out-of-sample traffic needs. (The perturbed scale copies
+    # of those vectors remain: they are the fixture's data distribution.)
+    emb8ho = emb8.filter("vec_id >= 16")
 
     # scale blocks get the SAME warm-up + median treatment as the headline
     # (round 10: a cold 8x build measured 22 s where the warmed steady
@@ -217,7 +229,7 @@ def main() -> None:
         d = tempfile.mkdtemp(prefix="bench_diskann8_")
         idx8_box.setdefault("dirs", []).append(d)
         idx8_box["idx"] = DiskannIndex.build(
-            emb8, d, distance_type="l2", num_shards=64
+            emb8ho, d, distance_type="l2", num_shards=64
         )
 
     build8, build8_samples = timed(_build8, runs=2)
@@ -231,7 +243,7 @@ def main() -> None:
     # 64-shard graph masquerade as a speedup)
     exact8 = {
         r["query_id"]: set(r["ids"])
-        for r in search_exact_batch(emb8, qvecs, k=10, distance_type="l2", impl="numpy")
+        for r in search_exact_batch(emb8ho, qvecs, k=10, distance_type="l2", impl="numpy")
         .groupBy("query_id")
         .agg(F.collect_set("vec_id").alias("ids"))
         .collect()
@@ -255,7 +267,7 @@ def main() -> None:
     # (the regime 100x actually stresses; full scatter/gather above is the
     # exact baseline). Same >=0.9 recall bar against the same exact oracle.
     tmp_routed = tempfile.mkdtemp(prefix="bench_diskann8r_")
-    emb8l = emb8.withColumn("labels", F.array("label").cast("array<smallint>"))
+    emb8l = emb8ho.withColumn("labels", F.array("label").cast("array<smallint>"))
     t0 = time.time()
     # labeled kmeans build: per-label start nodes under 64 Voronoi shards is
     # the regime a 100x corpus stresses; the build also auto-tunes the
@@ -303,7 +315,7 @@ def main() -> None:
     exact8_lbl = {
         r["query_id"]: set(r["ids"])
         for r in search_exact_batch(
-            emb8.filter(F.col("label") == lbl), qvecs, k=10,
+            emb8ho.filter(F.col("label") == lbl), qvecs, k=10,
             distance_type="l2", impl="numpy",
         )
         .groupBy("query_id")
@@ -350,7 +362,88 @@ def main() -> None:
         "labeled_routed_recall_8x_at10": recall8_lbl,
         "labeled_routed_gate_pass": bool(recall8_lbl >= 0.9),
         "routing_recall_curve": idx8r.meta.routing_recall_curve,
+        "gate_queries_held_out": True,
     }
+
+    # ---- 64x standing scale point (round 11, promoted from the r10
+    # one-off; outside the headline total). 128k vectors under 512 kmeans
+    # shards is the regime where per-query cost must be independent of
+    # shard count — scatter/gather breaks here, routed probing must not.
+    # Single-shot build (it dominates; medians would double bench wall
+    # time), warm-up + single timed serve, held-out queries throughout.
+    # Opt out with SPARK_GRAFT_BENCH_64X=0.
+    ann_scale_64x = None
+    if os.environ.get("SPARK_GRAFT_BENCH_64X", "1") != "0":
+        emb64 = _scale_embeddings(emb, 64).persist()
+        n_rows64 = emb64.count()
+        assert n_rows64 == 64 * n_rows, (n_rows, n_rows64)
+        emb64ho = emb64.filter("vec_id >= 16")
+        tmp64 = tempfile.mkdtemp(prefix="bench_diskann64_")
+        t0 = time.time()
+        idx64 = DiskannIndex.build(
+            emb64ho, tmp64, distance_type="l2", num_shards=512,
+            shard_assignment="kmeans",
+        )
+        build64 = round(time.time() - t0, 3)
+        exact64 = {
+            r["query_id"]: set(r["ids"])
+            for r in search_exact_batch(
+                emb64ho, qvecs, k=10, distance_type="l2", impl="numpy"
+            )
+            .groupBy("query_id")
+            .agg(F.collect_set("vec_id").alias("ids"))
+            .collect()
+        }
+        auto_p64 = idx64.auto_probe_shards(0.95)
+
+        def _auto64():
+            return (
+                idx64.search_batch(qvecs, k=10, recall_target=0.95)
+                .groupBy("query_id")
+                .agg(F.collect_set("node_id").alias("ids"))
+                .collect()
+            )
+
+        serve64_auto, _ = timed(_auto64, runs=1)
+        got64a = {r["query_id"]: set(r["ids"]) for r in timed.last}
+        recall64a = round(
+            sum(len(got64a[q] & exact64[q]) / max(len(exact64[q]), 1) for q in exact64)
+            / len(exact64),
+            4,
+        )
+
+        def _routed64():
+            return (
+                idx64.search_batch(qvecs, k=10, probe_shards=8)
+                .groupBy("query_id")
+                .agg(F.collect_set("node_id").alias("ids"))
+                .collect()
+            )
+
+        serve64_p8, _ = timed(_routed64, runs=1)
+        got64r = {r["query_id"]: set(r["ids"]) for r in timed.last}
+        recall64r = round(
+            sum(len(got64r[q] & exact64[q]) / max(len(exact64[q]), 1) for q in exact64)
+            / len(exact64),
+            4,
+        )
+        curve64 = idx64.meta.routing_recall_curve
+        ann_scale_64x = {
+            "rows_64x": int(n_rows64),
+            "num_shards": 512,
+            "build_64x_sec": build64,
+            "auto_probe_shards": int(auto_p64),
+            "auto_serve_sec": serve64_auto,
+            "auto_recall_at10": recall64a,
+            "auto_gate_pass": bool(recall64a >= 0.9),
+            "routed_p8_serve_sec": serve64_p8,
+            "routed_p8_recall_at10": recall64r,
+            "routed_p8_gate_pass": bool(recall64r >= 0.9),
+            "routing_recall_curve": curve64,
+            "gate_queries_held_out": True,
+        }
+        emb64.unpersist()
+        shutil.rmtree(tmp64, ignore_errors=True)
 
     # ---- Dedup scale point (also outside the headline total): MinHash-LSH
     # candidates + full clustering at 8x the documents. Each copy is
@@ -492,22 +585,67 @@ def main() -> None:
     for d in built_idx["dirs"]:
         shutil.rmtree(d, ignore_errors=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "ann_scale": ann_scale,
-                "dedup_scale": dedup_scale,
-                "media_scale": media_scale,
-                "text_scale": text_scale,
-                "sf": float(sf),
-            }
-        )
-    )
+    # Output protocol (round 11): stdout carries ONE compact JSON line —
+    # total + per-query medians + the pass/fail gates — small enough that
+    # a bounded tail capture always parses it (the r10 artifact was
+    # recorded unparseable because the full sample/scale payload rode the
+    # same single line). The full payload (per-query sample spreads + all
+    # scale blocks) goes to bench_full.json next to this script.
+    gates = {
+        "recall_8x_at10": ann_scale["recall_8x_at10"],
+        "recall_8x_gate_pass": ann_scale["recall_8x_gate_pass"],
+        "routed_recall_8x_at10": ann_scale["routed_recall_8x_at10"],
+        "routed_recall_8x_gate_pass": ann_scale["routed_recall_8x_gate_pass"],
+        "auto_probe_shards": ann_scale["auto_probe_shards"],
+        "auto_routed_recall_8x_at10": ann_scale["auto_routed_recall_8x_at10"],
+        "auto_routed_gate_pass": ann_scale["auto_routed_gate_pass"],
+        "labeled_routed_recall_8x_at10": ann_scale["labeled_routed_recall_8x_at10"],
+        "labeled_routed_gate_pass": ann_scale["labeled_routed_gate_pass"],
+        "routing_recall_curve_8x": ann_scale["routing_recall_curve"],
+        "gate_queries_held_out": True,
+        "build_8x_ratio": round(
+            ann_scale["build_8x_sec"] / max(ann_scale["build_1x_sec"], 1e-9), 2
+        ),
+        "span_8x_ratio": round(
+            dedup_scale["span_8x_sec"] / max(dedup_scale["span_1x_sec"], 1e-9), 2
+        ),
+        "pairs_8x_ratio": round(
+            dedup_scale["pairs_8x_sec"] / max(dedup_scale["pairs_1x_sec"], 1e-9), 2
+        ),
+        "h264_8x_ratio": media_scale["h264_8x_ratio"],
+        "scrub_8x_ratio": text_scale["scrub_8x_ratio"],
+        "bm25_8x_ratio": text_scale["bm25_8x_ratio"],
+    }
+    if ann_scale_64x is not None:
+        gates["ann_64x"] = {
+            "build_sec": ann_scale_64x["build_64x_sec"],
+            "auto_probe_shards": ann_scale_64x["auto_probe_shards"],
+            "auto_recall_at10": ann_scale_64x["auto_recall_at10"],
+            "auto_gate_pass": ann_scale_64x["auto_gate_pass"],
+            "routed_p8_recall_at10": ann_scale_64x["routed_p8_recall_at10"],
+            "routed_p8_gate_pass": ann_scale_64x["routed_p8_gate_pass"],
+            "auto_serve_sec": ann_scale_64x["auto_serve_sec"],
+        }
+    headline = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "gates": gates,
+        "sf": float(sf),
+    }
+    full = {
+        **headline,
+        "spread": spreads,
+        "ann_scale": ann_scale,
+        "ann_scale_64x": ann_scale_64x,
+        "dedup_scale": dedup_scale,
+        "media_scale": media_scale,
+        "text_scale": text_scale,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(headline))
     spark.stop()
 
 

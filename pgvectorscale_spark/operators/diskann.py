@@ -1382,7 +1382,9 @@ class DiskannIndex:
         cents = np.stack([np.array(r["centroid"], dtype=np.float64) for r in rows])
         return sids, cents
 
-    def tune_routing(self, sample_queries: int = 16, k: int = 10) -> dict[str, float]:
+    def tune_routing(
+        self, sample_queries: int = 16, k: int = 10, held_out: bool = True
+    ) -> dict[str, float]:
         """Measure the routing-recall curve and store it in the meta.
 
         For a deterministic query sample (the ``sample_queries`` smallest
@@ -1396,11 +1398,26 @@ class DiskannIndex:
         reaching r. Label-aware probe widening at query time only ADDS
         shards, so labeled queries route at least this well.
 
-        Build-time measurement: mutations shift centroids and contents
-        without re-measuring (same staleness contract as the routing
-        table itself); rebuilds re-tune. Cost: one exact linear pass over
-        the corpus for ``sample_queries`` queries — opt out with
-        ``build(..., tune_routing=False)``."""
+        ``held_out`` (the default) excludes each sample query's OWN row
+        from its exact top-k: a query identical to a stored vector finds
+        its neighborhood inside its own Voronoi cell almost by
+        construction (its top-1 is itself at distance 0, in the cell the
+        assignment put it in), so an in-sample curve is optimistically
+        biased for the out-of-sample queries a real serving path sees —
+        at high duplicate density it degenerates to 1.0 at EVERY probe
+        count and recall_target then systematically under-probes. The
+        held-out form measures what a fresh query drawn from the corpus
+        distribution would route like. ``held_out=False`` reproduces the
+        legacy in-sample measurement (kept for the bias regression test).
+
+        Staleness: the curve is stamped with the live-row count it was
+        measured at (``meta.routing_tuned_nodes``); delta folds re-tune
+        when the live count has drifted past ``ROUTING_DRIFT_BOUND``
+        (mutations between folds shift centroids and contents without
+        re-measuring — same contract as the routing table itself), and
+        rebuilds/compacts re-tune unconditionally. Cost: one exact linear
+        pass over the corpus for ``sample_queries`` queries — opt out
+        with ``build(..., tune_routing=False)``."""
         table = self._routing_table()
         if table is None:
             raise ValueError(
@@ -1411,33 +1428,56 @@ class DiskannIndex:
 
         sids, cents = table
         live = self.nodes().filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+        live_count = live.count()
+        # Deterministic sample in xxhash64(node_id) order, NOT smallest-id
+        # order: kmeans seeding is lowest-id (similarity.kmeans_centroids),
+        # so a lowest-id sample is exactly the set of vectors the Voronoi
+        # cells were grown around — each such query sits at its centroid's
+        # anchor and its whole neighborhood routes to that one cell, which
+        # saturates the curve at p=1 regardless of how real queries route
+        # (the round-10 64x degenerate curve). Hash order is uncorrelated
+        # with the seed rule and with any id-assignment pattern in the
+        # data, and stays reproducible (ties broken by id).
         sample = (
             live.select("node_id", "vector")
-            .orderBy("node_id")
+            .orderBy(F.xxhash64("node_id").asc(), F.col("node_id").asc())
             .limit(int(sample_queries))
             .collect()
         )
         if not sample:
             raise ValueError("cannot tune routing on an empty index")
+        if held_out and live_count <= 1:
+            raise ValueError(
+                "cannot tune routing held-out on a 1-row index: a held-out "
+                "query has no neighbors left to route to"
+            )
         qids = [int(r["node_id"]) for r in sample]
         qmat = np.array([r["vector"] for r in sample], dtype=np.float64)
         qdf = self.spark.createDataFrame(
             [(qid, [float(x) for x in row]) for qid, row in zip(qids, qmat)],
             "query_id long, query_vec array<float>",
         )
+        # held-out: ask for k+1 and drop each query's own row (if present)
+        # so every query keeps its k nearest OTHER vectors — the exact pass
+        # still runs once over the full corpus (filtering the corpus per
+        # query would need sample_queries passes)
         topk = search_exact_batch(
             live.select("node_id", "vector"),
             qdf,
-            k=k,
+            k=k + 1 if held_out else k,
             distance_type=self.meta.distance_type,
             vector_col="vector",
             id_col="node_id",
             impl="numpy",
         ).collect()
         by_q: dict[int, list[int]] = {}
-        for r in topk:
-            by_q.setdefault(int(r["query_id"]), []).append(int(r["node_id"]))
-        ids = sorted({int(r["node_id"]) for r in topk})
+        for r in sorted(topk, key=lambda r: (int(r["query_id"]), int(r["rank"]))):
+            qid, nid = int(r["query_id"]), int(r["node_id"])
+            if held_out and nid == qid:
+                continue
+            if len(by_q.setdefault(qid, [])) < k:
+                by_q[qid].append(nid)
+        ids = sorted({nid for nids in by_q.values() for nid in nids})
         shard_of = {
             int(r["node_id"]): int(r["shard"])
             for r in self.nodes()
@@ -1478,8 +1518,35 @@ class DiskannIndex:
             curve[str(p)] = round(hit / max(tot, 1), 4)
         self.meta.routing_recall_curve = curve
         self.meta.routing_recall_k = int(k)
+        self.meta.routing_recall_held_out = bool(held_out)
+        self.meta.routing_tuned_nodes = int(live_count)
         self.meta.save(self.path)
         return curve
+
+    # Live-count drift past this fraction of the tuned-at count marks the
+    # routing-recall curve stale (folds then re-tune). 0.25 keeps re-tunes
+    # rare (one exact pass per 25% corpus churn) while bounding how far the
+    # centroids/contents the curve was measured against can drift.
+    ROUTING_DRIFT_BOUND = 0.25
+
+    def routing_curve_stale(self, drift: float | None = None) -> bool:
+        """True when the stored routing-recall curve no longer describes
+        the current corpus: unstamped (pre-field or in-sample legacy
+        metas), measured in-sample, or live-count drift beyond ``drift``
+        (default ``ROUTING_DRIFT_BOUND``). One corpus count — callers are
+        maintenance operations (folds) that already touch the corpus."""
+        if not self.meta.routing_recall_curve:
+            return False  # nothing to be stale
+        if not self.meta.routing_tuned_nodes or not self.meta.routing_recall_held_out:
+            return True
+        bound = self.ROUTING_DRIFT_BOUND if drift is None else float(drift)
+        live = (
+            self.nodes()
+            .filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+            .count()
+        )
+        tuned = self.meta.routing_tuned_nodes
+        return abs(live - tuned) / max(tuned, 1) > bound
 
     def auto_probe_shards(self, recall_target: float) -> int:
         """Smallest probe count whose measured routing recall reaches the
@@ -2481,6 +2548,20 @@ class DiskannIndex:
         self.meta.epoch += 1
         self.meta.trash_epoch = int(self.meta.epoch)
         self.meta.save(self.path)
+        # routing-recall curve staleness (tune_routing's contract): the
+        # fold is the maintenance point where mutation drift is paid for —
+        # when the live count has moved past ROUTING_DRIFT_BOUND since the
+        # curve was measured (or the stored curve predates held-out
+        # measurement), re-measure here rather than letting recall_target
+        # probe selection run on a curve for a corpus that no longer
+        # exists. Already under the writer lock (folds run inside
+        # insert/delete), so the meta save inside tune_routing is safe.
+        if (
+            self.meta.shard_assignment == "kmeans"
+            and self.meta.routing_recall_curve
+            and self.routing_curve_stale()
+        ):
+            self.tune_routing(k=self.meta.routing_recall_k or 10)
 
     def reader_lease(self, ttl_seconds: float | None = None):
         """Context manager pinning this handle's snapshot against trash

@@ -279,6 +279,19 @@ class IndexMeta:
     # value reaches r.
     routing_recall_curve: dict[str, float] = field(default_factory=dict)
     routing_recall_k: int = 0
+    # Curve measurement provenance (additive fields, no version bump).
+    # held_out records whether the curve was measured on held-out queries
+    # (each sample query's own row excluded from its exact top-k): an
+    # in-corpus query finds its neighborhood inside its own Voronoi cell
+    # almost by construction, so an in-sample curve is optimistically
+    # biased for the out-of-sample queries a real serving path sees —
+    # pre-field metas default False and are treated as stale.
+    # tuned_nodes stamps the live-row count the curve was measured at, so
+    # maintenance (fold) can detect drift and re-tune instead of letting
+    # recall_target probe selection run on a curve measured against a
+    # different corpus. 0 = unstamped (pre-field meta) = stale.
+    routing_recall_held_out: bool = False
+    routing_tuned_nodes: int = 0
 
     @property
     def delta_seq(self) -> int:
