@@ -285,11 +285,46 @@ def bpe_merged_token_count_sql(
     return f"(({seps})::BIGINT // 2)"
 
 
+def _bpe_stability_prefix(
+    top: list, limit: int, min_pair_freq: int
+) -> list[tuple[str, str, str, int]]:
+    """Maximal PREFIX of the (count desc, a, b)-ordered pair table whose
+    members are mutually count-stable: candidate q=(qa,qb) is accepted
+    only if, for every previously accepted winner w=(wa,wb)->wc:
+
+      qb != wa   (applying w consumes 'wa' occurrences preceded by
+                  anything — pairs ending in wa can shrink)
+      qa != wb   (pairs starting with wb can shrink)
+      qa != wc and qb != wc  (pairs touching the merged symbol can GROW
+                  when wc coincides with an existing symbol string)
+
+    Under these, applying w leaves q's count bit-identical — so every
+    accepted winner's count is still its true count at its turn. The scan
+    STOPS (not skips) at the first violation: the prefix property is what
+    makes the batch equal the sequential order (any pair ahead of an
+    accepted winner in the sort is itself an accepted winner, so nothing
+    unapplied can outrank it)."""
+    accepted: list[tuple[str, str, str, int]] = []
+    for r in top:
+        a, b, c = r["a"], r["b"], int(r["c"])
+        if c < min_pair_freq or len(accepted) >= limit:
+            break
+        if any(
+            b == wa or a == wb or a == wc or b == wc
+            for wa, wb, wc, _ in accepted
+        ):
+            break
+        accepted.append((a, b, a + b, c))
+    return accepted
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 16,
     min_pair_freq: int = 2,
+    batch_merges: int = 8,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn a BPE merge table from a corpus, distributed.
 
@@ -297,19 +332,57 @@ def train_bpe(
     corpus is pre-tokenized (BPE_PATTERN) and compressed to a distinct
     (word-symbol-array, frequency) table — ONE pass over the raw corpus,
     everything after runs on the distinct-word table (Heaps' law: tiny
-    next to 100 TB of text). Each merge step:
+    next to 100 TB of text). Each ROUND:
 
     1. pair counts: explode adjacent symbol pairs weighted by word
        frequency (overlapping positions count, as in the reference
-       implementation), groupBy pair with map-side partial aggregation;
-    2. winner: max count, ties broken by (a, b) ascending — fully
-       deterministic across partitionings and engines;
-    3. apply: the winning pair is baked into a greedy left-to-right fold
-       expression (JVM-side `aggregate`) over every word's symbols.
+       implementation), groupBy pair with map-side partial aggregation,
+       collect the top candidates in (count desc, a, b) order;
+    2. batch selection: take the maximal mutually count-stable PREFIX
+       (``_bpe_stability_prefix``), then shrink it by the created-pair
+       bound below so the batch provably equals applying its members one
+       at a time with a recount in between;
+    3. apply: ALL accepted winners are baked into ONE greedy
+       left-to-right fold expression (JVM-side `aggregate`) over every
+       word's symbols.
 
-    Stops early when no pair reaches ``min_pair_freq``. Returns the merge
-    list in learned order. Lineage is truncated every 8 steps
-    (localCheckpoint) so hundreds of merges don't accumulate a deep plan.
+    Why the batch equals the sequential trainer (the parity argument —
+    pytest checks it against a from-scratch single-node reference):
+
+    - Accepted winners form a prefix of the sort order and are mutually
+      count-stable, so at winner i's turn every pair still ahead of it is
+      an already-applied earlier winner (whose count fell to 0).
+    - The only pairs whose counts can RISE are the ones a merge CREATES:
+      merging w=(a,b)->ab creates (x,ab) and (ab,y), and each created
+      occurrence comes from an adjacent triple (x,a,b) / (a,b,y) in the
+      pre-merge corpus. So max raw triple count through w is an upper
+      bound on any created pair's count; winner i is kept only while
+      count_i strictly exceeds every earlier winner's bound (one extra
+      filtered-triple aggregation per round, and only when the stability
+      prefix has >= 2 members).
+    - Within one fold pass, two accepted winners can never match
+      overlapping positions (that would need qa == wb or qb == wa), and
+      a merged symbol can never feed another winner (qa/qb != wc), so
+      the single pass IS the sequential application of the batch.
+
+    The realized batch width is what exact parity permits: merges on
+    natural text CASCADE (merging (t,h) creates (th,e), which often
+    outranks the would-be next batch member), so the bound stops the
+    batch exactly where sequential order demands — measured ~1.7x fewer
+    driver round-trips on the synthetic test corpus, NOT batch_merges x.
+    The tempting alternative (top-N pairwise symbol-DISJOINT winners, no
+    created-pair bound) batches ~Nx but silently reorders the merge
+    list — it diverges from sequential within 64 merges on the sf0.001
+    corpus (pinned by tests/test_bpe_train.py::
+    test_disjoint_only_batching_diverges), which changes the learned
+    vocabulary. Exactness is kept; the round-trip reduction is the
+    bonus. ``batch_merges=1`` reproduces the plain sequential trainer.
+    Stops early when no pair reaches
+    ``min_pair_freq`` (same rule as sequential: the round's global best
+    is below the floor). Returns the merge list in learned order; pass
+    ``stats={}`` to receive {"rounds": int, "batch_sizes": [int, ...]}.
+    Lineage is truncated every 4 rounds (localCheckpoint) so hundreds of
+    merges don't accumulate a deep plan.
     """
     words = (
         df.select(F.expr(bpe_tokens_sql(f"`{text_col}`", SPARK)).alias("_ws"))
@@ -326,35 +399,88 @@ def train_bpe(
         "i -> struct(element_at(syms, i) as a, element_at(syms, i + 1) as b)) "
         "ELSE cast(array() as array<struct<a:string,b:string>>) END"
     )
+    rounds = 0
+    batch_sizes: list[int] = []
     try:
-        for step in range(num_merges):
-            best = (
+        while len(merges) < num_merges:
+            limit = min(int(batch_merges), num_merges - len(merges))
+            top = (
                 words.select("freq", F.explode(F.expr(pair_arr)).alias("p"))
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("freq").alias("c"))
                 .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-                .limit(1)
+                .limit(max(limit * 4, 8))
                 .collect()
             )
-            if not best or best[0]["c"] < min_pair_freq:
+            if not top or top[0]["c"] < min_pair_freq:
                 break
-            a, b = best[0]["a"], best[0]["b"]
-            merges.append((a, b))
-            la, lb, lab = (
-                _sql_str(a, SPARK), _sql_str(b, SPARK), _sql_str(a + b, SPARK)
+            rounds += 1
+            batch = _bpe_stability_prefix(top, limit, min_pair_freq)
+            if len(batch) > 1:
+                # created-pair bounds: for each candidate winner (a,b),
+                # the largest raw adjacent-triple count through it —
+                # max_x count(x,a,b) and max_y count(a,b,y) — bounds any
+                # pair its merge can create. The candidate filter runs
+                # INSIDE the per-word lambda (before any explode), so the
+                # aggregation sees only the few positions touching a
+                # candidate, not every 3-gram in the corpus.
+                keys = "array(" + ", ".join(
+                    f"named_struct('a', {_sql_str(wa, SPARK)}, "
+                    f"'b', {_sql_str(wb, SPARK)})"
+                    for wa, wb, _, _ in batch
+                ) + ")"
+                matches = (
+                    "CASE WHEN size(syms) >= 3 THEN flatten(transform("
+                    "sequence(1, size(syms) - 2), i -> filter(array("
+                    # winner at (i+1, i+2): created pair (syms[i], wc)
+                    "named_struct('p', named_struct("
+                    "'a', element_at(syms, i + 1), 'b', element_at(syms, i + 2)), "
+                    "'other', element_at(syms, i)), "
+                    # winner at (i, i+1): created pair (wc, syms[i+2])
+                    "named_struct('p', named_struct("
+                    "'a', element_at(syms, i), 'b', element_at(syms, i + 1)), "
+                    "'other', concat('\\u0001', element_at(syms, i + 2)))"
+                    f"), m -> array_contains({keys}, m.p)))) "
+                    "ELSE cast(array() as array<struct<"
+                    "p:struct<a:string,b:string>,other:string>>) END"
+                )
+                bound_of = {
+                    (r["a"], r["b"]): int(r["m"])
+                    for r in words.select(
+                        "freq", F.explode(F.expr(matches)).alias("m")
+                    )
+                    .groupBy("m.p.a", "m.p.b", "m.other")
+                    .agg(F.sum("freq").alias("n"))
+                    .groupBy("a", "b")
+                    .agg(F.max("n").alias("m"))
+                    .collect()
+                }
+                kept = [batch[0]]
+                max_bound = bound_of.get((batch[0][0], batch[0][1]), 0)
+                for wa, wb, wc, c in batch[1:]:
+                    if c <= max_bound:
+                        break  # a created pair could outrank this winner
+                    kept.append((wa, wb, wc, c))
+                    max_bound = max(max_bound, bound_of.get((wa, wb), 0))
+                batch = kept
+            merges.extend((wa, wb) for wa, wb, _, _ in batch)
+            batch_sizes.append(len(batch))
+            whens = " ".join(
+                f"WHEN size(acc) > 0 AND element_at(acc, -1) = "
+                f"{_sql_str(wa, SPARK)} AND s = {_sql_str(wb, SPARK)} "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"array({_sql_str(wc, SPARK)}))"
+                for wa, wb, wc, _ in batch
             )
             fold = (
                 "aggregate(syms, cast(array() as array<string>), (acc, s) -> "
-                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {la} "
-                f"AND s = {lb} "
-                "THEN concat(slice(acc, 1, size(acc) - 1), array(" + lab + ")) "
-                "ELSE concat(acc, array(s)) END)"
+                f"CASE {whens} ELSE concat(acc, array(s)) END)"
             )
             new_words = words.select(F.expr(fold).alias("syms"), "freq").persist()
             new_words.count()
             words.unpersist()
             words = new_words
-            if (step + 1) % 8 == 0:
+            if rounds % 4 == 0:
                 cp = words.localCheckpoint(eager=True)
                 words.unpersist()
                 words = cp
@@ -363,6 +489,9 @@ def train_bpe(
             words.unpersist()
         except Exception:
             pass
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["batch_sizes"] = batch_sizes
     return merges
 
 

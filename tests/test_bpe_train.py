@@ -133,6 +133,106 @@ def test_train_stops_when_no_pair_repeats(spark):
     assert got == []  # every pair occurs once
 
 
+def test_batched_equals_sequential_on_real_corpus(spark):
+    """The batched trainer (stability prefix + created-pair bound, one
+    fold per ROUND) must produce the exact sequential merge list — order
+    included — while using fewer Spark rounds."""
+    from pgvectorscale_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    sb, ss = {}, {}
+    batched = train_bpe(docs, num_merges=48, batch_merges=8, stats=sb)
+    seq = train_bpe(docs, num_merges=48, batch_merges=1, stats=ss)
+    assert batched == seq
+    assert len(batched) == 48
+    assert ss["rounds"] == 48
+    assert sb["rounds"] < ss["rounds"], sb
+    assert sum(sb["batch_sizes"]) == 48
+
+
+def test_disjoint_only_batching_diverges():
+    """Why the created-pair bound exists: the top-N *pairwise
+    symbol-disjoint* batching rule (the obvious one) does NOT preserve
+    sequential order — a merge's created pair (e.g. (t,h)->th creating
+    (th,e)) can outrank the batch's later members, so sequential picks
+    it first while the batch defers it. Pure-python demonstration on the
+    sf0.001 documents corpus: disjoint-only diverges from sequential
+    within 64 merges (on this corpus at merge 14: sequential learns
+    ('co','lu') before ('lu','m'); the disjoint batch flips them and the
+    vocabularies drift apart — 'colum' vs 'lum')."""
+    import duckdb
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "select text from '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+    ]
+    freqs: dict[tuple[str, ...], int] = {}
+    for t in texts:
+        for w in ref_pretokenize(t):
+            k = tuple(w)
+            freqs[k] = freqs.get(k, 0) + 1
+
+    def stats_of(f):
+        st: dict[tuple[str, str], int] = {}
+        for w, n in f.items():
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                st[p] = st.get(p, 0) + n
+        return st
+
+    def apply_one(f, a, b):
+        out: dict[tuple[str, ...], int] = {}
+        for w, n in f.items():
+            o, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                    o.append(a + b)
+                    i += 2
+                else:
+                    o.append(w[i])
+                    i += 1
+            k = tuple(o)
+            out[k] = out.get(k, 0) + n
+        return out
+
+    f, seq = dict(freqs), []
+    for _ in range(64):
+        st = stats_of(f)
+        best = min(st.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        seq.append((a, b))
+        f = apply_one(f, a, b)
+
+    f, dis = dict(freqs), []
+    while len(dis) < 64:
+        st = stats_of(f)
+        top = sorted(st.items(), key=lambda kv: (-kv[1], kv[0]))
+        if not top or top[0][1] < 2:
+            break
+        batch = []
+        for (a, b), c in top:
+            if c < 2 or len(batch) >= 8:
+                break
+            if any(
+                b == wa or a == wb or a == wa + wb or b == wa + wb
+                for wa, wb in batch
+            ):
+                break
+            batch.append((a, b))
+        for a, b in batch[: 64 - len(dis)]:
+            dis.append((a, b))
+            f = apply_one(f, a, b)
+
+    assert dis != seq, (
+        "if disjoint-only ever stops diverging on this corpus, the "
+        "created-pair bound in train_bpe could be relaxed — re-derive"
+    )
+
+
 def test_frozen_merges_match_sf0001_training(spark):
     """The driver's tagged-union apply uses FROZEN_BPE_MERGES; this pins
     the constant to what training actually learns on the sf0.001 corpus so
