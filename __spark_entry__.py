@@ -668,7 +668,19 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_candidate_pairs(_docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3)
+    """Tagged union: the direct LSH pair join ('exact') and the salted
+    triangle join ('salted', max_bucket_size=2 so every bucket of 3+
+    actually splits into salt groups). Both arms must equal the one
+    DuckDB pair set — the oracle is what proves the mega-bucket guard's
+    salting is a pure plan change, not a result change."""
+    docs = _docs(spark, sf_dir)
+    exact = dedup.minhash_candidate_pairs(
+        docs, num_hashes=8, bands=4, shingle_n=3
+    ).withColumn("form", F.lit("exact"))
+    salted = dedup.minhash_candidate_pairs(
+        docs, num_hashes=8, bands=4, shingle_n=3, max_bucket_size=2
+    ).withColumn("form", F.lit("salted"))
+    return exact.unionByName(salted)
 
 
 def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -186,21 +186,75 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) sharing >= 1 LSH band bucket."""
+    """Distinct candidate pairs (doc_a < doc_b) sharing >= 1 LSH band bucket.
+
+    The pair set is inherently quadratic per bucket (it IS the output —
+    use ``minhash_star_edges`` when only connectivity is needed), but the
+    default single equi-join also CONCENTRATES each bucket's c^2 work in
+    one reducer task: a boilerplate mega-bucket (c members) on a real
+    crawl turns into one straggler. ``max_bucket_size=t`` switches to the
+    salted TRIANGLE join: members of a bucket of size c are hashed into
+    g = ceil(c/t) salt groups, each member replicated into the (g+1)
+    group-pair keys it participates in, and the join runs per
+    (bucket, group-pair) key — every task handles at most ~t x t rows,
+    so a mega-bucket becomes g^2 parallel tasks instead of one. EXACT:
+    each unordered pair (x, y) within a bucket meets in exactly the
+    group-pair key (min(s_x,s_y), max(s_x,s_y)) — same-salt pairs meet
+    (both orders) in (s, s) — so after least/greatest normalization and
+    the distinct, the result equals the direct join's bit-for-bit (the
+    driver oracle runs both forms against one DuckDB pair set).
+    Replication cost: sum over buckets of c*(g+1) ~ c^2/t rows, the same
+    order as the join output itself."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     buckets = lsh_band_buckets(sig, id_col, bands, rows_per_band)
-    a = buckets.select(
-        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
+    if max_bucket_size is None:
+        a = buckets.select(
+            F.col(id_col).alias("doc_a"), "band_id", "band_hash"
+        )
+        b = buckets.select(
+            F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+        )
+        return (
+            a.join(b, ["band_id", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    t = int(max_bucket_size)
+    if t < 2:
+        raise ValueError(f"max_bucket_size must be >= 2, got {t}")
+    # per-bucket group count from the bucket's actual size: small buckets
+    # get g=1 (degenerates to the direct join), only mega-buckets split
+    cnt = buckets.groupBy("band_id", "band_hash").agg(F.count("*").alias("_c"))
+    wb = (
+        buckets.join(cnt, ["band_id", "band_hash"])
+        .withColumn("_g", F.ceil(F.col("_c") / t).cast("int"))
+        .withColumn("_s", F.pmod(F.xxhash64(F.col(id_col)), F.col("_g")).cast("int"))
     )
-    b = buckets.select(
-        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+    left = wb.select(
+        F.col(id_col).alias("doc_a"),
+        "band_id",
+        "band_hash",
+        F.col("_s").alias("_i"),
+        F.explode(F.sequence(F.col("_s"), F.col("_g") - 1)).alias("_j"),
+    )
+    right = wb.select(
+        F.col(id_col).alias("doc_b"),
+        "band_id",
+        "band_hash",
+        F.explode(F.sequence(F.lit(0), F.col("_s"))).alias("_i"),
+        F.col("_s").alias("_j"),
     )
     return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        left.join(right, ["band_id", "band_hash", "_i", "_j"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         .distinct()
     )
 

@@ -605,6 +605,10 @@ SELECT * FROM ({band_rows}) ORDER BY doc_id, band_id
 
 
 def minhash_pairs_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
+    """ONE exact pair set, emitted under both union tags: the Spark side
+    runs the direct join ('exact') and the salted triangle join
+    ('salted'), and both must reproduce this set — the salting is a plan
+    change only (dedup.minhash_candidate_pairs max_bucket_size)."""
     rows = num_hashes // bands
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, {band_hash('signature', b, rows, DUCKDB)} AS band_hash FROM sig"
@@ -612,10 +616,15 @@ def minhash_pairs_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
     )
     return f"""
 WITH {_minhash_sig_ctes(num_hashes, shingle_n)},
-buckets AS ({band_rows})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM buckets a JOIN buckets b USING (band_id, band_hash)
-WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b
+buckets AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, 'exact' AS form FROM pairs
+UNION ALL
+SELECT doc_a, doc_b, 'salted' AS form FROM pairs
+ORDER BY form, doc_a, doc_b
 """
 
 

@@ -191,6 +191,38 @@ def test_dedup_clusters_end_to_end(spark, documents):
         assert r["cluster_id"] == expected, r
 
 
+def test_minhash_salted_pairs_exact_parity(spark, documents):
+    """max_bucket_size salting is a PLAN change, not a result change: on
+    a corpus with a forced mega-bucket (60 verbatim-identical docs share
+    every band bucket), the salted triangle join must return exactly the
+    direct join's pair set — at a threshold that splits every bucket
+    (t=2), at one that leaves remainder groups (t=7), and at one bigger
+    than most buckets (t=64, mostly the degenerate g=1 path)."""
+    big = documents.limit(10).select("doc_id", "text").unionByName(
+        spark.range(60).select(
+            (F.col("id") + 100000).alias("doc_id"),
+            F.lit("the same boilerplate page body repeated verbatim").alias(
+                "text"
+            ),
+        )
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidate_pairs(big, num_hashes=8, bands=4).collect()
+    }
+    assert len(exact) >= 60 * 59 // 2, "mega-bucket fixture must be quadratic"
+    for t in (2, 7, 64):
+        salted = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_candidate_pairs(
+                big, num_hashes=8, bands=4, max_bucket_size=t
+            ).collect()
+        }
+        assert salted == exact, f"salted t={t} diverged from the direct join"
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dedup.minhash_candidate_pairs(big, max_bucket_size=1)
+
+
 def test_frame_sample_reassembles_payload(spark, documents):
     """Frames are a lossless partition of the payload: concatenating a
     doc's frames in frame_no order reproduces the original bytes, and
