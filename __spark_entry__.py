@@ -823,11 +823,22 @@ def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       expressions),
     - 'lm': bigram stupid-backoff LM scores (functions/lm.py), trained on
       the doc_id % 2 = 0 slice so held-out docs exercise the backoff
-      branch; logprob in integer micro-nats.
+      branch; logprob in integer micro-nats,
+    - 'langprof': learned char-trigram language-ID (FROZEN_LANG_PROFILES,
+      trained by functions/text.train_lang_profiles on the sf0.001
+      labeled slice) — per-language integer profile scores plus the
+      argmax pick; the synthetic corpus's near-tie scores make the
+      cascade's tie-break a sharp cross-engine determinism check.
     """
     from pgvectorscale_spark.functions import pii
     from pgvectorscale_spark.functions.lm import bigram_lm_scores
-    from pgvectorscale_spark.functions.text import quality_passes_sql, quality_rule_sqls
+    from pgvectorscale_spark.functions.text import (
+        FROZEN_LANG_PROFILES,
+        lang_id_profile_sql,
+        lang_profile_scores_sql,
+        quality_passes_sql,
+        quality_rule_sqls,
+    )
 
     docs = _docs(spark, sf_dir)
     t = "text"
@@ -852,6 +863,17 @@ def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvectorscale_spark.functions.lm import trigram_lm_scores
 
     lm_df = bigram_lm_scores(docs).join(trigram_lm_scores(docs), "doc_id")
+    pscores = lang_profile_scores_sql(t, FROZEN_LANG_PROFILES, SPARK)
+    prof_df = docs.select(
+        "doc_id",
+        *[F.expr(e).alias(f"score_{l}") for l, e in sorted(pscores.items())],
+    ).select(
+        "doc_id",
+        *[f"score_{l}" for l in sorted(pscores)],
+        F.expr(
+            lang_id_profile_sql({l: f"score_{l}" for l in pscores})
+        ).alias("lang_prof"),
+    )
     return (
         _melt_str(
             features,
@@ -894,6 +916,13 @@ def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_tri_unseen",
                     "logprob3_micro",
                 ],
+            )
+        )
+        .unionByName(
+            _melt_str(
+                prof_df,
+                "langprof",
+                [f"score_{l}" for l in sorted(pscores)] + ["lang_prof"],
             )
         )
     )

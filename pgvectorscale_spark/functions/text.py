@@ -93,23 +93,116 @@ def quality_score_sql(text_expr: str, dialect: str) -> str:
     )
 
 
+def _argmax_case_sql(scores: dict[str, str], default: str = "unknown") -> str:
+    """CASE cascade returning the key with the largest score expression;
+    ties break by key ascending; all-zero scores → ``default``. Identical
+    text in both engines (no engine-specific argmax builtins)."""
+    keys = sorted(scores)  # ascending = tie-break order
+    cases = []
+    for i, k in enumerate(keys):
+        conds = [f"{scores[k]} > 0"]
+        for j, other in enumerate(keys):
+            if i == j:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"{scores[k]} {op} {scores[other]}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{k}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{default}' END"
+
+
 def lang_id_sql(text_expr: str, dialect: str) -> str:
     """Argmax of per-language marker-token votes; ties → language name asc;
     zero votes → 'unknown'. A CASE cascade keeps it identical across engines."""
     toks = tokens(text_expr, dialect)
     counts = {lang: _marker_count_sql(toks, m, dialect) for lang, m in LANG_MARKERS.items()}
-    langs = sorted(LANG_MARKERS)  # ascending = tie-break order
-    # lang wins if its count > every earlier lang's count and >= every later one
-    cases = []
-    for i, lang in enumerate(langs):
-        conds = [f"{counts[lang]} > 0"]
-        for j, other in enumerate(langs):
-            if i == j:
-                continue
-            op = ">=" if j > i else ">"
-            conds.append(f"{counts[lang]} {op} {counts[other]}")
-        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    return "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return _argmax_case_sql(counts)
+
+
+def train_lang_profiles(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_n: int = 16,
+) -> dict[str, list[tuple[str, int]]]:
+    """Per-language character-trigram profiles from a labeled slice — the
+    Cavnar-Trenkle-style upgrade over the marker-token vote (lang_id_sql):
+    profiles are LEARNED from data, so coverage follows the corpus instead
+    of a hand-picked word list.
+
+    One distributed pass: lowercase text → all char trigrams (explode) →
+    count per (lang, trigram) with map-side partial agg → per-language
+    top_n by (count desc, trigram asc) → weight = integer micro-frequency
+    (1e6 * count / language-total). The profile table is tiny
+    (languages x top_n rows) and collects to the driver; at 100 TB the
+    training pass is the same explode+groupBy shape as any token count.
+
+    Returns {lang: [(trigram, weight_micro), ...]} with entries in
+    (weight desc, trigram asc) order — deterministic, so a trained
+    profile can be frozen as a constant (FROZEN_LANG_PROFILES) and
+    replayed as a static expression in any engine."""
+    lc = f"lower(`{text_col}`)"
+    tri = (
+        f"CASE WHEN length({lc}) >= 3 THEN "
+        f"transform(sequence(1, length({lc}) - 2), i -> substring({lc}, i, 3)) "
+        "ELSE cast(array() as array<string>) END"
+    )
+    grams = df.select(
+        F.col(lang_col).alias("lang"), F.explode(F.expr(tri)).alias("tri")
+    )
+    counts = grams.groupBy("lang", "tri").agg(F.count("*").alias("c"))
+    totals = grams.groupBy("lang").agg(F.count("*").alias("t"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tri"))
+    rows = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(top_n))
+        .join(totals, "lang")
+        .select(
+            "lang",
+            "tri",
+            ((F.col("c") * F.lit(1_000_000)) / F.col("t")).cast("long").alias("w"),
+        )
+        .collect()
+    )
+    profiles: dict[str, list[tuple[str, int]]] = {}
+    for r in sorted(rows, key=lambda r: (r["lang"], -int(r["w"]), r["tri"])):
+        profiles.setdefault(r["lang"], []).append((r["tri"], int(r["w"])))
+    return profiles
+
+
+def lang_profile_scores_sql(
+    text_expr: str, profiles: dict[str, list[tuple[str, int]]], dialect: str
+) -> dict[str, str]:
+    """Per-language profile scores as closed-form SQL: score(lang) =
+    sum over the profile's trigrams of occurrences(trigram) x weight.
+    Occurrences count non-overlapping left-to-right matches via
+    (length - length(replace(...))) / 3 — replace() semantics are
+    identical in Spark and DuckDB, so the measure is engine-exact.
+    Integer arithmetic throughout (micro weights x counts); embed the
+    returned expressions once in an inner SELECT and run the argmax
+    (``_argmax_case_sql`` over the score column names) outside, so each
+    score is computed once, not once per CASE comparison."""
+    lc = f"lower({text_expr})"
+    div = "div" if dialect == SPARK else "//"
+    out: dict[str, str] = {}
+    for lang, entries in sorted(profiles.items()):
+        terms = [
+            f"((length({lc}) - length(replace({lc}, {_sql_str(tri, dialect)}, ''))) {div} 3) * {int(w)}"
+            for tri, w in entries
+        ]
+        body = " + ".join(terms) if terms else "0"
+        out[lang] = (
+            f"cast({body} as bigint)" if dialect == SPARK else f"(({body})::BIGINT)"
+        )
+    return out
+
+
+def lang_id_profile_sql(score_cols: dict[str, str]) -> str:
+    """Argmax over ALREADY-COMPUTED score columns ({lang: column_name}):
+    ties → language ascending, all-zero → 'unknown'. Same cascade text in
+    both engines."""
+    return _argmax_case_sql(dict(score_cols))
 
 
 def document_fingerprint_sql(text_expr: str, dialect: str) -> str:
@@ -505,3 +598,46 @@ FROZEN_BPE_MERGES: tuple[tuple[str, str], ...] = (
     ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
     ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
 )
+
+
+# Character-trigram language profiles learned by train_lang_profiles
+# (top_n=16) on the sf0.001 documents corpus and FROZEN here so the
+# driver's tagged-union scoring is a static, engine-replayable expression
+# at any SF. test_lang_profiles.py pins this constant to a live training
+# run, so trainer and constant cannot drift apart silently. (The synthetic
+# corpus draws from one shared vocabulary regardless of the lang label, so
+# the profiles differ only in their tails — which is exactly what makes
+# the argmax a sharp cross-engine determinism test: near-tie integer
+# scores must still break identically.)
+FROZEN_LANG_PROFILES: dict[str, tuple[tuple[str, int], ...]] = {
+    "de": (
+        ("ow ", 17725), ("er ", 17045), ("par", 13056), ("rt ", 12784),
+        ("mer", 11152), ("all", 7162), ("mal", 7162), ("sma", 7162),
+        ("ll ", 7072), (" sm", 6981), ("ata", 6981), ("dat", 6981),
+        ("can", 6936), ("sca", 6936), (" da", 6890), ("ta ", 6800),
+    ),
+    "en": (
+        ("ow ", 17886), ("er ", 17318), ("rt ", 12593), ("mer", 12078),
+        ("par", 12060), ("col", 6856), ("lum", 6856), ("olu", 6856),
+        ("umn", 6856), (" co", 6732), ("mn ", 6714), ("ort", 6678),
+        ("sor", 6678), (" so", 6607), ("key", 6518), ("dow", 6501),
+    ),
+    "es": (
+        ("er ", 18420), ("ow ", 17852), ("par", 13389), ("mer", 12212),
+        ("rt ", 12212), ("col", 7019), ("lum", 7019), ("olu", 7019),
+        ("umn", 7019), ("ine", 6938), ("lin", 6938), ("mn ", 6938),
+        ("art", 6897), ("ne ", 6897), (" li", 6857), (" pa", 6857),
+    ),
+    "fr": (
+        ("er ", 19182), ("ow ", 17733), ("rt ", 13048), ("mer", 11933),
+        ("par", 11710), ("der", 7137), ("ord", 7137), ("rde", 7137),
+        ("ort", 7026), ("sor", 7026), (" or", 6951), ("ery", 6951),
+        ("que", 6951), ("uer", 6951), (" qu", 6914), (" so", 6914),
+    ),
+    "zh": (
+        ("er ", 18782), ("ow ", 17973), ("mer", 12401), ("par", 11727),
+        ("rt ", 11682), ("der", 7054), ("gro", 7054), ("ord", 7054),
+        ("oup", 7054), ("rde", 7054), ("rou", 7054), (" or", 6964),
+        ("up ", 6964), (" gr", 6874), ("erg", 6784), ("rge", 6784),
+    ),
+}

@@ -856,7 +856,9 @@ def text_features_oracle() -> str:
     - ``rules``: the Gopher-style quality-gate rule verdicts + overall
       pass (functions/text.quality_rule_sqls),
     - ``lm``: bigram stupid-backoff LM scores, trained in-SQL on the
-      doc_id % 2 = 0 slice (functions/lm.py twin).
+      doc_id % 2 = 0 slice (functions/lm.py twin),
+    - ``langprof``: learned char-trigram language-ID scores + argmax
+      (FROZEN_LANG_PROFILES replayed as static expressions).
     """
     from pgvectorscale_spark.functions import pii
     from pgvectorscale_spark.functions.text import quality_passes_sql, quality_rule_sqls
@@ -896,6 +898,21 @@ FROM documents"""
 
     lm_inner = bigram_lm_inner_sql()
 
+    from pgvectorscale_spark.functions.text import (
+        FROZEN_LANG_PROFILES,
+        lang_id_profile_sql,
+        lang_profile_scores_sql,
+    )
+
+    pscores = lang_profile_scores_sql("text", FROZEN_LANG_PROFILES, DUCKDB)
+    psel = ", ".join(f"{e} AS score_{l}" for l, e in sorted(pscores.items()))
+    pargmax = lang_id_profile_sql({l: f"score_{l}" for l in pscores})
+    prof_inner = (
+        f"SELECT doc_id, {', '.join(f'score_{l}' for l in sorted(pscores))}, "
+        f"{pargmax} AS lang_prof "
+        f"FROM (SELECT doc_id, {psel} FROM documents) q"
+    )
+
     return union_oracle(
         [
             _melt_sql(
@@ -923,6 +940,11 @@ FROM documents"""
                     "n_tri_unseen",
                     "logprob3_micro",
                 ],
+            ),
+            _melt_sql(
+                prof_inner,
+                "langprof",
+                [f"score_{l}" for l in sorted(pscores)] + ["lang_prof"],
             ),
         ]
     )
