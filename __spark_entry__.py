@@ -658,7 +658,28 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens", "dup_tokens", "dup_ratio", "n_spans",
         "spans_str", "clean_text",
     )
-    return exact.unionByName(span)
+    # 'para' rows: paragraph-normalized dedup over deterministically
+    # synthesized paragraph text (dedup.paragraph_text_sql — the corpus
+    # has no newlines, so structure is synthesized the way the PII arm
+    # synthesizes PII; the boilerplate paragraph's case/punct variants
+    # prove the NORMALIZATION is load-bearing, not raw equality).
+    # Paragraph counts ride the token slots; kept indices ride spans_str;
+    # the cleaned text is hash-verified VERBATIM against the DuckDB twin.
+    pdocs = docs.select(
+        "doc_id",
+        F.expr(dedup.paragraph_text_sql("text", "doc_id", SPARK)).alias("text"),
+    )
+    para = dedup.paragraph_dedup(pdocs).select(
+        F.lit("para").alias("form"),
+        F.col("doc_id").alias("id"),
+        F.col("n_paras").alias("n_tokens"),
+        F.col("dup_paras").alias("dup_tokens"),
+        "dup_ratio",
+        F.lit(0).cast("long").alias("n_spans"),
+        F.col("kept_str").alias("spans_str"),
+        "clean_text",
+    )
+    return exact.unionByName(span).unionByName(para)
 
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -977,6 +977,116 @@ def span_dedup(
     return out
 
 
+def paragraph_text_sql(text_expr: str, id_expr: str, dialect: str) -> str:
+    """Deterministic paragraph-structured text synthesized from a document
+    (closed-form in both engines — the testdata corpus has no newlines, so
+    the paragraph operator needs structure synthesized the same way the
+    PII arm synthesizes PII): two content paragraphs sliced from the
+    document's own tokens, plus a boilerplate paragraph whose case and
+    punctuation vary with the doc id while its NORMALIZED form is
+    constant — the cross-document duplicate the normalization must catch
+    (a raw-exact comparison would miss all three variants)."""
+    if dialect == SPARK:
+        toks = f"split({text_expr}, ' ')"
+        p1 = f"concat_ws(' ', slice({toks}, 1, 8))"
+        p2 = f"concat_ws(' ', slice({toks}, 9, 8))"
+    else:
+        # list_slice takes (begin, end INCLUSIVE), not (start, length)
+        toks = f"string_split({text_expr}, ' ')"
+        p1 = f"array_to_string(list_slice({toks}, 1, 8), ' ')"
+        p2 = f"array_to_string(list_slice({toks}, 9, 16), ' ')"
+    boiler = (
+        f"CASE WHEN {id_expr} % 3 = 0 THEN 'Subscribe to our Newsletter NOW!!' "
+        f"WHEN {id_expr} % 3 = 1 THEN 'subscribe to our newsletter now.' "
+        "ELSE '...Subscribe, to our NEWSLETTER: now' END"
+    )
+    nn = "'\\n\\n'" if dialect == SPARK else "chr(10) || chr(10)"
+    return f"concat({p1}, {nn}, {boiler}, {nn}, {p2})"
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-granularity exact dedup under NORMALIZATION — the
+    standard complement to token-exact ``span_dedup``: boilerplate
+    paragraphs repeated across pages with cosmetic differences (case,
+    punctuation, spacing) are invisible to exact text equality but
+    collapse to one normalized form here.
+
+    Paragraphs split on blank lines (a document without blank lines is
+    one paragraph). Normalization = lowercase, every non-alphanumeric run
+    to a single space, trim. The h60 of the normalized form groups
+    occurrences corpus-wide (one map-side-combined groupBy — the same
+    scale shape as exact doc dedup); the occurrence with the smallest
+    (doc_id, para_idx) is the KEEPER, every other member of a group of
+    2+ is removed; paragraphs whose normalized form is empty carry no
+    content and are never deduped. Cleaning is keeper-preserving: the
+    cleaned document keeps its paragraphs (ORIGINAL text, not the
+    normalized form) in position order minus removed ones.
+
+    Returns one row per input document:
+      (doc_id, n_paras, dup_paras, dup_ratio, kept_str, clean_text)
+    where kept_str lists surviving paragraph indices ("0,2"), and
+    clean_text joins surviving paragraphs with blank lines.
+
+    Reference parity: no analog in pgvectorscale; this is the paragraph
+    variant of the public "Deduplicating Training Data" recipe — exact
+    dedup after normalization, at paragraph rather than document
+    granularity."""
+    base = _widen(df).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.expr(f"split(`{text_col}`, '\\n{{2,}}')").alias("_ps"),
+    )
+    paras = base.select(
+        id_col, F.posexplode("_ps").alias("idx", "p")
+    ).withColumn(
+        "np", F.expr("trim(regexp_replace(lower(p), '[^a-z0-9]+', ' '))")
+    ).withColumn("f", F.expr(h60("np", SPARK)))
+    groups = (
+        paras.filter(F.col("np") != "")
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))).alias("_keep"),
+        )
+        .filter("_c >= 2")
+        .select("f", "_keep")
+    )
+    marked = paras.join(groups, "f", "left").select(
+        id_col,
+        "idx",
+        "p",
+        (
+            F.col("_keep").isNotNull()
+            & ~(
+                (F.col(id_col) == F.col("_keep.d"))
+                & (F.col("idx") == F.col("_keep.i"))
+            )
+        ).alias("removed"),
+    )
+    perdoc = marked.groupBy(id_col).agg(
+        F.expr("array_sort(collect_list(struct(idx, p, removed)))").alias("_a")
+    )
+    return perdoc.select(
+        id_col,
+        F.size("_a").cast("long").alias("n_paras"),
+        F.expr("size(filter(_a, x -> x.removed))").cast("long").alias("dup_paras"),
+        F.round(
+            F.expr("size(filter(_a, x -> x.removed))")
+            / F.greatest(F.size("_a"), F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+        F.expr(
+            "concat_ws(',', transform(filter(_a, x -> NOT x.removed), x -> cast(x.idx as string)))"
+        ).alias("kept_str"),
+        F.expr(
+            "concat_ws('\\n\\n', transform(filter(_a, x -> NOT x.removed), x -> x.p))"
+        ).alias("clean_text"),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     num_clusters: int = 8,

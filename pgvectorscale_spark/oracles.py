@@ -541,10 +541,55 @@ LEFT JOIN kp_lists kp USING (doc_id)
 """
 
 
+def paragraph_dedup_oracle() -> str:
+    """DuckDB replay of dedup.paragraph_dedup over the synthesized
+    paragraph text (dedup.paragraph_text_sql twin): blank-line split with
+    positions, lowercase/punct-strip normalization, h60 grouping, keeper
+    = smallest (doc_id, idx) of each 2+ group, keeper-preserving
+    reassembly. The keeper encoding doc_id*1000000+idx matches Spark's
+    min(struct(doc_id, idx)) ordering for idx < 1e6 (paragraph counts are
+    single digits)."""
+    from pgvectorscale_spark.operators.dedup import paragraph_text_sql
+
+    pt = paragraph_text_sql("text", "doc_id", DUCKDB)
+    return f"""
+WITH src AS (SELECT doc_id, {pt} AS t FROM documents),
+arr AS (SELECT doc_id, regexp_split_to_array(t, '\\n{{2,}}') AS ps FROM src),
+paras AS (
+  SELECT doc_id, generate_subscripts(ps, 1) - 1 AS idx, unnest(ps) AS p
+  FROM arr),
+norm AS (
+  SELECT doc_id, idx, p,
+         trim(regexp_replace(lower(p), '[^a-z0-9]+', ' ', 'g')) AS np
+  FROM paras),
+fp AS (SELECT doc_id, idx, p, np, {h60('np', DUCKDB)} AS f FROM norm),
+grp AS (
+  SELECT f, min(doc_id * 1000000 + idx) AS keep
+  FROM fp WHERE np <> '' GROUP BY f HAVING count(*) >= 2),
+mark AS (
+  SELECT fp.doc_id, fp.idx, fp.p,
+         (grp.f IS NOT NULL AND fp.doc_id * 1000000 + fp.idx <> grp.keep)
+           AS removed
+  FROM fp LEFT JOIN grp ON fp.np <> '' AND fp.f = grp.f)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS dup_paras,
+       round(sum(CASE WHEN removed THEN 1 ELSE 0 END)::DOUBLE
+             / greatest(count(*), 1), 6) AS dup_ratio,
+       coalesce(string_agg(CASE WHEN NOT removed THEN idx::VARCHAR END,
+                           ',' ORDER BY idx), '') AS kept_str,
+       coalesce(string_agg(CASE WHEN NOT removed THEN p END,
+                           chr(10) || chr(10) ORDER BY idx), '') AS clean_text
+FROM mark GROUP BY doc_id
+"""
+
+
 def dedup_exact_union_oracle(k: int) -> str:
     """Tagged union riding the dedup_exact key: the exact document-level
-    pass ('exact' rows, dup_count in the dup_tokens slot) plus the
-    span-level substring dedup ('span' rows, one per document)."""
+    pass ('exact' rows, dup_count in the dup_tokens slot), the span-level
+    substring dedup ('span' rows, one per document), and the
+    paragraph-normalized dedup ('para' rows — paragraph counts riding the
+    token slots, kept indices in spans_str, cleaned text VERBATIM)."""
     exact = f"""
 SELECT 'exact' AS form, min(doc_id) AS id,
        CAST(0 AS BIGINT) AS n_tokens,
@@ -554,8 +599,18 @@ SELECT 'exact' AS form, min(doc_id) AS id,
        '' AS spans_str, '' AS clean_text
 FROM documents GROUP BY {h60('text', DUCKDB)}
 """
+    para = f"""
+SELECT 'para' AS form, doc_id AS id,
+       n_paras AS n_tokens, dup_paras AS dup_tokens, dup_ratio,
+       CAST(0 AS BIGINT) AS n_spans,
+       kept_str AS spans_str, clean_text
+FROM ({paragraph_dedup_oracle()}) pq
+"""
     # the span twin opens with a WITH chain, so it rides in a subquery
-    return f"{exact} UNION ALL SELECT * FROM ({span_dedup_oracle(k)}) AS span_side"
+    return (
+        f"{exact} UNION ALL SELECT * FROM ({span_dedup_oracle(k)}) AS span_side "
+        f"UNION ALL SELECT * FROM ({para}) AS para_side"
+    )
 
 
 def _minhash_sig_ctes(num_hashes: int, shingle_n: int) -> str:
