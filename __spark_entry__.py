@@ -1447,6 +1447,27 @@ def _multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "media", "metric")
 
 
+def _multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode, no media libraries: genuine WebP
+    files (g/(g+4) checkerboards whose prefix codes ride the stream as
+    code-length-coded NORMAL codes, selected per document by a digest
+    nibble) are decoded back — RIFF walk, canonical prefix codes built
+    from stream-carried lengths incl. the 17/18 zero-run machinery —
+    by vp8l.parse_webp through the magic-bytes decode_image dispatcher.
+    The oracle replays the nibble draw (oracles.webp_decode_oracle)."""
+    from pgvectorscale_spark.operators.multimodal import decode_image
+    from pgvectorscale_spark.operators.vp8l import attach_webp_payload
+
+    img = decode_image(attach_webp_payload(_docs(spark, sf_dir)))
+    metrics = ["width", "height", "channels", "mean_r", "mean_g", "mean_b"]
+    stack = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+    return img.selectExpr(
+        "doc_id",
+        "'webp' as media",
+        f"stack({len(metrics)}, {stack}) as (metric, value)",
+    ).orderBy("doc_id", "media", "metric")
+
+
 def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every real pure-numpy container decode (P6 PPM, RIFF/WAVE PCM16,
     compressed PNG with CRC + zlib inflate + defiltering, AVI/MJPEG video
@@ -1469,6 +1490,7 @@ def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_multimodal_decode_ras(spark, sf_dir))
         .unionByName(_multimodal_decode_pnm(spark, sf_dir))
         .unionByName(_multimodal_decode_gif(spark, sf_dir))
+        .unionByName(_multimodal_decode_webp(spark, sf_dir))
         .unionByName(_multimodal_decode_h264(spark, sf_dir))
     )
 
@@ -1755,6 +1777,7 @@ FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
                 oracles.ras_decode_oracle(),
                 oracles.pnm_decode_oracle(),
                 oracles.gif_decode_oracle(),
+                oracles.webp_decode_oracle(),
                 oracles.h264_decode_oracle(),
             ]
         ),

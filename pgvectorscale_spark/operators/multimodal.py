@@ -1944,11 +1944,15 @@ def parse_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
         from pgvectorscale_spark.operators.sunras import parse_ras
 
         return parse_ras(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from pgvectorscale_spark.operators.vp8l import parse_webp
+
+        return parse_webp(data)
     raise NotImplementedError(
         f"unsupported image format (magic {bytes(data[:4])!r}); PPM, PNG, "
-        "BMP, GIF, QOI, TIFF, PCX, ICO, Sun Raster and baseline JPEG decode "
-        "natively — other codecs need external media decoders "
-        "(MEDIA_DECODERS_AVAILABLE)"
+        "BMP, GIF, QOI, TIFF, PCX, ICO, Sun Raster, lossless WebP and "
+        "baseline JPEG decode natively — other codecs need external media "
+        "decoders (MEDIA_DECODERS_AVAILABLE)"
     )
 
 

@@ -2051,6 +2051,34 @@ SELECT * FROM ({union}) ORDER BY doc_id, media, metric
 """
 
 
+def webp_decode_oracle() -> str:
+    """Twin of the lossless-WebP decode pipeline (vp8l.attach_webp_payload
+    → parse_webp via the decode_image dispatcher): each payload is a
+    genuine VP8L file whose 10x10 frame checkers between 16*nib+8 and
+    16*nib+12 through NORMAL (code-length-coded) prefix codes, so every
+    decoded channel mean IS 16*nib+10 — a bit-order, canonical-assignment,
+    zero-run, or RIFF-walk bug on either side breaks the hash."""
+    from pgvectorscale_spark.operators.vp8l import WEBP_DIM
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    val = f"CAST(16 * {nib(1)} + 10 AS DOUBLE)"
+    rows = [
+        f"SELECT doc_id, 'webp' AS media, '{m}' AS metric, {val} AS value FROM m"
+        for m in ("mean_r", "mean_g", "mean_b")
+    ] + [
+        f"SELECT doc_id, 'webp' AS media, '{name}' AS metric, "
+        f"CAST({v} AS DOUBLE) AS value FROM m"
+        for name, v in (("width", WEBP_DIM), ("height", WEBP_DIM), ("channels", 4))
+    ]
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT * FROM ({union}) ORDER BY doc_id, media, metric
+"""
+
+
 def gif_decode_oracle() -> str:
     """Twin of the GIF decode pipeline (gif.attach_gif_payload → parse_gif
     via the decode_image dispatcher): each payload is a genuine GIF89a
