@@ -251,6 +251,65 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "minhash_candidate_pairs, salted triangle (mega-bucket guard)",
+            "max_bucket_size splits each LSH bucket into ceil(c/t) salt "
+            "groups and joins per (bucket, group-pair) key: the join stays "
+            "a hash equi-join on (band_id, band_hash, _i, _j) — no task "
+            "ever holds more than ~t^2 rows of one bucket, so a "
+            "boilerplate mega-bucket becomes g^2 parallel tasks instead of "
+            "one straggling reducer. Result-identical to the direct join "
+            "(driver-oracle-verified tagged union).",
+            dedup.minhash_candidate_pairs(
+                docs, num_hashes=8, bands=4, max_bucket_size=4
+            ),
+        )
+    )
+    sections.append(
+        (
+            "paragraph_dedup (normalized paragraph-granularity dedup)",
+            "One map-side-combined groupBy on the normalized-paragraph hash "
+            "(the same scale shape as exact doc dedup), one join back, and "
+            "per-DOC windows for reassembly — the shuffle carries "
+            "(doc, idx, hash) rows, linear in corpus paragraphs; nothing "
+            "is ever pairwise.",
+            dedup.paragraph_dedup(
+                docs.selectExpr(
+                    "doc_id",
+                    dedup.paragraph_text_sql("text", "doc_id", "spark")
+                    + " AS text",
+                )
+            ),
+        )
+    )
+    from pgvectorscale_spark.functions.text import (
+        FROZEN_LANG_PROFILES,
+        lang_id_profile_sql,
+        lang_profile_scores_sql,
+    )
+
+    _ps = lang_profile_scores_sql("text", FROZEN_LANG_PROFILES, "spark")
+    sections.append(
+        (
+            "lang_id_profile (learned char-trigram language ID)",
+            "Scoring a frozen profile is a PURE PROJECTION over the scan — "
+            "zero Exchange nodes, like the PII scrub: per-language scores "
+            "are integer substring-count expressions and the argmax is a "
+            "CASE cascade over the computed columns, so language ID "
+            "pipelines into whatever scan feeds it at 100 TB. (Training "
+            "the profile is one explode+groupBy pass, run once.)",
+            docs.selectExpr(
+                "doc_id",
+                *[f"{e} AS score_{l}" for l, e in sorted(_ps.items())],
+            ).selectExpr(
+                "doc_id",
+                lang_id_profile_sql({l: f"score_{l}" for l in _ps})
+                + " AS lang_prof",
+            ),
+        )
+    )
+
     # shard-restricted merge view (round 7): build a tiny index with an
     # open delta chain so the plan shows base + delta scans, every one
     # carrying a shard PartitionFilter
