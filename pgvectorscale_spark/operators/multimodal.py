@@ -474,52 +474,24 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\x0a"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def parse_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Parse an 8-bit non-interlaced PNG: returns (width, height, channels,
-    pixels (h, w, channels) uint8). REAL decoder, no media libraries:
-    signature check, chunk walk with per-chunk CRC-32 verification, IDAT
-    concatenation, zlib inflate (stdlib — genuine DEFLATE, any compression
-    level), and scanline defiltering for all five PNG filter types
-    (None/Sub/Up/Average/Paeth). Grayscale, RGB, gray+alpha and RGBA color
-    types are supported; palette images, bit depths other than 8, and
-    Adam7 interlacing raise (out of scope, loudly)."""
-    import struct
-    import zlib
+# Adam7 pass grid (PNG spec §8.2): per pass, (x_start, y_start, x_step,
+# y_step) — the fixed 8x8 sampling pattern, structural like JPEG's zigzag
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if not isinstance(data, (bytes, bytearray)):
-        data = bytes(data)
-    if data[:8] != _PNG_SIG:
-        raise ValueError(f"not a PNG (signature {data[:8]!r})")
-    pos, ihdr, idat, ended = 8, None, [], False
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
-            raise ValueError(f"truncated {ctype!r} chunk")
-        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.append(body)
-        elif ctype == b"IEND":
-            ended = True
-            break
-        pos += 12 + length
-    if ihdr is None or not idat or not ended:
-        raise ValueError("PNG missing IHDR, IDAT, or IEND")
-    width, height, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported PNG (bit depth {depth}, color type {color})")
-    if comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("unsupported PNG compression/filter method or interlacing")
-    ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))  # verifies the stream's adler32
+
+def _png_defilter(raw: bytes, width: int, height: int, ch: int) -> np.ndarray:
+    """Reconstruct one filtered sub-image (all five PNG filter types) from
+    ``height`` scanlines of 1 filter byte + width*ch samples. Returns
+    (height, width*ch) uint8."""
     stride = width * ch
-    if len(raw) != height * (1 + stride):
-        raise ValueError(f"PNG raw data {len(raw)}B, header implies {height * (1 + stride)}B")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for r in range(height):
@@ -550,7 +522,79 @@ def parse_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[r] = rec
         prev = rec
-    return width, height, ch, out.reshape(height, width, ch)
+    return out
+
+
+def parse_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse an 8-bit PNG: returns (width, height, channels, pixels
+    (h, w, channels) uint8). REAL decoder, no media libraries: signature
+    check, chunk walk with per-chunk CRC-32 verification, IDAT
+    concatenation, zlib inflate (stdlib — genuine DEFLATE, any compression
+    level), scanline defiltering for all five PNG filter types
+    (None/Sub/Up/Average/Paeth), and Adam7 interlacing (each of the seven
+    passes is its own independently-filtered sub-image, scattered onto
+    the canvas through the fixed 8x8 pass grid). Grayscale, RGB,
+    gray+alpha and RGBA color types are supported; palette images and bit
+    depths other than 8 raise (out of scope, loudly)."""
+    import struct
+    import zlib
+
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    if data[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG (signature {data[:8]!r})")
+    pos, ihdr, idat, ended = 8, None, [], False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ValueError("PNG missing IHDR, IDAT, or IEND")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (bit depth {depth}, color type {color})")
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("unsupported PNG compression/filter/interlace method")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))  # verifies the stream's adler32
+    if interlace == 0:
+        stride = width * ch
+        if len(raw) != height * (1 + stride):
+            raise ValueError(f"PNG raw data {len(raw)}B, header implies {height * (1 + stride)}B")
+        out = _png_defilter(raw, width, height, ch)
+        return width, height, ch, out.reshape(height, width, ch)
+    # Adam7: seven consecutive sub-images, each filtered independently
+    # (the previous-row state resets per pass), empty passes are absent
+    canvas = np.zeros((height, width, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        need = ph * (1 + pw * ch)
+        sub = raw[pos : pos + need]
+        if len(sub) != need:
+            raise ValueError("PNG Adam7 pass data truncated")
+        pos += need
+        rec = _png_defilter(sub, pw, ph, ch).reshape(ph, pw, ch)
+        canvas[y0::dy, x0::dx] = rec
+    if pos != len(raw):
+        raise ValueError("PNG Adam7 data longer than the pass grid implies")
+    return width, height, ch, canvas
 
 
 def parse_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:

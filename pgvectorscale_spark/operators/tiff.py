@@ -3,7 +3,7 @@
 TIFF 6.0 (the 1992 Aldus/Adobe spec, public) is the one major raster
 container still missing from the decode family: the header + IFD tag
 walk in either byte order ('II' little / 'MM' big endian), strip
-assembly, and the two baseline compressions whose algorithms are fully
+assembly, and the baseline compressions whose algorithms are fully
 specified in prose with NO tabulated data:
 
 - **PackBits** (Compression 32773, §9): the classic byte-oriented RLE —
@@ -18,6 +18,9 @@ specified in prose with NO tabulated data:
   boundary — TIFF writers shipped with this off-by-one and the spec
   canonized it). The dictionary is built from the stream itself, so
   this stays within the closed-form decode policy.
+- **Deflate** (Compression 8, plus the pre-standard code 32946, TIFF
+  Technical Note #2): each strip is an independent zlib stream — the
+  same stdlib inflate PNG already rides.
 - **Horizontal-differencing predictor** (tag 317, value 2, §14): each
   sample stores the delta to its left neighbor; decode is a per-row
   per-channel cumulative sum mod 256.
@@ -214,10 +217,11 @@ def parse_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("TIFF photometric/SamplesPerPixel mismatch")
     if len(bits) != spp or any(b != 8 for b in bits):
         raise ValueError(f"unsupported TIFF BitsPerSample {bits} (8-bit only)")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise ValueError(
             f"unsupported TIFF compression {compression}: only none (1), "
-            "LZW (5) and PackBits (32773) decode natively"
+            "LZW (5), Deflate (8 / legacy 32946) and PackBits (32773) "
+            "decode natively"
         )
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
@@ -248,6 +252,19 @@ def parse_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
             out += raw[:expected]
         elif compression == 32773:
             out += unpackbits(raw, expected)
+        elif compression in (8, 32946):
+            # Adobe Deflate (8) / legacy code 32946: each strip is an
+            # independent zlib stream (TIFF TN#2) — same stdlib inflate
+            # PNG rides; the byte count must come out exact
+            import zlib
+
+            try:
+                blob = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"bad TIFF Deflate strip: {exc}") from None
+            if len(blob) < expected:
+                raise ValueError("truncated TIFF Deflate strip")
+            out += blob[:expected]
         else:
             out += tiff_lzw_decode(raw, expected)
     px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(height, width, spp)

@@ -148,11 +148,9 @@ def test_synthesized_payloads_are_real_containers(spark):
         assert samples.shape == (16, 1)
 
 
-def _encode_png(px: np.ndarray, color: int, filters: list[int]) -> bytes:
-    """Reference PNG encoder (tests only): real zlib compression, filters
-    applied per scanline by the inverse of each defilter rule."""
-    import zlib
-
+def _filter_subimage(px: np.ndarray, filters: list[int]) -> bytes:
+    """Filter one (sub-)image's scanlines by the inverse of each defilter
+    rule (previous-row state local to the sub-image)."""
     h, w, ch = px.shape
     stride = w * ch
     raw = b""
@@ -183,13 +181,40 @@ def _encode_png(px: np.ndarray, color: int, filters: list[int]) -> bytes:
                 fl[x] = (row[x] - pred) % 256
         raw += bytes([ft]) + bytes(fl.astype(np.uint8))
         prev = row
+    return raw
+
+
+# the spec's fixed Adam7 grid, restated independently for the test encoder
+_ADAM7_REF = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _encode_png(
+    px: np.ndarray, color: int, filters: list[int], interlace: int = 0
+) -> bytes:
+    """Reference PNG encoder (tests only): real zlib compression, filters
+    applied per scanline by the inverse of each defilter rule; Adam7
+    gathers each pass's pixels and filters it as its own sub-image."""
+    import zlib
+
+    h, w, ch = px.shape
+    if interlace == 0:
+        raw = _filter_subimage(px, filters)
+    else:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7_REF:
+            sub = px[y0::dy, x0::dx]
+            if sub.size:
+                raw += _filter_subimage(np.ascontiguousarray(sub), filters)
 
     def chunk(t: bytes, d: bytes) -> bytes:
         return struct.pack(">I", len(d)) + t + d + struct.pack(
             ">I", zlib.crc32(t + d) & 0xFFFFFFFF
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
     return (
         b"\x89PNG\r\n\x1a\x0a"
         + chunk(b"IHDR", ihdr)
@@ -275,9 +300,56 @@ class TestParsePng:
             )
             return b"\x89PNG\r\n\x1a\x0a" + chunk + ich + iend
 
-        for depth, color, inter in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        for depth, color, inter in [(16, 2, 0), (8, 3, 0), (8, 2, 2)]:
             with pytest.raises(ValueError, match="unsupported"):
                 parse_png(with_ihdr(depth, color, inter))
+
+    def test_adam7_roundtrip_all_color_types_and_filters(self):
+        from pgvectorscale_spark.operators.multimodal import parse_png
+
+        rng = np.random.default_rng(21)
+        for color, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+            px = rng.integers(0, 256, (9, 7, ch), dtype=np.uint8)
+            data = _encode_png(px, color, filters=[0, 1, 2, 3, 4], interlace=1)
+            w, h, ch2, out = parse_png(data)
+            assert (w, h, ch2) == (7, 9, ch)
+            assert (out == px).all(), f"adam7 color type {color}"
+
+    def test_adam7_edge_geometries(self):
+        """Sizes where whole passes are empty: 1x1 (only pass 1 exists),
+        8x8 (every pass non-empty), 2x3, 5x1."""
+        from pgvectorscale_spark.operators.multimodal import parse_png
+
+        rng = np.random.default_rng(22)
+        for h, w in [(1, 1), (8, 8), (3, 2), (1, 5), (5, 1)]:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            data = _encode_png(px, 2, filters=[0, 2], interlace=1)
+            got = parse_png(data)
+            assert got[:3] == (w, h, 3)
+            assert (got[3] == px).all(), (h, w)
+
+    def test_adam7_truncated_pass_data(self):
+        import zlib
+
+        from pgvectorscale_spark.operators.multimodal import parse_png
+
+        px = np.zeros((8, 8, 3), dtype=np.uint8)
+        data = _encode_png(px, 2, filters=[0], interlace=1)
+        # re-compress the raw stream minus its last byte; CRCs stay valid
+        pos, chunks = 8, []
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            chunks.append((data[pos + 4 : pos + 8], data[pos + 8 : pos + 8 + length]))
+            pos += 12 + length
+        out = data[:8]
+        for t, d in chunks:
+            if t == b"IDAT":
+                d = zlib.compress(zlib.decompress(d)[:-1])
+            out += struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+            )
+        with pytest.raises(ValueError, match="Adam7"):
+            parse_png(out)
 
     def test_rejects_wrong_raw_length(self):
         from pgvectorscale_spark.operators.multimodal import parse_png

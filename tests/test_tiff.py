@@ -78,6 +78,10 @@ def build_tiff(
             strips.append(_packbits_encode(raw))
         elif compression == 5:
             strips.append(tiff_lzw_encode(raw))
+        elif compression in (8, 32946):
+            import zlib
+
+            strips.append(zlib.compress(raw))
         else:
             strips.append(raw)
     body = bytearray(struct.pack(order + "2sHI", b"II" if order == "<" else b"MM", 42, 0))
@@ -234,7 +238,7 @@ def test_lzw_width_bump_is_early():
 
 
 @pytest.mark.parametrize("order", ["<", ">"])
-@pytest.mark.parametrize("compression", [1, 5, 32773])
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773, 32946])
 @pytest.mark.parametrize("ch", [1, 3])
 def test_roundtrip_grid(order, compression, ch):
     px = _img(5, 7, ch, seed=compression + ch)
@@ -246,11 +250,22 @@ def test_roundtrip_grid(order, compression, ch):
 
 def test_multistrip_and_predictor():
     px = _img(6, 4, 3, seed=9)
-    for comp in (1, 5, 32773):
+    for comp in (1, 5, 8, 32773):
         data = build_tiff(px, compression=comp, rows_per_strip=2)
         assert np.array_equal(parse_tiff(data)[3], px)
-    data = build_tiff(px, compression=5, predictor=2, rows_per_strip=3)
-    assert np.array_equal(parse_tiff(data)[3], px)
+    for comp in (5, 8):
+        data = build_tiff(px, compression=comp, predictor=2, rows_per_strip=3)
+        assert np.array_equal(parse_tiff(data)[3], px)
+
+
+def test_deflate_bad_stream_rejected():
+    px = _img(3, 3, 1, seed=4)
+    data = bytearray(build_tiff(px, compression=8))
+    # corrupt the zlib header byte of the (first) strip, which the
+    # independent encoder placed right after the 8-byte TIFF header
+    data[8] ^= 0xFF
+    with pytest.raises(ValueError, match="Deflate"):
+        parse_tiff(bytes(data))
 
 
 def test_whitesiszero_inverts():
