@@ -53,6 +53,7 @@ class IvfIndex:
         distance_type: str = DistanceType.L2.value,
         vector_col: str = "embedding",
         id_col: str = "vec_id",
+        tune_probing: bool = True,
     ) -> "IvfIndex":
         spark = df.sparkSession
         src = df.filter(F.col(vector_col).isNotNull())
@@ -143,8 +144,14 @@ class IvfIndex:
                     "centroid_id",
                 )
             meta.save(path)
+            idx = cls(spark, path, meta)
+            if tune_probing and n > 1:
+                # probing-recall curve for recall_target nprobe selection
+                # (one exact pass over the fresh index; held-out,
+                # hash-ordered sample — see tune_probing)
+                idx.tune_probing()
         cents.unpersist()
-        return cls(spark, path, meta)
+        return idx
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfIndex":
@@ -250,18 +257,168 @@ class IvfIndex:
         order = np.lexsort((ids, d))[:nprobe]
         return [int(x) for x in ids[order]]
 
+    def tune_probing(
+        self, sample_queries: int = 16, k: int = 10, held_out: bool = True
+    ) -> dict[str, float]:
+        """Measure the probing-recall curve and store it in the meta —
+        the IVF twin of ``DiskannIndex.tune_routing`` (same semantics,
+        same meta fields, same bias discipline): for a deterministic
+        HELD-OUT query sample drawn in xxhash64(node_id) order (the
+        k-means seeds are the lowest-id vectors, so a lowest-id sample
+        would sit at the cells' anchor points and saturate the curve),
+        curve[p] = fraction of exact top-k neighbors whose home CELL is
+        among the query's p nearest centroids. ``search(recall_target=r)``
+        picks the smallest adequate nprobe. Stamped with the live count
+        for fold-time staleness re-tuning; one exact corpus pass — opt
+        out with ``build(..., tune_probing=False)``."""
+        from pgvectorscale_spark.functions.distance import np_normalize
+        from pgvectorscale_spark.operators.knn import search_exact_batch
+
+        cent_rows = self.centroids().collect()
+        if not cent_rows:
+            raise ValueError("cannot tune probing on an empty index")
+        cids = np.array([int(r["centroid_id"]) for r in cent_rows], dtype=np.int64)
+        cmat = np.stack([np.array(r["centroid"], dtype=np.float64) for r in cent_rows])
+        live = self.live_nodes()
+        live_count = live.count()
+        sample = (
+            live.select("node_id", "vector")
+            .orderBy(F.xxhash64("node_id").asc(), F.col("node_id").asc())
+            .limit(int(sample_queries))
+            .collect()
+        )
+        if not sample:
+            raise ValueError("cannot tune probing on an empty index")
+        if held_out and live_count <= 1:
+            raise ValueError(
+                "cannot tune probing held-out on a 1-row index: a held-out "
+                "query has no neighbors left to route to"
+            )
+        qids = [int(r["node_id"]) for r in sample]
+        qmat = np.array([r["vector"] for r in sample], dtype=np.float64)
+        qdf = self.spark.createDataFrame(
+            [(qid, [float(x) for x in row]) for qid, row in zip(qids, qmat)],
+            "query_id long, query_vec array<float>",
+        )
+        topk = search_exact_batch(
+            live.select("node_id", "vector"),
+            qdf,
+            k=k + 1 if held_out else k,
+            distance_type=self.meta.distance_type,
+            vector_col="vector",
+            id_col="node_id",
+            impl="numpy",
+        ).collect()
+        by_q: dict[int, list[int]] = {}
+        for r in sorted(topk, key=lambda r: (int(r["query_id"]), int(r["rank"]))):
+            qid, nid = int(r["query_id"]), int(r["node_id"])
+            if held_out and nid == qid:
+                continue
+            if len(by_q.setdefault(qid, [])) < k:
+                by_q[qid].append(nid)
+        ids = sorted({nid for nids in by_q.values() for nid in nids})
+        cell_of = {
+            int(r["node_id"]): int(r["centroid_id"])
+            for r in live.select("node_id", "centroid_id")
+            .filter(F.col("node_id").isin(ids))
+            .collect()
+        }
+        if self.meta.distance_type == DistanceType.COSINE.value:
+            qmat = np_normalize(qmat)
+            cmat = np_normalize(cmat)
+        order = np.argsort(
+            np.stack(
+                [
+                    np_distance(
+                        cmat, qmat[qi], self.meta.distance_type,
+                        assume_normalized=True,
+                    )
+                    for qi in range(len(qmat))
+                ]
+            ),
+            axis=1,
+        )
+        n_cells = len(cids)
+        ladder: list[int] = []
+        p = 1
+        while p < n_cells:
+            ladder.append(p)
+            p *= 2
+        ladder.append(n_cells)
+        curve: dict[str, float] = {}
+        for p in ladder:
+            tot = hit = 0
+            for qi, qid in enumerate(qids):
+                probed = {int(cids[c]) for c in order[qi, :p]}
+                for nid in by_q.get(qid, []):
+                    tot += 1
+                    hit += int(cell_of[nid] in probed)
+            curve[str(p)] = round(hit / max(tot, 1), 4)
+        self.meta.routing_recall_curve = curve
+        self.meta.routing_recall_k = int(k)
+        self.meta.routing_recall_held_out = bool(held_out)
+        self.meta.routing_tuned_nodes = int(live_count)
+        self.meta.save(self.path)
+        return curve
+
+    # same drift contract as DiskannIndex.ROUTING_DRIFT_BOUND
+    ROUTING_DRIFT_BOUND = 0.25
+
+    def probing_curve_stale(self, drift: float | None = None) -> bool:
+        """True when the stored probing-recall curve no longer describes
+        the corpus (unstamped / in-sample / live-count drift beyond the
+        bound) — see DiskannIndex.routing_curve_stale."""
+        if not self.meta.routing_recall_curve:
+            return False
+        if not self.meta.routing_tuned_nodes or not self.meta.routing_recall_held_out:
+            return True
+        bound = self.ROUTING_DRIFT_BOUND if drift is None else float(drift)
+        live = self.live_nodes().count()
+        tuned = self.meta.routing_tuned_nodes
+        return abs(live - tuned) / max(tuned, 1) > bound
+
+    def auto_nprobe(self, recall_target: float) -> int:
+        """Smallest probe count whose measured probing recall reaches the
+        target (the curve's last point is 1.0 by construction)."""
+        curve = self.meta.routing_recall_curve
+        if not curve:
+            raise ValueError(
+                f"index at {self.path} has no probing-recall curve: build "
+                "with tune_probing=True or call tune_probing()"
+            )
+        for p in sorted(int(x) for x in curve):
+            if curve[str(p)] >= recall_target:
+                return p
+        return int(self.meta.num_shards)
+
+    def _resolve_nprobe(
+        self, nprobe: int | None, recall_target: float | None
+    ) -> int:
+        if nprobe is not None and recall_target is not None:
+            raise ValueError("pass nprobe or recall_target, not both")
+        if recall_target is not None:
+            if self.meta.routing_recall_curve:
+                return self.auto_nprobe(recall_target)
+            return int(self.meta.num_shards)  # untuned: degrade to full probe
+        return 8 if nprobe is None else int(nprobe)
+
     def search(
         self,
         query_vec: Sequence[float],
         k: int = 10,
-        nprobe: int = 8,
+        nprobe: int | None = None,
+        recall_target: float | None = None,
     ) -> DataFrame:
         """Top-k over the probed cells only.
 
         The `centroid_id IN (...)` filter is a partition filter — check
         .explain(): `PartitionFilters: [centroid_id IN ...]` with no
         PushedFilters needed; unprobed cell files are never read.
+        ``recall_target=r`` picks nprobe from the stored probing-recall
+        curve (tune_probing); untuned indexes degrade to probing every
+        cell. Default nprobe stays 8.
         """
+        nprobe = self._resolve_nprobe(nprobe, recall_target)
         cells = self.probe_cells(query_vec, nprobe)
         if not cells:
             return self.spark.createDataFrame([], "node_id long, distance double")
@@ -532,6 +689,13 @@ class IvfIndex:
         self.meta.epoch += 1
         self.meta.trash_epoch = int(self.meta.epoch)
         self.meta.save(self.path)
+        # probing-recall curve staleness: same contract as
+        # DiskannIndex._fold_deltas — the fold is where mutation drift is
+        # paid for, so a curve past ROUTING_DRIFT_BOUND re-measures here
+        # rather than letting recall_target under/over-probe a corpus the
+        # curve was never measured against. Already under the writer lock.
+        if self.meta.routing_recall_curve and self.probing_curve_stale():
+            self.tune_probing(k=self.meta.routing_recall_k or 10)
 
     def reader_lease(self, ttl_seconds: float | None = None):
         """Context manager pinning this handle's snapshot against trash
@@ -544,12 +708,14 @@ class IvfIndex:
         self,
         queries_df: DataFrame,
         k: int = 10,
-        nprobe: int = 8,
+        nprobe: int | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
+        recall_target: float | None = None,
     ) -> DataFrame:
         """Batch: union of all probed cells scanned once; each query scores
         only rows of its own probe set (broadcast probe map)."""
+        nprobe = self._resolve_nprobe(nprobe, recall_target)
         qrows = queries_df.select(query_id_col, query_vec_col).collect()
         probe_pairs = []
         for r in qrows:

@@ -185,9 +185,17 @@ def test_minhash_signature_parity(spark, documents, ddb):
 
 
 def test_minhash_pairs_parity(spark, documents, ddb):
-    res = dedup.minhash_candidate_pairs(documents, num_hashes=8, bands=4, shingle_n=3)
+    # both the direct join ('exact') and the salted triangle ('salted')
+    # must reproduce the one DuckDB pair set — the union shape the
+    # driver's minhash_pairs entry runs
+    exact = dedup.minhash_candidate_pairs(
+        documents, num_hashes=8, bands=4, shingle_n=3
+    ).withColumn("form", F.lit("exact"))
+    salted = dedup.minhash_candidate_pairs(
+        documents, num_hashes=8, bands=4, shingle_n=3, max_bucket_size=2
+    ).withColumn("form", F.lit("salted"))
     exp = ddb.execute(oracles.minhash_pairs_oracle(8, 4, 3)).df()
-    assert_match(res, exp)
+    assert_match(exact.unionByName(salted), exp)
 
 
 def test_ngram_jaccard_parity(spark, documents, ddb):
