@@ -49,6 +49,7 @@ __all__ = [
     "stream_dedup_exact",
     "stream_dedup_neardup",
     "stream_neardup_band_verdicts",
+    "stream_paragraph_dedup",
 ]
 
 _OUT_SCHEMA = StructType(
@@ -118,6 +119,118 @@ def stream_dedup_exact(
         dedupe,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+_PARA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("para_idx", LongType()),
+        StructField("para_hash", LongType()),
+        StructField("is_keeper", BooleanType()),
+        StructField("para", StringType()),
+    ]
+)
+_PARA_STATE = StructType(
+    [StructField("keeper_doc", LongType()), StructField("keeper_idx", LongType())]
+)
+
+
+def stream_paragraph_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    state_ttl_seconds: int = 0,
+) -> DataFrame:
+    """Streaming face of ``operators/dedup.paragraph_dedup``: per-PARAGRAPH
+    first-arrival-wins dedup under the SAME normalization (blank-line
+    split, lowercase, non-alphanumeric runs to one space, trim) and the
+    same hash family, so stream and batch group identically.
+
+    Emits one verdict row per paragraph: (doc_id, para_idx, para_hash,
+    is_keeper, para). State lives per normalized-paragraph hash and is
+    two longs — the keeper's (doc, idx): the first batch to present a
+    normalized form keeps exactly one occurrence (smallest (doc, idx)
+    within that batch — the batch operator's canonical rule), every later
+    occurrence in that batch and in all later batches verdicts
+    is_keeper=false. Paragraphs whose normalized form is EMPTY carry no
+    content and are never deduped (always keepers, no state) — mirroring
+    the batch operator exactly. Reassembling cleaned documents is a tiny
+    narrow per-micro-batch fold downstream (filter is_keeper, groupBy
+    doc, concat in idx order) — done batch-side in foreachBatch like
+    ``neardup_keepers``, for the same watermark reason.
+
+    Arrival-order caveat (same as ``stream_dedup_exact``): when arrival
+    order differs from (doc, idx) order, WHICH occurrence survives
+    changes, but every normalized form still keeps exactly one occurrence
+    while its state lives. ``state_ttl_seconds`` bounds state exactly as
+    in ``stream_dedup_exact``."""
+
+    def verdicts(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (para_hash,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if bool(batch["_empty"].iloc[0]):
+            # empty-normalized group: every occurrence is content-free and
+            # kept; no state, no TTL
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["_id"].astype("int64"),
+                    "para_idx": batch["_idx"].astype("int64"),
+                    "para_hash": int(para_hash),
+                    "is_keeper": True,
+                    "para": batch["_p"],
+                }
+            )
+            return
+        batch = batch.sort_values(["_id", "_idx"], ignore_index=True)
+        if state.exists:
+            keep_mask = [False] * len(batch)
+        else:
+            state.update((int(batch["_id"].iloc[0]), int(batch["_idx"].iloc[0])))
+            keep_mask = [True] + [False] * (len(batch) - 1)
+        if state_ttl_seconds:
+            state.setTimeoutDuration(state_ttl_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["_id"].astype("int64"),
+                "para_idx": batch["_idx"].astype("int64"),
+                "para_hash": int(para_hash),
+                "is_keeper": keep_mask,
+                "para": batch["_p"],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_seconds
+        else GroupStateTimeout.NoTimeout
+    )
+    paras = (
+        stream_df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.expr(f"split(`{text_col}`, '\\n{{2,}}')")).alias(
+                "_idx", "_p"
+            ),
+        )
+        .withColumn(
+            "_np", F.expr("trim(regexp_replace(lower(_p), '[^a-z0-9]+', ' '))")
+        )
+        .withColumn("_empty", F.col("_np") == "")
+        .withColumn("_h", F.expr(h60("_np", SPARK)))
+    )
+    return paras.groupBy("_h").applyInPandasWithState(
+        verdicts,
+        outputStructType=_PARA_SCHEMA,
+        stateStructType=_PARA_STATE,
         outputMode="append",
         timeoutConf=timeout,
     )

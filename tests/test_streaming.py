@@ -543,3 +543,56 @@ def test_stream_neardup_out_of_order_one_survivor_per_clique(spark, tmpdir):
     # singletons all survive
     assert {100 + s for s in range(4)} <= survivors
     assert len(survivors) == n_clusters + 4
+
+
+def test_stream_paragraph_dedup_parity_with_batch(spark, tmpdir):
+    """Per-paragraph first-arrival dedup over (doc, idx)-ordered
+    micro-batches equals the batch operator (dedup.paragraph_dedup):
+    same normalization, same hash groups, same keeper occurrence — and
+    empty-normalized paragraphs are always keepers in both."""
+    from pgvectorscale_spark.operators import dedup as bdedup
+    from pgvectorscale_spark.streaming.dedup import stream_paragraph_dedup
+
+    docs = [
+        (0, "alpha beta\n\nSubscribe NOW!!\n\ndelta"),
+        (1, "zeta eta\n\n...subscribe, now\n\nalpha beta"),
+        # batch 2 (cross-batch duplicates + the content-free '###')
+        (10, "SUBSCRIBE now\n\n###\n\nzeta eta"),
+        (11, "fresh paragraph only"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmpdir.join("spd_in"))
+    df.filter("doc_id < 10").coalesce(1).write.parquet(path)
+    df.filter("doc_id >= 10").coalesce(1).write.mode("append").parquet(path)
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    q = (
+        stream_paragraph_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("spd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmpdir.join("ckpt_spd")))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["para_idx"]): r["is_keeper"]
+        for r in spark.sql("SELECT * FROM spd").collect()
+    }
+    # batch twin over the whole corpus: arrival order == (doc, idx) order,
+    # so keeper sets must be identical
+    batch = {
+        r["doc_id"]: r["kept_str"]
+        for r in bdedup.paragraph_dedup(df).collect()
+    }
+    want_kept = {
+        (d, int(i)) for d, kept in batch.items() for i in kept.split(",") if kept
+    }
+    stream_kept = {k for k, keep in got.items() if keep}
+    assert stream_kept == want_kept
+    # every paragraph got exactly one verdict row
+    n_paras = sum(t.count("\n\n") + 1 for _, t in docs)
+    assert len(got) == n_paras
+    # the content-free '###' paragraph is a keeper even though another
+    # empty-normalized paragraph could share its group later
+    assert got[(10, 1)] is True
