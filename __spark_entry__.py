@@ -849,7 +849,12 @@ def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       trained by functions/text.train_lang_profiles on the sf0.001
       labeled slice) — per-language integer profile scores plus the
       argmax pick; the synthetic corpus's near-tie scores make the
-      cascade's tie-break a sharp cross-engine determinism check.
+      cascade's tie-break a sharp cross-engine determinism check,
+    - 'clf': the distilled quality classifier (functions/quality_clf —
+      hashed-feature logistic regression, teacher = the 'rules' gate,
+      FROZEN_QUALITY_WEIGHTS pinned to a live training run): integer-
+      micro score + verdict, a per-token weight-lookup fold identical
+      in both engines.
     """
     from pgvectorscale_spark.functions import pii
     from pgvectorscale_spark.functions.lm import bigram_lm_scores
@@ -884,6 +889,17 @@ def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvectorscale_spark.functions.lm import trigram_lm_scores
 
     lm_df = bigram_lm_scores(docs).join(trigram_lm_scores(docs), "doc_id")
+    from pgvectorscale_spark.functions.quality_clf import (
+        FROZEN_QUALITY_WEIGHTS,
+        clf_score_micro_sql,
+    )
+
+    clf_sc = clf_score_micro_sql(t, list(FROZEN_QUALITY_WEIGHTS), SPARK)
+    clf_df = docs.select(
+        "doc_id",
+        F.expr(clf_sc).alias("clf_score_micro"),
+        (F.expr(clf_sc) > 0).alias("clf_pass"),
+    )
     pscores = lang_profile_scores_sql(t, FROZEN_LANG_PROFILES, SPARK)
     prof_df = docs.select(
         "doc_id",
@@ -946,6 +962,7 @@ def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [f"score_{l}" for l in sorted(pscores)] + ["lang_prof"],
             )
         )
+        .unionByName(_melt_str(clf_df, "clf", ["clf_score_micro", "clf_pass"]))
     )
 
 

@@ -913,7 +913,10 @@ def text_features_oracle() -> str:
     - ``lm``: bigram stupid-backoff LM scores, trained in-SQL on the
       doc_id % 2 = 0 slice (functions/lm.py twin),
     - ``langprof``: learned char-trigram language-ID scores + argmax
-      (FROZEN_LANG_PROFILES replayed as static expressions).
+      (FROZEN_LANG_PROFILES replayed as static expressions),
+    - ``clf``: the distilled quality classifier's integer-micro score +
+      verdict (FROZEN_QUALITY_WEIGHTS replayed as the same per-token
+      weight-lookup fold).
     """
     from pgvectorscale_spark.functions import pii
     from pgvectorscale_spark.functions.text import quality_passes_sql, quality_rule_sqls
@@ -959,6 +962,17 @@ FROM documents"""
         lang_profile_scores_sql,
     )
 
+    from pgvectorscale_spark.functions.quality_clf import (
+        FROZEN_QUALITY_WEIGHTS,
+        clf_score_micro_sql,
+    )
+
+    clf_sc = clf_score_micro_sql("text", list(FROZEN_QUALITY_WEIGHTS), DUCKDB)
+    clf_inner = (
+        f"SELECT doc_id, {clf_sc} AS clf_score_micro, "
+        f"({clf_sc}) > 0 AS clf_pass FROM documents"
+    )
+
     pscores = lang_profile_scores_sql("text", FROZEN_LANG_PROFILES, DUCKDB)
     psel = ", ".join(f"{e} AS score_{l}" for l, e in sorted(pscores.items()))
     pargmax = lang_id_profile_sql({l: f"score_{l}" for l in pscores})
@@ -1001,6 +1015,7 @@ FROM documents"""
                 "langprof",
                 [f"score_{l}" for l in sorted(pscores)] + ["lang_prof"],
             ),
+            _melt_sql(clf_inner, "clf", ["clf_score_micro", "clf_pass"]),
         ]
     )
 
