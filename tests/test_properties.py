@@ -164,10 +164,12 @@ def test_media_parsers_fail_only_with_valueerror(data):
     from pgvectorscale_spark.operators.flac import parse_flac
     from pgvectorscale_spark.operators.gif import parse_gif
     from pgvectorscale_spark.operators.h264 import parse_h264_picture
+    from pgvectorscale_spark.operators.vp8l import parse_webp
 
     for fn in (parse_ppm, parse_wav, parse_png, parse_jpeg,
                parse_mp3_meta, parse_mp4_meta, parse_h264_meta,
-               parse_h264_picture, parse_bmp, parse_gif, parse_flac, parse_aiff):
+               parse_h264_picture, parse_bmp, parse_gif, parse_flac,
+               parse_aiff, parse_webp):
         try:
             fn(data)
         except (ValueError, NotImplementedError):
@@ -178,7 +180,28 @@ def test_media_parsers_fail_only_with_valueerror(data):
         pass
 
 
-@given(st.binary(min_size=0, max_size=300), st.integers(0, 3))
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=15),
+)
+@settings(max_examples=40, deadline=None)
+def test_vp8l_checker_roundtrip_any_geometry(w, h, nib):
+    """VP8L is lossless: the two-gray checkerboard (NORMAL code-length-
+    coded prefix codes) decodes bit-identically at ANY geometry —
+    exercises row wrap, odd widths, and the 1-pixel degenerate case."""
+    from pgvectorscale_spark.operators.vp8l import build_checker_webp, parse_webp
+
+    g = 16 * nib + 8
+    w2, h2, ch, px = parse_webp(build_checker_webp(w, h, g, g + 4))
+    assert (w2, h2, ch) == (w, h, 4)
+    exp = np.fromfunction(lambda y, x: np.where((x + y) % 2 == 0, g, g + 4), (h, w))
+    for c in range(3):
+        assert (px[..., c] == exp).all()
+    assert (px[..., 3] == 255).all()
+
+
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 4))
 @settings(max_examples=150, deadline=None)
 def test_media_parsers_reject_plausible_prefixes_cleanly(tail, which):
     """Same contract with VALID magic bytes followed by garbage — the
@@ -191,17 +214,23 @@ def test_media_parsers_reject_plausible_prefixes_cleanly(tail, which):
     )
 
     from pgvectorscale_spark.operators.h264 import parse_h264_picture
+    from pgvectorscale_spark.operators.vp8l import parse_webp
 
     prefixed = [
         (parse_jpeg, b"\xff\xd8" + tail),
         (parse_mp3_meta, b"\xff\xfb" + tail),
         (parse_mp4_meta, (8 + len(tail)).to_bytes(4, "big") + b"ftyp" + tail),
         (parse_h264_meta, b"\x00\x00\x01\x67" + tail),
+        (
+            parse_webp,
+            b"RIFF" + (13 + len(tail)).to_bytes(4, "little") + b"WEBP"
+            + b"VP8L" + (1 + len(tail)).to_bytes(4, "little") + b"\x2f" + tail,
+        ),
     ]
     fn, data = prefixed[which]
     try:
         fn(data)
-    except ValueError:
+    except (ValueError, NotImplementedError):
         pass
     # the pixel decoder sees the same prefixed garbage; its contract adds
     # NotImplementedError for honestly-gated syntax reached mid-stream
