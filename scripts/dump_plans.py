@@ -310,6 +310,25 @@ def main() -> None:
         )
     )
 
+    from pgvectorscale_spark.functions.quality_clf import (
+        FROZEN_QUALITY_WEIGHTS,
+        clf_score_micro_sql,
+    )
+
+    _clf = clf_score_micro_sql("text", list(FROZEN_QUALITY_WEIGHTS), "spark")
+    sections.append(
+        (
+            "quality classifier scoring (distilled rule gate)",
+            "Scoring the frozen logistic model is a PURE PROJECTION over "
+            "the scan — zero Exchange, whole-stage codegen: one per-token "
+            "weight lookup folded left-to-right plus the length feature. "
+            "The expensive part (training) ran once; the 100 TB pass "
+            "pipelines into whatever scan feeds it, exactly like the PII "
+            "scrub and the language-ID scorer.",
+            docs.selectExpr("doc_id", f"{_clf} AS clf_score_micro"),
+        )
+    )
+
     # shard-restricted merge view (round 7): build a tiny index with an
     # open delta chain so the plan shows base + delta scans, every one
     # carrying a shard PartitionFilter
