@@ -2556,12 +2556,25 @@ class DiskannIndex:
         # probe selection run on a curve for a corpus that no longer
         # exists. Already under the writer lock (folds run inside
         # insert/delete), so the meta save inside tune_routing is safe.
+        # An index folded down to <= 1 live row has nothing to measure:
+        # DROP the curve (recall_target then degrades to full fan-out)
+        # instead of letting tune_routing raise on the empty corpus.
         if (
             self.meta.shard_assignment == "kmeans"
             and self.meta.routing_recall_curve
             and self.routing_curve_stale()
         ):
-            self.tune_routing(k=self.meta.routing_recall_k or 10)
+            live = (
+                self.nodes()
+                .filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+                .count()
+            )
+            if live > 1:
+                self.tune_routing(k=self.meta.routing_recall_k or 10)
+            else:
+                self.meta.routing_recall_curve = {}
+                self.meta.routing_tuned_nodes = 0
+                self.meta.save(self.path)
 
     def reader_lease(self, ttl_seconds: float | None = None):
         """Context manager pinning this handle's snapshot against trash

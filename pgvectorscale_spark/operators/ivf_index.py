@@ -694,8 +694,16 @@ class IvfIndex:
         # paid for, so a curve past ROUTING_DRIFT_BOUND re-measures here
         # rather than letting recall_target under/over-probe a corpus the
         # curve was never measured against. Already under the writer lock.
+        # An index folded down to <= 1 live row has nothing to measure:
+        # DROP the curve (recall_target then degrades to full probing)
+        # instead of letting tune_probing raise on the empty corpus.
         if self.meta.routing_recall_curve and self.probing_curve_stale():
-            self.tune_probing(k=self.meta.routing_recall_k or 10)
+            if self.live_nodes().count() > 1:
+                self.tune_probing(k=self.meta.routing_recall_k or 10)
+            else:
+                self.meta.routing_recall_curve = {}
+                self.meta.routing_tuned_nodes = 0
+                self.meta.save(self.path)
 
     def reader_lease(self, ttl_seconds: float | None = None):
         """Context manager pinning this handle's snapshot against trash

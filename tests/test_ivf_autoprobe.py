@@ -145,3 +145,22 @@ def test_stale_curve_retuned_on_fold(spark, tmp_path, monkeypatch):
     # legacy in-sample curve is stale regardless of drift
     idx.meta.routing_recall_held_out = False
     assert idx.probing_curve_stale() is True
+
+
+def test_emptied_index_drops_curve_on_fold(spark, tmp_path, monkeypatch):
+    """Folding an index whose every row was deleted must DROP the stale
+    curve (nothing left to measure), not crash re-tuning on the empty
+    corpus; recall_target then degrades to full probing."""
+    monkeypatch.setattr(IvfIndex, "DELTA_FOLD_SEQS", 2)
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IvfIndex.build(df, str(tmp_path / "ivf_empty"), num_centroids=4)
+    assert idx.meta.routing_recall_curve
+    idx.delete(list(range(20)))
+    idx.delete(list(range(20, 40)))  # second delta trips the fold
+    assert idx.meta.delta_seq == 0, "fold must have run"
+    assert idx.meta.routing_recall_curve == {}
+    assert idx.meta.routing_tuned_nodes == 0
+    got = idx.search(rows[0][1], k=5, recall_target=0.9).collect()
+    assert got == []  # degraded full probe over an emptied index
