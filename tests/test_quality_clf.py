@@ -54,19 +54,19 @@ def _ref_train(rows, labels, iterations, lr):
             xlen = min(float(len(toks)), float(LEN_CAP)) / LEN_CAP
             p = 1.0 / (1.0 + math.exp(-_score(text, w)))
             r = p - y
-            grad[0] += _round_half_even(r * 1e6)
-            grad[1] += _round_half_even(r * xlen * 1e6)
+            grad[0] += _round_half_up(r * 1e6)
+            grad[1] += _round_half_up(r * xlen * 1e6)
             for t in toks:
-                grad[2 + _bucket(t)] += _round_half_even(r / n * 1e6)
+                grad[2 + _bucket(t)] += _round_half_up(r / n * 1e6)
         w = [wj - lr * gj / (1e6 * n_rows) for wj, gj in zip(w, grad)]
     return w
 
 
-def _round_half_even(x: float) -> int:
+def _round_half_up(x: float) -> int:
     # Spark's round() on DOUBLE is HALF_UP on the decimal rendering;
-    # python's round() is half-even. Micro-contributions land on exact
-    # .5 boundaries only for pathological residuals; use the same rule
-    # Spark applies so the reference cannot drift on those.
+    # python's builtin round() is half-even. Micro-contributions land on
+    # exact .5 boundaries only for pathological residuals; the reference
+    # must use the same rule Spark applies so it cannot drift on those.
     import decimal
 
     return int(
@@ -108,7 +108,7 @@ def test_score_sql_matches_python_recount(spark):
         ).collect()
     }
     for i, t in enumerate(texts):
-        want = _round_half_even(_score(t, w) * 1e6)
+        want = _round_half_up(_score(t, w) * 1e6)
         assert got[i] == want, (i, got[i], want)
 
 
