@@ -13,15 +13,17 @@ delta-coding, the LZ77 length/distance extra-bit formula, the color-cache
 multiplicative hash) is closed-form pseudo-code in the public spec
 (RFC 9649) and is implemented here.
 
-ONE honest gate remains: distance codes 1..120 map to a close-neighbor
-(dx, dy) window through a 120-entry table the spec prints literally
-(ordered "by closeness", but the exact order — including its tie rules —
-is given only as the table itself). Reproducing it offline would mean
-transcribing tabulated spec data, exactly what the decode_av_samples gate
-policy refuses; distance codes > 120 (plain 1-D distances, what a simple
-encoder emits) decode fully, and hitting a near-distance code raises
-NotImplementedError naming this gate. One convention is likewise pinned
-by assumption rather than an offline test vector: the Select predictor's
+Distance codes 1..120 map to a close-neighbor (dx, dy) window through a
+120-entry table the spec prints as a list — but the list IS a closed
+form, so it is derived here rather than transcribed: the candidates are
+exactly the causal 8-row neighborhood {(dx, dy): 0 <= dy <= 7,
+-7 <= dx <= 8, dy > 0 or dx > 0} (120 offsets), ordered by squared
+euclidean distance dx² + dy², ties by |dx| ascending, then positive dx
+before negative (see ``_NEAR_DIST`` and the anchor test
+tests/test_vp8l.py::test_near_distance_table_closed_form, which pins the
+spec's own first rows, last rows, and the densest tie groups). Distance
+codes > 120 are plain 1-D distances. One convention is pinned by
+assumption rather than an offline test vector: the Select predictor's
 tie (equal L/T distance) resolves to L — noted at the implementation.
 
 Reference parity: timescale/pgvectorscale has no media decode — this
@@ -41,6 +43,21 @@ _MAX_PIXELS = 1 << 26
 # order in which the 3-bit code-length-code lengths arrive (spec §"Decoding
 # the Code Lengths" — a structural permutation like Deflate's, not data)
 _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+# Near-distance map (spec §"Distance Mapping"): distance codes 1..120 name a
+# pixel in the causal 8-row neighborhood above/left of the current one. The
+# spec prints the mapping as a 120-row (dx, dy) list, but the list is a
+# closed form — the neighborhood {(dx, dy): 0 <= dy <= 7, -7 <= dx <= 8,
+# dy > 0 or dx > 0} sorted "by closeness": squared euclidean distance
+# ascending, ties by |dx| ascending, then +dx before -dx. The anchor test
+# pins this derivation against the spec's own rows (first 10, last 8, and
+# the 6-way tie groups at dx²+dy² = 25, 50, 65).
+_NEAR_DIST: tuple[tuple[int, int], ...] = tuple(
+    sorted(
+        ((x, y) for y in range(8) for x in range(-7, 9) if y > 0 or x > 0),
+        key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0),
+    )
+)
 
 
 class _Bits:
@@ -289,13 +306,12 @@ def _decode_image_stream(br: _Bits, w: int, h: int, top_level: bool):
             length = _lz77_value(s - 256, br)
             dist_code = _lz77_value(cd.read(br), br)
             if dist_code <= 120:
-                raise NotImplementedError(
-                    "VP8L near-distance codes 1..120 map through the "
-                    "120-entry neighbor table the spec prints literally "
-                    "(its ordering has no stated closed form); only plain "
-                    "distances (code > 120) decode natively"
-                )
-            dist = dist_code - 120
+                # 2-D neighbor offset; a left-of-origin offset on row 0..
+                # small widths can go non-positive — the spec clamps to 1
+                dx, dy = _NEAR_DIST[dist_code - 1]
+                dist = max(1, dy * w + dx)
+            else:
+                dist = dist_code - 120
             if dist > pos:
                 raise ValueError("VP8L backward reference before image start")
             if pos + length > npix:
@@ -624,6 +640,47 @@ def _write_two_symbol_normal_code(bw: _BitsW, alphabet: int, s0: int, s1: int) -
         _write_zero_run(bw, cl, alphabet - pos)
 
 
+def _write_three_symbol_normal_code(
+    bw: _BitsW, alphabet: int, s0: int, s1: int, s2: int
+) -> None:
+    """A NORMAL prefix code with lengths (1, 2, 2) at s0 < s1 < s2 —
+    canonical assignment: s0 -> 0, s1 -> 10, s2 -> 11. Same zero-run
+    constraint as the two-symbol writer: every gap must be 0 or >= 3."""
+    if not (0 <= s0 < s1 < s2 < alphabet):
+        raise ValueError("need three ascending symbols inside the alphabet")
+    bw.write(0, 1)  # not simple
+    bw.write(1, 4)  # num_code_lengths = 5: order positions 17, 18, 0, 1, 2
+    # cl-code lengths: sym17 -> 2, sym18 -> 2, sym0 -> 0, sym1 -> 2, sym2 -> 2
+    for ln in (2, 2, 0, 2, 2):
+        bw.write(ln, 3)
+    bw.write(0, 1)  # no explicit max-symbol
+    # canonical cl-code (all length 2, by symbol): 1->00, 2->01, 17->10, 18->11
+    cl = {1: (0b00, 2), 2: (0b01, 2), 17: (0b10, 2), 18: (0b11, 2)}
+    pos = 0
+    for s, ln_sym in ((s0, 1), (s1, 2), (s2, 2)):
+        if s - pos:
+            _write_zero_run(bw, cl, s - pos)
+        code, ln = cl[ln_sym]
+        bw.write_code(code, ln)
+        pos = s + 1
+    if alphabet - pos:
+        _write_zero_run(bw, cl, alphabet - pos)
+
+
+def _lz77_code(value: int) -> tuple[int, int, int]:
+    """Inverse of ``_lz77_value``: (prefix symbol, extra-bit payload,
+    number of extra bits) for an LZ77 length/distance value >= 1."""
+    if value <= 4:
+        return value - 1, 0, 0
+    p = 4
+    while True:
+        extra = (p - 2) >> 1
+        off = (2 + (p & 1)) << extra
+        if off + 1 <= value <= off + (1 << extra):
+            return p, value - off - 1, extra
+        p += 1
+
+
 def _write_simple_code(bw: _BitsW, symbols: list[int]) -> None:
     bw.write(1, 1)  # simple
     bw.write(len(symbols) - 1, 1)
@@ -642,10 +699,14 @@ def _wrap_riff(vp8l_payload: bytes) -> bytes:
 
 def build_checker_webp(w: int, h: int, g1: int, g2: int) -> bytes:
     """A complete lossless WebP whose pixels checker between the grays g1
-    and g2 ((x+y) even -> g1): green/red/blue are two-symbol NORMAL codes
-    (length-1 canonical codes built from code-length-coded lengths — the
-    stream-carried machinery this format exists to exercise), alpha and
-    distance are simple codes. Requires g2 - g1 == 0 mod nothing but the
+    and g2 ((x+y) even -> g1): rows 0-1 are literals, every row >= 2 is one
+    LZ77 backward reference at NEAR-distance code 5 = offset (0, 2) (the
+    checker's vertical period), so green is a three-symbol NORMAL code
+    (g1, g2, and the row-length prefix — canonical codes built from
+    code-length-coded lengths), red/blue are two-symbol NORMAL codes,
+    alpha and distance are simple codes. The decode therefore exercises
+    the stream-carried canonical-code machinery AND the derived
+    120-entry near-distance map on every payload. Requires only the
     zero-run constraint: g1 >= 3 and g2 - g1 - 1 >= 3 (the synth uses
     g2 = g1 + 4). Deterministic bytes for the SQL-literal synth."""
     if g2 - g1 - 1 < 3 or g1 < 3:
@@ -658,17 +719,24 @@ def build_checker_webp(w: int, h: int, g1: int, g2: int) -> bytes:
     bw.write(0, 1)  # no transforms
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix codes
-    _write_two_symbol_normal_code(bw, 256 + 24, g1, g2)  # green
+    len_prefix, len_extra, len_extra_bits = _lz77_code(w)  # row-copy length
+    _write_three_symbol_normal_code(bw, 256 + 24, g1, g2, 256 + len_prefix)
     _write_two_symbol_normal_code(bw, 256, g1, g2)  # red
     _write_two_symbol_normal_code(bw, 256, g1, g2)  # blue
     _write_simple_code(bw, [255])  # alpha
-    _write_simple_code(bw, [0])  # distance (unused but mandatory)
-    for y in range(h):
+    # distance code 5 -> near offset (0, 2) -> dist = 2w: prefix 4 + 1 extra
+    _write_simple_code(bw, [4])  # distance (trivial: reads zero bits)
+    for y in range(min(h, 2)):
         for x in range(w):
-            bit = (x + y) & 1  # canonical: smaller symbol g1 gets code 0
-            bw.write_code(bit, 1)  # green
+            bit = (x + y) & 1  # canonical: g1 -> '0', g2 -> '10'
+            bw.write_code((0b0, 0b10)[bit], 1 + bit)  # green
             bw.write_code(bit, 1)  # red
             bw.write_code(bit, 1)  # blue
+    for _ in range(h - 2):  # one backward reference per remaining row
+        bw.write_code(0b11, 2)  # green: the length-prefix symbol
+        if len_extra_bits:
+            bw.write(len_extra, len_extra_bits)
+        bw.write(0, 1)  # distance extra bit: code 4 + 0 + 1 = 5
     return _wrap_riff(b"\x2f" + bw.bytes())
 
 
@@ -679,10 +747,11 @@ def attach_webp_payload(df, source_col: str = "text", payload_col: str = "payloa
     """Deterministic REAL lossless WebP per row, built JVM-side: md5
     nibble 1 draws the base gray g = 16*nib + 8 and the per-row expression
     selects among 16 complete files encoded once at SQL-construction time.
-    Each is a g/(g+4) checkerboard through NORMAL prefix codes, so the
-    decoded mean has the closed form g + 2 (oracles.webp_decode_oracle) —
-    a bit-order, canonical-assignment, zero-run, or RIFF-walk bug on
-    either side breaks the hash."""
+    Each is a g/(g+4) checkerboard through NORMAL prefix codes with rows
+    >= 2 as near-distance backward references, so the decoded mean has the
+    closed form g + 2 (oracles.webp_decode_oracle) — a bit-order,
+    canonical-assignment, zero-run, RIFF-walk, or near-distance-map bug
+    on either side breaks the hash."""
     from pyspark.sql import functions as F
 
     nib = f"cast(conv(substring(md5(`{source_col}`), 1, 1), 16, 10) as int)"

@@ -2070,9 +2070,11 @@ def webp_decode_oracle() -> str:
     """Twin of the lossless-WebP decode pipeline (vp8l.attach_webp_payload
     → parse_webp via the decode_image dispatcher): each payload is a
     genuine VP8L file whose 10x10 frame checkers between 16*nib+8 and
-    16*nib+12 through NORMAL (code-length-coded) prefix codes, so every
-    decoded channel mean IS 16*nib+10 — a bit-order, canonical-assignment,
-    zero-run, or RIFF-walk bug on either side breaks the hash."""
+    16*nib+12 through NORMAL (code-length-coded) prefix codes, rows >= 2
+    riding LZ77 backward references at NEAR-distance code 5 = offset
+    (0, 2), so every decoded channel mean IS 16*nib+10 — a bit-order,
+    canonical-assignment, zero-run, RIFF-walk, or near-distance-map bug
+    on either side breaks the hash."""
     from pgvectorscale_spark.operators.vp8l import WEBP_DIM
 
     def nib(pos: int) -> str:

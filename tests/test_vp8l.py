@@ -369,20 +369,82 @@ def test_lz77_plain_distance_copy():
         assert tuple(px[0, x]) == (44, 33, 55, 255)
 
 
-def test_lz77_near_distance_gate():
+def test_near_distance_table_closed_form():
+    """The derived 120-entry map reproduces the spec's printed table: the
+    causal 8-row neighborhood sorted by dx²+dy², ties |dx| then +dx first.
+    Anchors are spec rows transcribed as CHECKS (first 10, last 8, and the
+    6-way tie groups at squared distance 25, 50, and 65)."""
+    from pgvectorscale_spark.operators.vp8l import _NEAR_DIST
+
+    assert len(_NEAR_DIST) == 120
+    assert len(set(_NEAR_DIST)) == 120
+    # spec table rows 1..10
+    assert _NEAR_DIST[:10] == (
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2),
+        (2, 0), (1, 2), (-1, 2), (2, 1), (-2, 1),
+    )
+    # spec table rows 113..120
+    assert _NEAR_DIST[-8:] == (
+        (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+    )
+    # the 6-way ties: dx²+dy² = 25 (rows 35-40), 50 (rows 41-46 area),
+    # 65 (around row 98) — exactly the places a wrong tie rule shows up
+    i25 = _NEAR_DIST.index((0, 5))
+    assert _NEAR_DIST[i25 : i25 + 6] == (
+        (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    )
+    i50 = _NEAR_DIST.index((1, 7))
+    assert _NEAR_DIST[i50 : i50 + 6] == (
+        (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    )
+    i65 = _NEAR_DIST.index((4, 7))
+    assert _NEAR_DIST[i65 : i65 + 5] == (
+        (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1),
+    )
+    # and (8, 0) at squared distance 64 sits immediately before that group
+    assert _NEAR_DIST[i65 - 1] == (8, 0)
+
+
+def test_lz77_near_distance_row_copy():
+    """dist_code 1 = offset (0, 1) -> dist = w: a length-2 backward
+    reference copies row 0 onto row 1 IN ORDER (red disambiguates dist = w
+    from dist = 1, which would smear the last pixel instead)."""
     w = W()
-    header(w, 4, 1)
+    header(w, 2, 2)
     no_extras(w)
-    normal2(w, 256 + 24, 33, 258)
+    normal2(w, 256 + 24, 33, 257)  # green: literal 33, length-prefix 1 (len 2)
+    simple2(w, 44, 45)  # red: two literals to make order observable
+    simple1(w, 55)
+    simple1(w, 255)
+    simple1(w, 0)  # distance prefix 0 -> dist_code 1 (near map: (0, 1))
+    w.code("0")  # (0,0) green literal
+    w.code("0")  # (0,0) red 44
+    w.code("0")  # (1,0) green literal
+    w.code("1")  # (1,0) red 45
+    w.code("1")  # length symbol 257 -> length 2; distance reads 0 bits
+    _, _, _, px = decode(w)
+    assert tuple(px[0, 0]) == (44, 33, 55, 255)
+    assert tuple(px[0, 1]) == (45, 33, 55, 255)
+    assert tuple(px[1, 0]) == (44, 33, 55, 255)
+    assert tuple(px[1, 1]) == (45, 33, 55, 255)
+
+
+def test_lz77_near_distance_clamps_to_one():
+    """dist_code 4 = offset (-1, 1): at width 1 that is dist 0, which the
+    spec clamps to 1 — the reference degenerates to repeat-previous."""
+    w = W()
+    header(w, 1, 3)
+    no_extras(w)
+    normal2(w, 256 + 24, 33, 257)  # green: literal 33, length 2
     simple1(w, 44)
     simple1(w, 55)
     simple1(w, 255)
-    simple1(w, 4)  # distance prefix 4 -> dist_code 5..6 (<= 120: 2D map)
-    w.code("0")
-    w.code("1")
-    w.write(0, 1)  # dist_code 5
-    with pytest.raises(NotImplementedError, match="near-distance"):
-        decode(w)
+    simple1(w, 3)  # distance prefix 3 -> dist_code 4 (near map: (-1, 1))
+    w.code("0")  # (0,0) literal
+    w.code("1")  # length 2 backward ref at clamped dist 1
+    _, _, _, px = decode(w)
+    for y in range(3):
+        assert tuple(px[y, 0]) == (44, 33, 55, 255)
 
 
 def test_container_rejects_and_vp8x_walk():
