@@ -743,15 +743,20 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged union: n-gram Jaccard near-dup pairs ('jaccard' rows) AND
-    BM25 top-k lexical search ('bm25' rows — operators/bm25.py, the
+    """Tagged union: n-gram Jaccard near-dup pairs ('jaccard' rows), BM25
+    top-k lexical search ('bm25' rows — operators/bm25.py, the
     inverted-index-as-postings-DataFrame path; query_id rides the doc_a
     slot, doc_id rides doc_b, score rides the jaccard slot; jaccard rows
-    fill the rank slot with 0). Queries are the doc_id % 53 == 0 docs'
-    first 4 tokens, so candidate generation, IDF, length normalization,
-    6-decimal score rounding and the rank cut all hash-verify against the
-    in-SQL DuckDB replay."""
+    fill the rank slot with 0), AND hybrid BM25+cosine retrieval fused
+    with Reciprocal Rank Fusion ('rrf' rows — operators/hybrid.py over
+    the documents⋈embeddings corpus, rrf_score riding the jaccard slot).
+    Queries are the doc_id % 53 == 0 docs' first 4 tokens (q_vec = own
+    embedding for the hybrid arm), so candidate generation, IDF, length
+    normalization, both arms' rank cuts, the 1/(60+rank) fusion sum and
+    its 6-decimal rounding all hash-verify against the in-SQL DuckDB
+    replay."""
     from pgvectorscale_spark.operators.bm25 import bm25_topk
+    from pgvectorscale_spark.operators.hybrid import hybrid_topk
 
     docs = _docs(spark, sf_dir)
     jac = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).select(
@@ -773,7 +778,25 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("jaccard"),
         "rank",
     )
-    return jac.unionByName(bm)
+    corpus = docs.join(
+        _emb(spark, sf_dir).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ),
+        "doc_id",
+    )
+    hybrid_queries = corpus.filter("doc_id % 53 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr(f"concat_ws(' ', slice({toks}, 1, 4))").alias("q_text"),
+        F.col("embedding").alias("q_vec"),
+    )
+    rrf = hybrid_topk(corpus, hybrid_queries, k=5, arm_k=10).select(
+        F.lit("rrf").alias("form"),
+        F.col("query_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("rrf_score").alias("jaccard"),
+        "rank",
+    )
+    return jac.unionByName(bm).unionByName(rrf)
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

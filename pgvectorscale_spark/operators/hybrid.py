@@ -1,0 +1,143 @@
+"""Hybrid retrieval — lexical (BM25) + vector (k-NN) arms fused with
+Reciprocal Rank Fusion (RRF, Cormack/Clarke/Buettcher 2009).
+
+The single most common production pattern around pgvector/pgvectorscale
+is hybrid search: a full-text arm and a `<=>` vector arm merged with
+``1 / (rrf_k + rank)`` (Postgres users write it as two CTEs + FULL OUTER
+JOIN; the same fusion ships in OpenSearch/Elasticsearch/Vespa). This
+module re-expresses it as DataFrame algebra over the arms this repo
+already serves:
+
+- **Arms stay cheap at 100 TB.** The lexical arm is operators/bm25.py
+  (postings broadcast-join, candidates = docs sharing a query term); the
+  vector arm is any ranked (query_id, id, rank) frame — exact k-NN here,
+  but a DiskANN/IVF search result fuses identically (``rrf_fuse`` takes
+  arbitrary arms). Neither arm shuffles the corpus.
+- **Fusion is tiny by construction**: each arm contributes at most
+  ``arm_k`` rows per query, so the groupBy/window in ``rrf_fuse`` sees
+  ≤ (#arms · arm_k · |Q|) rows — independent of corpus size. AQE will
+  pick a broadcast/local plan for it at any scale.
+- **Determinism**: RRF contributions are 1/(rrf_k + rank) — at most one
+  double addition per (query, doc) with two arms, then rounded to 6
+  decimals BEFORE ranking with ties on doc id, so the fused cut is
+  identical across engines and partitionings. Arm ranks are themselves
+  deterministic (BM25 rounds scores to 6 decimals pre-rank; the vector
+  arm rounds distances via ``round_to``).
+
+RRF is rank-only on purpose: BM25 scores and cosine distances live on
+incomparable scales, and rank fusion needs no per-query score
+normalization (which would be another corpus-dependent statistic to
+keep consistent across engines).
+
+No single reference analog (pgvectorscale is the vector arm); this is
+the composition its users run around it — SURVEY.md §2's similarity-
+search family plus the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.operators.bm25 import BM25_B, BM25_K1, bm25_topk
+from pgvectorscale_spark.operators.knn import search_exact_batch
+
+__all__ = ["RRF_K", "hybrid_topk", "rrf_fuse"]
+
+# the constant from the original RRF paper; large enough that rank-1
+# outliers in one arm can't drown consistent mid-rank agreement
+RRF_K = 60
+
+
+def rrf_fuse(
+    arms: Sequence[DataFrame],
+    k: int = 10,
+    rrf_k: int = RRF_K,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Fuse ranked arms into (query_id, id, rrf_score, rank): score =
+    Σ_arms 1/(rrf_k + rank_in_arm) over the arms that returned the doc,
+    rounded to 6 decimals before the final ranking (ties on id).
+
+    Each arm is a (query_id, id, rank) frame — a missing (query, doc)
+    simply contributes nothing, which IS the RRF convention (no outer
+    join against the corpus)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if rrf_k <= 0:
+        raise ValueError(f"rrf_k must be positive, got {rrf_k}")
+    if not arms:
+        raise ValueError("rrf_fuse needs at least one ranked arm")
+    contribs = [
+        a.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double"))).alias("_c"),
+        )
+        for a in arms
+    ]
+    pooled = reduce(lambda x, y: x.unionByName(y), contribs)
+    fused = pooled.groupBy(query_id_col, id_col).agg(
+        F.round(F.sum("_c"), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return fused.withColumn(rank_col, F.row_number().over(w).cast("long")).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def hybrid_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    arm_k: int = 20,
+    rrf_k: int = RRF_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    distance_type: str = "cosine",
+    text_col: str = "text",
+    vector_col: str = "embedding",
+    id_col: str = "doc_id",
+    q_text_col: str = "q_text",
+    q_vec_col: str = "q_vec",
+    q_id_col: str = "query_id",
+    vec_impl: str = "sql",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """BM25 + exact-k-NN hybrid over a corpus carrying both ``text_col``
+    and ``vector_col``: each arm retrieves its own top-``arm_k`` per
+    query, RRF merges them into the final top-``k``.
+
+    The exact vector arm keeps this oracle-replayable end to end; for a
+    served index, run DiskannIndex/IvfIndex.search yourself and hand both
+    ranked frames to ``rrf_fuse`` — fusion is arm-agnostic."""
+    lex = bm25_topk(
+        corpus.select(F.col(id_col), F.col(text_col)),
+        queries.select(F.col(q_id_col), F.col(q_text_col)),
+        k=arm_k,
+        k1=k1,
+        b=b,
+        text_col=text_col,
+        id_col=id_col,
+        q_text_col=q_text_col,
+        q_id_col=q_id_col,
+    ).select(F.col(q_id_col), F.col(id_col), "rank")
+    vec = search_exact_batch(
+        corpus.select(F.col(id_col), F.col(vector_col)),
+        queries.select(F.col(q_id_col), F.col(q_vec_col).alias("query_vec")),
+        k=arm_k,
+        distance_type=distance_type,
+        vector_col=vector_col,
+        id_col=id_col,
+        query_id_col=q_id_col,
+        impl=vec_impl,
+        round_to=round_to,
+    ).select(F.col(q_id_col), F.col(id_col), "rank")
+    return rrf_fuse(
+        [lex, vec], k=k, rrf_k=rrf_k, query_id_col=q_id_col, id_col=id_col
+    )

@@ -764,17 +764,24 @@ ORDER BY doc_a, doc_b
 
 
 def bm25_oracle(
-    k: int, query_pred: str, query_prefix_tokens: int, k1: float = 1.2, b: float = 0.75
+    k: int,
+    query_pred: str,
+    query_prefix_tokens: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    corpus_table: str = "documents",
 ) -> str:
     """Full in-SQL replay of operators/bm25.bm25_topk over queries drawn
     from the corpus itself (``query_pred`` rows, first
     ``query_prefix_tokens`` tokens as the query text). Literals are cast
     to DOUBLE and the arithmetic order mirrors the Spark column expression
     exactly; scores round to 6 decimals BEFORE ranking (ties on doc_id)
-    so the top-k cut is identical."""
+    so the top-k cut is identical. ``corpus_table`` is any relation
+    exposing (doc_id, text) — the hybrid-RRF twin passes the
+    documents⋈embeddings join."""
     toks = tokens("text", DUCKDB)
     return f"""
-WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+WITH base AS (SELECT doc_id, {toks} AS t FROM {corpus_table}),
 post AS (
   SELECT term, doc_id, dl, count(*) AS tf
   FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM base)
@@ -802,24 +809,94 @@ SELECT query_id, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+_HYBRID_CORPUS = (
+    "(SELECT d.doc_id, d.text, e.embedding "
+    "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)"
+)
+
+
+def hybrid_rrf_oracle(
+    k: int,
+    arm_k: int,
+    query_pred: str,
+    query_prefix_tokens: int,
+    rrf_k: int = 60,
+) -> str:
+    """Twin of operators/hybrid.hybrid_topk over the documents⋈embeddings
+    corpus: the BM25 arm replays bm25_oracle on the joined corpus, the
+    vector arm replays the normalized-cosine top-k (distances rounded to
+    4 decimals BEFORE ranking, ties on doc_id — knn_batch_oracle's seam),
+    and RRF sums 1/(rrf_k + rank) per arm in DOUBLE, rounds to 6 decimals,
+    then ranks desc with ties on doc_id. Queries are the ``query_pred``
+    corpus rows: first ``query_prefix_tokens`` tokens as q_text, own
+    embedding as q_vec."""
+    lex = bm25_oracle(
+        arm_k, query_pred, query_prefix_tokens, corpus_table=_HYBRID_CORPUS
+    )
+    return f"""
+WITH corpus AS (SELECT * FROM {_HYBRID_CORPUS} c),
+ev AS (
+  SELECT doc_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM corpus),
+en AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY doc_id),
+qv AS (SELECT doc_id AS query_id, i, v FROM ev WHERE {query_pred}),
+qn AS (SELECT doc_id AS query_id, nrm FROM en WHERE {query_pred}),
+vd AS (
+  SELECT qv.query_id, ev.doc_id,
+         greatest(0.0, 1.0 - sum((ev.v / en.nrm) * (qv.v / qn.nrm))) AS distance
+  FROM ev JOIN qv USING (i)
+  JOIN en ON ev.doc_id = en.doc_id JOIN qn ON qv.query_id = qn.query_id
+  GROUP BY qv.query_id, ev.doc_id, en.nrm, qn.nrm),
+vec_arm AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(distance, 4), doc_id) AS rank
+  FROM vd QUALIFY rank <= {arm_k}),
+lex_arm AS (SELECT query_id, doc_id, rank FROM ({lex}) l),
+pooled AS (
+  SELECT query_id, doc_id,
+         1.0::DOUBLE / (CAST({rrf_k} AS DOUBLE) + rank) AS c
+  FROM lex_arm
+  UNION ALL
+  SELECT query_id, doc_id,
+         1.0::DOUBLE / (CAST({rrf_k} AS DOUBLE) + rank) AS c
+  FROM vec_arm),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+  FROM pooled GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, rrf_score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
+FROM fused QUALIFY rank <= {k}"""
+
+
 def ngram_jaccard_union_oracle(
     shingle_n: int,
     threshold: float,
     bm25_k: int,
     bm25_query_pred: str,
     bm25_prefix_tokens: int,
+    rrf_k_final: int = 5,
+    rrf_arm_k: int = 10,
 ) -> str:
-    """Tagged union: the n-gram Jaccard near-dup pairs ('jaccard' rows)
-    AND BM25 top-k lexical search ('bm25' rows, query_id riding the doc_a
+    """Tagged union: the n-gram Jaccard near-dup pairs ('jaccard' rows),
+    BM25 top-k lexical search ('bm25' rows, query_id riding the doc_a
     slot, doc_id riding doc_b, score riding the jaccard slot, rank riding
-    a new column that the jaccard rows fill with 0)."""
+    a new column that the jaccard rows fill with 0), AND hybrid BM25+
+    cosine RRF fusion ('rrf' rows, rrf_score riding the jaccard slot)."""
     jac = f"""
 SELECT doc_a, doc_b, jaccard, 0::BIGINT AS rank
 FROM ({ngram_jaccard_oracle(shingle_n, threshold)}) j"""
     bm = f"""
 SELECT query_id AS doc_a, doc_id AS doc_b, score AS jaccard, rank
 FROM ({bm25_oracle(bm25_k, bm25_query_pred, bm25_prefix_tokens)}) b"""
-    return tagged_union_oracle("form", [("'jaccard'", jac), ("'bm25'", bm)])
+    rrf = f"""
+SELECT query_id AS doc_a, doc_id AS doc_b, rrf_score AS jaccard, rank
+FROM ({hybrid_rrf_oracle(rrf_k_final, rrf_arm_k, bm25_query_pred, bm25_prefix_tokens)}) r"""
+    return tagged_union_oracle(
+        "form", [("'jaccard'", jac), ("'bm25'", bm), ("'rrf'", rrf)]
+    )
 
 
 def winnowing_oracle(shingle_n: int, window: int) -> str:

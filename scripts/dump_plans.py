@@ -227,6 +227,30 @@ def main() -> None:
             bm25_topk(docs, qdf_bm, k=5),
         )
     )
+    from pgvectorscale_spark.operators.hybrid import hybrid_topk
+
+    hyb_corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    hyb_q = hyb_corpus.filter("doc_id % 53 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 1, 4))").alias("q_text"),
+        F.col("embedding").alias("q_vec"),
+    )
+    sections.append(
+        (
+            "hybrid_topk (BM25 + vector arms fused with RRF)",
+            "Both arms keep their own scale shape (the BM25 postings path "
+            "meets only `BroadcastHashJoin`s; the exact vector arm "
+            "broadcasts the query batch into the corpus scan — swap in a "
+            "DiskANN/IVF result frame for served traffic, `rrf_fuse` is "
+            "arm-agnostic). The fusion itself sees at most "
+            "2 x arm_k x |Q| rows regardless of corpus size: partial_sum "
+            "before its exchange, then `WindowGroupLimit` cuts the final "
+            "top-k before the sort.",
+            hybrid_topk(hyb_corpus, hyb_q, k=5, arm_k=10),
+        )
+    )
     sections.append(
         (
             "bigram_lm_scores (stupid-backoff LM scoring)",

@@ -1,0 +1,127 @@
+"""Hybrid BM25+vector retrieval with Reciprocal Rank Fusion
+(operators/hybrid.py). The fusion rule is checked against a pure-python
+reference on constructed arms; the end-to-end operator is checked for
+arm-consistency invariants on the real sf0.001 corpus."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.operators.hybrid import RRF_K, hybrid_topk, rrf_fuse
+
+
+def _py_rrf(arms, k, rrf_k):
+    """Reference fusion: arms are lists of (query_id, doc_id, rank)."""
+    acc: dict[tuple, float] = {}
+    for arm in arms:
+        for q, d, r in arm:
+            acc[(q, d)] = acc.get((q, d), 0.0) + 1.0 / (rrf_k + r)
+    rows = [(q, d, round(s, 6)) for (q, d), s in acc.items()]
+    out = []
+    for q in sorted({r[0] for r in rows}):
+        ranked = sorted(
+            ((d, s) for qq, d, s in rows if qq == q), key=lambda x: (-x[1], x[0])
+        )
+        out.extend((q, d, s, i + 1) for i, (d, s) in enumerate(ranked[:k]))
+    return sorted(out)
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    # arm A and arm B agree on doc 10, disagree elsewhere; doc 30 is
+    # A-only, doc 40 is B-only; query 2 exists in one arm only
+    arm_a = [(1, 10, 1), (1, 20, 2), (1, 30, 3), (2, 50, 1)]
+    arm_b = [(1, 10, 2), (1, 40, 1), (1, 20, 3)]
+    schema = "query_id long, doc_id long, rank long"
+    dfa = spark.createDataFrame(arm_a, schema)
+    dfb = spark.createDataFrame(arm_b, schema)
+    got = sorted(
+        tuple(r)
+        for r in rrf_fuse([dfa, dfb], k=3, rrf_k=RRF_K)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+        .collect()
+    )
+    assert got == _py_rrf([arm_a, arm_b], k=3, rrf_k=RRF_K)
+
+
+def test_rrf_fuse_tie_breaks_on_doc_id(spark):
+    # identical contributions -> identical scores -> smaller doc_id first
+    arm = [(7, 200, 1), (7, 100, 1)]
+    # two single-row arms at the same rank produce equal scores
+    dfa = spark.createDataFrame(arm[:1], "query_id long, doc_id long, rank long")
+    dfb = spark.createDataFrame(arm[1:], "query_id long, doc_id long, rank long")
+    rows = (
+        rrf_fuse([dfa, dfb], k=2)
+        .orderBy("rank")
+        .select("doc_id", "rank")
+        .collect()
+    )
+    assert [(r["doc_id"], r["rank"]) for r in rows] == [(100, 1), (200, 2)]
+
+
+def test_rrf_fuse_validates():
+    with pytest.raises(ValueError, match="k must be positive"):
+        rrf_fuse([None], k=0)
+    with pytest.raises(ValueError, match="rrf_k must be positive"):
+        rrf_fuse([None], k=1, rrf_k=0)
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], k=1)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, documents, embeddings):
+    emb = embeddings.select(F.col("vec_id").alias("doc_id"), "embedding")
+    return documents.join(emb, "doc_id").select("doc_id", "text", "embedding").cache()
+
+
+def test_hybrid_topk_end_to_end(spark, corpus):
+    queries = corpus.filter("doc_id % 53 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 1, 4))").alias("q_text"),
+        F.col("embedding").alias("q_vec"),
+    )
+    fused = hybrid_topk(corpus, queries, k=5, arm_k=10).cache()
+    rows = fused.collect()
+    assert rows, "hybrid search returned nothing"
+    # per-query: ranks are 1..n without gaps, scores non-increasing
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["rrf_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert len(rs) <= 5
+    # a query doc is its own nearest vector (distance 0, vector rank 1)
+    # and shares all its query terms with itself (a BM25 candidate), so
+    # self-retrieval must appear in the fused top-k
+    for q, rs in by_q.items():
+        assert q in {r["doc_id"] for r in rs}, f"query {q} did not retrieve itself"
+    # every fused doc came from at least one arm's top-arm_k
+    from pgvectorscale_spark.operators.bm25 import bm25_topk
+    from pgvectorscale_spark.operators.knn import search_exact_batch
+
+    lex = {
+        (r["query_id"], r["doc_id"])
+        for r in bm25_topk(corpus, queries, k=10).collect()
+    }
+    vec = {
+        (r["query_id"], r["doc_id"])
+        for r in search_exact_batch(
+            corpus.select("doc_id", "embedding"),
+            queries.select("query_id", F.col("q_vec").alias("query_vec")),
+            k=10,
+            impl="sql",
+            round_to=4,
+            id_col="doc_id",
+        ).collect()
+    }
+    for r in rows:
+        assert (r["query_id"], r["doc_id"]) in (lex | vec)
+    # agreement beats single-arm: any doc in BOTH arms' top-10 must
+    # outscore any doc found by only one arm at rank >= 2 for that query
+    fused_by_key = {(r["query_id"], r["doc_id"]): r["rrf_score"] for r in rows}
+    both = lex & vec
+    for (q, d), s in fused_by_key.items():
+        if (q, d) in both:
+            assert s > 1.0 / (RRF_K + 1), "two-arm doc scored below a single arm's best"
