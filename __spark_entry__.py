@@ -1536,11 +1536,40 @@ def _multimodal_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union: binary payload metadata ('bin' rows) AND WARC crawl
+    ingestion ('warc' rows — sources/warc.py): each synthesized WARC file
+    packs a warcinfo record plus one application/http response record per
+    doc, and parse_warc_records must walk Content-Length-driven record
+    boundaries, strip HTTP headers, and reproduce every doc's exact text
+    (payload_md5 = md5 of the parsed payload vs the oracle's md5(text);
+    warcinfo rows ride doc_id = -(warc_id+1))."""
     from pgvectorscale_spark.operators.multimodal import attach_binary_payload, binary_metadata
+    from pgvectorscale_spark.sources.warc import attach_warc_payload, parse_warc_records
 
-    return binary_metadata(attach_binary_payload(_docs(spark, sf_dir))).select(
-        "doc_id", F.col("byte_len").cast("long").alias("byte_len"), "payload_md5"
+    docs = _docs(spark, sf_dir)
+    bin_rows = binary_metadata(attach_binary_payload(docs)).select(
+        F.lit("bin").alias("form"),
+        "doc_id",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        "payload_md5",
+        F.lit("").alias("warc_type"),
+        F.lit("").alias("target_uri"),
     )
+    recs = parse_warc_records(attach_warc_payload(docs))
+    warc_rows = recs.select(
+        F.lit("warc").alias("form"),
+        F.when(
+            F.col("warc_type") == "response",
+            F.regexp_extract("target_uri", "([0-9]+)$", 1).cast("long"),
+        )
+        .otherwise(-(F.col("warc_id") + 1))
+        .alias("doc_id"),
+        F.col("payload_len").alias("byte_len"),
+        F.md5(F.encode("payload", "UTF-8")).alias("payload_md5"),
+        "warc_type",
+        "target_uri",
+    )
+    return bin_rows.unionByName(warc_rows)
 
 
 def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1211,11 +1211,28 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
 
-def multimodal_meta_oracle() -> str:
-    return """
-SELECT doc_id, octet_length(encode(text)) AS byte_len,
-       md5(text) AS payload_md5
-FROM documents ORDER BY doc_id
+def multimodal_meta_oracle(warc_group_size: int = 50) -> str:
+    """Tagged union: binary payload metadata ('bin') AND the WARC
+    ingestion replay ('warc' — sources/warc.py): one response row per doc
+    whose parsed payload must be the doc's exact text, plus one warcinfo
+    row per doc_id-div-group file at doc_id = -(warc_id+1). The warcinfo
+    block is rebuilt as a SQL E-string so its md5/octet_length are
+    computed by DuckDB, not pasted."""
+    from pgvectorscale_spark.sources.warc import WARCINFO_BLOCK
+
+    block = "e'" + WARCINFO_BLOCK.replace("\r", "\\r").replace("\n", "\\n") + "'"
+    return f"""
+SELECT 'bin' AS form, doc_id, octet_length(encode(text)) AS byte_len,
+       md5(text) AS payload_md5, '' AS warc_type, '' AS target_uri
+FROM documents
+UNION ALL
+SELECT 'warc', doc_id, octet_length(encode(text)), md5(text), 'response',
+       'https://example.org/doc/' || doc_id
+FROM documents
+UNION ALL
+SELECT 'warc', -(warc_id + 1), octet_length(encode({block})), md5({block}),
+       'warcinfo', ''
+FROM (SELECT DISTINCT doc_id // {warc_group_size} AS warc_id FROM documents)
 """
 
 

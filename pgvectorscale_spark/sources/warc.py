@@ -1,0 +1,225 @@
+"""WARC (Web ARChive, ISO 28500 / WARC/1.0-1.1) ingestion — the format a
+100 TB training-data pipeline actually reads (Common Crawl ships as WARC
+files of HTTP responses).
+
+Spark-first shape: a WARC file is a byte blob; record extraction is
+per-blob and stateless, so the parse is one Arrow-batched
+``mapInPandas`` over a binary column — embarrassingly parallel, no
+shuffle, no driver state. At crawl scale the blobs come from
+``spark.read.format("binaryFile").load("s3a://.../segments/*.warc")``
+(one task per file; size tasks with ``maxPartitionBytes``) or from a
+manifest of (path, offset, length) ranges for record-level splits; the
+parser here consumes whatever bytes arrive in the column either way.
+
+The parser is spec-honest and fail-stop like the media decoders:
+mandatory ``Content-Length`` drives the record walk (bodies are NOT
+scanned for separators — a body may contain anything, including fake
+record headers), header names are case-insensitive, WARC/1.0 and 1.1
+are accepted, and ``response`` records carrying
+``application/http`` blocks get their HTTP status parsed and headers
+stripped (the payload a text pipeline wants). Truncated blocks, missing
+separators, and unknown versions raise ``ValueError`` with the offset.
+
+No reference analog (pgvectorscale ingests from Postgres tables); this
+serves the training-data-pipeline brief's source surface next to
+sources/tables.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "WARC_GROUP_SIZE",
+    "WARCINFO_BLOCK",
+    "attach_warc_payload",
+    "parse_warc_bytes",
+    "parse_warc_records",
+]
+
+WARC_GROUP_SIZE = 50  # docs per synthesized WARC file
+
+# the warcinfo block every synthesized file opens with (ends in CRLF,
+# as real crawlers write field blocks)
+WARCINFO_BLOCK = "software: pgvectorscale-spark-synth/1.0\r\nformat: WARC File Format 1.0\r\n"
+
+_HTTP_HEADER = "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """All records of one WARC file: [{rec_index, warc_type, record_id,
+    target_uri, http_status, content_length, payload, payload_len}].
+
+    ``payload`` is the record block with HTTP headers stripped for
+    ``application/http`` response records (status captured separately);
+    other record types pass their block through. ``payload_len`` is the
+    payload's OCTET length (UTF-8), not its character count."""
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    pos = 0
+    out: list[dict] = []
+    idx = 0
+    n = len(data)
+    while pos < n:
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError(f"WARC header block unterminated at offset {pos}")
+        head = data[pos:head_end].decode("utf-8")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(
+                f"not a WARC record at offset {pos}: {lines[0][:24]!r}"
+            )
+        version = lines[0][5:]
+        if version not in ("1.0", "1.1"):
+            raise ValueError(f"unsupported WARC version {version!r} at offset {pos}")
+        hdrs: dict[str, str] = {}
+        for ln in lines[1:]:
+            name, sep, value = ln.partition(":")
+            if not sep:
+                raise ValueError(f"malformed WARC header line {ln!r} at offset {pos}")
+            hdrs[name.strip().lower()] = value.strip()
+        if "content-length" not in hdrs:
+            raise ValueError(f"record at offset {pos} missing mandatory Content-Length")
+        clen = int(hdrs["content-length"])
+        body_start = head_end + 4
+        block = data[body_start : body_start + clen]
+        if len(block) < clen:
+            raise ValueError(
+                f"WARC block truncated at offset {body_start} "
+                f"(Content-Length {clen}, {len(block)} available)"
+            )
+        wtype = hdrs.get("warc-type", "")
+        http_status = None
+        payload = block
+        if wtype == "response" and hdrs.get("content-type", "").startswith(
+            "application/http"
+        ):
+            he = block.find(b"\r\n\r\n")
+            if he < 0:
+                raise ValueError(
+                    f"HTTP block without header terminator at offset {body_start}"
+                )
+            status_line = block[: block.find(b"\r\n")].decode("utf-8", "replace")
+            parts = status_line.split(" ")
+            if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+                raise ValueError(f"malformed HTTP status line {status_line!r}")
+            http_status = int(parts[1])
+            payload = block[he + 4 :]
+        out.append(
+            {
+                "rec_index": idx,
+                "warc_type": wtype,
+                "record_id": hdrs.get("warc-record-id", ""),
+                "target_uri": hdrs.get("warc-target-uri", ""),
+                "http_status": http_status,
+                "content_length": clen,
+                "payload": payload.decode("utf-8"),
+                "payload_len": len(payload),
+            }
+        )
+        pos = body_start + clen
+        if data[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError(f"missing CRLFCRLF record separator at offset {pos}")
+        pos += 4
+        idx += 1
+    return out
+
+
+_RECORD_SCHEMA = StructType(
+    [
+        StructField("warc_id", LongType()),
+        StructField("rec_index", LongType()),
+        StructField("warc_type", StringType()),
+        StructField("record_id", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("content_length", LongType()),
+        StructField("payload", StringType()),
+        StructField("payload_len", LongType()),
+    ]
+)
+
+
+def parse_warc_records(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "warc_id"
+) -> DataFrame:
+    """Explode each WARC blob into its records (one output row per
+    record, ``id_col`` passed through). Arrow-batched ``mapInPandas``;
+    blobs are independent, so the operator scales with input partitions
+    and never shuffles."""
+    import pandas as pd
+
+    names = [f.name for f in _RECORD_SCHEMA.fields]
+
+    def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for wid, blob in zip(pdf[id_col], pdf[payload_col]):
+                for rec in parse_warc_bytes(blob):
+                    rows.append({"warc_id": int(wid), **rec})
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
+    ).mapInPandas(run, _RECORD_SCHEMA)
+
+
+def attach_warc_payload(
+    docs: DataFrame,
+    group_size: int = WARC_GROUP_SIZE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic REAL WARC file per ``group_size`` docs, built
+    JVM-side: (warc_id, payload binary). Each file opens with a warcinfo
+    record and carries one ``application/http`` response record per doc
+    (doc_id order; Content-Length computed from octet lengths), so
+    ``parse_warc_records ∘ attach_warc_payload`` must reproduce every
+    document's exact text — the DuckDB oracle replays the expected
+    records straight from the source table, and a length/separator/
+    header bug on either side breaks the hash."""
+    lit = F.lit
+    http_block = F.concat(lit(_HTTP_HEADER), F.col(text_col))
+    rec = F.concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:doc:"),
+        F.col(id_col).cast("string"),
+        lit(">\r\nWARC-Target-URI: https://example.org/doc/"),
+        F.col(id_col).cast("string"),
+        lit("\r\nContent-Type: application/http;msgtype=response\r\nContent-Length: "),
+        F.octet_length(http_block).cast("string"),
+        lit("\r\n\r\n"),
+        http_block,
+        lit("\r\n\r\n"),
+    )
+    info = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: application/warc-fields"
+        f"\r\nContent-Length: {len(WARCINFO_BLOCK.encode())}\r\n\r\n{WARCINFO_BLOCK}\r\n\r\n"
+    )
+    grouped = (
+        docs.select(
+            F.floor(F.col(id_col) / group_size).cast("long").alias("warc_id"),
+            F.struct(F.col(id_col).alias("o"), rec.alias("r")).alias("s"),
+        )
+        .groupBy("warc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["r"]), ""
+            ).alias("_recs")
+        )
+        .select(
+            "warc_id",
+            F.encode(F.concat(lit(info), F.col("_recs")), "UTF-8").alias("payload"),
+        )
+    )
+    return grouped
