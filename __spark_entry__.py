@@ -561,8 +561,16 @@ def _hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (curation.stratified_sample — two-phase salted per-stratum top-n, the
     balanced-subsampling step of a data mix) rides the same key with its
     kept rows tagged by source stratum; the oracle replays the hash-order
-    window, so the salted two-phase form must match it row-for-row."""
-    from pgvectorscale_spark.operators.curation import stratified_sample
+    window, so the salted two-phase form must match it row-for-row.
+    Third arm ('temp'): temperature-based source mixing
+    (curation.temperature_resample, T=2, total_n=120) — per-source
+    targets by exact-bigint largest-remainder apportionment, so the
+    weight math, tie rule, caps, AND the per-stratum hash-order cut all
+    hash-verify against the in-SQL replay."""
+    from pgvectorscale_spark.operators.curation import (
+        stratified_sample,
+        temperature_resample,
+    )
     from pgvectorscale_spark.operators.packing import hash_split
 
     docs = _docs(spark, sf_dir)
@@ -572,9 +580,13 @@ def _hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     strat = stratified_sample(docs, "source", 25, id_col="doc_id").select(
         "doc_id", F.col("source").alias("split")
     )
+    temp = temperature_resample(docs, "source", temperature=2, total_n=120).select(
+        "doc_id", F.col("source").alias("split")
+    )
     return (
         split.select(F.lit("split").alias("form"), "*")
         .unionByName(strat.select(F.lit("stratified").alias("form"), "*"))
+        .unionByName(temp.select(F.lit("temp").alias("form"), "*"))
         .orderBy("form", "doc_id")
     )
 
@@ -1888,6 +1900,10 @@ FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
                     ),
                 ),
                 ("'stratified'", oracles.stratified_sample_oracle("source", 25)),
+                (
+                    "'temp'",
+                    oracles.temperature_resample_oracle("source", 2, 120),
+                ),
             ],
         ),
     }

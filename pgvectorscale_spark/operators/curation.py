@@ -204,10 +204,27 @@ def stratified_sample(
     most ``salt_buckets * n`` survivors per stratum. The global hash-order
     top n per stratum survives phase 1 by the superset argument, so the
     output is identical to the naive form for every input."""
-    from pyspark.sql import Window
-
     if n_per_stratum <= 0:
         raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
+    return _hash_order_rank(df, strata_col, n_per_stratum, id_col, salt, salt_buckets).filter(
+        F.col("sample_rank") <= n_per_stratum
+    )
+
+
+def _hash_order_rank(
+    df: DataFrame,
+    strata_col: str,
+    n_cap: int,
+    id_col: str,
+    salt: str,
+    salt_buckets: int,
+) -> DataFrame:
+    """The salted two-phase per-stratum ranking both samplers share:
+    ``sample_rank`` = this row's position in md5-hash order within its
+    stratum, materialized only for the top ``n_cap`` rows per stratum
+    (the superset argument from ``stratified_sample``'s docstring)."""
+    from pyspark.sql import Window
+
     salt_lit = str(salt).replace("\\", "\\\\").replace("'", "''")
     keyed = df.withColumn(
         "_key", F.expr(f"md5(concat('{salt_lit}:', cast(`{id_col}` as string)))")
@@ -218,15 +235,105 @@ def stratified_sample(
         F.col("_key").asc(), F.col(id_col).asc()
     )
     survivors = keyed.withColumn("_rn1", F.row_number().over(w1)).filter(
-        F.col("_rn1") <= n_per_stratum
+        F.col("_rn1") <= n_cap
     )
     w2 = Window.partitionBy(strata_col).orderBy(
         F.col("_key").asc(), F.col(id_col).asc()
     )
     return (
         survivors.withColumn("sample_rank", F.row_number().over(w2).cast("long"))
-        .filter(F.col("sample_rank") <= n_per_stratum)
+        .filter(F.col("sample_rank") <= n_cap)
         .drop("_key", "_salt", "_rn1")
+    )
+
+
+def temperature_targets(
+    counts: dict, temperature: float, total_n: int
+) -> dict:
+    """Per-stratum sample targets for a temperature-reweighted data mix:
+    weight w_s = count_s^T, share = total_n * w_s / Σw, rounded to exact
+    integers by largest remainder (Hamilton apportionment; remainder ties
+    break on stratum name ascending), then capped at count_s (sampling is
+    without replacement — upsampling is a different operator, so capped
+    strata simply realize fewer rows than total_n).
+
+    T < 1 flattens the mix toward uniform (upweights small sources),
+    T = 1 is proportional, T > 1 exaggerates large sources. For INTEGER
+    T the whole computation is exact bigint arithmetic (floors =
+    total_n*w // Σw, remainders = total_n*w % Σw) — bit-identical in any
+    engine, which is what the DuckDB twin replays; fractional T goes
+    through float pow with shares rounded to 6 decimals before the
+    remainder comparison (deterministic given one platform's libm)."""
+    if total_n <= 0:
+        raise ValueError(f"total_n must be positive, got {total_n}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    if not counts:
+        raise ValueError("temperature_targets needs at least one stratum")
+    if any(c < 0 for c in counts.values()):
+        raise ValueError("stratum counts must be non-negative")
+    names = sorted(counts)
+    if float(temperature).is_integer():
+        t = int(temperature)
+        w = {s: int(counts[s]) ** t for s in names}
+        tot_w = sum(w.values())
+        if tot_w == 0:
+            raise ValueError("all strata are empty")
+        floors = {s: (total_n * w[s]) // tot_w for s in names}
+        rems = {s: (total_n * w[s]) % tot_w for s in names}
+    else:
+        import math
+
+        w = {s: math.pow(counts[s], temperature) for s in names}
+        tot_w = math.fsum(w[s] for s in names)
+        if tot_w == 0.0:
+            raise ValueError("all strata are empty")
+        exact = {s: round(total_n * w[s] / tot_w, 6) for s in names}
+        floors = {s: int(math.floor(exact[s])) for s in names}
+        rems = {s: exact[s] - floors[s] for s in names}
+    leftover = total_n - sum(floors.values())
+    if not 0 <= leftover <= len(names):
+        raise RuntimeError(f"largest-remainder leftover {leftover} out of range")
+    order = sorted(names, key=lambda s: (-rems[s], s))
+    bump = set(order[:leftover])
+    return {s: min(int(counts[s]), floors[s] + (1 if s in bump else 0)) for s in names}
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float,
+    total_n: int,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Temperature-based source mixing: sample ``temperature_targets``
+    rows per ``strata_col`` value, selected by the same deterministic
+    md5-hash order as ``stratified_sample`` — the data-mixing stage of a
+    pretraining pipeline (per-source/per-language reweighting before
+    tokenization).
+
+    Scale shape: the only driver-side data is one count per stratum
+    (sources/languages — dozens, not rows); selection reuses the salted
+    two-phase window capped at the LARGEST target, then filters each
+    stratum to its own target through a broadcast map literal. Exact
+    output sizes, stable across runs/partitionings/engines."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
+    }  # O(#strata) rows — a scalar-class collect
+    counts = {s: c for s, c in counts.items() if s is not None}
+    targets = temperature_targets(counts, temperature, total_n)
+    max_n = max(targets.values(), default=0)
+    if max_n == 0:
+        return df.withColumn("sample_rank", F.lit(0).cast("long")).limit(0)
+    tgt_map = F.create_map(
+        *[F.lit(x) for s, n in sorted(targets.items()) for x in (s, n)]
+    )
+    ranked = _hash_order_rank(df, strata_col, max_n, id_col, salt, salt_buckets)
+    return ranked.filter(
+        F.col("sample_rank")
+        <= F.coalesce(F.element_at(tgt_map, F.col(strata_col)), F.lit(0))
     )
 
 

@@ -2335,6 +2335,49 @@ ORDER BY doc_id
 """
 
 
+def temperature_resample_oracle(
+    strata_col: str, temperature: int, total_n: int, salt: str = "mix"
+) -> str:
+    """Twin of curation.temperature_resample at an INTEGER temperature
+    (projected to (doc_id, split)): per-stratum targets by exact-bigint
+    largest remainder (floors = total_n*c^T // Σc^T, remainders by the
+    modulo, ties on stratum name ascending, capped at the stratum size),
+    then the md5-hash-order window cut at each stratum's own target —
+    both the apportionment arithmetic and the selection must reproduce
+    the Spark side exactly."""
+    t = int(temperature)
+    if t < 1:
+        raise ValueError("the SQL twin replays integer temperatures only")
+    w_expr = " * ".join(["c"] * t)
+
+    def q(s: str) -> str:
+        return str(s).replace("'", "''")
+
+    key = f"md5(concat('{q(salt)}:', cast(doc_id AS VARCHAR)))"
+    return f"""
+WITH c AS (
+  SELECT {strata_col} AS s, count(*)::BIGINT AS c FROM documents
+  WHERE {strata_col} IS NOT NULL GROUP BY {strata_col}),
+w AS (SELECT s, c, {w_expr} AS w FROM c),
+tot AS (SELECT sum(w) AS tw FROM w),
+parts AS (
+  SELECT s, c, ({total_n} * w) // tw AS fl, ({total_n} * w) % tw AS rem
+  FROM w, tot),
+lef AS (SELECT {total_n} - sum(fl) AS l FROM parts),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, s ASC) AS rk FROM parts),
+tgt AS (
+  SELECT s, least(c, fl + CASE WHEN rk <= (SELECT l FROM lef) THEN 1 ELSE 0 END) AS n
+  FROM ranked),
+r AS (
+  SELECT doc_id, {strata_col} AS s,
+         row_number() OVER (PARTITION BY {strata_col} ORDER BY {key}, doc_id) AS rn
+  FROM documents WHERE {strata_col} IS NOT NULL)
+SELECT doc_id, s AS split FROM r JOIN tgt USING (s) WHERE rn <= n
+ORDER BY doc_id
+"""
+
+
 def hash_split_oracle(
     weights: dict[str, float], salt: str = "split", resolution: int = 1_000_000
 ) -> str:

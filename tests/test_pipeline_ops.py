@@ -414,6 +414,80 @@ class TestCuration:
         with _pytest.raises(ValueError, match="positive"):
             stratified_sample(df, "source", 0)
 
+    def test_temperature_targets_apportionment(self):
+        from pgvectorscale_spark.operators.curation import temperature_targets
+
+        counts = {"web": 700, "wiki": 200, "code": 100}
+        # T=1: proportional largest remainder sums exactly to total_n
+        t1 = temperature_targets(counts, 1, 100)
+        assert t1 == {"web": 70, "wiki": 20, "code": 10}
+        # T=2 exaggerates the big source; exact bigint arithmetic
+        t2 = temperature_targets(counts, 2, 100)
+        w = {s: c * c for s, c in counts.items()}
+        tw = sum(w.values())
+        assert sum(t2.values()) == 100
+        for s in counts:
+            assert abs(t2[s] - 100 * w[s] / tw) < 1  # within 1 of the exact share
+        assert t2["web"] > t1["web"]
+        # T<1 flattens toward uniform (upweights small sources)
+        th = temperature_targets(counts, 0.5, 100)
+        assert th["code"] > t1["code"] and th["web"] < t1["web"]
+        assert sum(th.values()) == 100
+        # caps: a tiny stratum can't exceed its size; total dips below
+        tc = temperature_targets({"a": 2, "b": 100}, 0.1, 100)
+        assert tc["a"] == 2
+        # remainder ties break on stratum name ascending
+        tt = temperature_targets({"x": 1, "y": 1, "z": 1}, 1, 2)
+        assert tt == {"x": 1, "y": 1, "z": 0}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="total_n"):
+            temperature_targets(counts, 1, 0)
+        with _pytest.raises(ValueError, match="temperature"):
+            temperature_targets(counts, 0, 10)
+        with _pytest.raises(ValueError, match="at least one"):
+            temperature_targets({}, 1, 10)
+        with _pytest.raises(ValueError, match="empty"):
+            temperature_targets({"a": 0}, 1, 10)
+
+    def test_temperature_resample_matches_naive_selection(self, spark, documents):
+        """The operator keeps exactly the targets' hash-order prefixes —
+        replayed here with a naive python selection per stratum."""
+        from pgvectorscale_spark.operators.curation import (
+            temperature_resample,
+            temperature_targets,
+        )
+
+        rows = documents.select("doc_id", "source").collect()
+        counts: dict[str, int] = {}
+        for r in rows:
+            counts[r["source"]] = counts.get(r["source"], 0) + 1
+        targets = temperature_targets(counts, 2, 120)
+        import hashlib
+
+        by_s: dict[str, list] = {}
+        for r in rows:
+            k = hashlib.md5(f"mix:{r['doc_id']}".encode()).hexdigest()
+            by_s.setdefault(r["source"], []).append((k, r["doc_id"]))
+        expected = set()
+        for s, pairs in by_s.items():
+            pairs.sort()
+            expected |= {d for _, d in pairs[: targets[s]]}
+        got = {
+            r["doc_id"]
+            for r in temperature_resample(documents, "source", 2, 120).collect()
+        }
+        assert got == expected
+        assert len(got) == sum(targets.values())
+        # determinism under repartitioning
+        again = {
+            r["doc_id"]
+            for r in temperature_resample(
+                documents.repartition(7), "source", 2, 120
+            ).collect()
+        }
+        assert again == got
+
     def test_repetition_stats_known_values(self, spark):
         from pgvectorscale_spark.operators.curation import repetition_stats
 
