@@ -566,8 +566,12 @@ def _hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (curation.temperature_resample, T=2, total_n=120) — per-source
     targets by exact-bigint largest-remainder apportionment, so the
     weight math, tie rule, caps, AND the per-stratum hash-order cut all
-    hash-verify against the in-SQL replay."""
+    hash-verify against the in-SQL replay. Fourth arm ('epoch'):
+    fractional-epoch up/down-sampling (curation.epoch_expand: src0 x2.5,
+    src1 x0.25, src2 x3, others x1; split carries source:copy so the
+    exact copy multiplicities hash-verify too)."""
     from pgvectorscale_spark.operators.curation import (
+        epoch_expand,
         stratified_sample,
         temperature_resample,
     )
@@ -583,10 +587,17 @@ def _hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     temp = temperature_resample(docs, "source", temperature=2, total_n=120).select(
         "doc_id", F.col("source").alias("split")
     )
+    epoch = epoch_expand(
+        docs, "source", {"src0": 2.5, "src1": 0.25, "src2": 3.0}
+    ).select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(":"), F.col("copy")).alias("split"),
+    )
     return (
         split.select(F.lit("split").alias("form"), "*")
         .unionByName(strat.select(F.lit("stratified").alias("form"), "*"))
         .unionByName(temp.select(F.lit("temp").alias("form"), "*"))
+        .unionByName(epoch.select(F.lit("epoch").alias("form"), "*"))
         .orderBy("form", "doc_id")
     )
 
@@ -1903,6 +1914,12 @@ FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
                 (
                     "'temp'",
                     oracles.temperature_resample_oracle("source", 2, 120),
+                ),
+                (
+                    "'epoch'",
+                    oracles.epoch_expand_oracle(
+                        "source", {"src0": 2.5, "src1": 0.25, "src2": 3.0}
+                    ),
                 ),
             ],
         ),

@@ -337,6 +337,75 @@ def temperature_resample(
     )
 
 
+def epoch_expand(
+    df: DataFrame,
+    strata_col: str,
+    epochs: dict,
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+    salt_buckets: int = 16,
+    default_epoch: float = 1.0,
+) -> DataFrame:
+    """Fractional-epoch up/down-sampling — the other half of data mixing
+    next to ``temperature_resample``: a mix spec like "3.5 epochs of
+    wiki, 0.8 of crawl" repeats every row of stratum s ``floor(e_s)``
+    times and gives ONE extra copy to the first ``round(frac_s *
+    count_s)`` rows in deterministic md5-hash order (the same order both
+    samplers use), so realized sizes are exact to the row and stable
+    across runs/partitionings/engines. Output keeps the input columns
+    plus ``copy`` (1..n for that row); rows whose repeat count is 0
+    (e_s < 1 and not selected) are dropped.
+
+    Scale shape: driver-side data is one count per stratum; the extra-
+    copy set reuses the salted two-phase window (never a whole-corpus
+    single-partition sort), and replication is a map-side
+    explode(sequence(1, n)) — no shuffle beyond the rank's own.
+
+    Epoch fractions meant for cross-engine replay should be binary-exact
+    (x/2^k: .5, .25, .75...) so ``round(frac * count)`` can't straddle a
+    half-ulp between engines; arbitrary fractions are fine within one
+    engine."""
+    import math
+
+    if default_epoch < 0 or any(e < 0 for e in epochs.values()):
+        raise ValueError("epochs must be non-negative")
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
+    }  # O(#strata) rows — a scalar-class collect
+    eps = {s: float(epochs.get(s, default_epoch)) for s in counts}
+    base = {s: int(math.floor(eps[s])) for s in counts}
+    extra = {
+        s: int(math.floor((eps[s] - base[s]) * counts[s] + 0.5)) for s in counts
+    }
+    named = sorted((s for s in counts if s is not None), key=str)
+    if not named:  # empty input or all-NULL strata: nothing to repeat
+        return df.withColumn("copy", F.lit(0).cast("long")).limit(0)
+    # NULL strata have no epoch identity -> repeat count 0, dropped
+    max_extra = max((extra[s] for s in named), default=0)
+    base_map = F.create_map(*[F.lit(x) for s in named for x in (s, base[s])])
+    n_col = F.coalesce(F.element_at(base_map, F.col(strata_col)), F.lit(0))
+    if max_extra > 0:
+        extra_map = F.create_map(*[F.lit(x) for s in named for x in (s, extra[s])])
+        flagged = (
+            _hash_order_rank(df, strata_col, max_extra, id_col, salt, salt_buckets)
+            .filter(
+                F.col("sample_rank")
+                <= F.coalesce(F.element_at(extra_map, F.col(strata_col)), F.lit(0))
+            )
+            .select(F.col(id_col), F.lit(1).alias("_extra"))
+        )
+        out = df.join(flagged, id_col, "left").withColumn(
+            "_n", n_col + F.coalesce(F.col("_extra"), F.lit(0))
+        ).drop("_extra")
+    else:
+        out = df.withColumn("_n", n_col)
+    return (
+        out.filter(F.col("_n") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1).cast("long"), F.col("_n").cast("long"))))
+        .drop("_n")
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2378,6 +2378,47 @@ ORDER BY doc_id
 """
 
 
+def epoch_expand_oracle(
+    strata_col: str,
+    epochs: dict,
+    default_epoch: float = 1.0,
+    salt: str = "epoch",
+) -> str:
+    """Twin of curation.epoch_expand projected to (doc_id, split =
+    stratum ':' copy): floor(e) copies for every row plus one more for
+    the first round(frac*count) rows in md5-hash order. Epoch literals
+    must be binary-exact fractions so floor(frac*c + 0.5) is the same
+    double arithmetic in both engines."""
+
+    def q(s: str) -> str:
+        return str(s).replace("'", "''")
+
+    cases = " ".join(
+        f"WHEN '{q(s)}' THEN {float(e)!r}::DOUBLE" for s, e in sorted(epochs.items())
+    )
+    ep = f"CASE {strata_col} {cases} ELSE {float(default_epoch)!r}::DOUBLE END"
+    key = f"md5(concat('{q(salt)}:', cast(doc_id AS VARCHAR)))"
+    return f"""
+WITH c AS (
+  SELECT {strata_col} AS s, count(*)::BIGINT AS c, {ep} AS ep
+  FROM documents WHERE {strata_col} IS NOT NULL GROUP BY {strata_col}),
+p AS (
+  SELECT s, CAST(floor(ep) AS BIGINT) AS base,
+         CAST(floor((ep - floor(ep)) * c + 0.5) AS BIGINT) AS extra
+  FROM c),
+r AS (
+  SELECT doc_id, {strata_col} AS s,
+         row_number() OVER (PARTITION BY {strata_col} ORDER BY {key}, doc_id) AS rn
+  FROM documents WHERE {strata_col} IS NOT NULL),
+n AS (
+  SELECT doc_id, s, base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS n
+  FROM r JOIN p USING (s))
+SELECT doc_id, s || ':' || copy AS split
+FROM (SELECT doc_id, s, unnest(generate_series(1, n)) AS copy FROM n WHERE n >= 1)
+ORDER BY doc_id, split
+"""
+
+
 def hash_split_oracle(
     weights: dict[str, float], salt: str = "split", resolution: int = 1_000_000
 ) -> str:

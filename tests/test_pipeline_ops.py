@@ -488,6 +488,60 @@ class TestCuration:
         }
         assert again == got
 
+    def test_epoch_expand_multiplicities(self, spark):
+        import hashlib
+
+        from pgvectorscale_spark.operators.curation import epoch_expand
+
+        rows = [(i, "a") for i in range(10)] + [(i, "b") for i in range(10, 20)] + [
+            (i, "c") for i in range(20, 24)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = epoch_expand(
+            df, "source", {"a": 2.5, "b": 0.3, "c": 0.0}, salt="epoch"
+        ).collect()
+        per_doc: dict[int, list[int]] = {}
+        for r in out:
+            per_doc.setdefault(r["doc_id"], []).append(r["copy"])
+        # stratum a: base 2, extra to round(0.5*10)=5 smallest-hash docs
+        def hkey(d):
+            return hashlib.md5(f"epoch:{d}".encode()).hexdigest()
+
+        a_sorted = sorted(range(10), key=lambda d: (hkey(d), d))
+        for d in a_sorted[:5]:
+            assert sorted(per_doc[d]) == [1, 2, 3]
+        for d in a_sorted[5:]:
+            assert sorted(per_doc[d]) == [1, 2]
+        # stratum b: base 0, round(0.3*10)=3 docs kept once
+        b_docs = [d for d in range(10, 20) if d in per_doc]
+        b_sorted = sorted(range(10, 20), key=lambda d: (hkey(d), d))
+        assert set(b_docs) == set(b_sorted[:3])
+        assert all(per_doc[d] == [1] for d in b_docs)
+        # stratum c: 0 epochs -> dropped entirely
+        assert all(d not in per_doc for d in range(20, 24))
+        # determinism under repartitioning
+        again = epoch_expand(
+            df.repartition(5), "source", {"a": 2.5, "b": 0.3, "c": 0.0}, salt="epoch"
+        ).collect()
+        assert sorted((r["doc_id"], r["copy"]) for r in again) == sorted(
+            (r["doc_id"], r["copy"]) for r in out
+        )
+
+    def test_epoch_expand_default_and_validation(self, spark):
+        import pytest as _pytest
+
+        from pgvectorscale_spark.operators.curation import epoch_expand
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "doc_id long, source string"
+        )
+        out = epoch_expand(df, "source", {"a": 2.0}).collect()
+        got = sorted((r["doc_id"], r["copy"]) for r in out)
+        # a doubles, b defaults to 1 epoch, NULL stratum is dropped
+        assert got == [(1, 1), (1, 2), (2, 1)]
+        with _pytest.raises(ValueError, match="non-negative"):
+            epoch_expand(df, "source", {"a": -1.0})
+
     def test_repetition_stats_known_values(self, spark):
         from pgvectorscale_spark.operators.curation import repetition_stats
 
