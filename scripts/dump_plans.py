@@ -251,6 +251,32 @@ def main() -> None:
             hybrid_topk(hyb_corpus, hyb_q, k=5, arm_k=10),
         )
     )
+    from pgvectorscale_spark.operators.curation import temperature_resample
+    from pgvectorscale_spark.sources.warc import attach_warc_payload, parse_warc_records
+
+    sections.append(
+        (
+            "temperature_resample (exact-count source mixing)",
+            "Targets are computed driver-side from one count per stratum "
+            "(a scalar-class collect); selection is the same salted "
+            "two-phase window as stratified_sample capped at the LARGEST "
+            "target, then each stratum filters to its own target through "
+            "a broadcast map literal — no per-stratum whole-corpus window, "
+            "no second pass.",
+            temperature_resample(docs, "source", temperature=2, total_n=120),
+        )
+    )
+    sections.append(
+        (
+            "parse_warc_records (crawl-archive ingestion)",
+            "The record walk is one ArrowEvalPython/MapInPandas over the "
+            "blob column — blobs are independent, so the plan has ZERO "
+            "Exchange below the parse: ingestion scales with input "
+            "partitions (at crawl scale, one task per WARC file from a "
+            "binaryFile scan). The synth's groupBy is fixture-only.",
+            parse_warc_records(attach_warc_payload(docs)),
+        )
+    )
     sections.append(
         (
             "bigram_lm_scores (stupid-backoff LM scoring)",
