@@ -74,7 +74,10 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         head_end = data.find(b"\r\n\r\n", pos)
         if head_end < 0:
             raise ValueError(f"WARC header block unterminated at offset {pos}")
-        head = data[pos:head_end].decode("utf-8")
+        try:
+            head = data[pos:head_end].decode("utf-8")
+        except UnicodeDecodeError as ex:
+            raise ValueError(f"WARC header bytes not UTF-8 at offset {pos}: {ex}") from ex
         lines = head.split("\r\n")
         if not lines[0].startswith("WARC/"):
             raise ValueError(
@@ -116,6 +119,14 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
                 raise ValueError(f"malformed HTTP status line {status_line!r}")
             http_status = int(parts[1])
             payload = block[he + 4 :]
+        try:
+            payload_text = payload.decode("utf-8")
+        except UnicodeDecodeError as ex:
+            # this reader serves TEXT pipelines; a binary resource block
+            # (valid WARC) is out of contract — fail stop, don't mangle
+            raise ValueError(
+                f"record {idx} ({wtype}) payload is not UTF-8 text: {ex}"
+            ) from ex
         out.append(
             {
                 "rec_index": idx,
@@ -124,7 +135,7 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
                 "target_uri": hdrs.get("warc-target-uri", ""),
                 "http_status": http_status,
                 "content_length": clen,
-                "payload": payload.decode("utf-8"),
+                "payload": payload_text,
                 "payload_len": len(payload),
             }
         )

@@ -239,3 +239,66 @@ def test_media_parsers_reject_plausible_prefixes_cleanly(tail, which):
             parse_h264_picture(data)
         except (ValueError, NotImplementedError):
             pass
+
+
+_warc_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "resource", "request", "metadata"]),
+            _warc_text,
+            st.sampled_from(["1.0", "1.1"]),
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_warc_random_records_round_trip(recs):
+    """parse_warc_bytes inverts a record writer for ANY unicode payloads,
+    record types, versions, and record counts: Content-Length drives the
+    walk, so payloads embedding CRLFs, fake 'WARC/1.0' headers, or HTTP
+    terminators never desynchronize it."""
+    from pgvectorscale_spark.sources.warc import parse_warc_bytes
+
+    data = b""
+    for i, (wtype, text, version) in enumerate(recs):
+        body = text.encode("utf-8")
+        headers = f"WARC-Type: {wtype}\r\nWARC-Record-ID: <urn:fuzz:{i}>\r\n"
+        if wtype == "response":
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+                + body
+            )
+            headers += "Content-Type: application/http;msgtype=response\r\n"
+        data += (
+            f"WARC/{version}\r\n{headers}Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+            + b"\r\n\r\n"
+        )
+    out = parse_warc_bytes(data)
+    assert len(out) == len(recs)
+    for i, ((wtype, text, _), rec) in enumerate(zip(recs, out)):
+        assert rec["rec_index"] == i
+        assert rec["warc_type"] == wtype
+        assert rec["record_id"] == f"<urn:fuzz:{i}>"
+        assert rec["payload"] == text
+        assert rec["payload_len"] == len(text.encode("utf-8"))
+        assert rec["http_status"] == (200 if wtype == "response" else None)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_warc_garbage_rejects_cleanly(data):
+    """Arbitrary bytes either parse (only the empty prefix can) or raise
+    a typed ValueError — never an unhandled exception type."""
+    from pgvectorscale_spark.sources.warc import parse_warc_bytes
+
+    try:
+        out = parse_warc_bytes(data)
+    except ValueError:
+        return
+    assert data == b"" and out == []
