@@ -104,12 +104,43 @@ def _knn_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union: exact batch top-k ('exact' rows) AND Maximal
+    Marginal Relevance diversification ('mmr' rows —
+    hybrid.mmr_rerank, k=3 greedy picks over each query's cosine top-8
+    with λ=0.5, the MMR score riding the distance slot). The DuckDB twin
+    unrolls the greedy argmax sequence pick by pick, so candidate
+    generation, the 4-decimal sim/relevance seams, the 6-decimal score
+    rounding, penalty maxima, and every tie break hash-verify."""
+    from pgvectorscale_spark.operators.hybrid import mmr_rerank
+
     emb = _emb(spark, sf_dir)
     qdf = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     res = search_exact_batch(emb, qdf, k=5, impl="sql", round_to=4)
-    return res.select("query_id", "vec_id", "distance", F.col("rank").cast("long").alias("rank"))
+    exact = res.select(
+        F.lit("exact").alias("form"),
+        "query_id",
+        "vec_id",
+        "distance",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    qdf4 = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cand = (
+        search_exact_batch(emb, qdf4, k=8, impl="sql", round_to=4)
+        .withColumn("relevance", F.round(F.lit(1.0) - F.col("distance"), 4))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    mmr = mmr_rerank(cand, k=3).select(
+        F.lit("mmr").alias("form"),
+        "query_id",
+        "vec_id",
+        F.col("mmr_score").alias("distance"),
+        "rank",
+    )
+    return exact.unionByName(mmr)
 
 
 def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1762,7 +1793,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_matryoshka": oracles.knn_exact_oracle(3, 10, "l2", max_dim=32),
         "knn_label_filtered": oracles.knn_label_filtered_oracle(0, 10, [3, 4]),
-        "knn_batch": oracles.knn_batch_oracle(5, 5),
+        "knn_batch": oracles.tagged_union_oracle(
+            "form",
+            [
+                ("'exact'", oracles.knn_batch_oracle(5, 5)),
+                ("'mmr'", oracles.mmr_oracle(num_queries=4, cand_k=8, k=3)),
+            ],
+        ),
         "knn_join": oracles.knn_join_oracle(10, 3),
         "index_full_scan": oracles.index_full_scan_oracle(),
         "sbq_means": oracles.sbq_means_oracle(),

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pgvectorscale_spark.operators.bm25 import BM25_B, BM25_K1, bm25_topk
 from pgvectorscale_spark.operators.knn import search_exact_batch
 
-__all__ = ["RRF_K", "hybrid_topk", "rrf_fuse"]
+__all__ = ["RRF_K", "hybrid_topk", "mmr_rerank", "rrf_fuse"]
 
 # the constant from the original RRF paper; large enough that rank-1
 # outliers in one arm can't drown consistent mid-rank agreement
@@ -89,6 +89,79 @@ def rrf_fuse(
     return fused.withColumn(rank_col, F.row_number().over(w).cast("long")).filter(
         F.col(rank_col) <= k
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lambda_: float = 0.5,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "relevance",
+    vector_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998) over per-query candidate sets: greedily pick
+    argmax λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s), k times.
+
+    Returns (query_id, id, mmr_score, rank). The empty-set penalty is 0,
+    so pick 1 is the relevance argmax with score λ·rel.
+
+    Spark shape: MMR is inherently sequential *within* a query but the
+    candidate set is tiny (the upstream top-arm_k), so the greedy loop
+    runs as one Arrow-batched ``applyInPandas`` group per query — the
+    per-group work is O(k · arm_k) dot products over vectors already cut
+    down by the retrieval arm, never a corpus operation.
+
+    Determinism: pairwise cosine sims and relevances are rounded to
+    ``round_to`` decimals, MMR scores to 6, ties break on id ascending —
+    the same cross-engine seams as the k-NN oracles, which is what lets
+    an unrolled SQL twin replay the pick sequence exactly."""
+    import numpy as np
+    import pandas as pd
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    lam = float(lambda_)
+    schema = (
+        f"{query_id_col} long, {id_col} long, mmr_score double, rank long"
+    )
+
+    def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        vecs = np.stack(pdf[vector_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        unit = vecs / nrm
+        sims = np.round(unit @ unit.T, round_to)
+        rel = np.round(pdf[rel_col].to_numpy(dtype=np.float64), round_to)
+        n = len(pdf)
+        picked: list[int] = []
+        rows = []
+        for step in range(min(k, n)):
+            pen = (
+                sims[:, picked].max(axis=1) if picked else np.zeros(n)
+            )
+            scores = np.round(lam * rel - (1.0 - lam) * pen, 6)
+            scores[picked] = -np.inf
+            best = int(np.argmax(scores))  # first max = smallest id (sorted)
+            picked.append(best)
+            rows.append(
+                (
+                    int(pdf[query_id_col].iloc[best]),
+                    int(pdf[id_col].iloc[best]),
+                    float(scores[best]),
+                    step + 1,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=[query_id_col, id_col, "mmr_score", "rank"]
+        )
+
+    return candidates.groupBy(query_id_col).applyInPandas(pick, schema)
 
 
 def hybrid_topk(

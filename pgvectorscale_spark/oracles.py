@@ -180,6 +180,85 @@ ORDER BY query_id, rank
 """
 
 
+def mmr_oracle(
+    num_queries: int, cand_k: int, k: int, lam: float = 0.5
+) -> str:
+    """Twin of hybrid.mmr_rerank over cosine top-``cand_k`` candidates
+    for the first ``num_queries`` vectors: the greedy argmax sequence is
+    UNROLLED into one CTE per pick (penalty = greatest of the rounded
+    pairwise sims to every earlier pick), with the operator's exact
+    seams — sims/relevance rounded to 4 decimals, MMR scores to 6, ties
+    on vec_id ascending."""
+    lam = float(lam)
+    cand = f"""
+dist AS (
+  SELECT q.query_id, e.vec_id,
+         greatest(0.0, 1.0 - sum((e.v / en.nrm) * (q.v / qn.nrm))) AS distance
+  FROM e JOIN q USING (i)
+  JOIN en ON e.vec_id = en.vec_id JOIN qn ON q.query_id = qn.query_id
+  GROUP BY q.query_id, e.vec_id, en.nrm, qn.nrm),
+cand AS (
+  SELECT query_id, vec_id, round(1.0 - round(distance, 4), 4) AS rel
+  FROM dist
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY round(distance, 4), vec_id) <= {cand_k}),
+ps AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(sum((a.v / an.nrm) * (b.v / bn.nrm)), 4) AS s
+  FROM e a JOIN e b USING (i)
+  JOIN en an ON a.vec_id = an.vec_id JOIN en bn ON b.vec_id = bn.vec_id
+  WHERE a.vec_id IN (SELECT vec_id FROM cand)
+    AND b.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY a.vec_id, b.vec_id, an.nrm, bn.nrm)"""
+    steps = []
+    selects = []
+    for i in range(1, k + 1):
+        if i == 1:
+            steps.append(
+                f"""p1 AS (
+  SELECT query_id, vec_id, round({lam!r} * rel, 6) AS m
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY round({lam!r} * rel, 6) DESC, vec_id) = 1)"""
+            )
+        else:
+            joins = "".join(
+                f"\n  JOIN p{j} ON p{j}.query_id = c.query_id"
+                f"\n  JOIN ps s{j} ON s{j}.ia = c.vec_id AND s{j}.ib = p{j}.vec_id"
+                for j in range(1, i)
+            )
+            excl = " AND ".join(f"c.vec_id != p{j}.vec_id" for j in range(1, i))
+            pen = (
+                f"greatest({', '.join(f's{j}.s' for j in range(1, i))})"
+                if i > 2
+                else "s1.s"
+            )
+            steps.append(
+                f"""p{i} AS (
+  SELECT c.query_id, c.vec_id,
+         round({lam!r} * c.rel - {1.0 - lam!r} * {pen}, 6) AS m
+  FROM cand c{joins}
+  WHERE {excl}
+  QUALIFY row_number() OVER (PARTITION BY c.query_id
+                             ORDER BY round({lam!r} * c.rel - {1.0 - lam!r} * {pen}, 6) DESC,
+                                      c.vec_id) = 1)"""
+            )
+        selects.append(
+            f"SELECT query_id, vec_id, m AS mmr_score, {i}::BIGINT AS rank FROM p{i}"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH e AS ({_UNNEST}),
+en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, i, v FROM e WHERE vec_id < {num_queries}),
+qn AS (SELECT vec_id AS query_id, nrm FROM en WHERE vec_id < {num_queries}),
+{cand},
+{",".join(chr(10) + s for s in steps)}
+{body}
+ORDER BY query_id, rank
+"""
+
+
 def sbq_means_oracle() -> str:
     """Quantizer training stats: per-dimension mean/variance (Q1)."""
     return f"""

@@ -67,6 +67,88 @@ def test_rrf_fuse_validates():
         rrf_fuse([], k=1)
 
 
+def _py_mmr(cands, k, lam=0.5, round_to=4):
+    """Reference MMR: cands = [(qid, vid, rel, vec)] for ONE query."""
+    import numpy as np
+
+    cands = sorted(cands, key=lambda c: c[1])
+    vecs = np.array([c[3] for c in cands], dtype=np.float64)
+    nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1
+    unit = vecs / nrm
+    sims = np.round(unit @ unit.T, round_to)
+    rel = np.round(np.array([c[2] for c in cands]), round_to)
+    picked, out = [], []
+    for step in range(min(k, len(cands))):
+        best, best_s = None, None
+        for i in range(len(cands)):
+            if i in picked:
+                continue
+            pen = max((sims[i][j] for j in picked), default=0.0)
+            s = round(lam * rel[i] - (1 - lam) * pen, 6)
+            if best is None or s > best_s:
+                best, best_s = i, s
+        picked.append(best)
+        out.append((cands[best][0], cands[best][1], best_s, step + 1))
+    return out
+
+
+def test_mmr_rerank_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for q in range(3):
+        for d in range(8):
+            vec = [rng.uniform(-1, 1) for _ in range(6)]
+            rows.append((q, q * 100 + d, round(rng.uniform(0, 1), 4), vec))
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, relevance double, embedding array<double>"
+    )
+    from pgvectorscale_spark.operators.hybrid import mmr_rerank
+
+    got = sorted(
+        tuple(r)
+        for r in mmr_rerank(df, k=4).select(
+            "query_id", "vec_id", "mmr_score", "rank"
+        ).collect()
+    )
+    expected = sorted(
+        t for q in range(3) for t in _py_mmr([r for r in rows if r[0] == q], k=4)
+    )
+    assert [(a, b, round(c, 6), d) for a, b, c, d in got] == [
+        (a, b, round(c, 6), d) for a, b, c, d in expected
+    ]
+
+
+def test_mmr_diversifies_against_duplicates(spark):
+    # two near-identical high-relevance docs: plain top-2 takes both,
+    # MMR takes one of them plus the distinct lower-relevance doc
+    rows = [
+        (1, 10, 0.99, [1.0, 0.0, 0.0]),
+        (1, 11, 0.98, [1.0, 0.001, 0.0]),  # duplicate of 10
+        (1, 12, 0.60, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, relevance double, embedding array<double>"
+    )
+    from pgvectorscale_spark.operators.hybrid import mmr_rerank
+
+    picked = [
+        r["vec_id"] for r in mmr_rerank(df, k=2).orderBy("rank").collect()
+    ]
+    assert picked == [10, 12]
+
+
+def test_mmr_validates(spark):
+    from pgvectorscale_spark.operators.hybrid import mmr_rerank
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        mmr_rerank(None, k=0)
+    with pytest.raises(ValueError, match="lambda_"):
+        mmr_rerank(None, k=1, lambda_=1.5)
+
+
 @pytest.fixture(scope="module")
 def corpus(spark, documents, embeddings):
     emb = embeddings.select(F.col("vec_id").alias("doc_id"), "embedding")
