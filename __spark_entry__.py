@@ -1058,17 +1058,54 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (the CLIP-embedder shape, deterministic fake model), exploded to one
-    row per (doc, lane) so the oracle hash-compares scalar doubles."""
-    from pgvectorscale_spark.operators.multimodal import attach_binary_payload, fake_feature_extract
-
-    feats = fake_feature_extract(attach_binary_payload(_docs(spark, sf_dir)), dim=4)
-    return feats.select("doc_id", F.posexplode("feature").alias("dim", "feature")).select(
-        "doc_id",
-        F.col("dim").cast("long").alias("dim"),
-        F.round(F.col("feature").cast("double"), 6).alias("feature"),
+    """Tagged union: Arrow-batched mapInPandas feature extraction over
+    binary payloads ('clip' rows — the CLIP-embedder shape, deterministic
+    fake model, one row per (doc, lane)) AND nearest-neighbor image
+    resize ('resize' rows — multimodal.resize_image over the REAL webp
+    checker payloads, 10x10 -> 5x5 and -> 3x3; the pure-integer
+    (dst*src)//dst pick pattern gives each channel mean a closed form the
+    oracle replays: the 5x5 grid lands on even rows/cols only -> flat g,
+    the 3x3 grid mixes 5 g-pixels with 4 (g+4)-pixels -> (9g+16)/9)."""
+    from pgvectorscale_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_feature_extract,
+        resize_image,
     )
+    from pgvectorscale_spark.operators.vp8l import attach_webp_payload
+
+    docs = _docs(spark, sf_dir)
+    feats = fake_feature_extract(attach_binary_payload(docs), dim=4)
+    clip = (
+        feats.select("doc_id", F.posexplode("feature").alias("dim", "feature"))
+        .select(
+            F.lit("clip").alias("form"),
+            "doc_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("feature").cast("double"), 6).alias("feature"),
+        )
+    )
+    webp = attach_webp_payload(docs)
+
+    def melt_resize(rdf: DataFrame, base: int) -> DataFrame:
+        parts = [
+            rdf.select(
+                "doc_id",
+                F.lit(base + i).cast("long").alias("dim"),
+                F.round(F.col(c).cast("double"), 6).alias("feature"),
+            )
+            for i, c in enumerate(("mean_r", "mean_g", "mean_b"))
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    resize = (
+        melt_resize(resize_image(webp, 5, 5), 0)
+        .unionByName(melt_resize(resize_image(webp, 3, 3), 3))
+        .select(F.lit("resize").alias("form"), "doc_id", "dim", "feature")
+    )
+    return clip.unionByName(resize)
 
 
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1882,7 +1919,13 @@ FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
         "text_features": oracles.text_features_oracle(),
         "multimodal_meta": oracles.multimodal_meta_oracle(),
         "multimodal_frames": oracles.multimodal_frames_oracle(64),
-        "multimodal_features": oracles.multimodal_features_oracle(4),
+        "multimodal_features": oracles.tagged_union_oracle(
+            "form",
+            [
+                ("'clip'", oracles.multimodal_features_oracle(4)),
+                ("'resize'", oracles.resize_image_oracle()),
+            ],
+        ),
         "audio_meta": oracles.mp3_meta_oracle(),
         "video_meta": oracles.mp4_meta_oracle(),
         "multimodal_decode": oracles.union_oracle(

@@ -2055,6 +2055,64 @@ def decode_av_samples(df: DataFrame, payload_col: str = "payload"):
     raise NotImplementedError  # pragma: no cover — real decoder path
 
 
+def resize_image(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Nearest-neighbor image resize over decoded payloads — the third
+    member of the decode / feature-extract / resize / frame-sample
+    multimodal quartet. Dispatches on magic bytes via ``parse_image``
+    (every raster format this repo decodes), then samples source pixels
+    with the PURE-INTEGER floor mapping ``src = (dst * src_dim) //
+    dst_dim`` on each axis — no float grid, so the pick pattern (and
+    therefore every resized statistic the oracle replays) is
+    engine-exact. Up- and down-scaling both work (the mapping repeats or
+    skips source indices).
+
+    Returns (id, width, height, channels, mean_r, mean_g, mean_b) of the
+    RESIZED image. Arrow-batched ``mapInPandas``; rows are independent,
+    so the operator scales with input partitions and never shuffles."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"target dims must be positive, got {out_w}x{out_h}")
+
+    schema = (
+        f"{id_col} long, width int, height int, channels int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ch, px = parse_image(bytes(payload))
+                rs = np.array([(r * h) // out_h for r in range(out_h)])
+                cs = np.array([(c * w) // out_w for c in range(out_w)])
+                out = px[np.ix_(rs, cs)]
+                rows.append(
+                    (
+                        int(did),
+                        out_w,
+                        out_h,
+                        int(ch),
+                        float(out[..., 0].mean(dtype=np.float64)),
+                        float(out[..., 1].mean(dtype=np.float64)),
+                        float(out[..., 2].mean(dtype=np.float64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
 def fake_feature_extract(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", dim: int = 8
 ) -> DataFrame:

@@ -1363,6 +1363,25 @@ SELECT * FROM ({union}) ORDER BY doc_id, dim
 """
 
 
+def resize_image_oracle() -> str:
+    """Twin of multimodal.resize_image over the webp checker payloads
+    (10x10, grays g/(g+4), g = 16*nib+8): the integer pick pattern
+    (dst*10)//5 lands on even rows/cols only (flat g, dims 0-2) and
+    (dst*10)//3 mixes 5 g-pixels with 4 (g+4)-pixels (mean (9g+16)/9,
+    dims 3-5). Both expressions are exact-integer doubles divided once,
+    so the values are bit-identical across engines before the rounding."""
+    nib = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)"
+    g = f"CAST(16 * {nib} + 8 AS DOUBLE)"
+    return f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT doc_id, d.dim,
+       round(CASE WHEN d.dim < 3 THEN {g}
+                  ELSE (9.0 * {g} + 16.0) / 9.0 END, 6) AS feature
+FROM m, (VALUES (0::BIGINT), (1), (2), (3), (4), (5)) d(dim)
+ORDER BY doc_id, dim
+"""
+
+
 def multimodal_decode_oracle() -> str:
     """Twin of the PPM/WAV decode pipeline (multimodal.attach_ppm_payload →
     parse_ppm, attach_wav_payload → parse_wav): the payload bodies tile

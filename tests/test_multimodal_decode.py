@@ -744,3 +744,46 @@ class TestParseH264Meta:
         )
         row = decode_h264_meta(df).collect()[0]
         assert (row["width"], row["height"], row["n_nal_units"]) == (1920, 1080, 2)
+
+
+class TestResizeImage:
+    def test_nearest_floor_pick_pattern(self, spark):
+        """10x10 checker -> 5x5 picks even rows/cols only (flat g);
+        -> 3x3 mixes 5 g with 4 g+4 pixels ((9g+16)/9)."""
+        from pgvectorscale_spark.operators.multimodal import resize_image
+        from pgvectorscale_spark.operators.vp8l import build_checker_webp
+
+        g = 40
+        df = spark.createDataFrame(
+            [(1, bytearray(build_checker_webp(10, 10, g, g + 4)))],
+            "doc_id long, payload binary",
+        )
+        r5 = resize_image(df, 5, 5).collect()[0]
+        assert (r5["width"], r5["height"], r5["channels"]) == (5, 5, 4)
+        assert r5["mean_r"] == r5["mean_g"] == r5["mean_b"] == float(g)
+        r3 = resize_image(df, 3, 3).collect()[0]
+        assert r3["mean_r"] == (9.0 * g + 16.0) / 9.0
+
+    def test_upscale_repeats_pixels(self, spark):
+        """2x1 two-pixel image -> 4x1: each source pixel appears twice,
+        so the mean is unchanged and the pick pattern is [0,0,1,1]."""
+        from pgvectorscale_spark.operators.multimodal import parse_image, resize_image
+
+        # P6 PPM, 2x1, pixels (10,10,10) and (30,30,30)
+        ppm = b"P6\n2 1\n255\n" + bytes([10] * 3 + [30] * 3)
+        w, h, ch, px = parse_image(ppm)
+        assert (w, h) == (2, 1)
+        df = spark.createDataFrame(
+            [(7, bytearray(ppm))], "doc_id long, payload binary"
+        )
+        row = resize_image(df, 4, 1).collect()[0]
+        assert (row["width"], row["height"]) == (4, 1)
+        assert row["mean_r"] == 20.0  # [10, 10, 30, 30]
+
+    def test_validation(self):
+        import pytest as _pytest
+
+        from pgvectorscale_spark.operators.multimodal import resize_image
+
+        with _pytest.raises(ValueError, match="target dims"):
+            resize_image(None, 0, 4)
