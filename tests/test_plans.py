@@ -156,3 +156,53 @@ def test_diskann_serve_io_is_codes_and_adjacency_only(spark, tmpdir):
     # no corpus-sized scan or join anywhere in the serving plan
     assert "Scan parquet" not in p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_hybrid_corpus_path_broadcast_only(spark, documents, embeddings):
+    """Neither hybrid arm shuffles the corpus: the BM25 postings subtree
+    meets only BroadcastHashJoins, the vector arm broadcasts the query
+    batch, and the fusion's window is cut by WindowGroupLimit."""
+    from pgvectorscale_spark.operators.hybrid import hybrid_topk
+
+    corpus = documents.join(
+        embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    queries = corpus.filter("doc_id % 53 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 1, 4))").alias("q_text"),
+        F.col("embedding").alias("q_vec"),
+    )
+    p = plan(hybrid_topk(corpus, queries, k=5, arm_k=10))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    # the only join strategies present are broadcast-based
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_warc_parse_no_shuffle_below_mapinpandas(spark, documents):
+    """Record extraction is embarrassingly parallel: once the blobs
+    exist (here a fixture synth; at crawl scale a binaryFile scan), the
+    parse adds NO exchange of its own — MapInPandas sits directly on its
+    child."""
+    from pgvectorscale_spark.sources.warc import attach_warc_payload, parse_warc_records
+
+    p = plan(parse_warc_records(attach_warc_payload(documents)))
+    # exactly the synth's one groupBy exchange; the parse adds none
+    assert p.count("Exchange") == 1
+    assert "MapInPandas" in p
+    pre, post = p.split("MapInPandas", 1)
+    assert "Exchange" not in pre  # nothing above the parse
+
+
+def test_temperature_resample_two_phase_salted(spark, documents):
+    """Phase 1 partitions on (stratum, salt) so a hot stratum fans out;
+    the final per-stratum window runs over at most buckets*max_target
+    survivors, and the per-stratum targets arrive as a map literal (no
+    join against a targets table)."""
+    from pgvectorscale_spark.operators.curation import temperature_resample
+
+    p = plan(temperature_resample(documents, "source", temperature=2, total_n=120))
+    assert "hashpartitioning(source" in p and "_salt" in p
+    assert "map(keys:" in p or "map(" in p  # broadcast literal, not a join
+    assert p.count("BroadcastHashJoin") == 0
