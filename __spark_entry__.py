@@ -1697,8 +1697,33 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvectorscale_spark.streaming.sessionize import sessionize_batch_salted
 
     salted = sessionize_batch_salted(events, gap_seconds=1800, ts_col="ts_sec").select(*cols)
-    return plain.select(F.lit("plain").alias("form"), "*").unionByName(
-        salted.select(F.lit("salted").alias("form"), "*")
+    # third arm: backward as-of join (relational.as_of_join — click ->
+    # latest preceding view per user, 24h tolerance, ties to the largest
+    # view event_id), projected to the session slots: session_start =
+    # click second, session_end = matched view second (-1 none),
+    # event_count = matched view event_id (-1 none). The window-union
+    # formulation must hash-match the oracle's per-row LATERAL argmax.
+    clicks = events.filter("event_type = 'click'").select("user_id", "ts_sec")
+    views = events.filter("event_type = 'view'").select("user_id", "ts_sec", "event_id")
+    asof = relational.as_of_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="ts_sec",
+        value_cols=["event_id"],
+        right_tiebreak="event_id",
+        tolerance=86400,
+    ).select(
+        "user_id",
+        F.col("ts_sec").alias("session_start"),
+        F.coalesce(F.col("ts_sec_matched"), F.lit(-1)).cast("long").alias("session_end"),
+        F.coalesce(F.col("event_id_matched"), F.lit(-1)).cast("long").alias("event_count"),
+    )
+    return (
+        plain.select(F.lit("plain").alias("form"), "*")
+        .unionByName(salted.select(F.lit("salted").alias("form"), "*"))
+        .unionByName(asof.select(F.lit("asof").alias("form"), "*"))
     )
 
 
@@ -1970,6 +1995,7 @@ FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
             [
                 ("'plain'", oracles.sessionize_oracle(1800)),
                 ("'salted'", oracles.sessionize_oracle(1800)),
+                ("'asof'", oracles.as_of_join_oracle(86400)),
             ],
         ),
         "top_orders_per_customer": oracles.tagged_union_oracle(

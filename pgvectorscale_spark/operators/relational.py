@@ -175,6 +175,94 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list | None = None,
+    right_tiebreak: str | None = None,
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Backward as-of join (pandas ``merge_asof`` / kdb ``aj`` semantics):
+    for each left row, attach the single right row of the same ``on`` key
+    with the greatest ``right_ts`` at-or-before ``left_ts`` — "attribute
+    each click to the latest preceding view". Matched right columns come
+    back NULL when no right row qualifies (or when the match is older
+    than ``tolerance`` time units).
+
+    Spark-first shape: NOT a range join (which Catalyst would plan as a
+    per-key cartesian with a filter) and not a per-key loop — the two
+    inputs are tagged and unioned, and one per-key window ordered by
+    (ts, side, tiebreak) takes ``last(payload, ignorenulls=True)`` over
+    the running frame: right rows at the same timestamp sort BEFORE left
+    rows (at-or-before is inclusive), so the running last-non-null right
+    payload AT each left row IS its as-of match. ONE shuffle on the key,
+    O(1) window state per row, no row-pair blowup at any key skew —
+    survives a 100x scale-up where the range-join formulation quadratics
+    on hot keys.
+
+    Ties among right rows at the same (key, ts) resolve to the LARGEST
+    ``right_tiebreak`` (required when right timestamps can collide, for
+    engine-reproducible output). ``value_cols`` defaults to every right
+    column except the key and timestamp."""
+    from pyspark.sql import Window
+
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be non-negative, got {tolerance}")
+    payload = F.struct(
+        F.col(right_ts).cast("long").alias("_rts"),
+        *[F.col(c) for c in value_cols],
+    )
+    payload_type = right.select(payload.alias("_p")).schema[0].dataType
+    tb = (
+        F.col(right_tiebreak).cast("long")
+        if right_tiebreak is not None
+        else F.lit(0).cast("long")
+    )
+    r_tagged = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).cast("long").alias("_ts"),
+        F.lit(0).alias("_side"),
+        tb.alias("_tb"),
+        payload.alias("_p"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_l_{c}") for c in left.columns],
+    )
+    l_tagged = left.select(
+        F.col(on).alias(on),
+        F.col(left_ts).cast("long").alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tb"),
+        F.lit(None).cast(payload_type).alias("_p"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r_tagged.unionByName(l_tagged)
+        .withColumn("_match", F.last("_p", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "_match",
+            F.when(
+                F.col("_ts") - F.col("_match._rts") <= F.lit(int(tolerance)),
+                F.col("_match"),
+            ),
+        )
+    out_cols = [F.col(f"_l_{c}").alias(c) for c in left.columns]
+    out_cols += [F.col("_match._rts").alias(f"{right_ts}_matched")]
+    out_cols += [F.col(f"_match.{c}").alias(c + "_matched") for c in value_cols]
+    return matched.select(*out_cols)
+
+
 def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     """Window-function surface: rank orders per customer, keep the top k.
 

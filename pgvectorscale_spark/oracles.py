@@ -1271,6 +1271,32 @@ FROM documents
 """
 
 
+def as_of_join_oracle(tolerance: int) -> str:
+    """Twin of relational.as_of_join on the click->view attribution
+    fixture (projected to the sessionize union slots: session_start =
+    click second, session_end = matched view second or -1, event_count =
+    matched view event_id or -1): the window-union formulation must
+    equal the textbook per-row LATERAL argmax — greatest view second
+    at-or-before the click, ties to the largest event_id, no match when
+    older than ``tolerance`` seconds."""
+    return f"""
+WITH c AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS s FROM events
+  WHERE event_type = 'click'),
+v AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS s FROM events
+  WHERE event_type = 'view')
+SELECT c.user_id, c.s AS session_start,
+       coalesce(m.s, -1) AS session_end,
+       coalesce(m.event_id, -1) AS event_count
+FROM c LEFT JOIN LATERAL (
+  SELECT v.s, v.event_id FROM v
+  WHERE v.user_id = c.user_id AND v.s <= c.s AND c.s - v.s <= {int(tolerance)}
+  ORDER BY v.s DESC, v.event_id DESC LIMIT 1) m ON true
+ORDER BY c.user_id, c.s
+"""
+
+
 def sessionize_oracle(gap_seconds: int = 1800) -> str:
     """Gap-based sessionization in SQL: lag -> gap flag -> cumsum -> agg.
     Times in epoch seconds (floor) so nanosecond storage compares exactly."""

@@ -1,0 +1,100 @@
+"""Backward as-of join (relational.as_of_join): the window-union
+formulation against a pure-python per-row argmax, plus the semantics
+corners — inclusive boundary, right-timestamp ties, tolerance, and
+no-match."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.operators.relational import as_of_join
+
+
+def _py_asof(left, right, tolerance=None):
+    """left = [(key, ts)], right = [(key, ts, rid)] -> {(key, lts): (rts, rid) | None}"""
+    out = {}
+    for k, lts in left:
+        cands = [
+            (rts, rid)
+            for rk, rts, rid in right
+            if rk == k
+            and rts <= lts
+            and (tolerance is None or lts - rts <= tolerance)
+        ]
+        out[(k, lts)] = max(cands) if cands else None
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = [(1, 100), (1, 205), (1, 300), (2, 50), (3, 10)]
+    right = [
+        (1, 100, 7),   # equal timestamp: at-or-before is INCLUSIVE
+        (1, 200, 8),
+        (1, 200, 9),   # tie on ts: largest rid wins
+        (1, 290, 10),
+        (2, 400, 11),  # only AFTER the left row: no match
+    ]
+    ldf = spark.createDataFrame(left, "user_id long, ts long")
+    rdf = spark.createDataFrame(right, "user_id long, ts long, rid long")
+    return left, right, ldf, rdf
+
+
+def _collect(df):
+    return {
+        (r["user_id"], r["ts"]): (
+            None
+            if r["ts_matched"] is None
+            else (r["ts_matched"], r["rid_matched"])
+        )
+        for r in df.collect()
+    }
+
+
+def test_matches_python_reference(spark, frames):
+    left, right, ldf, rdf = frames
+    got = _collect(
+        as_of_join(ldf, rdf, on="user_id", right_tiebreak="rid")
+    )
+    assert got == _py_asof(left, right)
+    # spot the semantics: inclusive boundary, tie to largest rid, no match
+    assert got[(1, 100)] == (100, 7)
+    assert got[(1, 205)] == (200, 9)
+    assert got[(1, 290 + 10)] == (290, 10)
+    assert got[(2, 50)] is None
+    assert got[(3, 10)] is None
+
+
+def test_tolerance_nulls_stale_matches(spark, frames):
+    left, right, ldf, rdf = frames
+    got = _collect(
+        as_of_join(ldf, rdf, on="user_id", right_tiebreak="rid", tolerance=5)
+    )
+    assert got == _py_asof(left, right, tolerance=5)
+    assert got[(1, 100)] == (100, 7)  # age 0 <= 5
+    assert got[(1, 205)] == (200, 9)  # age 5 <= 5 (inclusive)
+    assert got[(1, 300)] is None  # best match is age 10 > 5
+
+
+def test_left_columns_pass_through_and_determinism(spark, frames):
+    _, _, ldf, rdf = frames
+    ldf2 = ldf.withColumn("tag", F.concat(F.lit("u"), F.col("user_id")))
+    out = as_of_join(ldf2.repartition(5), rdf.repartition(3), on="user_id", right_tiebreak="rid")
+    rows = {(r["user_id"], r["ts"]): r["tag"] for r in out.collect()}
+    assert rows[(1, 100)] == "u1" and rows[(3, 10)] == "u3"
+    assert out.count() == ldf.count()  # exactly one output row per left row
+
+
+def test_single_shuffle_no_join_blowup(spark, frames):
+    """The plan is ONE hash partitioning on the key + a window — no
+    SortMergeJoin/Cartesian, so key skew cannot quadratic."""
+    _, _, ldf, rdf = frames
+    p = as_of_join(ldf, rdf, on="user_id", right_tiebreak="rid")._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_validation(spark, frames):
+    _, _, ldf, rdf = frames
+    with pytest.raises(ValueError, match="tolerance"):
+        as_of_join(ldf, rdf, on="user_id", tolerance=-1)
