@@ -1720,10 +1720,29 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("ts_sec_matched"), F.lit(-1)).cast("long").alias("session_end"),
         F.coalesce(F.col("event_id_matched"), F.lit(-1)).cast("long").alias("event_count"),
     )
+    # fourth arm: banded-bucket range join (relational.range_join — all
+    # views within +-2h of each click); the bucket probing must produce
+    # exactly the textbook BETWEEN join's pairs, once each
+    rng = relational.range_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="ts_sec",
+        lower=-7200,
+        upper=7200,
+        value_cols=["event_id"],
+    ).select(
+        "user_id",
+        F.col("ts_sec").alias("session_start"),
+        F.col("ts_sec_matched").cast("long").alias("session_end"),
+        F.col("event_id_matched").cast("long").alias("event_count"),
+    )
     return (
         plain.select(F.lit("plain").alias("form"), "*")
         .unionByName(salted.select(F.lit("salted").alias("form"), "*"))
         .unionByName(asof.select(F.lit("asof").alias("form"), "*"))
+        .unionByName(rng.select(F.lit("range").alias("form"), "*"))
     )
 
 
@@ -1996,6 +2015,7 @@ FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
                 ("'plain'", oracles.sessionize_oracle(1800)),
                 ("'salted'", oracles.sessionize_oracle(1800)),
                 ("'asof'", oracles.as_of_join_oracle(86400)),
+                ("'range'", oracles.range_join_oracle(7200)),
             ],
         ),
         "top_orders_per_customer": oracles.tagged_union_oracle(

@@ -263,6 +263,61 @@ def as_of_join(
     return matched.select(*out_cols)
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: int = 0,
+    upper: int = 0,
+    value_cols: list | None = None,
+) -> DataFrame:
+    """Interval range join: every (left, right) pair of the same ``on``
+    key with ``right_ts - left_ts`` in [``lower``, ``upper``] — "all
+    views within ±10 minutes of each click".
+
+    Spark-first shape: a raw ``l.ts BETWEEN r.ts - u AND r.ts - l``
+    predicate plans as an equi-join on the key with the range as a
+    post-filter — a per-key cartesian that quadratics on hot keys.
+    Instead, band the time axis: each right row lands in ONE bucket of
+    width (upper - lower + 1); a left row's admissible window spans at
+    most TWO consecutive buckets, so it probes exactly those (an explode
+    of <= 2 rows), the join becomes an equi-join on (key, bucket), and
+    the exact bounds filter runs on the already-narrowed pairs. Each
+    matching pair is produced exactly once (right's bucket is unique).
+    Hot keys split across time buckets, so skew is bounded by the window
+    width, not the key's row count.
+
+    ``value_cols`` (default: all right columns except key and timestamp)
+    come back suffixed ``_matched`` alongside every left column."""
+    if upper < lower:
+        raise ValueError(f"upper ({upper}) must be >= lower ({lower})")
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    width = int(upper - lower + 1)
+    r2 = right.select(
+        F.col(on).alias("_rk"),
+        F.col(right_ts).cast("long").alias("_rts"),
+        F.floor(F.col(right_ts).cast("long") / width).alias("_b"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    lo_b = F.floor((F.col(left_ts).cast("long") + lower) / width)
+    hi_b = F.floor((F.col(left_ts).cast("long") + upper) / width)
+    l2 = left.withColumn("_b", F.explode(F.array_distinct(F.array(lo_b, hi_b))))
+    joined = l2.join(
+        r2, (l2[on] == r2["_rk"]) & (l2["_b"] == r2["_b"]), "inner"
+    ).filter(
+        (F.col("_rts") - F.col(left_ts).cast("long") >= lower)
+        & (F.col("_rts") - F.col(left_ts).cast("long") <= upper)
+    )
+    return joined.select(
+        *[l2[c] for c in left.columns],
+        F.col("_rts").alias(f"{right_ts}_matched"),
+        *[F.col(f"_v_{c}").alias(f"{c}_matched") for c in value_cols],
+    )
+
+
 def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     """Window-function surface: rank orders per customer, keep the top k.
 

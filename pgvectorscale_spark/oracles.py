@@ -1297,6 +1297,27 @@ ORDER BY c.user_id, c.s
 """
 
 
+def range_join_oracle(tol: int) -> str:
+    """Twin of relational.range_join on the click<->view fixture
+    (projected to the sessionize union slots): the banded-bucket
+    equi-join form must produce exactly the pairs of the textbook
+    BETWEEN join — no duplicates from the bucket probing, no misses at
+    bucket boundaries."""
+    return f"""
+WITH c AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS s FROM events
+  WHERE event_type = 'click'),
+v AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS s FROM events
+  WHERE event_type = 'view')
+SELECT c.user_id, c.s AS session_start, v.s AS session_end,
+       v.event_id AS event_count
+FROM c JOIN v USING (user_id)
+WHERE v.s - c.s BETWEEN -{int(tol)} AND {int(tol)}
+ORDER BY c.user_id, session_start, session_end, event_count
+"""
+
+
 def sessionize_oracle(gap_seconds: int = 1800) -> str:
     """Gap-based sessionization in SQL: lag -> gap flag -> cumsum -> agg.
     Times in epoch seconds (floor) so nanosecond storage compares exactly."""

@@ -98,3 +98,62 @@ def test_validation(spark, frames):
     _, _, ldf, rdf = frames
     with pytest.raises(ValueError, match="tolerance"):
         as_of_join(ldf, rdf, on="user_id", tolerance=-1)
+
+
+# --- range_join (same fixture style) ---------------------------------
+
+
+def _py_range(left, right, lower, upper):
+    return sorted(
+        (k, lts, rts, rid)
+        for k, lts in left
+        for rk, rts, rid in right
+        if rk == k and lower <= rts - lts <= upper
+    )
+
+
+def test_range_join_matches_python_reference(spark):
+    import random
+
+    from pgvectorscale_spark.operators.relational import range_join
+
+    rng = random.Random(11)
+    left = [(rng.randint(1, 3), rng.randint(0, 500)) for _ in range(40)]
+    right = [
+        (rng.randint(1, 3), rng.randint(0, 500), i) for i in range(60)
+    ]
+    ldf = spark.createDataFrame(left, "user_id long, ts long")
+    rdf = spark.createDataFrame(right, "user_id long, ts long, rid long")
+    for lower, upper in ((-50, 50), (0, 99), (-100, 0), (7, 7)):
+        got = sorted(
+            (r["user_id"], r["ts"], r["ts_matched"], r["rid_matched"])
+            for r in range_join(
+                ldf, rdf, on="user_id", lower=lower, upper=upper
+            ).collect()
+        )
+        assert got == _py_range(left, right, lower, upper), (lower, upper)
+
+
+def test_range_join_bucket_boundaries_and_uniqueness(spark):
+    """Pairs exactly at the window bounds are included, pairs one past
+    are not, and a pair whose left window straddles two buckets is
+    emitted exactly once."""
+    from pgvectorscale_spark.operators.relational import range_join
+
+    # width = 21; bucket edges at multiples of 21: ts 20 and 21 straddle
+    left = [(1, 20)]
+    right = [(1, 10, 1), (1, 21, 2), (1, 30, 3), (1, 31, 4), (1, 9, 5)]
+    ldf = spark.createDataFrame(left, "user_id long, ts long")
+    rdf = spark.createDataFrame(right, "user_id long, ts long, rid long")
+    got = sorted(
+        (r["rid_matched"])
+        for r in range_join(ldf, rdf, on="user_id", lower=-10, upper=10).collect()
+    )
+    assert got == [1, 2, 3]  # 9 is one below, 31 one above; no duplicates
+
+
+def test_range_join_validation(spark):
+    from pgvectorscale_spark.operators.relational import range_join
+
+    with pytest.raises(ValueError, match="upper"):
+        range_join(None, None, on="x", lower=5, upper=4)
