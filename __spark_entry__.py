@@ -1677,7 +1677,22 @@ def _top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.events_hourly(load_table(spark, "events", sf_dir))
+    """Tagged union: the one-shot hourly rollup ('full' rows) AND the
+    continuous-aggregate refresh path ('incremental' rows —
+    relational.merge_hourly_rollup folded over the stream split into
+    three arbitrary batches by event_id % 3). count/cents-sum are
+    monoids, so the fold must equal the one-shot aggregate bucket for
+    bucket — both arms hash against the SAME DuckDB rollup."""
+    events = load_table(spark, "events", sf_dir)
+    full = relational.events_hourly(events)
+    state = relational.empty_hourly_rollup(spark)
+    for i in range(3):
+        state = relational.merge_hourly_rollup(
+            state, events.filter(f"event_id % 3 = {i}")
+        )
+    return full.select(F.lit("full").alias("form"), "*").unionByName(
+        state.select(F.lit("incremental").alias("form"), "*")
+    )
 
 
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2007,7 +2022,13 @@ FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
         "repetition_stats": oracles.repetition_stats_oracle(),
         "pricing_summary": relational.pricing_summary_sql(),
         "top_customers": relational.top_customers_sql(10),
-        "events_hourly": relational.events_hourly_sql(),
+        "events_hourly": oracles.tagged_union_oracle(
+            "form",
+            [
+                ("'full'", relational.events_hourly_sql()),
+                ("'incremental'", relational.events_hourly_sql()),
+            ],
+        ),
         "events_json": relational.events_json_rollup_sql(),
         "sessionize": oracles.tagged_union_oracle(
             "form",

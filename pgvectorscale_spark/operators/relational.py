@@ -145,6 +145,63 @@ FROM events GROUP BY event_type, hour_epoch ORDER BY event_type, hour_epoch
 """
 
 
+def merge_hourly_rollup(
+    state: DataFrame, new_events: DataFrame, min_hour_epoch: int | None = None
+) -> DataFrame:
+    """Incrementally maintain the ``events_hourly`` rollup — the
+    continuous-aggregate refresh of the hypertable world (TimescaleDB's
+    flagship pattern, the platform the reference extension ships on):
+    instead of re-aggregating history, aggregate ONLY the new batch and
+    merge its partials into the stored rollup. count and cents-sum are
+    commutative monoids, so ``fold(merge, batches) == events_hourly(all
+    events)`` for ANY split of the stream into batches — the driver
+    oracle verifies exactly that identity.
+
+    ``min_hour_epoch`` is the refresh watermark: late rows landing in
+    buckets before it are DROPPED (the closed-bucket policy of a
+    watermarked streaming agg); pass None to accept arbitrarily late
+    data.
+
+    Scale shape: the batch is pre-aggregated map-side to (type, hour)
+    partials before it meets the state, so the merge join moves rollup-
+    sized rows (buckets x types), never event-sized ones; the state
+    never gets re-scanned per refresh."""
+    delta = events_hourly(new_events)
+    if min_hour_epoch is not None:
+        delta = delta.filter(F.col("hour_epoch") >= int(min_hour_epoch))
+    keys = ["event_type", "hour_epoch"]
+    s = state.select(
+        *keys,
+        F.col("event_count").alias("_c1"),
+        F.col("value_cents").alias("_v1"),
+    )
+    d = delta.select(
+        *keys,
+        F.col("event_count").alias("_c2"),
+        F.col("value_cents").alias("_v2"),
+    )
+    return (
+        s.join(d, keys, "full_outer")
+        .select(
+            *keys,
+            (F.coalesce("_c1", F.lit(0)) + F.coalesce("_c2", F.lit(0))).alias(
+                "event_count"
+            ),
+            (F.coalesce("_v1", F.lit(0)) + F.coalesce("_v2", F.lit(0))).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )
+
+
+def empty_hourly_rollup(spark) -> DataFrame:
+    """The merge identity: a zero-row rollup with the exact schema."""
+    return spark.createDataFrame(
+        [], "event_type string, hour_epoch long, event_count long, value_cents long"
+    )
+
+
 def events_json_rollup(events: DataFrame) -> DataFrame:
     """JSON column surface: extract props.k, aggregate per event_type.
 
