@@ -1,0 +1,115 @@
+"""Streaming backward as-of enrichment: the streaming face of
+``operators/relational.as_of_join``.
+
+A serving/ingest pipeline wants each arriving LEFT event (a click, an
+order, a sensor reading) enriched with the latest preceding RIGHT event
+of the same key (the last view, the last state snapshot) — without
+re-joining history per micro-batch. ``applyInPandasWithState`` keeps
+exactly the state the batch operator's window carries implicitly: the
+best (timestamp, tiebreak) right row seen so far per key, TWO longs.
+
+Semantics match the batch operator under in-order arrival (the same
+caveat family as ``stream_dedup_exact``): within a micro-batch, rows
+are processed in the batch operator's exact order — (ts, right-before-
+left at equal ts, tiebreak ascending) — so at-or-before is inclusive
+and right-timestamp ties resolve to the largest tiebreak; across
+batches, a right row arriving AFTER a left row it precedes in event
+time cannot retroactively re-match it (streams don't reopen emitted
+rows — that is what the batch operator is for).
+
+At 100 TB the state store holds two longs per ACTIVE key — the working
+set is the live-key count, not the stream length; ``state_ttl_seconds``
+expires idle keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+__all__ = ["stream_as_of_join"]
+
+_STATE_SCHEMA = StructType(
+    [StructField("rts", LongType()), StructField("rid", LongType())]
+)
+_OUT_FIELDS = ["key", "ts", "matched_ts", "matched_id"]
+_OUT_SCHEMA = StructType([StructField(c, LongType()) for c in _OUT_FIELDS])
+
+
+def stream_as_of_join(
+    stream_df: DataFrame,
+    on: str,
+    ts_col: str,
+    is_right_col: str,
+    right_id_col: str,
+    tolerance: int | None = None,
+    state_ttl_seconds: int = 0,
+) -> DataFrame:
+    """One output row per LEFT row: (key, ts, matched_ts, matched_id),
+    the matched columns NULL when no right row at-or-before exists (or
+    the best one is older than ``tolerance``).
+
+    ``stream_df`` carries both sides: ``is_right_col`` (boolean) marks
+    right rows, ``right_id_col`` their tiebreak id (ignored on left
+    rows). All of ``on``/``ts_col``/``right_id_col`` must be integral."""
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be non-negative, got {tolerance}")
+
+    def enrich(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # the batch operator's exact order: ts, right before left at
+        # equal ts, tiebreak ascending (left rows carry tiebreak 0)
+        batch["_side"] = (~batch["_r"]).astype("int64")
+        batch["_tb"] = batch["_rid"].where(batch["_r"], 0).astype("int64")
+        batch = batch.sort_values(["_ts", "_side", "_tb"], kind="mergesort")
+        best = state.get if state.exists else None  # (rts, rid)
+        rows = []
+        for ts, is_right, rid in zip(batch["_ts"], batch["_r"], batch["_tb"]):
+            ts = int(ts)
+            if is_right:
+                cand = (ts, int(rid))
+                if best is None or cand > best:
+                    best = cand
+            else:
+                m = best
+                if m is not None and m[0] > ts:
+                    # stored right is NEWER than this (late) left row —
+                    # never match anti-causally; what a late left loses
+                    # is only rights that arrived after it
+                    m = None
+                if m is not None and tolerance is not None and ts - m[0] > tolerance:
+                    m = None
+                rows.append(
+                    (key[0], ts, None if m is None else m[0], None if m is None else m[1])
+                )
+        if best is not None:
+            state.update(best)
+            if state_ttl_seconds > 0:
+                state.setTimeoutDuration(state_ttl_seconds * 1000)
+        yield pd.DataFrame(rows, columns=_OUT_FIELDS)
+
+    prepared = stream_df.selectExpr(
+        f"cast(`{on}` as long) as _k",
+        f"cast(`{ts_col}` as long) as _ts",
+        f"cast(`{is_right_col}` as boolean) as _r",
+        f"cast(`{right_id_col}` as long) as _rid",
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_seconds > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return prepared.groupBy("_k").applyInPandasWithState(
+        enrich, _OUT_SCHEMA, _STATE_SCHEMA, "append", timeout
+    )

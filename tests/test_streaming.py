@@ -596,3 +596,94 @@ def test_stream_paragraph_dedup_parity_with_batch(spark, tmpdir):
     # the content-free '###' paragraph is a keeper even though another
     # empty-normalized paragraph could share its group later
     assert got[(10, 1)] is True
+
+
+def test_stream_as_of_join_matches_batch_in_order(spark, tmpdir):
+    """Single in-order batch: the streaming enrichment equals the batch
+    as_of_join row for row (inclusive boundary, tie rule, tolerance)."""
+    from pgvectorscale_spark.operators.relational import as_of_join
+    from pgvectorscale_spark.streaming.asof import stream_as_of_join
+
+    rows = [
+        # (key, ts, is_right, rid)
+        (1, 100, True, 7),
+        (1, 100, False, 0),   # equal ts: right sorts first -> matches 7
+        (1, 200, True, 8),
+        (1, 200, True, 9),    # tie on ts: largest rid wins
+        (1, 205, False, 0),
+        (1, 400, False, 0),   # best match age 200 > tolerance 150 -> none
+        (2, 50, False, 0),    # no right at all
+    ]
+    df = spark.createDataFrame(rows, "key long, ts long, is_right boolean, rid long")
+    path = str(tmpdir.join("asof_in"))
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = stream_as_of_join(
+        stream, on="key", ts_col="ts", is_right_col="is_right",
+        right_id_col="rid", tolerance=150,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmpdir.join("ckpt_asof")))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["key"], r["ts"]): (r["matched_ts"], r["matched_id"])
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+    left = df.filter("NOT is_right").select("key", "ts")
+    right = df.filter("is_right").select("key", "ts", "rid")
+    expect = {
+        (r["key"], r["ts"]): (r["ts_matched"], r["rid_matched"])
+        for r in as_of_join(
+            left, right, on="key", left_ts="ts", right_ts="ts",
+            value_cols=["rid"], right_tiebreak="rid", tolerance=150,
+        ).collect()
+    }
+    assert got == expect
+    assert got[(1, 100)] == (100, 7)
+    assert got[(1, 205)] == (200, 9)
+    assert got[(1, 400)] == (None, None)
+
+
+def test_stream_as_of_join_state_carries_across_batches(spark, tmpdir):
+    """A right row from an earlier micro-batch matches left rows in
+    later batches through the two-long state."""
+    from pgvectorscale_spark.streaming.asof import stream_as_of_join
+
+    schema = "key long, ts long, is_right boolean, rid long"
+    path = str(tmpdir.join("asof_in2"))
+    spark.createDataFrame([(1, 100, True, 7)], schema).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(1, 150, False, 0), (1, 90, False, 0)], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_as_of_join(
+        stream, on="key", ts_col="ts", is_right_col="is_right", right_id_col="rid"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmpdir.join("ckpt_asof2")))
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["key"], r["ts"]): (r["matched_ts"], r["matched_id"])
+        for r in spark.sql("SELECT * FROM asof_stream2").collect()
+    }
+    assert got[(1, 150)] == (100, 7)  # batch-1 view enriches a batch-2 click
+    # a stored right NEWER than a late-arriving left never matches
+    # (no anti-causal enrichment); what a late left row loses is only
+    # rights that arrived after it — the batch operator is the replay tool
+    assert got[(1, 90)] == (None, None)
