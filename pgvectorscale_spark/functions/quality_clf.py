@@ -107,13 +107,6 @@ def clf_score_micro_sql(
     )
 
 
-def _sigmoid(z: float) -> float:
-    if z >= 0:
-        return 1.0 / (1.0 + math.exp(-z))
-    e = math.exp(z)
-    return e / (1.0 + e)
-
-
 def train_quality_classifier(
     df: DataFrame,
     label_sql: str,

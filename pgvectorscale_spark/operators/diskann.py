@@ -1529,12 +1529,14 @@ class DiskannIndex:
     # centroids/contents the curve was measured against can drift.
     ROUTING_DRIFT_BOUND = 0.25
 
-    def routing_curve_stale(self, drift: float | None = None) -> bool:
+    def routing_curve_stale(
+        self, drift: float | None = None, live_count: int | None = None
+    ) -> bool:
         """True when the stored routing-recall curve no longer describes
         the current corpus: unstamped (pre-field or in-sample legacy
         metas), measured in-sample, or live-count drift beyond ``drift``
-        (default ``ROUTING_DRIFT_BOUND``). One corpus count — callers are
-        maintenance operations (folds) that already touch the corpus."""
+        (default ``ROUTING_DRIFT_BOUND``). Counts the corpus unless the
+        caller (a fold that already counted) passes ``live_count``."""
         if not self.meta.routing_recall_curve:
             return False  # nothing to be stale
         if not self.meta.routing_tuned_nodes or not self.meta.routing_recall_held_out:
@@ -1544,6 +1546,8 @@ class DiskannIndex:
             self.nodes()
             .filter(~F.coalesce(F.col("deleted"), F.lit(False)))
             .count()
+            if live_count is None
+            else int(live_count)
         )
         tuned = self.meta.routing_tuned_nodes
         return abs(live - tuned) / max(tuned, 1) > bound
@@ -2559,22 +2563,21 @@ class DiskannIndex:
         # An index folded down to <= 1 live row has nothing to measure:
         # DROP the curve (recall_target then degrades to full fan-out)
         # instead of letting tune_routing raise on the empty corpus.
-        if (
-            self.meta.shard_assignment == "kmeans"
-            and self.meta.routing_recall_curve
-            and self.routing_curve_stale()
-        ):
+        if self.meta.shard_assignment == "kmeans" and self.meta.routing_recall_curve:
+            # one corpus count shared by the staleness check and the
+            # drop-vs-retune decision (the tuner re-reads live rows anyway)
             live = (
                 self.nodes()
                 .filter(~F.coalesce(F.col("deleted"), F.lit(False)))
                 .count()
             )
-            if live > 1:
-                self.tune_routing(k=self.meta.routing_recall_k or 10)
-            else:
-                self.meta.routing_recall_curve = {}
-                self.meta.routing_tuned_nodes = 0
-                self.meta.save(self.path)
+            if self.routing_curve_stale(live_count=live):
+                if live > 1:
+                    self.tune_routing(k=self.meta.routing_recall_k or 10)
+                else:
+                    self.meta.routing_recall_curve = {}
+                    self.meta.routing_tuned_nodes = 0
+                    self.meta.save(self.path)
 
     def reader_lease(self, ttl_seconds: float | None = None):
         """Context manager pinning this handle's snapshot against trash

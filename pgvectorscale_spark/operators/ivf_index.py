@@ -364,16 +364,19 @@ class IvfIndex:
     # same drift contract as DiskannIndex.ROUTING_DRIFT_BOUND
     ROUTING_DRIFT_BOUND = 0.25
 
-    def probing_curve_stale(self, drift: float | None = None) -> bool:
+    def probing_curve_stale(
+        self, drift: float | None = None, live_count: int | None = None
+    ) -> bool:
         """True when the stored probing-recall curve no longer describes
         the corpus (unstamped / in-sample / live-count drift beyond the
-        bound) — see DiskannIndex.routing_curve_stale."""
+        bound) — see DiskannIndex.routing_curve_stale. ``live_count``
+        skips the corpus count when the caller already has it."""
         if not self.meta.routing_recall_curve:
             return False
         if not self.meta.routing_tuned_nodes or not self.meta.routing_recall_held_out:
             return True
         bound = self.ROUTING_DRIFT_BOUND if drift is None else float(drift)
-        live = self.live_nodes().count()
+        live = self.live_nodes().count() if live_count is None else int(live_count)
         tuned = self.meta.routing_tuned_nodes
         return abs(live - tuned) / max(tuned, 1) > bound
 
@@ -697,13 +700,17 @@ class IvfIndex:
         # An index folded down to <= 1 live row has nothing to measure:
         # DROP the curve (recall_target then degrades to full probing)
         # instead of letting tune_probing raise on the empty corpus.
-        if self.meta.routing_recall_curve and self.probing_curve_stale():
-            if self.live_nodes().count() > 1:
-                self.tune_probing(k=self.meta.routing_recall_k or 10)
-            else:
-                self.meta.routing_recall_curve = {}
-                self.meta.routing_tuned_nodes = 0
-                self.meta.save(self.path)
+        if self.meta.routing_recall_curve:
+            # one corpus count shared by the staleness check and the
+            # drop-vs-retune decision (the tuner re-reads live rows anyway)
+            live = self.live_nodes().count()
+            if self.probing_curve_stale(live_count=live):
+                if live > 1:
+                    self.tune_probing(k=self.meta.routing_recall_k or 10)
+                else:
+                    self.meta.routing_recall_curve = {}
+                    self.meta.routing_tuned_nodes = 0
+                    self.meta.save(self.path)
 
     def reader_lease(self, ttl_seconds: float | None = None):
         """Context manager pinning this handle's snapshot against trash

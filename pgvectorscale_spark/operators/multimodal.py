@@ -2091,15 +2091,19 @@ def resize_image(
                 rs = np.array([(r * h) // out_h for r in range(out_h)])
                 cs = np.array([(c * w) // out_w for c in range(out_w)])
                 out = px[np.ix_(rs, cs)]
+                means = out.reshape(-1, out.shape[-1]).mean(axis=0, dtype=np.float64)
+                # gray / gray+alpha images replicate the single luma
+                # channel, mirroring decode_image_features' convention
+                rgb = means[:3] if ch >= 3 else np.repeat(means[0], 3)
                 rows.append(
                     (
                         int(did),
                         out_w,
                         out_h,
                         int(ch),
-                        float(out[..., 0].mean(dtype=np.float64)),
-                        float(out[..., 1].mean(dtype=np.float64)),
-                        float(out[..., 2].mean(dtype=np.float64)),
+                        float(rgb[0]),
+                        float(rgb[1]),
+                        float(rgb[2]),
                     )
                 )
             yield pd.DataFrame(

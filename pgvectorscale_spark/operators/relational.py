@@ -180,18 +180,16 @@ def merge_hourly_rollup(
         F.col("event_count").alias("_c2"),
         F.col("value_cents").alias("_v2"),
     )
-    return (
-        s.join(d, keys, "full_outer")
-        .select(
-            *keys,
-            (F.coalesce("_c1", F.lit(0)) + F.coalesce("_c2", F.lit(0))).alias(
-                "event_count"
-            ),
-            (F.coalesce("_v1", F.lit(0)) + F.coalesce("_v2", F.lit(0))).alias(
-                "value_cents"
-            ),
-        )
-        .orderBy("event_type", "hour_epoch")
+    # no orderBy here: refreshes fold, and a per-fold global sort would be
+    # paid N times for presentation order only the final reader needs
+    return s.join(d, keys, "full_outer").select(
+        *keys,
+        (F.coalesce("_c1", F.lit(0)) + F.coalesce("_c2", F.lit(0))).alias(
+            "event_count"
+        ),
+        (F.coalesce("_v1", F.lit(0)) + F.coalesce("_v2", F.lit(0))).alias(
+            "value_cents"
+        ),
     )
 
 

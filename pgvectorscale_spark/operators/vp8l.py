@@ -22,9 +22,11 @@ euclidean distance dx² + dy², ties by |dx| ascending, then positive dx
 before negative (see ``_NEAR_DIST`` and the anchor test
 tests/test_vp8l.py::test_near_distance_table_closed_form, which pins the
 spec's own first rows, last rows, and the densest tie groups). Distance
-codes > 120 are plain 1-D distances. One convention is pinned by
-assumption rather than an offline test vector: the Select predictor's
-tie (equal L/T distance) resolves to L — noted at the implementation.
+codes > 120 are plain 1-D distances. The Select predictor's tie (equal
+L/T distance) resolves to T per the spec's single strict comparison,
+and the rightmost column's top-right pixel is the contiguous buffer's
+next element — the current row's leftmost pixel — both noted at the
+implementation.
 
 Reference parity: timescale/pgvectorscale has no media decode — this
 extends the LLM-pipeline multimodal surface (SURVEY.md §2 "multimodal
@@ -361,10 +363,10 @@ def _select(left: int, top: int, topleft: int) -> int:
         p = lc + tc - tlc
         p_l += abs(p - lc)
         p_t += abs(p - tc)
-    # tie convention (p_l == p_t): L wins. The spec's pseudo-code decides
-    # with a single comparison; absent an offline reference vector this
-    # direction is pinned by assumption and by the round-trip tests.
-    return left if p_l <= p_t else top
+    # the spec's pseudo-code decides with a single strict comparison
+    # (`if (pL < pT) return L; else return T`), so the tie (p_l == p_t)
+    # resolves to TOP
+    return left if p_l < p_t else top
 
 
 def _clamp_add_sub_full(l: int, t: int, tl: int) -> int:
@@ -433,10 +435,11 @@ def _inv_predictor(img: np.ndarray, size_bits: int, timg: np.ndarray) -> np.ndar
                 l = int(out[y, x - 1])
                 t = int(out[y - 1, x])
                 tl = int(out[y - 1, x - 1])
-                # top-right of the last column wraps to the NEXT row's
-                # first pixel per spec; it is not yet decoded, so the
-                # spec substitutes the leftmost pixel of the same top row
-                tr = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y - 1, 0])
+                # top-right of the last column: top[x+1] in the spec's
+                # contiguous buffer is argb[(y-1)*w + w] = argb[y*w] —
+                # the CURRENT row's leftmost pixel (already decoded,
+                # x > 0 here)
+                tr = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
                 pred = _predict(mode, l, t, tr, tl)
             out[y, x] = _add_pixels(int(img[y, x]), pred)
     return out

@@ -95,6 +95,11 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         if "content-length" not in hdrs:
             raise ValueError(f"record at offset {pos} missing mandatory Content-Length")
         clen = int(hdrs["content-length"])
+        if clen < 0:
+            # a negative length would move the cursor BACKWARD into the
+            # header just parsed, letting body bytes masquerade as record
+            # headers — the exact attack Content-Length walking prevents
+            raise ValueError(f"negative Content-Length {clen} at offset {pos}")
         body_start = head_end + 4
         block = data[body_start : body_start + clen]
         if len(block) < clen:

@@ -787,3 +787,16 @@ class TestResizeImage:
 
         with _pytest.raises(ValueError, match="target dims"):
             resize_image(None, 0, 4)
+
+    def test_grayscale_replicates_luma(self, spark):
+        """ch < 3 images (PGM here) resize without crashing: the single
+        luma channel replicates into all three mean slots."""
+        from pgvectorscale_spark.operators.multimodal import resize_image
+
+        pgm = b"P5\n2 2\n255\n" + bytes([10, 30, 50, 70])
+        df = spark.createDataFrame(
+            [(9, bytearray(pgm))], "doc_id long, payload binary"
+        )
+        row = resize_image(df, 1, 1).collect()[0]
+        assert row["channels"] < 3
+        assert row["mean_r"] == row["mean_g"] == row["mean_b"] == 10.0

@@ -496,3 +496,114 @@ def test_kraft_incomplete_code_rejected():
     # Kraft 0.75 (incomplete) -> the decoder must fail-stop right here
     with pytest.raises(ValueError, match="prefix code"):
         decode(w)
+
+
+def normal3(w, alphabet, s0, s1, s2):
+    """Normal prefix code with lengths (1, 2, 2) at s0 < s1 < s2
+    (canonical: s0='0', s1='10', s2='11'); cl-code symbols {1,2,17,18}
+    all length 2 ('00','01','10','11'). Gaps must be 0 or >= 3. Uses the
+    explicit max-symbol stop like normal2."""
+    ops: list[tuple] = []
+
+    def zr(n):
+        while n:
+            if n >= 11:
+                take = min(n, 138)
+                if 0 < n - take < 3:
+                    take -= 3 - (n - take)
+                if take >= 11:
+                    ops.append(("code", "11"))
+                    ops.append(("bits", take - 11, 7))
+                    n -= take
+                    continue
+            assert 3 <= n <= 10, n
+            ops.append(("code", "10"))
+            ops.append(("bits", n - 3, 3))
+            n = 0
+
+    zr(s0)
+    ops.append(("code", "00"))  # cl symbol 1: code length 1 here
+    zr(s1 - s0 - 1)
+    ops.append(("code", "01"))  # cl symbol 2: code length 2 here
+    zr(s2 - s1 - 1)
+    ops.append(("code", "01"))
+    nreads = sum(1 for o in ops if o[0] == "code")
+    w.write(0, 1)  # not simple
+    w.write(1, 4)  # 5 code lengths arrive: order slots 17, 18, 0, 1, 2
+    for ln in (2, 2, 0, 2, 2):
+        w.write(ln, 3)
+    w.write(1, 1)  # explicit max-symbol count follows
+    w.write(3, 3)  # length_nbits = 8
+    w.write(nreads - 2, 8)
+    for o in ops:
+        if o[0] == "code":
+            w.code(o[1])
+        else:
+            w.write(o[1], o[2])
+
+
+def test_predictor_top_right_wraps_to_current_row_start():
+    """Mode 3 (top-right) at the rightmost column: top[x+1] in the
+    spec's contiguous buffer is the CURRENT row's leftmost pixel — not
+    the top row's. The red channel makes the two candidates differ."""
+    w = W()
+    header(w, 2, 2)
+    w.write(1, 1)
+    w.write(0, 2)  # predictor transform
+    w.write(0, 3)  # size_bits=2: one block covers the 2x2 image
+    w.write(0, 1)  # (sub-image) no cache
+    simple1(w, 3)  # green = mode 3 (top-right)
+    simple1(w, 0)
+    simple1(w, 0)
+    simple1(w, 0)
+    simple1(w, 0)
+    w.write(0, 1)  # no more transforms
+    w.write(0, 1)  # no cache
+    w.write(0, 1)  # no meta
+    simple2(w, 0, 10)  # green residuals: {0, 10}
+    simple2(w, 0, 7)  # red residuals: {0, 7}
+    simple1(w, 0)  # blue
+    simple1(w, 0)  # alpha
+    simple1(w, 0)  # distance
+    # raster order p(0,0) p(1,0) / p(0,1) p(1,1): greens 10,0,0,0; reds 0,0,7,0
+    for gbit, rbit in ((1, 0), (0, 0), (0, 1), (0, 0)):
+        w.code(str(gbit))
+        w.code(str(rbit))
+    _, _, _, px = decode(w)
+    assert tuple(px[0, 0]) == (0, 10, 0, 255)
+    assert tuple(px[0, 1]) == (0, 10, 0, 255)  # row 0: Left
+    assert tuple(px[1, 0]) == (7, 10, 0, 255)  # col 0: Top, red +7
+    # TR for (1,1) is px[1,0] (current row start), NOT px[0,0]
+    assert tuple(px[1, 1]) == (7, 10, 0, 255)
+
+
+def test_select_tie_resolves_to_top():
+    """Mode 11 at a constructed exact tie (|T-TL| == |L-TL|, L != T):
+    the spec's strict comparison returns T."""
+    w = W()
+    header(w, 2, 2)
+    w.write(1, 1)
+    w.write(0, 2)
+    w.write(0, 3)
+    w.write(0, 1)
+    simple1(w, 11)  # mode 11 (Select)
+    simple1(w, 0)
+    simple1(w, 0)
+    simple1(w, 0)
+    simple1(w, 0)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(0, 1)
+    normal3(w, 256 + 24, 0, 6, 250)  # green residuals {0, 6, 250}
+    simple1(w, 0)  # red
+    simple1(w, 0)  # blue
+    simple1(w, 0)  # alpha
+    simple1(w, 0)  # distance
+    # greens: p(0,0)=6 -> TL g=6; p(1,0)=6 -> T g=12 (Left chain);
+    # p(0,1)=250 -> L g=(6+250)%256=0 (Top chain); p(1,1)=0
+    for code in ("10", "10", "11", "0"):
+        w.code(code)
+    _, _, _, px = decode(w)
+    assert px[0, 0][1] == 6 and px[0, 1][1] == 12 and px[1, 0][1] == 0
+    # pred = L+T-TL = 6 per green: |p-L| == |p-T| == 6 -> tie -> TOP
+    assert px[1, 1][1] == 12

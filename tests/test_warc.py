@@ -149,3 +149,14 @@ def test_attach_parse_round_trip(spark, documents):
         .count()
     )
     assert order_violations == 0
+
+
+def test_negative_content_length_rejected():
+    """A negative Content-Length would walk the cursor backward into the
+    header, letting body bytes masquerade as records — fail stop."""
+    data = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: -4\r\n\r\n"
+        b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        parse_warc_bytes(data)
