@@ -266,6 +266,41 @@ def main() -> None:
             temperature_resample(docs, "source", temperature=2, total_n=120),
         )
     )
+    ev = load_table(spark, "events", SF)
+    ev = ev.withColumn("ts_sec", relational.ts_epoch_seconds(ev))
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts_sec")
+    views = ev.filter("event_type = 'view'").select("user_id", "ts_sec", "event_id")
+    sections.append(
+        (
+            "as_of_join (backward as-of without a range join)",
+            "ONE `Exchange hashpartitioning` on the key feeds one window "
+            "over the tagged union — no SortMergeJoin, no per-key "
+            "cartesian, O(1) window state per row. A raw range predicate "
+            "would put the hot key's full row-pair product through a "
+            "single task; this shape moves each row exactly once.",
+            relational.as_of_join(
+                clicks, views, on="user_id", left_ts="ts_sec",
+                right_ts="ts_sec", value_cols=["event_id"],
+                right_tiebreak="event_id", tolerance=86400,
+            ),
+        )
+    )
+    sections.append(
+        (
+            "range_join (banded buckets)",
+            "The range predicate becomes an equi-join on (key, bucket): "
+            "right rows land in ONE width-(u-l+1) bucket, each left row "
+            "explodes to <= 2 probe buckets, and the exact bounds filter "
+            "runs on the narrowed pairs. Skew is bounded by the window "
+            "width — a hot key's rows split across its time buckets "
+            "instead of meeting in one task.",
+            relational.range_join(
+                clicks, views, on="user_id", left_ts="ts_sec",
+                right_ts="ts_sec", lower=-7200, upper=7200,
+                value_cols=["event_id"],
+            ),
+        )
+    )
     sections.append(
         (
             "parse_warc_records (crawl-archive ingestion)",
