@@ -239,13 +239,16 @@ def as_of_join(
     value_cols: list | None = None,
     right_tiebreak: str | None = None,
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (pandas ``merge_asof`` / kdb ``aj`` semantics):
-    for each left row, attach the single right row of the same ``on`` key
-    with the greatest ``right_ts`` at-or-before ``left_ts`` — "attribute
-    each click to the latest preceding view". Matched right columns come
-    back NULL when no right row qualifies (or when the match is older
-    than ``tolerance`` time units).
+    """As-of join (pandas ``merge_asof`` / kdb ``aj`` semantics): for
+    each left row, attach the single right row of the same ``on`` key
+    with the greatest ``right_ts`` at-or-before ``left_ts``
+    (``direction="backward"``, the default — "attribute each click to
+    the latest preceding view") or the smallest ``right_ts`` at-or-after
+    (``direction="forward"`` — "the next view after each click").
+    Matched right columns come back NULL when no right row qualifies (or
+    when the match is further than ``tolerance`` time units away).
 
     Spark-first shape: NOT a range join (which Catalyst would plan as a
     per-key cartesian with a filter) and not a per-key loop — the two
@@ -259,11 +262,16 @@ def as_of_join(
     on hot keys.
 
     Ties among right rows at the same (key, ts) resolve to the LARGEST
-    ``right_tiebreak`` (required when right timestamps can collide, for
-    engine-reproducible output). ``value_cols`` defaults to every right
-    column except the key and timestamp."""
+    ``right_tiebreak`` backward / the SMALLEST forward (required when
+    right timestamps can collide, for engine-reproducible output).
+    ``value_cols`` defaults to every right column except the key and
+    timestamp. The forward form is the same window over the REVERSED
+    timestamp order — right rows still sort before left rows at equal
+    timestamps, keeping the boundary inclusive."""
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     if tolerance is not None and tolerance < 0:
@@ -294,9 +302,14 @@ def as_of_join(
         F.lit(None).cast(payload_type).alias("_p"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
+    backward = direction == "backward"
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .orderBy(
+            F.col("_ts").asc() if backward else F.col("_ts").desc(),
+            F.col("_side").asc(),
+            F.col("_tb").asc() if backward else F.col("_tb").desc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -305,12 +318,14 @@ def as_of_join(
         .filter(F.col("_side") == 1)
     )
     if tolerance is not None:
+        age = (
+            F.col("_ts") - F.col("_match._rts")
+            if backward
+            else F.col("_match._rts") - F.col("_ts")
+        )
         matched = matched.withColumn(
             "_match",
-            F.when(
-                F.col("_ts") - F.col("_match._rts") <= F.lit(int(tolerance)),
-                F.col("_match"),
-            ),
+            F.when(age <= F.lit(int(tolerance)), F.col("_match")),
         )
     out_cols = [F.col(f"_l_{c}").alias(c) for c in left.columns]
     out_cols += [F.col("_match._rts").alias(f"{right_ts}_matched")]

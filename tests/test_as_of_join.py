@@ -157,3 +157,51 @@ def test_range_join_validation(spark):
 
     with pytest.raises(ValueError, match="upper"):
         range_join(None, None, on="x", lower=5, upper=4)
+
+
+def _py_asof_fwd(left, right, tolerance=None):
+    """Forward reference: smallest (rts, rid) at-or-after the left ts."""
+    out = {}
+    for k, lts in left:
+        cands = [
+            (rts, rid)
+            for rk, rts, rid in right
+            if rk == k
+            and rts >= lts
+            and (tolerance is None or rts - lts <= tolerance)
+        ]
+        out[(k, lts)] = min(cands) if cands else None
+    return out
+
+
+def test_forward_direction_matches_python_reference(spark, frames):
+    left, right, ldf, rdf = frames
+    for tol in (None, 90):
+        got = _collect(
+            as_of_join(
+                ldf, rdf, on="user_id", right_tiebreak="rid",
+                tolerance=tol, direction="forward",
+            )
+        )
+        assert got == _py_asof_fwd(left, right, tolerance=tol), tol
+    got = _collect(
+        as_of_join(ldf, rdf, on="user_id", right_tiebreak="rid", direction="forward")
+    )
+    assert got[(1, 100)] == (100, 7)   # inclusive at equal ts
+    assert got[(1, 205)] == (290, 10)  # next at-or-after
+    assert got[(2, 50)] == (400, 11)   # forward finds what backward missed
+    # forward tie at equal right ts takes the SMALLEST rid
+    got2 = _collect(
+        as_of_join(
+            ldf.filter("ts = 100"),
+            rdf.filter("ts = 200"),
+            on="user_id", right_tiebreak="rid", direction="forward",
+        )
+    )
+    assert got2[(1, 100)] == (200, 8)
+
+
+def test_direction_validation(spark, frames):
+    _, _, ldf, rdf = frames
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(ldf, rdf, on="user_id", direction="nearest")
