@@ -972,10 +972,13 @@ def _text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     clf_sc = clf_score_micro_sql(t, list(FROZEN_QUALITY_WEIGHTS), SPARK)
-    clf_df = docs.select(
+    # compute the O(tokens) scoring fold ONCE per row: lambda-bearing
+    # higher-order expressions are skipped by subexpression elimination,
+    # so two F.expr(clf_sc) columns would run the whole fold twice
+    clf_df = docs.select("doc_id", F.expr(clf_sc).alias("clf_score_micro")).select(
         "doc_id",
-        F.expr(clf_sc).alias("clf_score_micro"),
-        (F.expr(clf_sc) > 0).alias("clf_pass"),
+        "clf_score_micro",
+        (F.col("clf_score_micro") > 0).alias("clf_pass"),
     )
     pscores = lang_profile_scores_sql(t, FROZEN_LANG_PROFILES, SPARK)
     prof_df = docs.select(

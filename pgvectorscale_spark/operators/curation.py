@@ -323,6 +323,8 @@ def temperature_resample(
         r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
     }  # O(#strata) rows — a scalar-class collect
     counts = {s: c for s, c in counts.items() if s is not None}
+    if not counts:  # empty input / all-NULL strata: nothing to sample
+        return df.withColumn("sample_rank", F.lit(0).cast("long")).limit(0)
     targets = temperature_targets(counts, temperature, total_n)
     max_n = max(targets.values(), default=0)
     if max_n == 0:

@@ -1124,9 +1124,11 @@ FROM documents"""
     )
 
     clf_sc = clf_score_micro_sql("text", list(FROZEN_QUALITY_WEIGHTS), DUCKDB)
+    # score computed once in the inner select, pass derived from it —
+    # mirrors the Spark side's single-fold discipline
     clf_inner = (
-        f"SELECT doc_id, {clf_sc} AS clf_score_micro, "
-        f"({clf_sc}) > 0 AS clf_pass FROM documents"
+        f"SELECT doc_id, clf_score_micro, clf_score_micro > 0 AS clf_pass "
+        f"FROM (SELECT doc_id, {clf_sc} AS clf_score_micro FROM documents)"
     )
 
     pscores = lang_profile_scores_sql("text", FROZEN_LANG_PROFILES, DUCKDB)

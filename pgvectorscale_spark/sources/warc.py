@@ -87,11 +87,22 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         if version not in ("1.0", "1.1"):
             raise ValueError(f"unsupported WARC version {version!r} at offset {pos}")
         hdrs: dict[str, str] = {}
+        last_name: str | None = None
         for ln in lines[1:]:
+            if ln[:1] in (" ", "\t"):
+                # RFC 2616 LWS folding (inherited by ISO 28500 named
+                # fields): a SP/TAB-led line continues the previous value
+                if last_name is None:
+                    raise ValueError(
+                        f"WARC continuation line before any header at offset {pos}"
+                    )
+                hdrs[last_name] = f"{hdrs[last_name]} {ln.strip()}".strip()
+                continue
             name, sep, value = ln.partition(":")
             if not sep:
                 raise ValueError(f"malformed WARC header line {ln!r} at offset {pos}")
-            hdrs[name.strip().lower()] = value.strip()
+            last_name = name.strip().lower()
+            hdrs[last_name] = value.strip()
         if "content-length" not in hdrs:
             raise ValueError(f"record at offset {pos} missing mandatory Content-Length")
         clen = int(hdrs["content-length"])

@@ -99,12 +99,16 @@ def stream_as_of_join(
                 state.setTimeoutDuration(state_ttl_seconds * 1000)
         yield pd.DataFrame(rows, columns=_OUT_FIELDS)
 
+    # defensive nulls: a row with no key, timestamp, or side cannot be
+    # placed in the order and is DROPPED (a single malformed event must
+    # not poison the query — pandas would raise on NaN casts below);
+    # a right row with a NULL tiebreak id degrades to tiebreak 0
     prepared = stream_df.selectExpr(
         f"cast(`{on}` as long) as _k",
         f"cast(`{ts_col}` as long) as _ts",
         f"cast(`{is_right_col}` as boolean) as _r",
-        f"cast(`{right_id_col}` as long) as _rid",
-    )
+        f"coalesce(cast(`{right_id_col}` as long), 0) as _rid",
+    ).filter("_k IS NOT NULL AND _ts IS NOT NULL AND _r IS NOT NULL")
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if state_ttl_seconds > 0

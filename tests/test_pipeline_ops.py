@@ -562,3 +562,12 @@ class TestCuration:
         assert abs(got[3]["top_token_frac"] - 3 / 5) < 1e-6
         # 2-grams: [ab, ba, ab, ba] -> 1 - 2/4
         assert abs(got[3]["dup_2gram_frac"] - 0.5) < 1e-6
+
+
+def test_temperature_resample_empty_and_all_null(spark):
+    from pgvectorscale_spark.operators.curation import temperature_resample
+
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    assert temperature_resample(empty, "source", 2, 10).count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)], "doc_id long, source string")
+    assert temperature_resample(nulls, "source", 2, 10).count() == 0

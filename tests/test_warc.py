@@ -160,3 +160,19 @@ def test_negative_content_length_rejected():
     )
     with pytest.raises(ValueError, match="negative Content-Length"):
         parse_warc_bytes(data)
+
+
+def test_folded_header_continuation_lines():
+    """ISO 28500 named fields inherit RFC 2616 LWS folding: SP/TAB-led
+    lines continue the previous header's value (joined by one space);
+    a continuation before any header fails stop."""
+    long_uri_folded = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: https://example.org/a\r\n very/long: path\r\n"
+        b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    r = parse_warc_bytes(long_uri_folded)[0]
+    assert r["target_uri"] == "https://example.org/a very/long: path"
+    assert r["payload"] == "ok"
+    with pytest.raises(ValueError, match="continuation line before any header"):
+        parse_warc_bytes(b"WARC/1.0\r\n folded-first\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
