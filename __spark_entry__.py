@@ -1738,7 +1738,29 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("ts_sec_matched"), F.lit(-1)).cast("long").alias("session_end"),
         F.coalesce(F.col("event_id_matched"), F.lit(-1)).cast("long").alias("event_count"),
     )
-    # fourth arm: banded-bucket range join (relational.range_join — all
+    # fourth arm: the FORWARD direction of the same as-of join (click ->
+    # NEXT view at-or-after, 24h tolerance, ties to the SMALLEST view
+    # event_id — the forward tie rule), same slot projection. The
+    # reversed-order window must hash-match a forward LATERAL min-argmax;
+    # trailing clicks with no later view keep the -1 sentinels, so the
+    # unmatched path is exercised too.
+    asof_fwd = relational.as_of_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="ts_sec",
+        value_cols=["event_id"],
+        right_tiebreak="event_id",
+        tolerance=86400,
+        direction="forward",
+    ).select(
+        "user_id",
+        F.col("ts_sec").alias("session_start"),
+        F.coalesce(F.col("ts_sec_matched"), F.lit(-1)).cast("long").alias("session_end"),
+        F.coalesce(F.col("event_id_matched"), F.lit(-1)).cast("long").alias("event_count"),
+    )
+    # fifth arm: banded-bucket range join (relational.range_join — all
     # views within +-2h of each click); the bucket probing must produce
     # exactly the textbook BETWEEN join's pairs, once each
     rng = relational.range_join(
@@ -1760,6 +1782,7 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         plain.select(F.lit("plain").alias("form"), "*")
         .unionByName(salted.select(F.lit("salted").alias("form"), "*"))
         .unionByName(asof.select(F.lit("asof").alias("form"), "*"))
+        .unionByName(asof_fwd.select(F.lit("asof_fwd").alias("form"), "*"))
         .unionByName(rng.select(F.lit("range").alias("form"), "*"))
     )
 
@@ -2039,6 +2062,7 @@ FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
                 ("'plain'", oracles.sessionize_oracle(1800)),
                 ("'salted'", oracles.sessionize_oracle(1800)),
                 ("'asof'", oracles.as_of_join_oracle(86400)),
+                ("'asof_fwd'", oracles.as_of_join_fwd_oracle(86400)),
                 ("'range'", oracles.range_join_oracle(7200)),
             ],
         ),

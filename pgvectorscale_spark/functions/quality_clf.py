@@ -123,7 +123,18 @@ def train_quality_classifier(
     them in one exact long aggregation. Weight update (driver-side):
     w_j -= lr * grad_micro_j / (1e6 * n_rows). Deterministic across
     partitionings by construction; equals the single-node reference
-    that applies the same per-contribution rounding."""
+    that applies the same per-contribution rounding.
+
+    Scale contract (same honesty as ``train_bpe`` documents for its
+    bound): each iteration is one driver-synchronized pass over ``df``,
+    so training reads the corpus ``iterations`` (40) times — fine at
+    distillation scale, NOT over 100 TB. At scale, TRAIN on a sampled
+    slice first (``curation.stratified_sample`` down to a few million
+    rows — distillation is exactly the setting where a sample suffices,
+    since the teacher labels are free on any subset) and SCORE the full
+    corpus with the frozen weights: scoring (``clf_score_micro_sql``)
+    is a pure per-token weight-lookup fold, one pass, zero driver
+    rounds."""
     d = NUM_BUCKETS + 2
     toks = tokens(f"`{text_col}`", SPARK)
     base = df.select(

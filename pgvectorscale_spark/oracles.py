@@ -1299,6 +1299,32 @@ ORDER BY c.user_id, c.s
 """
 
 
+def as_of_join_fwd_oracle(tolerance: int) -> str:
+    """Forward twin of :func:`as_of_join_oracle` (click -> NEXT view):
+    the smallest view second at-or-after the click, ties to the
+    SMALLEST event_id (the forward direction's engine-reproducible
+    tie rule), no match when further than ``tolerance`` seconds ahead.
+    Unmatched clicks (no later view inside the tolerance — every user's
+    trailing clicks) stay present with the -1 sentinels, so both the
+    matched and unmatched paths are exercised by one driver row."""
+    return f"""
+WITH c AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS s FROM events
+  WHERE event_type = 'click'),
+v AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS s FROM events
+  WHERE event_type = 'view')
+SELECT c.user_id, c.s AS session_start,
+       coalesce(m.s, -1) AS session_end,
+       coalesce(m.event_id, -1) AS event_count
+FROM c LEFT JOIN LATERAL (
+  SELECT v.s, v.event_id FROM v
+  WHERE v.user_id = c.user_id AND v.s >= c.s AND v.s - c.s <= {int(tolerance)}
+  ORDER BY v.s ASC, v.event_id ASC LIMIT 1) m ON true
+ORDER BY c.user_id, c.s
+"""
+
+
 def range_join_oracle(tol: int) -> str:
     """Twin of relational.range_join on the click<->view fixture
     (projected to the sessionize union slots): the banded-bucket

@@ -4,7 +4,8 @@ Runs every __spark_entry__.queries() entry at the given sf dir alongside its
 oracle_sql() twin in DuckDB; compares row count, sorted column names, and
 order-insensitive values (floats rounded to 6dp before comparison).
 
-Usage: python scripts/check_entry.py [sf_dir]
+Usage: python scripts/check_entry.py [sf_dir] [name1,name2,...]
+(the optional second arg restricts the sweep to the named queries)
 """
 
 from __future__ import annotations
@@ -44,6 +45,13 @@ def main() -> int:
 
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
+    if len(sys.argv) > 2:
+        keep = set(sys.argv[2].split(","))
+        unknown = keep - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 2
+        qs = {k: v for k, v in qs.items() if k in keep}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
