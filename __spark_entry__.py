@@ -1811,9 +1811,14 @@ def _tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     string, the same greedy pass DuckDB replays). Training itself is
     iterative/driver-coordinated, so its parity lives in pytest
     (test_bpe_train.py vs a single-node reference); the APPLICATION is
-    what the oracle hash-verifies here."""
+    what the oracle hash-verifies here. Third arm ('fast'): the one-pass
+    rank-heap tokenizer (functions/text.bpe_encode_count — the SCALE
+    apply, O(applied merges) per word instead of O(merges) chain scans
+    per row) over the same frozen table must reproduce the replace
+    chain's counts exactly, so its oracle IS the chain replay."""
     from pgvectorscale_spark.functions.text import (
         FROZEN_BPE_MERGES,
+        bpe_encode_count,
         bpe_merged_token_count_sql,
         bpe_token_count_sql,
     )
@@ -1831,7 +1836,12 @@ def _tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             bpe_merged_token_count_sql("text", list(FROZEN_BPE_MERGES), SPARK)
         ).alias("bpe_token_count"),
     )
-    return pre.unionByName(merged)
+    fast = bpe_encode_count(
+        docs.select("doc_id", "text"),
+        list(FROZEN_BPE_MERGES),
+        out_col="bpe_token_count",
+    ).select(F.lit("fast").alias("form"), "doc_id", "bpe_token_count")
+    return pre.unionByName(merged).unionByName(fast)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

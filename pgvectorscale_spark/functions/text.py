@@ -8,6 +8,9 @@ the driver's oracle hash-matches (functions/hashing.py pattern).
 
 from __future__ import annotations
 
+import re as _RE
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -598,6 +601,301 @@ FROZEN_BPE_MERGES: tuple[tuple[str, str], ...] = (
     ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
     ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Scale-true BPE (round 12): the distributed trainer above is EXACT but
+# driver-round-bound (~num_merges/1.7 synchronized Spark jobs — a 32k
+# vocabulary would be ~16k+ rounds), and the replace-chain APPLY is
+# O(merges) scans per row. The standard production design (what
+# sentencepiece/HF tokenizers actually do) splits the work differently:
+#
+# - TRAINING folds over the distinct (pre-token, frequency) histogram,
+#   which is Heaps-sublinear in corpus size — ONE distributed pass builds
+#   it, it fits on the driver at any corpus scale (hundreds of millions of
+#   distinct pre-tokens would still be gigabytes, and real crawl corpora
+#   sit far below that), and the full merge loop runs driver-side with
+#   incremental pair-count maintenance (train_bpe_local): no further
+#   cluster round-trips, 32k merges in seconds.
+# - APPLY processes each row's words ONCE with a rank-heap tokenizer
+#   (bpe_encode) — O(applied merges) per word, independent of the merge
+#   table length — instead of one full-string scan per merge.
+#
+# Both are pytest-pinned to the exact forms they replace: the histogram
+# trainer must equal train_bpe AND the sequential single-node reference
+# merge-for-merge at depth >= 256, and the rank-heap tokenizer must equal
+# the bpe_apply_sql replace chain token-for-token (including the
+# subtle no-revisit rule the chain implies — see bpe_encode).
+# ---------------------------------------------------------------------------
+
+
+def bpe_word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The distinct (pre-token, frequency) table — the ONE distributed
+    pass BPE training needs. explode + groupBy with map-side combine;
+    output size follows Heaps' law, not corpus size."""
+    return (
+        df.select(F.expr(bpe_tokens_sql(f"`{text_col}`", SPARK)).alias("_ws"))
+        .select(F.explode("_ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def train_bpe_local(
+    word_freqs: dict[str, int],
+    num_merges: int,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Single-node BPE merge loop over a word-frequency histogram —
+    merge-for-merge identical to the naive Sennrich recount loop (and
+    therefore to the distributed ``train_bpe``), but with incremental
+    pair-count maintenance so a 32k vocabulary trains in seconds:
+
+    - ``pair_counts``/``where`` index every adjacent pair's corpus count
+      (overlapping positions counted, as everywhere in this module) and
+      the set of words containing it;
+    - each merge touches ONLY the words that contain the winning pair:
+      their old pair contributions are subtracted, the pair is merged
+      left-to-right, the new contributions added back;
+    - the arg-max is a lazy max-heap keyed (count desc, a asc, b asc) —
+      every count CHANGE pushes a fresh entry, stale entries are skipped
+      at pop time by comparing against the live count (the entry that
+      matches the live count sits at the correct heap position by
+      construction). When a popped entry is live but below
+      ``min_pair_freq``, every remaining live count is too (heap order),
+      so training stops — the same floor rule as the recount loop.
+    """
+    import heapq
+
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for w, f in word_freqs.items():
+        words.append(list(w))
+        freqs.append(int(f))
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, f) in enumerate(zip(words, freqs)):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            where.setdefault(p, set()).add(idx)
+    heap = [(-c, a, b) for (a, b), c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges and heap:
+        neg, a, b = heapq.heappop(heap)
+        c = -neg
+        if pair_counts.get((a, b), 0) != c:
+            continue  # stale: the live count was re-pushed when it changed
+        if c < min_pair_freq:
+            break  # heap max is live and below the floor -> nothing qualifies
+        merges.append((a, b))
+        ab = a + b
+        touched: set[tuple[str, str]] = set()
+        for idx in list(where.get((a, b), ())):
+            syms, f = words[idx], freqs[idx]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= f
+                touched.add(p)
+                s = where.get(p)
+                if s is not None:
+                    s.discard(idx)
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                touched.add(p)
+                where.setdefault(p, set()).add(idx)
+        for p in touched:
+            c2 = pair_counts.get(p, 0)
+            if c2 <= 0:
+                pair_counts.pop(p, None)
+                where.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c2, p[0], p[1]))
+    return merges
+
+
+def train_bpe_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 16,
+    min_pair_freq: int = 2,
+    stats: dict | None = None,
+) -> list[tuple[str, str]]:
+    """Scale-true BPE training: ONE distributed pass builds the distinct
+    word-frequency histogram (``bpe_word_histogram``), the driver
+    collects it (Heaps-sublinear — this is why sentencepiece/HF train on
+    word counts), and ``train_bpe_local`` runs the full merge loop with
+    zero further cluster round-trips. Merge-for-merge identical to the
+    distributed ``train_bpe`` (which stays as the exactness twin) and to
+    the sequential single-node reference — pytest asserts the three-way
+    parity at depth >= 256. Pass ``stats={}`` to receive
+    {"distinct_words": int}."""
+    hist = {
+        r["word"]: int(r["freq"])
+        for r in bpe_word_histogram(df, text_col).collect()
+    }
+    if stats is not None:
+        stats["distinct_words"] = len(hist)
+    return train_bpe_local(hist, num_merges, min_pair_freq)
+
+
+def _bpe_encode_word(
+    word: str,
+    first_rank: dict[tuple[str, str], int],
+    rank_lists: dict[tuple[str, str], list[int]],
+    table: list[tuple[str, str, str]],
+) -> list[str]:
+    """Tokenize ONE pre-token with EXACTLY the replace-chain semantics —
+    merges in list order, each applied in one full left-to-right pass,
+    never revisited — but in O(applied merges) instead of O(len(table)):
+
+    ranks of pairs PRESENT in the word go on a min-heap; popping rank r
+    applies that merge's pass. A merge can only create pairs adjacent to
+    its merged symbol, and a created pair queues ONLY ranks > r: the
+    chain has already passed ranks <= r and never revisits them (pinned
+    by test — a naive 'merge the lowest-rank present pair, re-adding
+    lower ranks' tokenizer diverges from the chain on recreated pairs).
+    Stale heap entries (pair destroyed before its turn) cost one
+    no-change scan and are dropped. ``rank_lists`` carries EVERY rank of
+    a pair that appears multiple times in the table (a pair can be
+    re-learned after later merges recreate it), so the second occurrence
+    still fires if the pair is recreated past the first."""
+    import bisect
+    import heapq
+
+    syms = list(word)
+    if len(syms) < 2:
+        return syms
+    heap = []
+    seen0 = set()
+    for i in range(len(syms) - 1):
+        r = first_rank.get((syms[i], syms[i + 1]))
+        if r is not None and r not in seen0:
+            seen0.add(r)
+            heap.append(r)
+    heapq.heapify(heap)
+    prev = -1
+    while heap:
+        r = heapq.heappop(heap)
+        if r == prev:
+            continue
+        prev = r
+        a, b, ab = table[r]
+        out: list[str] = []
+        i, n = 0, len(syms)
+        changed = False
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(ab)
+                i += 2
+                changed = True
+            else:
+                out.append(syms[i])
+                i += 1
+        if not changed:
+            continue  # stale entry: the pair was consumed before its turn
+        syms = out
+        queued: set[int] = set()
+        for i in range(len(syms) - 1):
+            if syms[i] == ab or syms[i + 1] == ab:
+                p = (syms[i], syms[i + 1])
+                lst = rank_lists.get(p)
+                if lst is None:
+                    continue
+                # smallest rank of this pair STRICTLY ahead of r — the
+                # chain never revisits a passed rank
+                j = bisect.bisect_right(lst, r)
+                if j < len(lst) and lst[j] not in queued:
+                    queued.add(lst[j])
+                    heapq.heappush(heap, lst[j])
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    cache_cap: int = 1 << 20,
+) -> DataFrame:
+    """Engine-path BPE APPLY: tokenize ``text_col`` under a learned merge
+    table in ONE pass per word (Arrow-batched pandas UDF around
+    ``_bpe_encode_word``) — cost O(applied merges) per word, independent
+    of the table length, where the engine-replayable
+    ``bpe_apply_sql`` replace chain costs O(len(merges)) full-string
+    scans per row (fine at the 12 frozen merges the driver oracle
+    replays, unusable at a 32k vocabulary). Token-for-token identical to
+    the chain — pytest pins the parity on FROZEN_BPE_MERGES and on
+    adversarial recreated-pair tables.
+
+    Adds ``out_col`` (array<string>, the concatenated per-word token
+    sequences; NULL text stays NULL like the SQL form). Per-task word
+    cache (capped at ``cache_cap`` entries): within a batch the distinct
+    words are Heaps-sublinear, so most rows tokenize from the cache."""
+    from pyspark.sql.functions import pandas_udf
+
+    table = [(a, b, a + b) for a, b in merges]
+    rank_lists: dict[tuple[str, str], list[int]] = {}
+    for i, (a, b, _) in enumerate(table):
+        rank_lists.setdefault((a, b), []).append(i)
+    first_rank = {p: lst[0] for p, lst in rank_lists.items()}
+    strip = _RE.compile(f"[{BPE_SYM_SEP}{BPE_WORD_SEP}]")
+    pat = _RE.compile(BPE_PATTERN)
+    cache: dict[str, list[str]] = {}
+
+    def encode_text(text):
+        if text is None:
+            return None
+        out: list[str] = []
+        for w in pat.findall(strip.sub("", text)):
+            toks = cache.get(w)
+            if toks is None:
+                toks = _bpe_encode_word(w, first_rank, rank_lists, table)
+                if len(cache) < cache_cap:
+                    cache[w] = toks
+            out.extend(toks)
+        return out
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        return texts.map(encode_text)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def bpe_encode_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_token_count",
+) -> DataFrame:
+    """Token COUNT under the merge table via the one-pass tokenizer —
+    the scale form of ``bpe_merged_token_count_sql`` (NULL text -> NULL
+    count, like the SQL twin)."""
+    tmp = f"_bpe_toks_{out_col}"
+    return (
+        bpe_encode(df, merges, text_col=text_col, out_col=tmp)
+        .withColumn(out_col, F.size(F.col(tmp)).cast("long"))
+        .withColumn(
+            out_col,
+            F.when(F.col(tmp).isNull(), F.lit(None).cast("long")).otherwise(
+                F.col(out_col)
+            ),
+        )
+        .drop(tmp)
+    )
 
 
 # Character-trigram language profiles learned by train_lang_profiles

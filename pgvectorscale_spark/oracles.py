@@ -1270,6 +1270,9 @@ FROM documents
 UNION ALL
 SELECT 'merged' AS form, doc_id, {merged} AS bpe_token_count
 FROM documents
+UNION ALL
+SELECT 'fast' AS form, doc_id, {merged} AS bpe_token_count
+FROM documents
 """
 
 

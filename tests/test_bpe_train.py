@@ -243,3 +243,225 @@ def test_frozen_merges_match_sf0001_training(spark):
     docs = load_table(spark, "documents", "/root/testdata/sf0.001")
     got = train_bpe(docs, num_merges=len(FROZEN_BPE_MERGES))
     assert got == list(FROZEN_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Scale-true BPE (round 12): histogram-driver training + one-pass apply
+# ---------------------------------------------------------------------------
+
+
+def _rich_corpus_df(spark):
+    """A corpus with a vocabulary deep enough for >= 256 merges (the
+    synthetic documents table draws from ~31 distinct words and exhausts
+    at 89): part names/types/brands + customer names/segments +
+    documents text at sf0.01 — 1,585 distinct pre-tokens."""
+    from pyspark.sql import functions as F
+
+    from pgvectorscale_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    part = load_table(spark, "part", sf).select(
+        F.concat_ws(" ", "p_name", "p_type", "p_brand").alias("text")
+    )
+    cust = load_table(spark, "customer", sf).select(
+        F.concat_ws(" ", "c_name", "c_mktsegment").alias("text")
+    )
+    docs = load_table(spark, "documents", sf).select("text")
+    return part.unionByName(cust).unionByName(docs)
+
+
+def _rich_corpus_texts():
+    return [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT p_name || ' ' || p_type || ' ' || p_brand"
+            " FROM '/root/testdata/sf0.01/part.parquet'"
+            " UNION ALL SELECT c_name || ' ' || c_mktsegment"
+            " FROM '/root/testdata/sf0.01/customer.parquet'"
+            " UNION ALL SELECT text FROM '/root/testdata/sf0.01/documents.parquet'"
+        ).fetchall()
+    ]
+
+
+def test_three_way_parity_at_depth_256(spark):
+    """The scale path (one distributed histogram pass + driver-side
+    incremental merge loop) must equal BOTH the distributed exactness
+    twin (train_bpe) and the from-scratch sequential reference,
+    merge-for-merge and order included, at a realistic depth."""
+    from pgvectorscale_spark.functions.text import train_bpe_histogram
+
+    df = _rich_corpus_df(spark)
+    texts = _rich_corpus_texts()
+    seq = ref_train_bpe(texts, 256)
+    assert len(seq) == 256  # the corpus really sustains this depth
+    st = {}
+    hist = train_bpe_histogram(df, num_merges=256, stats=st)
+    assert hist == seq
+    assert st["distinct_words"] == 1585
+    sb = {}
+    dist = train_bpe(df, num_merges=256, batch_merges=8, stats=sb)
+    assert dist == seq
+    assert sb["rounds"] < 256  # batching still pays on the way down
+
+
+def test_local_trainer_exhaustion_and_floor():
+    """Driver-side trainer: runs a full vocabulary to exhaustion fast
+    (the 32k-vocab feasibility claim), applies the min_pair_freq floor
+    exactly like the recount loop, and matches the reference at every
+    depth along the way."""
+    import time
+
+    from pgvectorscale_spark.functions.text import train_bpe_local
+
+    texts = _rich_corpus_texts()
+    hist: dict[str, int] = {}
+    for t in texts:
+        for w in ref_pretokenize(t):
+            hist[w] = hist.get(w, 0) + 1
+    t0 = time.time()
+    full = train_bpe_local(hist, 1 << 15, min_pair_freq=1)
+    took = time.time() - t0
+    assert full == ref_train_bpe(texts, len(full) + 8, min_pair_freq=1)
+    assert len(full) > 1500  # exhaustion depth on this corpus
+    assert took < 10.0, f"incremental trainer too slow: {took:.1f}s"
+    # floor rule: min_pair_freq=4 must stop exactly where the reference does
+    f4 = train_bpe_local(hist, 1 << 15, min_pair_freq=4)
+    assert f4 == ref_train_bpe(texts, len(f4) + 8, min_pair_freq=4)
+    assert len(f4) < len(full)
+
+
+def test_bpe_encode_matches_replace_chain(spark):
+    """The one-pass rank-heap tokenizer must equal the engine-replayable
+    replace chain token-COUNT-for-count on real rows (FROZEN merges, the
+    driver oracle's table), including NULL text."""
+    from pyspark.sql import functions as F
+
+    from pgvectorscale_spark.functions.text import (
+        FROZEN_BPE_MERGES,
+        bpe_encode_count,
+    )
+    from pgvectorscale_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, "documents", "/root/testdata/sf0.001")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame([(10**9, None)], "doc_id long, text string")
+        )
+    )
+    merges = list(FROZEN_BPE_MERGES)
+    both = bpe_encode_count(docs, merges, out_col="fast").withColumn(
+        "chain", F.expr(bpe_merged_token_count_sql("text", merges, SPARK))
+    )
+    diff = both.filter(
+        ~(
+            (F.col("fast") == F.col("chain"))
+            | (F.col("fast").isNull() & F.col("chain").isNull())
+        )
+    ).count()
+    assert diff == 0
+    null_row = both.filter("doc_id = 1000000000").collect()[0]
+    assert null_row["fast"] is None and null_row["chain"] is None
+
+
+def test_bpe_encode_matches_chain_on_deep_table(spark):
+    """Same parity at depth 256 on the rich corpus — the regime the
+    one-pass tokenizer exists for. A 256-merge replace chain is BEYOND
+    Spark's SQL parser ([FAILED_TO_PARSE_TOO_COMPLEX] — asserted below,
+    it is WHY bpe_encode exists), so the chain side of the parity runs
+    as the DuckDB replay of the identical expression plus the
+    single-node reference apply."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import ParseException
+
+    from pgvectorscale_spark.functions.text import (
+        bpe_encode_count,
+        train_bpe_histogram,
+    )
+
+    df = _rich_corpus_df(spark).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    merges = train_bpe_histogram(df, num_merges=256)
+    assert len(merges) == 256
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(text VARCHAR)")
+    # the 256-deep chain is beyond BOTH engines' expression limits —
+    # Spark's parser and DuckDB's 128-deep binder alike reject it; that
+    # shared ceiling is the concrete form of 'unusable at 32k merges'
+    with _pytest.raises(ParseException):
+        df.withColumn(
+            "chain", F.expr(bpe_merged_token_count_sql("text", merges, SPARK))
+        ).collect()
+    with _pytest.raises(duckdb.BinderException):
+        con.execute(
+            f"SELECT {bpe_merged_token_count_sql('text', merges, DUCKDB)} FROM t"
+        )
+    got = {
+        r["text"]: r["fast"]
+        for r in bpe_encode_count(df, merges, out_col="fast").collect()
+    }
+    texts = sorted(got)
+    # at 256: parity vs the single-node reference (the chain's semantics)
+    assert got == {t: ref_apply(t, merges) for t in texts}
+    # at 115 (the deepest chain DuckDB's 128-frame binder still accepts,
+    # base expression included): parity vs a real engine's chain replay
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    m115 = merges[:115]
+    chain115 = dict(
+        con.execute(
+            f"SELECT text, {bpe_merged_token_count_sql('text', m115, DUCKDB)} FROM t"
+        ).fetchall()
+    )
+    got115 = {
+        r["text"]: r["fast"]
+        for r in bpe_encode_count(df, m115, out_col="fast").collect()
+    }
+    assert got115 == chain115
+
+
+def test_bpe_encode_no_revisit_rule():
+    """The replace chain never revisits a passed merge: with the table
+    [(ab,c), (a,b)] over 'abc', pass 0 is a no-op ('ab' does not exist
+    yet), pass 1 creates it — the chain ends at ['ab','c'], NOT ['abc'].
+    A naive 'always merge the lowest-rank present pair' tokenizer (the
+    textbook min-heap WITHOUT the created-rank>current rule) would apply
+    rank 0 after rank 1 and diverge."""
+    from pgvectorscale_spark.functions.text import _bpe_encode_word
+
+    table = [("ab", "c", "abc"), ("a", "b", "ab")]
+    rl = {("ab", "c"): [0], ("a", "b"): [1]}
+    fr = {p: lst[0] for p, lst in rl.items()}
+    assert _bpe_encode_word("abc", fr, rl, table) == ["ab", "c"]
+    # and the SQL chain agrees (DuckDB replay of bpe_apply_sql)
+    from pgvectorscale_spark.functions.text import bpe_merged_token_count_sql as mc
+
+    n = duckdb.sql(
+        f"SELECT {mc(chr(39) + 'abc' + chr(39), [('ab', 'c'), ('a', 'b')], DUCKDB)}"
+    ).fetchone()[0]
+    assert n == 2
+
+
+def test_bpe_encode_duplicate_rank_fires_on_recreated_pair():
+    """A pair can appear TWICE in a merge table (training can re-learn a
+    pair after later merges recreate it). The chain applies both passes;
+    with [(ab,c), (a,b), (x,y), (ab,c)] over 'abc': pass 0 no-op, pass 1
+    -> [ab, c], pass 3 -> [abc]. The tokenizer's rank_lists must queue
+    the SECOND rank when the pair is created after the first has passed
+    — a first-rank-only map would stop at ['ab','c']."""
+    from pgvectorscale_spark.functions.text import _bpe_encode_word
+
+    merges = [("ab", "c"), ("a", "b"), ("x", "y"), ("ab", "c")]
+    table = [(a, b, a + b) for a, b in merges]
+    rl: dict = {}
+    for i, (a, b) in enumerate(merges):
+        rl.setdefault((a, b), []).append(i)
+    fr = {p: lst[0] for p, lst in rl.items()}
+    assert _bpe_encode_word("abc", fr, rl, table) == ["abc"]
+    from pgvectorscale_spark.functions.text import bpe_merged_token_count_sql as mc
+
+    n = duckdb.sql(
+        f"SELECT {mc(chr(39) + 'abc' + chr(39), merges, DUCKDB)}"
+    ).fetchone()[0]
+    assert n == 1
