@@ -362,6 +362,67 @@ def main() -> None:
         / max(len(exact8_lbl), 1),
         4,
     )
+    # SERVED-HYBRID gate at the 8x point (round 12): hybrid BM25+vector
+    # with the vector arm served by the routed index (auto-probe) must
+    # keep >= 0.9 of the exact-arm hybrid's fused top-10. The lexical
+    # arm and the RRF fusion are shared code between the two paths, so
+    # the gate isolates exactly what the served arm changes. Text is
+    # synthesized deterministically per row from (label, vec_id) with
+    # the SAME scheme on corpus and queries, so the BM25 arm retrieves
+    # non-trivially (shared tokens across rows with equal residues).
+    from pgvectorscale_spark.operators.hybrid import (
+        hybrid_topk,
+        hybrid_topk_served,
+    )
+
+    _text = (
+        "concat('lbl', label, ' tok', pmod(vec_id, 97), ' tok', "
+        "pmod(vec_id, 31), ' tok', pmod(vec_id, 13))"
+    )
+    hyb_corpus = emb8ho.select(
+        F.col("vec_id").alias("doc_id"), F.expr(_text).alias("text"), "embedding"
+    )
+    hyb_queries = emb.filter("vec_id < 16").select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(_text).alias("q_text"),
+        F.col("embedding").alias("q_vec"),
+    )
+    hyb_exact = {
+        r["query_id"]: set(r["ids"])
+        for r in hybrid_topk(
+            hyb_corpus, hyb_queries, k=10, arm_k=20, distance_type="l2"
+        )
+        .groupBy("query_id")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .collect()
+    }
+
+    def _served_hybrid():
+        return (
+            hybrid_topk_served(
+                idx8r,
+                hyb_corpus.select("doc_id", "text"),
+                hyb_queries,
+                k=10,
+                arm_k=20,
+                recall_target=0.95,
+            )
+            .groupBy("query_id")
+            .agg(F.collect_set("doc_id").alias("ids"))
+            .collect()
+        )
+
+    hybrid_serve8, _ = timed(_served_hybrid, runs=1)
+    hyb_served = {r["query_id"]: set(r["ids"]) for r in timed.last}
+    hybrid_recall8 = round(
+        sum(
+            len(hyb_served.get(q, set()) & hyb_exact[q])
+            / max(len(hyb_exact[q]), 1)
+            for q in hyb_exact
+        )
+        / max(len(hyb_exact), 1),
+        4,
+    )
     emb8.unpersist()
     shutil.rmtree(tmp_routed, ignore_errors=True)
     ann_scale = {
@@ -399,6 +460,9 @@ def main() -> None:
         "auto_routed_gate_pass": bool(recall8a >= 0.9 and auto_p < 64),
         "labeled_routed_recall_8x_at10": recall8_lbl,
         "labeled_routed_gate_pass": bool(recall8_lbl >= 0.9),
+        "hybrid_served_serve_8x_sec": hybrid_serve8,
+        "hybrid_served_vs_exact_recall_8x_at10": hybrid_recall8,
+        "hybrid_served_gate_pass": bool(hybrid_recall8 >= 0.9),
         "routing_recall_curve": idx8r.meta.routing_recall_curve,
         "gate_queries_held_out": True,
     }
@@ -647,6 +711,10 @@ def main() -> None:
         "auto_routed_gate_pass": ann_scale["auto_routed_gate_pass"],
         "labeled_routed_recall_8x_at10": ann_scale["labeled_routed_recall_8x_at10"],
         "labeled_routed_gate_pass": ann_scale["labeled_routed_gate_pass"],
+        "hybrid_served_vs_exact_recall_8x_at10": ann_scale[
+            "hybrid_served_vs_exact_recall_8x_at10"
+        ],
+        "hybrid_served_gate_pass": ann_scale["hybrid_served_gate_pass"],
         "routing_recall_curve_8x": ann_scale["routing_recall_curve"],
         "gate_queries_held_out": True,
         "build_8x_ratio": round(

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pgvectorscale_spark.operators.bm25 import BM25_B, BM25_K1, bm25_topk
 from pgvectorscale_spark.operators.knn import search_exact_batch
 
-__all__ = ["RRF_K", "hybrid_topk", "mmr_rerank", "rrf_fuse"]
+__all__ = ["RRF_K", "hybrid_topk", "hybrid_topk_served", "mmr_rerank", "rrf_fuse"]
 
 # the constant from the original RRF paper; large enough that rank-1
 # outliers in one arm can't drown consistent mid-rank agreement
@@ -211,6 +211,64 @@ def hybrid_topk(
         impl=vec_impl,
         round_to=round_to,
     ).select(F.col(q_id_col), F.col(id_col), "rank")
+    return rrf_fuse(
+        [lex, vec], k=k, rrf_k=rrf_k, query_id_col=q_id_col, id_col=id_col
+    )
+
+
+def hybrid_topk_served(
+    index,
+    corpus_text: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    arm_k: int = 20,
+    rrf_k: int = RRF_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_text_col: str = "q_text",
+    q_vec_col: str = "q_vec",
+    q_id_col: str = "query_id",
+    **search_kwargs,
+) -> DataFrame:
+    """Hybrid retrieval with the vector arm SERVED by a built ANN index
+    (``DiskannIndex`` / ``IvfIndex`` — anything exposing
+    ``search_batch(queries, k) -> (query_id, node_id, distance, rank)``)
+    instead of the exact k-NN scan — the production shape at 100 TB,
+    where the exact arm's full corpus scan per query batch is the one
+    piece of :func:`hybrid_topk` that doesn't survive the scale-up.
+
+    ``corpus_text`` carries (``id_col``, ``text_col``) for the lexical
+    arm; ``queries`` carries (``q_id_col``, ``q_text_col``,
+    ``q_vec_col``). ``search_kwargs`` pass through to ``search_batch``
+    (``probe_shards``, ``recall_target``, ``labels``, ...). The lexical
+    arm and the RRF fusion are bit-identical to :func:`hybrid_topk`, so
+    any fused-result difference is exactly the index arm's recall —
+    which is what bench.py gates (served-hybrid fused top-k must keep
+    >= 0.9 of the exact-arm hybrid's fused top-k at the 8x point)."""
+    lex = bm25_topk(
+        corpus_text.select(F.col(id_col), F.col(text_col)),
+        queries.select(F.col(q_id_col), F.col(q_text_col)),
+        k=arm_k,
+        k1=k1,
+        b=b,
+        text_col=text_col,
+        id_col=id_col,
+        q_text_col=q_text_col,
+        q_id_col=q_id_col,
+    ).select(F.col(q_id_col), F.col(id_col), "rank")
+    vec = index.search_batch(
+        queries.select(
+            F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("query_vec")
+        ),
+        k=arm_k,
+        **search_kwargs,
+    ).select(
+        F.col("query_id").alias(q_id_col),
+        F.col("node_id").alias(id_col),
+        F.col("rank"),
+    )
     return rrf_fuse(
         [lex, vec], k=k, rrf_k=rrf_k, query_id_col=q_id_col, id_col=id_col
     )

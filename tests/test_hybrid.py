@@ -207,3 +207,80 @@ def test_hybrid_topk_end_to_end(spark, corpus):
     for (q, d), s in fused_by_key.items():
         if (q, d) in both:
             assert s > 1.0 / (RRF_K + 1), "two-arm doc scored below a single arm's best"
+
+
+def test_hybrid_topk_served_matches_exact_arm_hybrid(spark, corpus, tmp_path):
+    """hybrid_topk_served swaps the exact vector arm for a built
+    DiskannIndex; the lexical arm and the fusion are shared code, so the
+    fused top-k must track the exact-arm hybrid's fused top-k at the
+    index's recall — near-identical at full fan-out on this corpus."""
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+    from pgvectorscale_spark.operators.hybrid import hybrid_topk_served
+
+    queries = corpus.filter("doc_id % 53 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 1, 4))").alias("q_text"),
+        F.col("embedding").alias("q_vec"),
+    )
+    idx = DiskannIndex.build(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        str(tmp_path / "hybrid_idx"),
+        distance_type="cosine",
+        num_shards=4,
+    )
+    exact = hybrid_topk(corpus, queries, k=5, arm_k=10).collect()
+    served = hybrid_topk_served(
+        idx, corpus.select("doc_id", "text"), queries, k=5, arm_k=10
+    ).collect()
+    ex_by_q: dict[int, set] = {}
+    for r in exact:
+        ex_by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    sv_by_q: dict[int, set] = {}
+    for r in served:
+        sv_by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert set(sv_by_q) == set(ex_by_q)
+    recall = sum(
+        len(sv_by_q[q] & ex_by_q[q]) / len(ex_by_q[q]) for q in ex_by_q
+    ) / len(ex_by_q)
+    assert recall >= 0.9, f"served-hybrid fused recall {recall}"
+    # ranks well-formed per query
+    by_q: dict[int, list] = {}
+    for r in served:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert q in {r["doc_id"] for r in rs}, f"query {q} did not retrieve itself"
+
+
+def test_hybrid_topk_served_routed_kwargs(spark, corpus, tmp_path):
+    """search_kwargs pass through to search_batch: a kmeans-sharded index
+    served with probe_shards=2 of 4 still fuses a full per-query top-k."""
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+    from pgvectorscale_spark.operators.hybrid import hybrid_topk_served
+
+    queries = corpus.filter("doc_id % 101 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 1, 4))").alias("q_text"),
+        F.col("embedding").alias("q_vec"),
+    )
+    idx = DiskannIndex.build(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        str(tmp_path / "hybrid_routed"),
+        distance_type="cosine",
+        num_shards=4,
+        shard_assignment="kmeans",
+    )
+    fused = hybrid_topk_served(
+        idx, corpus.select("doc_id", "text"), queries, k=5, arm_k=10,
+        probe_shards=2,
+    ).collect()
+    n_queries = queries.count()
+    by_q: dict[int, list] = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == n_queries
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
