@@ -43,8 +43,12 @@ __all__ = [
     "WARC_GROUP_SIZE",
     "WARCINFO_BLOCK",
     "attach_warc_payload",
+    "iter_warc_spans",
     "parse_warc_bytes",
     "parse_warc_records",
+    "read_warc_dir",
+    "read_warc_manifest",
+    "warc_split_manifest",
 ]
 
 WARC_GROUP_SIZE = 50  # docs per synthesized WARC file
@@ -250,3 +254,204 @@ def attach_warc_payload(
         )
     )
     return grouped
+
+
+# ---------------------------------------------------------------------------
+# Real-file scale path (round 12). parse_warc_records above consumes blobs
+# already in a column — right when upstream hands you bytes, but a 100 TB
+# crawl arrives as multi-GB .warc FILES. Two shapes:
+#
+# - read_warc_dir: spark.read.format("binaryFile") over a dir/glob — one
+#   task per file, the canonical whole-file path. Fine while single files
+#   fit an executor; the ceiling is the biggest file.
+# - warc_split_manifest + read_warc_manifest: a header-walk builds a
+#   (path, offset, length, first_rec_index) manifest whose splits align
+#   to RECORD boundaries (iter_warc_spans reads only header blocks and
+#   SEEKS over bodies — O(#records) small reads per file, never a full
+#   scan), then the ranged read fans out one task per split. Each split
+#   re-parses independently, so a 40 GB segment becomes ~40 1 GB-ish
+#   tasks instead of one. Ranged access here uses local file IO (what
+#   the container offers); the contract is any seekable binary stream —
+#   at deployment the opener is fsspec/S3 ranged GETs, the walk and the
+#   maths are identical.
+# ---------------------------------------------------------------------------
+
+_HEADER_CAP = 1 << 20  # a WARC header block beyond 1 MiB is corruption
+
+
+def iter_warc_spans(fh) -> Iterator[tuple[int, int]]:
+    """Yield (offset, length) of every record in a seekable binary
+    stream, where ``length`` includes the trailing CRLFCRLF — consecutive
+    spans tile the file exactly. Reads ONLY header blocks (buffered 4 KiB
+    chunks until the blank line) and seeks over bodies, so a multi-GB
+    file costs O(#records) small reads. Validation here is span-level
+    (WARC/ version line, mandatory non-negative Content-Length, trailing
+    separator present); field-level validation happens when a span is
+    actually parsed (``parse_warc_bytes``). Fail-stop like the parser:
+    truncation or a malformed header raises with the offset."""
+    size = fh.seek(0, 2)
+    pos = 0
+    while pos < size:
+        fh.seek(pos)
+        buf = b""
+        while True:
+            chunk = fh.read(4096)
+            if not chunk:
+                raise ValueError(f"WARC header block unterminated at offset {pos}")
+            buf += chunk
+            he = buf.find(b"\r\n\r\n")
+            if he >= 0:
+                break
+            if len(buf) > _HEADER_CAP:
+                raise ValueError(f"WARC header block over 1 MiB at offset {pos}")
+        try:
+            head = buf[:he].decode("utf-8")
+        except UnicodeDecodeError as ex:
+            raise ValueError(
+                f"WARC header bytes not UTF-8 at offset {pos}: {ex}"
+            ) from ex
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"not a WARC record at offset {pos}: {lines[0][:24]!r}")
+        clen = None
+        for ln in lines[1:]:
+            name, sep, value = ln.partition(":")
+            if sep and name.strip().lower() == "content-length":
+                clen = int(value.strip())
+        if clen is None:
+            raise ValueError(f"record at offset {pos} missing mandatory Content-Length")
+        if clen < 0:
+            raise ValueError(f"negative Content-Length {clen} at offset {pos}")
+        body_start = pos + he + 4
+        sep_at = body_start + clen
+        fh.seek(sep_at)
+        tail = fh.read(4)
+        if tail != b"\r\n\r\n":
+            raise ValueError(f"missing CRLFCRLF record separator at offset {sep_at}")
+        yield pos, (sep_at + 4) - pos
+        pos = sep_at + 4
+
+
+_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("warc_path", StringType()),
+        StructField("split_id", LongType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+        StructField("first_rec_index", LongType()),
+        StructField("n_records", LongType()),
+    ]
+)
+
+
+def warc_split_manifest(
+    paths_df: DataFrame,
+    target_bytes: int,
+    path_col: str = "warc_path",
+) -> DataFrame:
+    """Build the record-aligned split manifest for a set of WARC files:
+    one output row per split of ~``target_bytes`` (greedy packing of
+    whole records — a split always starts AND ends on a record boundary,
+    so every split parses independently). One header-walk task per file
+    (``iter_warc_spans``); the walk reads headers only, so manifesting a
+    40 GB file moves kilobytes. ``first_rec_index`` carries the file-
+    global record numbering into each split so the ranged parse is
+    bit-identical to the whole-file parse."""
+    import pandas as pd
+
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    names = [f.name for f in _MANIFEST_SCHEMA.fields]
+
+    def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path in pdf[path_col]:
+                with open(path, "rb") as fh:
+                    spans = list(iter_warc_spans(fh))
+                split_id, first_rec, i = 0, 0, 0
+                while i < len(spans):
+                    j, acc = i, 0
+                    while j < len(spans) and (acc == 0 or acc + spans[j][1] <= target_bytes):
+                        acc += spans[j][1]
+                        j += 1
+                    rows.append(
+                        {
+                            "warc_path": path,
+                            "split_id": split_id,
+                            "offset": spans[i][0],
+                            "length": acc,
+                            "first_rec_index": first_rec,
+                            "n_records": j - i,
+                        }
+                    )
+                    split_id += 1
+                    first_rec += j - i
+                    i = j
+            yield pd.DataFrame(rows, columns=names)
+
+    return paths_df.select(F.col(path_col).cast("string").alias(path_col)).mapInPandas(
+        run, _MANIFEST_SCHEMA
+    )
+
+
+_PATH_RECORD_SCHEMA = StructType(
+    [StructField("warc_path", StringType())] + _RECORD_SCHEMA.fields[1:]
+)
+
+
+def read_warc_manifest(manifest_df: DataFrame) -> DataFrame:
+    """Ranged WARC read: one task per manifest split — open, seek to
+    ``offset``, read ``length`` bytes, parse. Because splits are
+    record-aligned and carry ``first_rec_index``, the union over splits
+    equals the whole-file parse row-for-row (pytest-pinned). This is the
+    shape that keeps task size bounded when single files outgrow
+    executors."""
+    import pandas as pd
+
+    names = [f.name for f in _PATH_RECORD_SCHEMA.fields]
+
+    def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, off, ln, base in zip(
+                pdf["warc_path"], pdf["offset"], pdf["length"], pdf["first_rec_index"]
+            ):
+                with open(path, "rb") as fh:
+                    fh.seek(int(off))
+                    blob = fh.read(int(ln))
+                if len(blob) != int(ln):
+                    raise ValueError(
+                        f"{path}: ranged read at {off} got {len(blob)} of {ln} bytes"
+                    )
+                for rec in parse_warc_bytes(blob):
+                    rec["rec_index"] += int(base)
+                    rows.append({"warc_path": str(path), **rec})
+            yield pd.DataFrame(rows, columns=names)
+
+    return manifest_df.select(
+        "warc_path", "offset", "length", "first_rec_index"
+    ).mapInPandas(run, _PATH_RECORD_SCHEMA)
+
+
+def read_warc_dir(spark, path: str) -> DataFrame:
+    """Whole-file WARC ingestion: ``binaryFile`` scan (one task per
+    file) exploded to records — same output schema as
+    ``read_warc_manifest`` so the two paths are interchangeable and
+    directly comparable."""
+    import pandas as pd
+
+    blobs = spark.read.format("binaryFile").load(path).select(
+        F.col("path").alias("warc_path"), F.col("content").alias("payload")
+    )
+    names = [f.name for f in _PATH_RECORD_SCHEMA.fields]
+
+    def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["warc_path"], pdf["payload"]):
+                for rec in parse_warc_bytes(blob):
+                    rows.append({"warc_path": str(p), **rec})
+            yield pd.DataFrame(rows, columns=names)
+
+    return blobs.mapInPandas(run, _PATH_RECORD_SCHEMA)

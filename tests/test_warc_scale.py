@@ -1,0 +1,158 @@
+"""Real-file WARC scale path (sources/warc.py round 12): binaryFile
+whole-file reads, the header-walk split manifest, and the ranged read —
+whose union must equal the whole-file parse row-for-row."""
+from __future__ import annotations
+
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvectorscale_spark.sources.warc import (
+    attach_warc_payload,
+    iter_warc_spans,
+    parse_warc_bytes,
+    read_warc_dir,
+    read_warc_manifest,
+    warc_split_manifest,
+)
+from tests.test_warc import _http, _rec
+
+
+@pytest.fixture(scope="module")
+def warc_dir(spark, tmp_path_factory):
+    """Three real .warc files on disk, synthesized from the documents
+    table (40 docs per file, each file opens with a warcinfo record)."""
+    from pgvectorscale_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").filter(
+        "doc_id < 120"
+    )
+    blobs = attach_warc_payload(docs, group_size=40).collect()
+    assert len(blobs) == 3
+    d = tmp_path_factory.mktemp("warcs")
+    for r in blobs:
+        (d / f"seg-{int(r['warc_id']):05d}.warc").write_bytes(bytes(r["payload"]))
+    return d
+
+
+def _row_key(r):
+    return (r["warc_path"], r["rec_index"])
+
+
+def _row_val(r):
+    return (
+        r["warc_type"],
+        r["record_id"],
+        r["target_uri"],
+        r["http_status"],
+        r["content_length"],
+        r["payload"],
+        r["payload_len"],
+    )
+
+
+def test_read_warc_dir_matches_blob_parse(spark, warc_dir):
+    got = {
+        _row_key(r): _row_val(r)
+        for r in read_warc_dir(spark, str(warc_dir) + "/*.warc").collect()
+    }
+    want = {}
+    for p in sorted(warc_dir.glob("*.warc")):
+        for rec in parse_warc_bytes(p.read_bytes()):
+            want[(f"file:{p}", rec["rec_index"])] = (
+                rec["warc_type"],
+                rec["record_id"],
+                rec["target_uri"],
+                rec["http_status"],
+                rec["content_length"],
+                rec["payload"],
+                rec["payload_len"],
+            )
+    # binaryFile reports file: URIs; compare on the path tail
+    got_norm = {(k[0].split("/")[-1], k[1]): v for k, v in got.items()}
+    want_norm = {(k[0].split("/")[-1], k[1]): v for k, v in want.items()}
+    assert got_norm == want_norm
+    assert len(got_norm) == 3 * 41  # warcinfo + 40 responses per file
+
+
+def test_manifest_splits_tile_and_ranged_parse_equals_whole_file(spark, warc_dir):
+    paths = sorted(str(p) for p in warc_dir.glob("*.warc"))
+    paths_df = spark.createDataFrame([(p,) for p in paths], "warc_path string")
+    manifest = warc_split_manifest(paths_df, target_bytes=2000).collect()
+    by_path: dict[str, list] = {}
+    for m in manifest:
+        by_path.setdefault(m["warc_path"], []).append(m)
+    assert set(by_path) == set(paths)
+    import os
+
+    for p, ms in by_path.items():
+        ms.sort(key=lambda m: m["split_id"])
+        assert ms[0]["offset"] == 0
+        assert len(ms) > 1, "target_bytes=2000 must split these files"
+        for a, b in zip(ms, ms[1:]):
+            assert b["offset"] == a["offset"] + a["length"]  # exact tiling
+        assert ms[-1]["offset"] + ms[-1]["length"] == os.path.getsize(p)
+        assert ms[0]["first_rec_index"] == 0
+        for a, b in zip(ms, ms[1:]):
+            assert b["first_rec_index"] == a["first_rec_index"] + a["n_records"]
+    manifest_df = spark.createDataFrame(manifest, warc_split_manifest(paths_df, 2000).schema)
+    got = {
+        _row_key(r): _row_val(r) for r in read_warc_manifest(manifest_df).collect()
+    }
+    whole = {
+        (k[0].replace("file:", ""), k[1]): v
+        for k, v in (
+            (_row_key(r), _row_val(r))
+            for r in read_warc_dir(spark, str(warc_dir) + "/*.warc").collect()
+        )
+    }
+    assert got == whole
+
+
+def test_spans_are_length_driven_not_scanned():
+    """A body containing a fake WARC header must not fool the walk —
+    spans come from Content-Length arithmetic, never from searching
+    bodies for separators."""
+    fake = b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    data = _rec({"WARC-Type": "response", "Content-Type": "application/http"}, _http(fake)) + _rec(
+        {"WARC-Type": "metadata"}, b"tail"
+    )
+    spans = list(iter_warc_spans(io.BytesIO(data)))
+    assert len(spans) == 2
+    assert spans[0][0] == 0
+    assert spans[0][1] + spans[1][1] == len(data)
+    # and the parse agrees record-for-record
+    assert len(parse_warc_bytes(data)) == 2
+
+
+def test_span_walk_rejections():
+    good = _rec({"WARC-Type": "metadata"}, b"x" * 32)
+    with pytest.raises(ValueError, match="separator"):
+        list(iter_warc_spans(io.BytesIO(good[:-2])))
+    with pytest.raises(ValueError, match="unterminated"):
+        list(iter_warc_spans(io.BytesIO(b"WARC/1.0\r\nContent-Length: 4\r\n")))
+    with pytest.raises(ValueError, match="not a WARC record"):
+        list(iter_warc_spans(io.BytesIO(b"HTTP/1.1 200 OK\r\n\r\n\r\n\r\n")))
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_spans(io.BytesIO(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n\r\n\r\n")))
+
+
+def test_record_larger_than_target_gets_own_split(spark, tmp_path):
+    """Greedy packing never emits an empty split: a record bigger than
+    target_bytes becomes a single-record split and tiling still holds."""
+    big = _rec({"WARC-Type": "metadata"}, b"y" * 5000)
+    small = _rec({"WARC-Type": "metadata"}, b"z" * 10)
+    p = tmp_path / "big.warc"
+    p.write_bytes(big + small + big)
+    paths_df = spark.createDataFrame([(str(p),)], "warc_path string")
+    ms = sorted(
+        warc_split_manifest(paths_df, target_bytes=100).collect(),
+        key=lambda m: m["split_id"],
+    )
+    assert [m["n_records"] for m in ms] == [1, 1, 1]
+    assert sum(m["length"] for m in ms) == len(big) * 2 + len(small)
+    got = read_warc_manifest(
+        spark.createDataFrame(ms, warc_split_manifest(paths_df, 100).schema)
+    ).collect()
+    assert sorted(r["rec_index"] for r in got) == [0, 1, 2]
