@@ -1738,6 +1738,26 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("ts_sec_matched"), F.lit(-1)).cast("long").alias("session_end"),
         F.coalesce(F.col("event_id_matched"), F.lit(-1)).cast("long").alias("event_count"),
     )
+    # arm 3b: the skew-robust time-chunked twin (as_of_join_salted —
+    # phase 1 windows on (user, day chunk), phase 2 carries chunk-level
+    # matches) must reproduce the identical attribution, so it rides the
+    # SAME oracle as the plain arm
+    asof_salted = relational.as_of_join_salted(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="ts_sec",
+        value_cols=["event_id"],
+        right_tiebreak="event_id",
+        tolerance=86400,
+        chunk_seconds=86400,
+    ).select(
+        "user_id",
+        F.col("ts_sec").alias("session_start"),
+        F.coalesce(F.col("ts_sec_matched"), F.lit(-1)).cast("long").alias("session_end"),
+        F.coalesce(F.col("event_id_matched"), F.lit(-1)).cast("long").alias("event_count"),
+    )
     # fourth arm: the FORWARD direction of the same as-of join (click ->
     # NEXT view at-or-after, 24h tolerance, ties to the SMALLEST view
     # event_id — the forward tie rule), same slot projection. The
@@ -1782,6 +1802,7 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         plain.select(F.lit("plain").alias("form"), "*")
         .unionByName(salted.select(F.lit("salted").alias("form"), "*"))
         .unionByName(asof.select(F.lit("asof").alias("form"), "*"))
+        .unionByName(asof_salted.select(F.lit("asof_salted").alias("form"), "*"))
         .unionByName(asof_fwd.select(F.lit("asof_fwd").alias("form"), "*"))
         .unionByName(rng.select(F.lit("range").alias("form"), "*"))
     )
@@ -2072,6 +2093,7 @@ FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
                 ("'plain'", oracles.sessionize_oracle(1800)),
                 ("'salted'", oracles.sessionize_oracle(1800)),
                 ("'asof'", oracles.as_of_join_oracle(86400)),
+                ("'asof_salted'", oracles.as_of_join_oracle(86400)),
                 ("'asof_fwd'", oracles.as_of_join_fwd_oracle(86400)),
                 ("'range'", oracles.range_join_oracle(7200)),
             ],

@@ -333,6 +333,129 @@ def as_of_join(
     return matched.select(*out_cols)
 
 
+def as_of_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list | None = None,
+    right_tiebreak: str | None = None,
+    tolerance: int | None = None,
+    direction: str = "backward",
+    chunk_seconds: int = 86400,
+) -> DataFrame:
+    """Skew-robust twin of :func:`as_of_join` — identical output for
+    every input (pytest parity on a pathological hot-key fixture), but
+    a bot/service key with 10^8 rows no longer serializes through one
+    window task. Same two-phase shape the repo uses for sessionize and
+    per-key top-k:
+
+    - **Phase 1** runs the tagged running-``last`` window partitioned by
+      (key, TIME CHUNK): a hot key fans out across (key span /
+      ``chunk_seconds``) tasks. A within-chunk match, when present, IS
+      the global match — any right row in an earlier chunk is strictly
+      older (equal timestamps share a chunk by construction, so the
+      side/tiebreak ordering never crosses chunks).
+    - **Phase 2** fills the rows phase 1 left unmatched from CHUNK-LEVEL
+      rows only: per (key, chunk) the last right payload (``max_by`` on
+      (ts, tiebreak) — one row per chunk, not per event), then an
+      exclusive running ``last`` over chunk order gives each chunk its
+      carry-in — the match any unmatched left row in that chunk
+      inherits. The second window's per-key row count is the key's
+      CHUNK count, bounded by active time, not event rate.
+
+    ``direction="forward"`` mirrors everything (min_by, descending chunk
+    order), exactly as the base operator mirrors its window."""
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if chunk_seconds <= 0:
+        raise ValueError(f"chunk_seconds must be positive, got {chunk_seconds}")
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be non-negative, got {tolerance}")
+    payload = F.struct(
+        F.col(right_ts).cast("long").alias("_rts"),
+        *[F.col(c) for c in value_cols],
+    )
+    payload_type = right.select(payload.alias("_p")).schema[0].dataType
+    tb = (
+        F.col(right_tiebreak).cast("long")
+        if right_tiebreak is not None
+        else F.lit(0).cast("long")
+    )
+    r_tagged = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).cast("long").alias("_ts"),
+        F.lit(0).alias("_side"),
+        tb.alias("_tb"),
+        payload.alias("_p"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_l_{c}") for c in left.columns],
+    )
+    l_tagged = left.select(
+        F.col(on).alias(on),
+        F.col(left_ts).cast("long").alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tb"),
+        F.lit(None).cast(payload_type).alias("_p"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    backward = direction == "backward"
+    u = r_tagged.unionByName(l_tagged).withColumn(
+        "_chunk", F.floor(F.col("_ts") / F.lit(int(chunk_seconds))).cast("long")
+    )
+    w1 = (
+        Window.partitionBy(on, "_chunk")
+        .orderBy(
+            F.col("_ts").asc() if backward else F.col("_ts").desc(),
+            F.col("_side").asc(),
+            F.col("_tb").asc() if backward else F.col("_tb").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched1 = u.withColumn("_m1", F.last("_p", ignorenulls=True).over(w1)).filter(
+        F.col("_side") == 1
+    )
+    # chunk-level carry: one row per (key, chunk) present on EITHER side,
+    # carrying that chunk's last (backward) / first (forward) right
+    # payload — or null when the chunk has no right rows
+    pick = F.max_by if backward else F.min_by
+    chunk_rows = u.groupBy(on, "_chunk").agg(
+        pick(
+            F.when(F.col("_side") == 0, F.col("_p")),
+            F.when(F.col("_side") == 0, F.struct(F.col("_ts"), F.col("_tb"))),
+        ).alias("_cp")
+    )
+    wc = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_chunk").asc() if backward else F.col("_chunk").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = chunk_rows.withColumn(
+        "_carry", F.last("_cp", ignorenulls=True).over(wc)
+    ).select(on, "_chunk", "_carry")
+    matched = matched1.join(carry, [on, "_chunk"], "left").withColumn(
+        "_match", F.coalesce(F.col("_m1"), F.col("_carry"))
+    )
+    if tolerance is not None:
+        age = (
+            F.col("_ts") - F.col("_match._rts")
+            if backward
+            else F.col("_match._rts") - F.col("_ts")
+        )
+        matched = matched.withColumn(
+            "_match",
+            F.when(age <= F.lit(int(tolerance)), F.col("_match")),
+        )
+    out_cols = [F.col(f"_l_{c}").alias(c) for c in left.columns]
+    out_cols += [F.col("_match._rts").alias(f"{right_ts}_matched")]
+    out_cols += [F.col(f"_match.{c}").alias(c + "_matched") for c in value_cols]
+    return matched.select(*out_cols)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

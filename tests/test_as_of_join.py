@@ -205,3 +205,102 @@ def test_direction_validation(spark, frames):
     _, _, ldf, rdf = frames
     with pytest.raises(ValueError, match="direction"):
         as_of_join(ldf, rdf, on="user_id", direction="nearest")
+
+
+# --- as_of_join_salted (skew-robust twin) -----------------------------
+
+
+def test_salted_parity_on_hot_key_fixture(spark):
+    """A pathological hot key (one user carrying ~90% of both sides,
+    spanning many chunks) plus cold keys, chunk boundaries landing
+    between and exactly on timestamps: the salted twin must equal the
+    plain operator row-for-row in both directions, with and without
+    tolerance, at several chunk widths."""
+    import random
+
+    from pgvectorscale_spark.operators.relational import as_of_join_salted
+
+    rng = random.Random(7)
+    left = [(1, rng.randint(0, 10_000)) for _ in range(400)]
+    left += [(k, rng.randint(0, 10_000)) for k in (2, 3) for _ in range(20)]
+    right = [(1, rng.randint(0, 10_000), i) for i in range(350)]
+    right += [(k, rng.randint(0, 10_000), 1000 + i) for i, k in enumerate((2, 2, 3))]
+    # collisions: right rows AT chunk edges and equal-ts ties
+    right += [(1, 1000, 2000), (1, 1000, 2001), (1, 2000, 2002)]
+    left += [(1, 1000), (1, 2000), (1, 999), (1, 2001)]
+    ldf = spark.createDataFrame(left, "user_id long, ts long").repartition(7)
+    rdf = spark.createDataFrame(right, "user_id long, ts long, rid long").repartition(5)
+    for direction in ("backward", "forward"):
+        for tol in (None, 500):
+            base = _collect(
+                as_of_join(
+                    ldf, rdf, on="user_id", right_tiebreak="rid",
+                    tolerance=tol, direction=direction,
+                )
+            )
+            for chunk in (250, 1000, 10**9):
+                got = _collect(
+                    as_of_join_salted(
+                        ldf, rdf, on="user_id", right_tiebreak="rid",
+                        tolerance=tol, direction=direction,
+                        chunk_seconds=chunk,
+                    )
+                )
+                assert got == base, (direction, tol, chunk)
+
+
+def test_salted_cross_chunk_carry_semantics(spark):
+    """Chunk-boundary corners, hand-checked: a left row whose match sits
+    several EMPTY chunks back (the carry window must skip right-less
+    chunks), a right row exactly on a boundary, and a left row in a
+    chunk with no right rows at all."""
+    from pgvectorscale_spark.operators.relational import as_of_join_salted
+
+    left = [(1, 100), (1, 9_950), (1, 10_000), (2, 5)]
+    right = [(1, 90, 1), (1, 10_000, 2)]
+    ldf = spark.createDataFrame(left, "user_id long, ts long")
+    rdf = spark.createDataFrame(right, "user_id long, ts long, rid long")
+    got = _collect(
+        as_of_join_salted(
+            ldf, rdf, on="user_id", right_tiebreak="rid", chunk_seconds=1000
+        )
+    )
+    assert got[(1, 100)] == (90, 1)        # within-chunk
+    assert got[(1, 9_950)] == (90, 1)      # carried over 8 empty chunks
+    assert got[(1, 10_000)] == (10_000, 2) # boundary row matches itself
+    assert got[(2, 5)] is None             # key with no right rows
+    fwd = _collect(
+        as_of_join_salted(
+            ldf, rdf, on="user_id", right_tiebreak="rid",
+            chunk_seconds=1000, direction="forward",
+        )
+    )
+    assert fwd[(1, 100)] == (10_000, 2)    # forward carry over empty chunks
+    assert fwd[(1, 10_000)] == (10_000, 2)
+    assert fwd[(2, 5)] is None
+
+
+def test_salted_plan_fans_out_hot_key(spark):
+    """Phase 1's exchange must partition on (key, chunk) — the hot-key
+    fan-out — and the phase-2 window runs over chunk-level rows on the
+    bare key. Still no SortMergeJoin anywhere near the event data (the
+    only join is against the chunk-level carry frame)."""
+    from pgvectorscale_spark.operators.relational import as_of_join_salted
+
+    ldf = spark.createDataFrame([(1, 10)], "user_id long, ts long")
+    rdf = spark.createDataFrame([(1, 5, 1)], "user_id long, ts long, rid long")
+    p = (
+        as_of_join_salted(ldf, rdf, on="user_id", right_tiebreak="rid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(user_id" in p and "_chunk" in p.split("hashpartitioning(user_id", 1)[1][:60]
+    assert "CartesianProduct" not in p
+
+
+def test_salted_validation(spark):
+    from pgvectorscale_spark.operators.relational import as_of_join_salted
+
+    with pytest.raises(ValueError, match="chunk_seconds"):
+        as_of_join_salted(None, None, on="x", chunk_seconds=0)
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join_salted(None, None, on="x", direction="sideways")
