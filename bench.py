@@ -624,6 +624,84 @@ def main() -> None:
         "span_dup_tokens_8x": int(span8["d"] or 0),
     }
 
+    # ---- Dedup 64x standing scale point (round 12; opt out with
+    # SPARK_GRAFT_BENCH_64X=0, same switch as the ANN one). The Caesar
+    # rotation only has 26 distinct forms, so 64x scaling tags every
+    # token with a per-copy two-letter suffix instead: an INJECTIVE
+    # per-copy token map preserves within-copy duplicate structure
+    # exactly (k-grams map 1:1) while fixed-width distinct suffixes make
+    # cross-copy token collisions impossible. Copy 0 is tagged too, so
+    # the 1x baseline is the copy-0 transform and the span invariant is
+    # EXACT arithmetic: dup_tokens(64x) == 64 * dup_tokens(1x) — a hard
+    # gate, not a band. Star-edge clustering hashes shingle STRINGS, so
+    # per-copy LSH bucketing varies (Jaccards are preserved, signatures
+    # are not): its canonical count gates on a +-1% band around
+    # 64 * canonical(1x) (measured deviation 0.01%). Single-shot timing
+    # (these are throughput points; medians would double bench wall
+    # time).
+    dedup_scale_64x = None
+    if os.environ.get("SPARK_GRAFT_BENCH_64X", "1") != "0":
+        def _tagged_docs(src, c, stride):
+            suf = chr(ord("a") + c // 26) + chr(ord("a") + c % 26)
+            return src.select(
+                (F.col("doc_id") + c * stride).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"), "([A-Za-z0-9]+)", "$1" + suf
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+
+        stride64 = docs.agg(F.max("doc_id")).first()[0] + 1
+        base0 = _tagged_docs(docs, 0, stride64)
+        from functools import reduce as _reduce
+
+        docs64 = _reduce(
+            lambda a, b: a.unionByName(b),
+            [_tagged_docs(docs, c, stride64) for c in range(64)],
+        ).persist()
+        n_docs64 = docs64.count()
+        assert n_docs64 == 64 * n_docs, (n_docs, n_docs64)
+        t0 = time.time()
+        span64_1 = int(
+            dedup.span_dedup(base0, k=5)
+            .agg(F.sum("dup_tokens").alias("d"))
+            .first()["d"]
+            or 0
+        )
+        span64_1_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        span64 = int(
+            dedup.span_dedup(docs64, k=5)
+            .agg(F.sum("dup_tokens").alias("d"))
+            .first()["d"]
+            or 0
+        )
+        span64_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        can64_1 = dedup.dedup_clusters(base0).filter("is_canonical").count()
+        can64_1_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        can64 = dedup.dedup_clusters(docs64).filter("is_canonical").count()
+        can64_sec = round(time.time() - t0, 3)
+        docs64.unpersist()
+        can_dev = abs(can64 - 64 * can64_1) / max(64 * can64_1, 1)
+        dedup_scale_64x = {
+            "docs_64x": int(n_docs64),
+            "span_1x_sec": span64_1_sec,
+            "span_64x_sec": span64_sec,
+            "span_dup_tokens_1x": span64_1,
+            "span_dup_tokens_64x": span64,
+            "span_64x_gate_pass": bool(span64 == 64 * span64_1),
+            "clusters_1x_sec": can64_1_sec,
+            "clusters_64x_sec": can64_sec,
+            "canonical_1x": int(can64_1),
+            "canonical_64x": int(can64),
+            "canonical_64x_deviation": round(can_dev, 5),
+            "clusters_64x_gate_pass": bool(can_dev <= 0.01),
+        }
+
     # ---- Media decode scale point (outside the headline total): the H.264
     # pixel-decode path (JVM-side stream synthesis -> Arrow-batched
     # mapInPandas NAL/slice/MB decode) at 1x and 8x documents. Embarrassingly
@@ -740,6 +818,13 @@ def main() -> None:
             "routed_p8_gate_pass": ann_scale_64x["routed_p8_gate_pass"],
             "auto_serve_sec": ann_scale_64x["auto_serve_sec"],
         }
+    if dedup_scale_64x is not None:
+        gates["dedup_64x"] = {
+            "span_64x_gate_pass": dedup_scale_64x["span_64x_gate_pass"],
+            "clusters_64x_gate_pass": dedup_scale_64x["clusters_64x_gate_pass"],
+            "span_64x_sec": dedup_scale_64x["span_64x_sec"],
+            "clusters_64x_sec": dedup_scale_64x["clusters_64x_sec"],
+        }
     headline = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -754,6 +839,7 @@ def main() -> None:
         "ann_scale": ann_scale,
         "ann_scale_64x": ann_scale_64x,
         "dedup_scale": dedup_scale,
+        "dedup_scale_64x": dedup_scale_64x,
         "media_scale": media_scale,
         "text_scale": text_scale,
     }
