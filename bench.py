@@ -756,6 +756,40 @@ def main() -> None:
     bm25_1_sec, _ = timed(lambda: bm25_topk(docs, queries_1x, k=10).count())
     bm25_8_sec, _ = timed(lambda: bm25_topk(docs8, queries_1x, k=10).count())
     queries_1x.unpersist()
+    # deep-vocab BPE (round 12): one-pass histogram training to 256
+    # merges (past BOTH engines' replace-chain parser limits — this
+    # measures the scale path that replaces the chain), then the
+    # rank-heap tokenizer over 1x/8x documents. The synthetic documents
+    # vocabulary exhausts at ~89 merges, so training reads the richer
+    # part+customer+documents text (same corpus the depth-256 parity
+    # tests pin). Tokenization is a pure map — the ratio should track
+    # rows like scrub/h264.
+    from pgvectorscale_spark.functions.text import (
+        bpe_encode_count,
+        train_bpe_histogram,
+    )
+
+    part_t = load_table(spark, "part", SF_DIR)
+    bpe_corpus = (
+        part_t.select(F.concat_ws(" ", "p_name", "p_type", "p_brand").alias("text"))
+        .unionByName(
+            customer.select(F.concat_ws(" ", "c_name", "c_mktsegment").alias("text"))
+        )
+        .unionByName(docs.select("text"))
+    )
+    t0 = time.time()
+    bpe_table = train_bpe_histogram(bpe_corpus, num_merges=256)
+    bpe_train_sec = round(time.time() - t0, 3)
+
+    def _bpe_count(d):
+        return (
+            bpe_encode_count(d.select("doc_id", "text"), bpe_table, out_col="n")
+            .agg(F.sum("n"))
+            .first()[0]
+        )
+
+    bpe_1_sec, _ = timed(lambda: _bpe_count(docs))
+    bpe_8_sec, _ = timed(lambda: _bpe_count(docs8))
     docs8.unpersist()
     text_scale = {
         "scrub_1x_sec": scrub1_sec,
@@ -766,6 +800,12 @@ def main() -> None:
         "bm25_1x_sec": bm25_1_sec,
         "bm25_8x_sec": bm25_8_sec,
         "bm25_8x_ratio": round(bm25_8_sec / max(bm25_1_sec, 1e-9), 2),
+        "bpe_merges": len(bpe_table),
+        "bpe_train_sec": bpe_train_sec,
+        "bpe_1x_sec": bpe_1_sec,
+        "bpe_8x_sec": bpe_8_sec,
+        "bpe_docs_per_sec_8x": round(n_docs8 / max(bpe_8_sec, 1e-9), 1),
+        "bpe_8x_ratio": round(bpe_8_sec / max(bpe_1_sec, 1e-9), 2),
     }
 
     encoded.unpersist()
@@ -807,6 +847,7 @@ def main() -> None:
         "h264_8x_ratio": media_scale["h264_8x_ratio"],
         "scrub_8x_ratio": text_scale["scrub_8x_ratio"],
         "bm25_8x_ratio": text_scale["bm25_8x_ratio"],
+        "bpe_8x_ratio": text_scale["bpe_8x_ratio"],
     }
     if ann_scale_64x is not None:
         gates["ann_64x"] = {

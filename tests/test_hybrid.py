@@ -284,3 +284,37 @@ def test_hybrid_topk_served_routed_kwargs(spark, corpus, tmp_path):
         assert len(rs) == 5
         rs.sort(key=lambda r: r["rank"])
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_hybrid_topk_served_over_ivf(spark, corpus, tmp_path):
+    """hybrid_topk_served's contract is search_batch-shaped, not
+    Diskann-specific: an IvfIndex arm (full probe) fuses with the same
+    recall bar against the exact-arm hybrid."""
+    from pgvectorscale_spark.operators.hybrid import hybrid_topk_served
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    queries = corpus.filter("doc_id % 53 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 1, 4))").alias("q_text"),
+        F.col("embedding").alias("q_vec"),
+    )
+    idx = IvfIndex.build(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        str(tmp_path / "hybrid_ivf"),
+        num_centroids=8,
+        distance_type="cosine",
+    )
+    exact = hybrid_topk(corpus, queries, k=5, arm_k=10).collect()
+    served = hybrid_topk_served(
+        idx, corpus.select("doc_id", "text"), queries, k=5, arm_k=10, nprobe=8
+    ).collect()
+    ex_by_q: dict[int, set] = {}
+    for r in exact:
+        ex_by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    sv_by_q: dict[int, set] = {}
+    for r in served:
+        sv_by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    recall = sum(
+        len(sv_by_q.get(q, set()) & ex_by_q[q]) / len(ex_by_q[q]) for q in ex_by_q
+    ) / len(ex_by_q)
+    assert recall >= 0.9, f"IVF served-hybrid fused recall {recall}"
