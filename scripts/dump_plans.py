@@ -440,6 +440,42 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "as_of_join_salted (hot-key fan-out for the as-of window)",
+            "Phase 1's exchange partitions on (key, TIME CHUNK) — a hot "
+            "key fans out across its chunks instead of serializing one "
+            "window task. Phase 2 (the carry) windows over CHUNK-LEVEL "
+            "rows on the bare key (per-key rows = chunk count, bounded by "
+            "active time, not event rate) and joins back on (key, chunk). "
+            "Output is pytest-identical to as_of_join on every input.",
+            relational.as_of_join_salted(
+                clicks, views, on="user_id", left_ts="ts_sec",
+                right_ts="ts_sec", value_cols=["event_id"],
+                right_tiebreak="event_id", tolerance=86400,
+                chunk_seconds=86400,
+            ),
+        )
+    )
+    from pgvectorscale_spark.functions.text import FROZEN_BPE_MERGES, bpe_encode_count
+
+    sections.append(
+        (
+            "bpe_encode_count (one-pass BPE tokenizer)",
+            "The rank-heap tokenizer is ONE ArrowEvalPython projection "
+            "over the scan — zero Exchange, like the other frozen-model "
+            "scorers — and its per-word cost is O(applied merges) "
+            "regardless of merge-table depth, where the engine-replayable "
+            "replace chain is O(merges) full-string scans per row and is "
+            "rejected outright by both engines' parsers past ~120 merges. "
+            "Training (train_bpe_histogram) is one explode+groupBy pass "
+            "plus a driver-side merge loop, run once.",
+            bpe_encode_count(
+                docs.select("doc_id", "text"), list(FROZEN_BPE_MERGES)
+            ),
+        )
+    )
+
     out = [
         "# PLANS — physical plans of the headline queries\n",
         "Generated by `scripts/dump_plans.py` at sf0.01. Each section states",
