@@ -305,14 +305,16 @@ def main() -> None:
     ROUTED_FIXED_P_MARGIN = 0.1
 
     def curve_predicted(curve: dict, p: int) -> float | None:
-        """Curve recall at probe count p: the stored point when present,
-        else the largest measured point <= p (recall is monotone in p,
-        so this is the conservative prediction)."""
+        """Curve recall at probe count p: the largest measured point
+        <= p (recall is monotone in p, so that point UNDER-predicts —
+        the conservative side for a measured-vs-predicted gate). None
+        when the curve has no point at or below p: a higher point would
+        OVER-predict and could fail the gate on jitter, the exact
+        brittleness this helper exists to remove."""
         if not curve:
             return None
-        pts = sorted((int(k), float(v)) for k, v in curve.items())
-        best = pts[0][1]
-        for q, r in pts:
+        best = None
+        for q, r in sorted((int(k), float(v)) for k, v in curve.items()):
             if q > p:
                 break
             best = r

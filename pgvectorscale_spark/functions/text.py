@@ -480,12 +480,11 @@ def train_bpe(
     Lineage is truncated every 4 rounds (localCheckpoint) so hundreds of
     merges don't accumulate a deep plan.
     """
-    words = (
-        df.select(F.expr(bpe_tokens_sql(f"`{text_col}`", SPARK)).alias("_ws"))
-        .select(F.explode("_ws").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-        .select(F.expr("regexp_extract_all(w, '.', 0)").alias("syms"), "freq")
+    # one shared histogram pipeline (bpe_word_histogram) feeds both this
+    # trainer and the driver-side one, so the tokenize/aggregate step
+    # cannot drift between them
+    words = bpe_word_histogram(df, text_col).select(
+        F.expr("regexp_extract_all(word, '.', 0)").alias("syms"), "freq"
     )
     words = words.persist()
     words.count()
@@ -887,12 +886,9 @@ def bpe_encode_count(
     tmp = f"_bpe_toks_{out_col}"
     return (
         bpe_encode(df, merges, text_col=text_col, out_col=tmp)
-        .withColumn(out_col, F.size(F.col(tmp)).cast("long"))
         .withColumn(
             out_col,
-            F.when(F.col(tmp).isNull(), F.lit(None).cast("long")).otherwise(
-                F.col(out_col)
-            ),
+            F.when(F.col(tmp).isNotNull(), F.size(F.col(tmp)).cast("long")),
         )
         .drop(tmp)
     )

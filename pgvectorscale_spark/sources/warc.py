@@ -313,13 +313,29 @@ def iter_warc_spans(fh) -> Iterator[tuple[int, int]]:
         lines = head.split("\r\n")
         if not lines[0].startswith("WARC/"):
             raise ValueError(f"not a WARC record at offset {pos}: {lines[0][:24]!r}")
-        clen = None
+        # the SAME LWS-folding rule as parse_warc_bytes: a SP/TAB-led line
+        # continues the previous header's VALUE — it must neither register
+        # as a header of its own (a folded continuation that happens to
+        # start with 'content-length:' is data, not a length) nor be
+        # dropped (a folded Content-Length value must fail int() here
+        # exactly as it does in the parser, or the walk and the parse
+        # disagree about which files are valid)
+        last_name = None
+        values: dict[str, str] = {}
         for ln in lines[1:]:
+            if ln[:1] in (" ", "\t"):
+                if last_name is not None:
+                    values[last_name] = f"{values[last_name]} {ln.strip()}".strip()
+                continue
             name, sep, value = ln.partition(":")
-            if sep and name.strip().lower() == "content-length":
-                clen = int(value.strip())
-        if clen is None:
+            if not sep:
+                continue  # parse_warc_bytes rejects; the ranged parse will too
+            last_name = name.strip().lower()
+            values[last_name] = value.strip()
+        clen_raw = values.get("content-length")
+        if clen_raw is None:
             raise ValueError(f"record at offset {pos} missing mandatory Content-Length")
+        clen = int(clen_raw)
         if clen < 0:
             raise ValueError(f"negative Content-Length {clen} at offset {pos}")
         body_start = pos + he + 4
@@ -367,27 +383,42 @@ def warc_split_manifest(
         for pdf in batches:
             rows = []
             for path in pdf[path_col]:
+                # greedy packing consumes spans strictly left-to-right, so
+                # the walk streams in O(1) memory — a 40 GB file of ~1 KB
+                # records never materializes its ~40M span tuples
+                split_id, first_rec = 0, 0
+                cur_off, cur_len, cur_n = None, 0, 0
                 with open(path, "rb") as fh:
-                    spans = list(iter_warc_spans(fh))
-                split_id, first_rec, i = 0, 0, 0
-                while i < len(spans):
-                    j, acc = i, 0
-                    while j < len(spans) and (acc == 0 or acc + spans[j][1] <= target_bytes):
-                        acc += spans[j][1]
-                        j += 1
+                    for off, ln in iter_warc_spans(fh):
+                        if cur_off is not None and cur_len + ln > target_bytes:
+                            rows.append(
+                                {
+                                    "warc_path": path,
+                                    "split_id": split_id,
+                                    "offset": cur_off,
+                                    "length": cur_len,
+                                    "first_rec_index": first_rec,
+                                    "n_records": cur_n,
+                                }
+                            )
+                            split_id += 1
+                            first_rec += cur_n
+                            cur_off, cur_len, cur_n = None, 0, 0
+                        if cur_off is None:
+                            cur_off = off
+                        cur_len += ln
+                        cur_n += 1
+                if cur_off is not None:
                     rows.append(
                         {
                             "warc_path": path,
                             "split_id": split_id,
-                            "offset": spans[i][0],
-                            "length": acc,
+                            "offset": cur_off,
+                            "length": cur_len,
                             "first_rec_index": first_rec,
-                            "n_records": j - i,
+                            "n_records": cur_n,
                         }
                     )
-                    split_id += 1
-                    first_rec += j - i
-                    i = j
             yield pd.DataFrame(rows, columns=names)
 
     return paths_df.select(F.col(path_col).cast("string").alias(path_col)).mapInPandas(
@@ -413,7 +444,11 @@ def read_warc_manifest(manifest_df: DataFrame) -> DataFrame:
 
     def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            rows = []
+            # one yield PER SPLIT: an Arrow batch can carry thousands of
+            # manifest rows, and holding every split's decoded payloads
+            # until one final yield would put (rows x target_bytes) in
+            # the worker at once — the opposite of what the manifest is
+            # for. Worker memory stays ~one split this way.
             for path, off, ln, base in zip(
                 pdf["warc_path"], pdf["offset"], pdf["length"], pdf["first_rec_index"]
             ):
@@ -424,10 +459,11 @@ def read_warc_manifest(manifest_df: DataFrame) -> DataFrame:
                     raise ValueError(
                         f"{path}: ranged read at {off} got {len(blob)} of {ln} bytes"
                     )
+                rows = []
                 for rec in parse_warc_bytes(blob):
                     rec["rec_index"] += int(base)
                     rows.append({"warc_path": str(path), **rec})
-            yield pd.DataFrame(rows, columns=names)
+                yield pd.DataFrame(rows, columns=names)
 
     return manifest_df.select(
         "warc_path", "offset", "length", "first_rec_index"

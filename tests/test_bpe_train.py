@@ -387,13 +387,12 @@ def test_bpe_encode_matches_chain_on_deep_table(spark):
     assert len(merges) == 256
     con = duckdb.connect()
     con.execute("CREATE TABLE t(text VARCHAR)")
-    # the 256-deep chain is beyond BOTH engines' expression limits —
-    # Spark's parser and DuckDB's 128-deep binder alike reject it; that
-    # shared ceiling is the concrete form of 'unusable at 32k merges'
-    with _pytest.raises(ParseException):
-        df.withColumn(
-            "chain", F.expr(bpe_merged_token_count_sql("text", merges, SPARK))
-        ).collect()
+    # the 256-deep chain is beyond the engines' expression limits.
+    # DuckDB's 128-frame binder cap is deterministic — assert it hard.
+    # Spark's FAILED_TO_PARSE_TOO_COMPLEX is a JVM stack-depth heuristic
+    # (a warm JVM sometimes parses what a cold one rejects), so accept
+    # either outcome there: a rejection proves the ceiling, a successful
+    # parse must agree with the fast path value-for-value.
     with _pytest.raises(duckdb.BinderException):
         con.execute(
             f"SELECT {bpe_merged_token_count_sql('text', merges, DUCKDB)} FROM t"
@@ -405,6 +404,17 @@ def test_bpe_encode_matches_chain_on_deep_table(spark):
     texts = sorted(got)
     # at 256: parity vs the single-node reference (the chain's semantics)
     assert got == {t: ref_apply(t, merges) for t in texts}
+    try:
+        spark_chain = {
+            r["text"]: r["chain"]
+            for r in df.withColumn(
+                "chain", F.expr(bpe_merged_token_count_sql("text", merges, SPARK))
+            ).collect()
+        }
+    except ParseException:
+        spark_chain = None  # the cold-JVM outcome: ceiling demonstrated
+    if spark_chain is not None:
+        assert spark_chain == got
     # at 115 (the deepest chain DuckDB's 128-frame binder still accepts,
     # base expression included): parity vs a real engine's chain replay
     con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])

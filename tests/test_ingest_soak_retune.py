@@ -28,7 +28,7 @@ def test_soak_observes_drift_retune(spark, tmpdir):
     d = 16
     base_n = 20_000 if big else 480
     num_shards = 512 if big else 24
-    n_batches, batch_rows = (16, 1500) if big else (8, 60)
+    n_batches, batch_rows = (8, 3000) if big else (8, 60)
     grown = base_n + n_batches * batch_rows  # 2x the tuned count: drift 100%
 
     rng = np.random.default_rng(1234)
@@ -83,7 +83,7 @@ def test_soak_observes_drift_retune(spark, tmpdir):
     q_ins = stream_insert(
         idx, stream, checkpoint_dir=f"{tmpdir}/retune_ckpt", lock_wait=180.0
     )
-    q_ins.awaitTermination(1200 if big else 600)
+    q_ins.awaitTermination(3000 if big else 600)
     stop.set()
     t.join(timeout=60)
 

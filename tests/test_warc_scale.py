@@ -156,3 +156,34 @@ def test_record_larger_than_target_gets_own_split(spark, tmp_path):
         spark.createDataFrame(ms, warc_split_manifest(paths_df, 100).schema)
     ).collect()
     assert sorted(r["rec_index"] for r in got) == [0, 1, 2]
+
+
+def test_span_walk_folds_headers_like_the_parser():
+    """Review finding (round 12): a folded continuation line that happens
+    to start with 'content-length:' is DATA of the previous header, not a
+    length — the span walk must apply the same LWS folding as
+    parse_warc_bytes or the two disagree about where records end on a
+    perfectly valid file."""
+    body = _http(b"hello")
+    head = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Type: application/http\r\n"
+        b"WARC-Custom: x\r\n content-length: 20\r\n"  # folded continuation
+        + f"Content-Length: {len(body)}\r\n".encode()
+        + b"\r\n"
+    )
+    data = head + body + b"\r\n\r\n" + _rec({"WARC-Type": "metadata"}, b"t")
+    spans = list(iter_warc_spans(io.BytesIO(data)))
+    recs = parse_warc_bytes(data)
+    assert len(spans) == len(recs) == 2
+    assert spans[0][1] == len(head) + len(body) + 4
+    # and a FOLDED Content-Length VALUE is rejected by both sides alike
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 1\r\n 0\r\n\r\n"
+        + b"x" * 10
+        + b"\r\n\r\n"
+    )
+    with pytest.raises(ValueError):
+        parse_warc_bytes(bad)
+    with pytest.raises(ValueError):
+        list(iter_warc_spans(io.BytesIO(bad)))
