@@ -369,8 +369,10 @@ def warc_split_manifest(
     one output row per split of ~``target_bytes`` (greedy packing of
     whole records — a split always starts AND ends on a record boundary,
     so every split parses independently). One header-walk task per file
-    (``iter_warc_spans``); the walk reads headers only, so manifesting a
-    40 GB file moves kilobytes. ``first_rec_index`` carries the file-
+    (``iter_warc_spans``); the walk reads headers only, so bytes moved
+    scale with RECORD COUNT, not file size, and worker memory stays O(1)
+    (the packer consumes the span stream left-to-right without ever
+    materializing it). ``first_rec_index`` carries the file-
     global record numbering into each split so the ranged parse is
     bit-identical to the whole-file parse."""
     import pandas as pd
