@@ -43,6 +43,9 @@ __all__ = [
     "WARC_GROUP_SIZE",
     "WARCINFO_BLOCK",
     "attach_warc_payload",
+    "gunzip_warc_bytes",
+    "gzip_warc_bytes",
+    "iter_warc_gz_members",
     "iter_warc_spans",
     "parse_warc_bytes",
     "parse_warc_records",
@@ -313,6 +316,13 @@ def iter_warc_spans(fh) -> Iterator[tuple[int, int]]:
         lines = head.split("\r\n")
         if not lines[0].startswith("WARC/"):
             raise ValueError(f"not a WARC record at offset {pos}: {lines[0][:24]!r}")
+        if lines[0][5:] not in ("1.0", "1.1"):
+            # mirror parse_warc_bytes' version whitelist: a manifest that
+            # walks what the parser will reject reports a valid-looking
+            # split set for an unreadable file (round-12 review finding)
+            raise ValueError(
+                f"unsupported WARC version {lines[0][5:]!r} at offset {pos}"
+            )
         # the SAME LWS-folding rule as parse_warc_bytes: a SP/TAB-led line
         # continues the previous header's VALUE — it must neither register
         # as a header of its own (a folded continuation that happens to
@@ -329,7 +339,11 @@ def iter_warc_spans(fh) -> Iterator[tuple[int, int]]:
                 continue
             name, sep, value = ln.partition(":")
             if not sep:
-                continue  # parse_warc_bytes rejects; the ranged parse will too
+                # parse_warc_bytes rejects separator-less lines; reject here
+                # too so manifest success implies parseability (round-12
+                # review finding — the walk and the parser must agree on
+                # which files are valid, not just where records end)
+                raise ValueError(f"malformed WARC header line {ln!r} at offset {pos}")
             last_name = name.strip().lower()
             values[last_name] = value.strip()
         clen_raw = values.get("content-length")
@@ -346,6 +360,118 @@ def iter_warc_spans(fh) -> Iterator[tuple[int, int]]:
             raise ValueError(f"missing CRLFCRLF record separator at offset {sep_at}")
         yield pos, (sep_at + 4) - pos
         pos = sep_at + 4
+
+
+# ---------------------------------------------------------------------------
+# .warc.gz (round 13): every production Common Crawl file is gzip with ONE
+# MEMBER PER RECORD (ISO 28500 annex D record-at-time compression), so
+# member boundaries ARE record boundaries — the split manifest packs whole
+# members and every split still parses independently. Member ends come from
+# stdlib zlib alone: decompressobj(wbits=31) sets .eof at the member
+# trailer and .unused_data holds the bytes past it, so the walk gets EXACT
+# compressed offsets with no tabulated format data. A well-formed member
+# may also carry several records (the spec permits it); the walk counts
+# records inside each member so first_rec_index stays file-global either
+# way.
+# ---------------------------------------------------------------------------
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_GZ_CHUNK = 1 << 16
+
+
+def gzip_warc_bytes(data: bytes, level: int = 6) -> bytes:
+    """Compress a plain WARC blob into the production ``.warc.gz`` layout:
+    one gzip member per record, in record order, so a reader can split the
+    compressed file at member boundaries without inflating upstream bytes.
+    (Fixture/synthesis helper — the read path never needs it.)"""
+    import io
+    import zlib
+
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+    out = bytearray()
+    for off, ln in iter_warc_spans(io.BytesIO(data)):
+        c = zlib.compressobj(level, zlib.DEFLATED, 31)
+        out += c.compress(data[off : off + ln])
+        out += c.flush()
+    return bytes(out)
+
+
+def gunzip_warc_bytes(blob: bytes) -> bytes:
+    """Inflate every concatenated gzip member of a ``.warc.gz`` blob back
+    to the plain WARC byte stream. Because record-at-time compression puts
+    each record (with its trailing CRLFCRLF) in its own member, the
+    concatenation of inflated members IS the plain ``.warc`` file — the
+    parser needs no gz-specific logic. Fail-stop on a truncated member."""
+    import zlib
+
+    if not isinstance(blob, (bytes, bytearray)):
+        blob = bytes(blob)
+    out = bytearray()
+    pos = 0
+    rest = bytes(blob)
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        out += d.decompress(rest)
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at compressed offset {pos}")
+        pos += len(rest) - len(d.unused_data)
+        rest = d.unused_data
+    return bytes(out)
+
+
+def iter_warc_gz_members(fh, chunk_size: int = _GZ_CHUNK) -> Iterator[tuple[int, int, bytes]]:
+    """Yield (compressed_offset, compressed_length, plain_bytes) for each
+    gzip member of a seekable ``.warc.gz`` stream — the gz twin of
+    ``iter_warc_spans``, with the same exact-tiling contract on COMPRESSED
+    offsets. Streams in ``chunk_size`` reads; worker memory is one
+    member's inflated bytes (one record, in production crawls). Unlike the
+    plain walk there is no header-seek shortcut — gzip carries no member
+    length up front, so finding a boundary costs inflating the member —
+    but the walk still never holds more than one member at a time."""
+    import zlib
+
+    offset = 0
+    pending = fh.read(chunk_size)
+    while pending:
+        d = zlib.decompressobj(wbits=31)
+        out = bytearray()
+        consumed = 0
+        data = pending
+        pending = b""
+        while True:
+            out += d.decompress(data)
+            if d.eof:
+                consumed += len(data) - len(d.unused_data)
+                pending = d.unused_data
+                break
+            consumed += len(data)
+            data = fh.read(chunk_size)
+            if not data:
+                raise ValueError(f"truncated gzip member at compressed offset {offset}")
+        yield offset, consumed, bytes(out)
+        offset += consumed
+        if not pending:
+            pending = fh.read(chunk_size)
+
+
+def _iter_split_units(fh) -> Iterator[tuple[int, int, int]]:
+    """(offset, length, n_records) units the manifest packer consumes:
+    plain files yield one unit per record span; gz files yield one unit
+    per gzip member (offset/length in COMPRESSED bytes), with the member's
+    inflated bytes span-walked so n_records is exact and the walk keeps
+    the parser's validation guarantees on gz input too."""
+    import io
+
+    magic = fh.read(2)
+    fh.seek(0)
+    if magic == _GZIP_MAGIC:
+        for off, clen, plain in iter_warc_gz_members(fh):
+            n = sum(1 for _ in iter_warc_spans(io.BytesIO(plain)))
+            yield off, clen, n
+    else:
+        for off, ln in iter_warc_spans(fh):
+            yield off, ln, 1
 
 
 _MANIFEST_SCHEMA = StructType(
@@ -374,7 +500,14 @@ def warc_split_manifest(
     (the packer consumes the span stream left-to-right without ever
     materializing it). ``first_rec_index`` carries the file-
     global record numbering into each split so the ranged parse is
-    bit-identical to the whole-file parse."""
+    bit-identical to the whole-file parse.
+
+    ``.warc.gz`` files (sniffed per file by gzip magic, mixed dirs fine)
+    pack whole GZIP MEMBERS instead — member boundaries are record
+    boundaries under the spec's record-at-time compression, offsets and
+    lengths are in compressed bytes, and the walk inflates one member at
+    a time (no header shortcut exists in gzip), so worker memory stays
+    one record either way."""
     import pandas as pd
 
     if target_bytes <= 0:
@@ -391,7 +524,7 @@ def warc_split_manifest(
                 split_id, first_rec = 0, 0
                 cur_off, cur_len, cur_n = None, 0, 0
                 with open(path, "rb") as fh:
-                    for off, ln in iter_warc_spans(fh):
+                    for off, ln, nrec in _iter_split_units(fh):
                         if cur_off is not None and cur_len + ln > target_bytes:
                             rows.append(
                                 {
@@ -409,7 +542,7 @@ def warc_split_manifest(
                         if cur_off is None:
                             cur_off = off
                         cur_len += ln
-                        cur_n += 1
+                        cur_n += nrec
                 if cur_off is not None:
                     rows.append(
                         {
@@ -439,7 +572,10 @@ def read_warc_manifest(manifest_df: DataFrame) -> DataFrame:
     record-aligned and carry ``first_rec_index``, the union over splits
     equals the whole-file parse row-for-row (pytest-pinned). This is the
     shape that keeps task size bounded when single files outgrow
-    executors."""
+    executors. Splits whose bytes start with the gzip magic (manifests
+    built over ``.warc.gz``) inflate their whole members first — split
+    boundaries are member boundaries, so the inflated concatenation is a
+    plain record-aligned WARC slice."""
     import pandas as pd
 
     names = [f.name for f in _PATH_RECORD_SCHEMA.fields]
@@ -461,6 +597,8 @@ def read_warc_manifest(manifest_df: DataFrame) -> DataFrame:
                     raise ValueError(
                         f"{path}: ranged read at {off} got {len(blob)} of {ln} bytes"
                     )
+                if blob[:2] == _GZIP_MAGIC:
+                    blob = gunzip_warc_bytes(blob)
                 rows = []
                 for rec in parse_warc_bytes(blob):
                     rec["rec_index"] += int(base)
@@ -476,7 +614,8 @@ def read_warc_dir(spark, path: str) -> DataFrame:
     """Whole-file WARC ingestion: ``binaryFile`` scan (one task per
     file) exploded to records — same output schema as
     ``read_warc_manifest`` so the two paths are interchangeable and
-    directly comparable."""
+    directly comparable. ``.warc.gz`` files are sniffed per blob by the
+    gzip magic and inflated first (mixed plain/gz dirs are fine)."""
     import pandas as pd
 
     blobs = spark.read.format("binaryFile").load(path).select(
@@ -486,10 +625,18 @@ def read_warc_dir(spark, path: str) -> DataFrame:
 
     def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            rows = []
+            # one yield PER FILE, matching read_warc_manifest's per-split
+            # yield: an Arrow batch can carry several whole files, and
+            # holding every file's decoded records until one final yield
+            # would put the batch's entire decompressed payload in the
+            # worker at once (round-12 review finding)
             for p, blob in zip(pdf["warc_path"], pdf["payload"]):
-                for rec in parse_warc_bytes(blob):
-                    rows.append({"warc_path": str(p), **rec})
-            yield pd.DataFrame(rows, columns=names)
+                data = bytes(blob)
+                if data[:2] == _GZIP_MAGIC:
+                    data = gunzip_warc_bytes(data)
+                yield pd.DataFrame(
+                    [{"warc_path": str(p), **rec} for rec in parse_warc_bytes(data)],
+                    columns=names,
+                )
 
     return blobs.mapInPandas(run, _PATH_RECORD_SCHEMA)
