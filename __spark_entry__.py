@@ -1663,7 +1663,55 @@ def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_type",
         "target_uri",
     )
-    return bin_rows.unionByName(warc_rows)
+    # 'warc_gz' rows (round 13): the SAME records must come back through
+    # the production-layout path — real .warc.gz FILES on disk (one gzip
+    # member per record), split by warc_split_manifest at member
+    # boundaries, and parsed by the ranged read_warc_manifest — so the gz
+    # member walk, the compressed-offset manifest, AND the ranged inflate
+    # are all hash-verified against the same DuckDB replay as 'warc'.
+    # File synthesis collects the ~#docs/50 small blobs driver-side
+    # (fixture writing, not a scale path; the read back is distributed).
+    import os
+    import tempfile
+
+    from pgvectorscale_spark.sources.warc import (
+        gzip_warc_bytes,
+        read_warc_manifest,
+        warc_split_manifest,
+    )
+
+    gzdir = tempfile.mkdtemp(prefix="pgvs_warc_gz_")
+    for r in attach_warc_payload(docs).collect():
+        with open(
+            os.path.join(gzdir, f"seg-{int(r['warc_id']):09d}.warc.gz"), "wb"
+        ) as fh:
+            fh.write(gzip_warc_bytes(bytes(r["payload"])))
+    paths_df = spark.createDataFrame(
+        [(os.path.join(gzdir, f),) for f in sorted(os.listdir(gzdir))],
+        "warc_path string",
+    )
+    gz_recs = read_warc_manifest(warc_split_manifest(paths_df, target_bytes=64 * 1024))
+    gz_rows = gz_recs.select(
+        F.lit("warc_gz").alias("form"),
+        F.when(
+            F.col("warc_type") == "response",
+            F.regexp_extract("target_uri", "([0-9]+)$", 1).cast("long"),
+        )
+        .otherwise(
+            -(
+                F.regexp_extract("warc_path", r"seg-([0-9]+)\.warc\.gz$", 1).cast(
+                    "long"
+                )
+                + 1
+            )
+        )
+        .alias("doc_id"),
+        F.col("payload_len").alias("byte_len"),
+        F.md5(F.encode("payload", "UTF-8")).alias("payload_md5"),
+        "warc_type",
+        "target_uri",
+    )
+    return bin_rows.unionByName(warc_rows).unionByName(gz_rows)
 
 
 def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

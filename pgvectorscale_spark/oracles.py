@@ -1374,7 +1374,11 @@ def multimodal_meta_oracle(warc_group_size: int = 50) -> str:
     whose parsed payload must be the doc's exact text, plus one warcinfo
     row per doc_id-div-group file at doc_id = -(warc_id+1). The warcinfo
     block is rebuilt as a SQL E-string so its md5/octet_length are
-    computed by DuckDB, not pasted."""
+    computed by DuckDB, not pasted. 'warc_gz' rows replay the SAME
+    expected records for the production .warc.gz path (real files on
+    disk, member-boundary manifest, ranged inflate) — the Spark side
+    must recover identical payloads through gzip, so the oracle rows
+    differ only in the form tag."""
     from pgvectorscale_spark.sources.warc import WARCINFO_BLOCK
 
     block = "e'" + WARCINFO_BLOCK.replace("\r", "\\r").replace("\n", "\\n") + "'"
@@ -1383,13 +1387,14 @@ SELECT 'bin' AS form, doc_id, octet_length(encode(text)) AS byte_len,
        md5(text) AS payload_md5, '' AS warc_type, '' AS target_uri
 FROM documents
 UNION ALL
-SELECT 'warc', doc_id, octet_length(encode(text)), md5(text), 'response',
+SELECT w.form, doc_id, octet_length(encode(text)), md5(text), 'response',
        'https://example.org/doc/' || doc_id
-FROM documents
+FROM documents, (VALUES ('warc'), ('warc_gz')) w(form)
 UNION ALL
-SELECT 'warc', -(warc_id + 1), octet_length(encode({block})), md5({block}),
+SELECT w.form, -(warc_id + 1), octet_length(encode({block})), md5({block}),
        'warcinfo', ''
-FROM (SELECT DISTINCT doc_id // {warc_group_size} AS warc_id FROM documents)
+FROM (SELECT DISTINCT doc_id // {warc_group_size} AS warc_id FROM documents),
+     (VALUES ('warc'), ('warc_gz')) w(form)
 """
 
 
