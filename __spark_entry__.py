@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgvectorscale_spark import oracles
@@ -140,7 +140,31 @@ def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mmr_score").alias("distance"),
         "rank",
     )
-    return exact.unionByName(mmr)
+    # 'annjoin' rows (round 13): the corpus x corpus ANN join — queries
+    # stay a distributed DataFrame end to end (no driver collect; shard
+    # fan-out via explode + one exchange on shard, per-batch graph probe,
+    # window top-k) — at exact-parity settings (sls >= corpus, full
+    # fan-out), so it must hash-match the same brute-force oracle as the
+    # 'exact' rows. Rank is recomputed over the oracle's (4dp distance,
+    # vec_id) seam; the routed/salted variants are pytest- and bench-gated.
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    path = tempfile.mkdtemp(prefix="annjoin_entry_")
+    idx = DiskannIndex.build(emb, path, distance_type="cosine", num_shards=4)
+    aj = idx.ann_join(qdf, k=5, search_list_size=_EXACT_SLS)
+    wj = Window.partitionBy("query_id").orderBy(
+        F.round("distance", 4).asc(), F.col("node_id").asc()
+    )
+    annjoin = aj.select(
+        F.lit("annjoin").alias("form"),
+        "query_id",
+        F.col("node_id").alias("vec_id"),
+        F.round("distance", 4).alias("distance"),
+        F.row_number().over(wj).cast("long").alias("rank"),
+    )
+    return exact.unionByName(mmr).unionByName(annjoin)
 
 
 def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1999,6 +2023,9 @@ def oracle_sql() -> dict[str, str]:
             [
                 ("'exact'", oracles.knn_batch_oracle(5, 5)),
                 ("'mmr'", oracles.mmr_oracle(num_queries=4, cand_k=8, k=3)),
+                # the distributed ann_join at exact-parity settings replays
+                # the SAME brute-force top-k as the 'exact' rows
+                ("'annjoin'", oracles.knn_batch_oracle(5, 5)),
             ],
         ),
         "knn_join": oracles.knn_join_oracle(10, 3),

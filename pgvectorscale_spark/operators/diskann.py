@@ -767,6 +767,78 @@ def _insert_shard_warm(
     return out, (g, gids, dead, fullmat)
 
 
+def _probe_shard_block(
+    store,
+    shard: int,
+    cache_token: tuple,
+    md: dict,
+    qstate,
+    qids_l: np.ndarray,
+    qmat_l: np.ndarray,
+    qlab,
+    lim: int,
+    sls: int,
+    stats: "QueryStats | None" = None,
+) -> tuple[list, list, list]:
+    """Per-shard probe kernel shared by ``search_batch`` (queries arrive
+    via broadcast) and ``ann_join`` (queries arrive as partition rows):
+    beam-walk each query over the shard graph, fetch full-precision
+    vectors for ONLY the visited pool (pyarrow node_id row filter — the
+    reference's visited-only page reads, sbq/storage.rs:125-230),
+    exact-rescore the pool in one BLAS op (T2, scan.rs:244-305), drop
+    tombstoned rows (T1), and return the per-shard exact top
+    max(k, rescore) per query as parallel (query_id, node_id, distance)
+    lists. Truncating by EXACT distance at >=k per shard can never drop
+    a member of the global top-k."""
+    g, gids, dead, fullmat, hot = _load_shard_graph(store, shard, cache_token, md, qstate)
+    if g is None:  # empty shard
+        return [], [], []
+    if stats is not None and hot:
+        stats.cache_hits += 1
+    d_index = md["num_dimensions_to_index"]
+    pools: list[np.ndarray] = []
+    for qi in range(len(qmat_l)):
+        q = qmat_l[qi][:d_index] if d_index else qmat_l[qi]
+        idx, _ = g.search(q, k=0, search_list_size=sls, rescore=0, query_labels=qlab)
+        live = idx[~dead[idx]] if len(idx) else idx
+        pools.append(live)
+        if stats is not None:
+            stats.shard_searches += 1
+            stats.candidates_scored += g.last_stats.get("candidates_scored", 0)
+            stats.quantized_comparisons += g.last_stats.get("quantized_comparisons", 0)
+    # visited-only vector fetch + one exact BLAS rescore per query
+    union = np.unique(
+        np.concatenate([p for p in pools if len(p)] or [np.array([], dtype=np.int64)])
+    )
+    if fullmat is not None:
+        vmat, vpos = fullmat, {int(i): int(i) for i in union}
+    elif len(union):
+        vmat, vpos = _fetch_vectors(store, shard, gids[union])
+        vpos = {int(gid): r for gid, r in vpos.items()}
+    else:
+        vmat, vpos = np.zeros((0, 0), dtype=np.float32), {}
+    out_q, out_n, out_d = [], [], []
+    for qi, pool in enumerate(pools):
+        if not len(pool):
+            continue
+        if fullmat is not None:
+            rows = pool
+            pool_gids = gids[pool]
+        else:
+            pool_gids = gids[pool]
+            rows = np.array([vpos[int(gid)] for gid in pool_gids])
+        ed = np_distance(
+            vmat[rows], qmat_l[qi], md["distance_type"], assume_normalized=True
+        )
+        top = np.lexsort((pool_gids, ed))[:lim]
+        out_q.extend([int(qids_l[qi])] * len(top))
+        out_n.extend(int(x) for x in pool_gids[top])
+        out_d.extend(float(x) for x in ed[top])
+        if stats is not None:
+            stats.rescored += len(pool)
+    return out_q, out_n, out_d
+
+
 def _fetch_vectors(store, shard: int, node_ids: np.ndarray) -> tuple[np.ndarray, dict]:
     """Fetch full-precision vectors for just the given node ids from the
     shard's base+delta partitions — the analog of the reference reading
@@ -2025,53 +2097,22 @@ class DiskannIndex:
                 return pd.DataFrame({"query_id": [], "node_id": [], "wdist": []}).astype(
                     {"query_id": "int64", "node_id": "int64", "wdist": "float64"}
                 )
-            g, gids, dead, fullmat, hot = _load_shard_graph(store, shard, cache_token, md, qstate)
-            if g is None:  # empty shard
-                return pd.DataFrame({"query_id": [], "node_id": [], "wdist": []}).astype(
-                    {"query_id": "int64", "node_id": "int64", "wdist": "float64"}
-                )
-            if stats is not None and hot:
-                stats.cache_hits += 1
-            d_index = md["num_dimensions_to_index"]
-            pools: list[np.ndarray] = []
-            for qi in my_queries:
-                q = qmat_l[qi][:d_index] if d_index else qmat_l[qi]
-                idx, _ = g.search(q, k=0, search_list_size=sls, rescore=0, query_labels=qlab)
-                live = idx[~dead[idx]] if len(idx) else idx
-                pools.append(live)
-                if stats is not None:
-                    stats.shard_searches += 1
-                    stats.candidates_scored += g.last_stats.get("candidates_scored", 0)
-                    stats.quantized_comparisons += g.last_stats.get("quantized_comparisons", 0)
-            # visited-only vector fetch + one exact BLAS rescore per query
-            union = np.unique(np.concatenate([p for p in pools if len(p)] or [np.array([], dtype=np.int64)]))
-            if fullmat is not None:
-                vmat, vpos = fullmat, {int(i): int(i) for i in union}
-            elif len(union):
-                vmat, vpos = _fetch_vectors(store, shard, gids[union])
-                vpos = {int(gid): r for gid, r in vpos.items()}
-            else:
-                vmat, vpos = np.zeros((0, 0), dtype=np.float32), {}
-            out_q, out_n, out_d = [], [], []
-            for qi, pool in zip(my_queries, pools):
-                if not len(pool):
-                    continue
-                if fullmat is not None:
-                    rows = pool
-                    pool_gids = gids[pool]
-                else:
-                    pool_gids = gids[pool]
-                    rows = np.array([vpos[int(gid)] for gid in pool_gids])
-                ed = np_distance(
-                    vmat[rows], qmat_l[qi], md["distance_type"], assume_normalized=True
-                )
-                top = np.lexsort((pool_gids, ed))[:lim]
-                out_q.extend([qids_l[qi]] * len(top))
-                out_n.extend(int(x) for x in pool_gids[top])
-                out_d.extend(float(x) for x in ed[top])
-                if stats is not None:
-                    stats.rescored += len(pool)
-            return pd.DataFrame({"query_id": out_q, "node_id": out_n, "wdist": out_d})
+            out_q, out_n, out_d = _probe_shard_block(
+                store,
+                shard,
+                cache_token,
+                md,
+                qstate,
+                qids_l[my_queries],
+                qmat_l[my_queries],
+                qlab,
+                lim,
+                sls,
+                stats,
+            )
+            return pd.DataFrame(
+                {"query_id": out_q, "node_id": out_n, "wdist": out_d}
+            ).astype({"query_id": "int64", "node_id": "int64", "wdist": "float64"})
 
         shards_df = self.spark.createDataFrame(
             [(s,) for s in range(self.meta.num_shards)], "shard int"
@@ -2082,6 +2123,195 @@ class DiskannIndex:
             .applyInPandas(shard_probe, schema="query_id long, node_id long, wdist double")
         )
         w = Window.partitionBy("query_id").orderBy(F.col("wdist").asc(), F.col("node_id").asc())
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "node_id", F.col("wdist").alias("distance"), "rank")
+        )
+
+    def ann_join(
+        self,
+        queries_df: DataFrame,
+        k: int = 10,
+        search_list_size: int | None = None,
+        rescore: int | None = None,
+        labels: Sequence[int] | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        probe_shards: int | None = None,
+        recall_target: float | None = None,
+        partitions_per_shard: int = 1,
+        stats: "QueryStats | None" = None,
+    ) -> DataFrame:
+        """Corpus x corpus ANN join: top-k neighbors for EVERY row of a
+        query DataFrame, with the query side staying DISTRIBUTED end to
+        end — the offline twin of ``search_batch`` (which collects its
+        query batch driver-side: right for serving batches of 16-1k
+        queries, the wrong shape for a 100M-row decontamination or
+        retrieval-scoring join). Output: (query_id, node_id, distance,
+        rank), identical to search_batch on the same inputs
+        (pytest-pinned; same kernel, same tie-breaks, same exactness
+        argument).
+
+        Plan shape (the 100 TB contract — no driver collect anywhere):
+
+        - *route*: each query row picks its ``probe_shards`` nearest
+          shards against the BROADCAST per-shard centroid table
+          (num_shards rows) inside an Arrow-batched ``mapInPandas`` —
+          a numpy top-p per batch, |Q| x p output rows. Unrouted (hash
+          shards or probe_shards=None) fans out via a JVM-side
+          ``explode(sequence(...))`` — no Python in that path.
+        - *one exchange on (shard, salt)*: hashpartitioning co-locates
+          each shard's queries; ``partitions_per_shard`` salts hot
+          shards across that many tasks so a skewed routing (every
+          query near one centroid) cannot serialize. The process-level
+          shard-graph cache amortizes graph loads across batches and
+          tasks exactly as in serving.
+        - *per-batch probe*: ``_probe_shard_block`` — the search_batch
+          kernel (beam walk, visited-only pyarrow vector fetch, one
+          BLAS exact rescore, per-shard exact top max(k, rescore); the
+          >=k-per-shard truncation argument carries over unchanged).
+          Arrow batches bound worker memory regardless of |Q|.
+        - *one exchange on query_id*: window top-k over
+          |Q| x p x max(k, rescore) candidate rows — never corpus-sized.
+
+        Labels follow search_batch semantics: a global filter list, []
+        matches nothing, and filtered queries also probe every shard
+        holding their labels (rare-label widening)."""
+        if search_list_size is None:
+            search_list_size = _conf_knob(
+                self.spark, "query_search_list_size", DEFAULT_QUERY_SEARCH_LIST_SIZE
+            )
+        if rescore is None:
+            rescore = _conf_knob(self.spark, "query_rescore", DEFAULT_QUERY_RESCORE)
+        meta_d = _meta_dict(self.meta)
+        if labels is not None and len(list(labels)) == 0:
+            return self.spark.createDataFrame(
+                [], "query_id long, node_id long, distance double, rank integer"
+            )
+        if recall_target is not None:
+            if probe_shards is not None:
+                raise ValueError("pass either probe_shards or recall_target, not both")
+            if (
+                self.meta.shard_assignment == "kmeans"
+                and self.meta.routing_recall_curve
+            ):
+                probe_shards = self.auto_probe_shards(recall_target)
+        if probe_shards is not None and self.meta.shard_assignment != "kmeans":
+            warnings.warn(
+                f"probe_shards ignored: index at {self.path} is "
+                f"'{self.meta.shard_assignment}'-sharded (no geometric routing); "
+                "probing all shards. Build with shard_assignment='kmeans' to route.",
+                stacklevel=2,
+            )
+            probe_shards = None
+        qlabels = frozenset(int(l) for l in labels) if labels else None
+        limit = max(k, rescore)
+        num_shards = self.meta.num_shards
+        q = queries_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).cast("array<double>").alias("query_vec"),
+        )
+        sc = self.spark.sparkContext
+        route_bc = None
+        if probe_shards is not None and probe_shards < num_shards:
+            table = self._routing_table()
+            if table is not None:
+                sids, cents = table
+                if meta_d["distance_type"] == DistanceType.COSINE.value:
+                    cents = np_normalize(cents)
+                extra = self._label_shards(labels) if qlabels else None
+                route_bc = sc.broadcast(
+                    (
+                        sids,
+                        cents,
+                        meta_d["distance_type"],
+                        int(probe_shards),
+                        sorted(int(s) for s in (extra or ())),
+                    )
+                )
+        if route_bc is not None:
+
+            def route_fn(batches):
+                sids_l, cents_l, dt, p, extra_l = route_bc.value
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    qm = np.stack(pdf["query_vec"].to_numpy()).astype(np.float64)
+                    if dt == DistanceType.COSINE.value:
+                        qm = np_normalize(qm)
+                    cd = np.stack(
+                        [
+                            np_distance(cents_l, qm[i], dt, assume_normalized=True)
+                            for i in range(len(qm))
+                        ]
+                    )  # (batch, shards)
+                    nearest = np.argsort(cd, axis=1)[:, :p]
+                    vecs = pdf["query_vec"].tolist()
+                    qids = pdf["query_id"].tolist()
+                    o_s, o_q, o_v = [], [], []
+                    for i in range(len(qm)):
+                        probed = {int(sids_l[c]) for c in nearest[i]}
+                        probed.update(extra_l)
+                        for s in sorted(probed):
+                            o_s.append(s)
+                            o_q.append(int(qids[i]))
+                            o_v.append(vecs[i])
+                    yield pd.DataFrame(
+                        {"shard": o_s, "query_id": o_q, "query_vec": o_v}
+                    )
+
+            routed = q.mapInPandas(
+                route_fn, "shard int, query_id long, query_vec array<double>"
+            )
+        else:
+            routed = q.select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(num_shards - 1))
+                ).alias("shard"),
+                "query_id",
+                "query_vec",
+            )
+        pps = max(1, int(partitions_per_shard))
+        routed = routed.withColumn(
+            "_salt", F.pmod(F.hash("query_id"), F.lit(pps))
+        ).repartition(num_shards * pps, "shard", "_salt")
+        b = sc.broadcast(
+            (meta_d, self._quantizer_state(), qlabels, limit, search_list_size)
+        )
+        store = self._store()
+        base_token = (self.meta.build_id, self.meta.mutation_id)
+        shard_muts = dict(self.meta.shard_mutations)
+
+        def probe_fn(batches):
+            md, qstate, qlab, lim, sls = b.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for shard_v, grp in pdf.groupby("shard", sort=True):
+                    shard = int(shard_v)
+                    cache_token = (
+                        base_token[0],
+                        shard_muts.get(str(shard)) or base_token[1],
+                    )
+                    qids_l = grp["query_id"].to_numpy(dtype=np.int64)
+                    qmat_l = np.stack(grp["query_vec"].to_numpy()).astype(np.float64)
+                    if md["distance_type"] == DistanceType.COSINE.value:
+                        qmat_l = np_normalize(qmat_l)
+                    out_q, out_n, out_d = _probe_shard_block(
+                        store, shard, cache_token, md, qstate,
+                        qids_l, qmat_l, qlab, lim, sls, stats,
+                    )
+                    if not out_q:
+                        continue
+                    yield pd.DataFrame(
+                        {"query_id": out_q, "node_id": out_n, "wdist": out_d}
+                    )
+
+        cand = routed.mapInPandas(probe_fn, "query_id long, node_id long, wdist double")
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("wdist").asc(), F.col("node_id").asc()
+        )
         return (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -1,0 +1,150 @@
+"""Corpus x corpus ANN join (DiskannIndex.ann_join, round 13): the query
+side stays a distributed DataFrame end to end — no driver-side collect of
+the query set — yet results must be IDENTICAL to search_batch on the same
+inputs (same kernel, same tie-breaks). Plan gates pin the two-exchange
+shape (shard fan-out, then query_id top-k)."""
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+from pgvectorscale_spark.operators.diskann import DiskannIndex, QueryStats
+from tests.conftest import make_fixture_f1
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ann_join_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def hash_idx(spark, tmpdir):
+    df, mat = make_fixture_f1(spark, n=300, d=32)
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/hash_idx", distance_type="cosine", num_shards=3,
+        id_col="id", vector_col="embedding",
+    )
+    return idx, mat
+
+
+@pytest.fixture(scope="module")
+def kmeans_idx(spark, tmpdir):
+    rng = np.random.default_rng(31)
+    n_clusters, per, d = 8, 150, 16
+    centers = rng.normal(scale=5.0, size=(n_clusters, d))
+    mat = np.concatenate(
+        [centers[c] + rng.normal(scale=0.5, size=(per, d)) for c in range(n_clusters)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))],
+        "vec_id long, embedding array<float>",
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/km_idx", distance_type="l2", num_shards=8,
+        shard_assignment="kmeans",
+    )
+    return idx, mat
+
+
+def _qdf(spark, mat, ids):
+    return spark.createDataFrame(
+        [(int(i), mat[i].tolist()) for i in ids],
+        "query_id long, query_vec array<float>",
+    )
+
+
+def _keyed(rows):
+    return {(r["query_id"], r["rank"]): (r["node_id"], round(r["distance"], 9)) for r in rows}
+
+
+def test_ann_join_equals_search_batch_full_fanout(spark, hash_idx):
+    idx, mat = hash_idx
+    qdf = _qdf(spark, mat, range(0, 40))
+    got = _keyed(idx.ann_join(qdf, k=7, search_list_size=64, rescore=30).collect())
+    want = _keyed(idx.search_batch(qdf, k=7, search_list_size=64, rescore=30).collect())
+    assert got == want
+    assert len(got) == 40 * 7
+
+
+def test_ann_join_equals_search_batch_routed(spark, kmeans_idx):
+    idx, mat = kmeans_idx
+    rng = np.random.default_rng(7)
+    queries = (mat[rng.integers(0, len(mat), size=25)]
+               + rng.normal(scale=0.2, size=(25, mat.shape[1]))).astype(np.float32)
+    qdf = spark.createDataFrame(
+        [(i, queries[i].tolist()) for i in range(25)],
+        "query_id long, query_vec array<float>",
+    )
+    for p in (1, 2, 8):
+        got = _keyed(idx.ann_join(qdf, k=10, probe_shards=p).collect())
+        want = _keyed(idx.search_batch(qdf, k=10, probe_shards=p).collect())
+        assert got == want, f"probe_shards={p}"
+
+
+def test_ann_join_routed_prunes_fanout(spark, kmeans_idx):
+    """Routing actually prunes: with probe_shards=2 each query walks at
+    most 2 shard graphs, exactly like search_batch."""
+    idx, mat = kmeans_idx
+    qdf = _qdf(spark, mat, range(0, 20))
+    stats = QueryStats(spark)
+    idx.ann_join(qdf, k=5, probe_shards=2, stats=stats).collect()
+    assert stats.as_dict()["shard_searches"] <= 20 * 2
+
+
+def test_ann_join_salted_partitioning_parity(spark, kmeans_idx):
+    """partitions_per_shard > 1 (hot-shard salting) changes the physical
+    fan-out only — results are bit-identical."""
+    idx, mat = kmeans_idx
+    qdf = _qdf(spark, mat, range(0, 30))
+    base = _keyed(idx.ann_join(qdf, k=6, probe_shards=2).collect())
+    salted = _keyed(
+        idx.ann_join(qdf, k=6, probe_shards=2, partitions_per_shard=4).collect()
+    )
+    assert salted == base
+
+
+def test_ann_join_labels_match_search_batch(spark, tmpdir):
+    rng = np.random.default_rng(5)
+    mat = rng.random((120, 16), dtype=np.float32)
+    rows = [
+        (i, mat[i].tolist(), [int(i % 4) + 1, 9] if i % 5 else [7])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, labels array<smallint>"
+    )
+    idx = DiskannIndex.build(
+        df, f"{tmpdir}/lbl_idx", distance_type="cosine", num_shards=2,
+        label_col="labels",
+    )
+    qdf = _qdf(spark, mat, range(0, 15))
+    got = _keyed(idx.ann_join(qdf, k=5, labels=[7], search_list_size=128).collect())
+    want = _keyed(idx.search_batch(qdf, k=5, labels=[7], search_list_size=128).collect())
+    assert got == want and len(got) > 0
+    # `labels && '{}'` is always false: an explicit empty filter -> no rows
+    assert idx.ann_join(qdf, k=5, labels=[]).count() == 0
+
+
+def test_ann_join_plan_two_exchanges_no_corpus_scan(spark, kmeans_idx):
+    """The 100 TB plan gate: the routed join's physical plan exchanges on
+    (shard, salt) for the fan-out and on query_id for the final top-k —
+    and scans NOTHING corpus-sized (shard graphs are read worker-side via
+    pyarrow, invisible to the plan; the only scan is the query rows)."""
+    idx, mat = kmeans_idx
+    qdf = _qdf(spark, mat, range(0, 10))
+    plan = (
+        idx.ann_join(qdf, k=5, probe_shards=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(shard" in plan
+    assert "hashpartitioning(query_id" in plan
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    # exactly the two exchanges — any third would be a corpus-shaped shuffle
+    assert plan.count("Exchange hashpartitioning") == 2
