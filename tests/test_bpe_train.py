@@ -475,3 +475,73 @@ def test_bpe_encode_duplicate_rank_fires_on_recreated_pair():
         f"SELECT {mc(chr(39) + 'abc' + chr(39), merges, DUCKDB)}"
     ).fetchone()[0]
     assert n == 1
+
+
+def test_seeded_property_fuzz_encode_and_train():
+    """Seeded property fuzz (round 13, committing the r12 self-review
+    sweep): 200 random (word, merge-table) trials against the literal
+    replace-chain reference and 200 random (corpus, num_merges,
+    min_pair_freq) trials against the naive recount trainer. Tables are
+    drawn over an EVOLVING symbol set so compound symbols, duplicate
+    pairs, and recreated-pair chains all occur; the alphabet is tiny so
+    collisions are dense. Deterministic (fixed seed), < 10 s."""
+    import random
+
+    from pgvectorscale_spark.functions.text import _bpe_encode_word, train_bpe_local
+
+    rng = random.Random(0xB9E)
+    alphabet = "abcde"
+
+    def ref_apply_word(word: str, merges) -> list[str]:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    dup_tables = 0
+    for _ in range(200):
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        symbols = list(alphabet)
+        merges: list[tuple[str, str]] = []
+        for _ in range(rng.randint(1, 12)):
+            a, b = rng.choice(symbols), rng.choice(symbols)
+            merges.append((a, b))
+            if a + b not in symbols:
+                symbols.append(a + b)
+        if len(set(merges)) < len(merges):
+            dup_tables += 1
+        table = [(a, b, a + b) for a, b in merges]
+        rl: dict = {}
+        for i, (a, b) in enumerate(merges):
+            rl.setdefault((a, b), []).append(i)
+        fr = {p: lst[0] for p, lst in rl.items()}
+        got = _bpe_encode_word(word, fr, rl, table)
+        want = ref_apply_word(word, merges)
+        assert got == want, (word, merges, got, want)
+    assert dup_tables >= 20  # the generator actually exercises duplicates
+
+    for _ in range(200):
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(rng.randint(2, 6))
+        ]
+        num_merges = rng.randint(1, 20)
+        mpf = rng.choice([1, 2, 3])
+        freqs: dict[str, int] = {}
+        for t in texts:
+            for w in ref_pretokenize(t):
+                freqs[w] = freqs.get(w, 0) + 1
+        got_m = train_bpe_local(freqs, num_merges, min_pair_freq=mpf)
+        want_m = ref_train_bpe(texts, num_merges, min_pair_freq=mpf)
+        assert got_m == want_m, (texts, num_merges, mpf, got_m, want_m)
