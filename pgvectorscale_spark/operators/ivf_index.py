@@ -25,6 +25,7 @@ from pgvectorscale_spark.functions.distance import distance_expr, np_distance
 from pgvectorscale_spark.operators.index_util import (
     delete_dir,
     dir_exists,
+    file_exists as _file_exists,
     list_subdirs,
     prepare_rebuild,
     writer_lock,
@@ -54,9 +55,23 @@ class IvfIndex:
         vector_col: str = "embedding",
         id_col: str = "vec_id",
         tune_probing: bool = True,
+        label_col: str | None = None,
     ) -> "IvfIndex":
+        """``label_col`` (round 13 — IVF/DiskANN family parity): store a
+        smallint-label array per row and filter probed-cell scans with
+        the reference's `&&` overlap semantics (labels/mod.rs truth
+        table: NULL and empty row labels never match; an empty QUERY
+        filter matches nothing; None = unfiltered). A (label, cell)
+        coverage sidecar written here (and appended per insert) widens
+        labeled probes to every cell holding the label, so a rare label
+        concentrated in an unprobed cell cannot silently disappear —
+        the same contract as DiskannIndex's label routing."""
         spark = df.sparkSession
         src = df.filter(F.col(vector_col).isNotNull())
+        if label_col is not None:
+            from pgvectorscale_spark.operators.diskann import _validate_label_bounds
+
+            _validate_label_bounds(src, label_col)
         if kmeans_iterations > 0:
             cents = kmeans_centroids(
                 src, num_centroids, kmeans_iterations, vector_col, id_col
@@ -74,9 +89,11 @@ class IvfIndex:
         assign = ivf_assign(
             src, num_centroids, distance_type, vector_col, id_col, centroids_df=cents
         )
-        nodes = (
-            src.select(F.col(id_col).alias("node_id"), F.col(vector_col).alias("vector"))
-            .join(assign.select(F.col(id_col).alias("node_id"), "centroid_id"), "node_id")
+        node_sel = [F.col(id_col).alias("node_id"), F.col(vector_col).alias("vector")]
+        if label_col is not None:
+            node_sel.append(F.col(label_col).cast("array<smallint>").alias("labels"))
+        nodes = src.select(*node_sel).join(
+            assign.select(F.col(id_col).alias("node_id"), "centroid_id"), "node_id"
         )
         # snapshot-isolated (re)build under the writer lock (a concurrent
         # fold's uncommitted gen dir must not be swept as an orphan, and
@@ -125,6 +142,7 @@ class IvfIndex:
                 epoch=epoch,
                 delta_counter=counter,
                 centroids_rel=cents_rel,
+                has_labels=label_col is not None,
             )
             # id -> cell routing sidecar (routing_store.py): which cell
             # holds an id is data, so mutation membership probes would
@@ -145,6 +163,16 @@ class IvfIndex:
                 )
             meta.save(path)
             idx = cls(spark, path, meta)
+            if label_col is not None and n > 0:
+                # (label, cell) coverage sidecar from the just-persisted
+                # cells — tiny (labels x cells rows), read per labeled
+                # query with a per-epoch driver memo
+                idx._write_label_cells(
+                    spark.read.parquet(os.path.join(path, dest_rel))
+                    .select(F.explode("labels").alias("label"), "centroid_id")
+                    .distinct()
+                    .collect()
+                )
             if tune_probing and n > 1:
                 # probing-recall curve for recall_target nprobe selection
                 # (one exact pass over the fresh index; held-out,
@@ -173,6 +201,16 @@ class IvfIndex:
             return u.drop("_seq")
         return self._latest(u).drop("_seq")
 
+    def _node_cols(self, with_deleted: bool = True) -> list[str]:
+        """The node-table column set — labels ride every generation when
+        the index is labeled, so filters and folds see them uniformly."""
+        cols = ["node_id", "vector", "centroid_id"]
+        if self.meta.has_labels:
+            cols.append("labels")
+        if with_deleted:
+            cols.append("deleted")
+        return cols
+
     def _base_frames(self) -> DataFrame:
         """Base snapshot: the `base_rel` dir for cells without a fold
         override, plus each override dir filtered to exactly the cells
@@ -180,7 +218,7 @@ class IvfIndex:
         on disk for the trash grace cycle — the filters keep them out. An
         override of "" marks a cell every row of which was tombstoned away
         by a fold: no rows anywhere (folds drop IVF tombstones)."""
-        cols = ["node_id", "vector", "centroid_id", "deleted"]
+        cols = self._node_cols()
 
         def _read(rel: str) -> DataFrame:
             df = self.spark.read.parquet(os.path.join(self.path, rel))
@@ -199,8 +237,10 @@ class IvfIndex:
         ]
         if not frames:
             # every cell emptied by folds: schema-typed empty view
+            lbl = ", labels array<smallint>" if self.meta.has_labels else ""
             return self.spark.createDataFrame(
-                [], "node_id long, vector array<float>, centroid_id int, deleted boolean"
+                [],
+                f"node_id long, vector array<float>, centroid_id int{lbl}, deleted boolean",
             )
         u = frames[0]
         for f in frames[1:]:
@@ -218,7 +258,7 @@ class IvfIndex:
                 continue  # crash-cleaned generation
             u = u.unionByName(
                 self.spark.read.parquet(d)
-                .select("node_id", "vector", "centroid_id", "deleted")
+                .select(self._node_cols())
                 .withColumn("_seq", F.lit(k))
             )
         return u
@@ -231,9 +271,10 @@ class IvfIndex:
         )
 
     def live_nodes(self) -> DataFrame:
-        """Serving view: merged rows minus tombstones, legacy 3-col shape."""
+        """Serving view: merged rows minus tombstones, legacy 3-col shape
+        (plus ``labels`` when the index is labeled)."""
         return self.nodes().filter(~F.coalesce(F.col("deleted"), F.lit(False))).select(
-            "node_id", "vector", "centroid_id"
+            self._node_cols(with_deleted=False)
         )
 
     def centroids(self) -> DataFrame:
@@ -256,6 +297,71 @@ class IvfIndex:
         d = np_distance(mat, np.asarray(query_vec, dtype=np.float64), self.meta.distance_type)
         order = np.lexsort((ids, d))[:nprobe]
         return [int(x) for x in ids[order]]
+
+    _LABEL_CELLS_FILE = "label_cells"
+
+    def _write_label_cells(self, rows) -> None:
+        """Atomically publish the (label, cell) coverage sidecar (rows
+        carry .label/.centroid_id). Tiny — labels x cells entries."""
+        import pyarrow as pa
+
+        from pgvectorscale_spark.operators.diskann import _write_sidecar_atomic
+
+        pairs = sorted({(int(r["label"]), int(r["centroid_id"])) for r in rows})
+        table = pa.Table.from_pydict(
+            {"label": [p[0] for p in pairs], "centroid_id": [p[1] for p in pairs]},
+            schema=pa.schema([("label", pa.int32()), ("centroid_id", pa.int32())]),
+        )
+        _write_sidecar_atomic(
+            os.path.join(self.path, self._LABEL_CELLS_FILE), table
+        )
+        self._label_cells_memo = None
+
+    def _label_cells(self, labels) -> set[int]:
+        """Cells containing at least one row bearing any of ``labels`` —
+        the probe-widening set for labeled queries (a rare label's only
+        cell must be probed even when the centroid ranking skips it).
+        Served from the sidecar with a per-(epoch, delta) driver memo;
+        falls back to one distinct scan for a pre-sidecar index. Deletes
+        may leave stale pairs: widening OVER-probes then (extra cells
+        read, correctness unaffected); rebuilds rewrite the sidecar."""
+        want = {int(x) for x in labels}
+        token = (self.meta.epoch, self.meta.delta_counter)
+        memo = getattr(self, "_label_cells_memo", None)
+        if memo is not None and memo[0] == token:
+            mapping = memo[1]
+        elif _file_exists(os.path.join(self.path, self._LABEL_CELLS_FILE)):
+            mapping: dict[int, set[int]] = {}
+            for r in self.spark.read.parquet(
+                os.path.join(self.path, self._LABEL_CELLS_FILE)
+            ).collect():
+                mapping.setdefault(int(r["label"]), set()).add(int(r["centroid_id"]))
+            self._label_cells_memo = (token, mapping)
+        else:
+            rows = (
+                self.live_nodes()
+                .select(F.explode("labels").alias("_l"), "centroid_id")
+                .filter(F.col("_l").isin(sorted(want)))
+                .select("centroid_id")
+                .distinct()
+                .collect()
+            )
+            return {int(r["centroid_id"]) for r in rows}
+        return {c for l in want for c in mapping.get(l, ())}
+
+    def _label_filter_expr(self, labels):
+        """`row.labels && query_labels` (labels/mod.rs `&&` semantics):
+        NULL or empty row labels never match; the empty-filter case is
+        short-circuited by callers to an empty result."""
+        arr = F.array([F.lit(int(l)).cast("smallint") for l in labels])
+        return F.arrays_overlap(F.col("labels"), arr)
+
+    def _check_labels(self, labels):
+        if labels is not None and not self.meta.has_labels:
+            raise ValueError(
+                f"index at {self.path} was built without labels "
+                "(pass label_col= at build time to enable label filtering)"
+            )
 
     def tune_probing(
         self, sample_queries: int = 16, k: int = 10, held_out: bool = True
@@ -411,6 +517,7 @@ class IvfIndex:
         k: int = 10,
         nprobe: int | None = None,
         recall_target: float | None = None,
+        labels: Sequence[int] | None = None,
     ) -> DataFrame:
         """Top-k over the probed cells only.
 
@@ -419,17 +526,26 @@ class IvfIndex:
         PushedFilters needed; unprobed cell files are never read.
         ``recall_target=r`` picks nprobe from the stored probing-recall
         curve (tune_probing); untuned indexes degrade to probing every
-        cell. Default nprobe stays 8.
+        cell. Default nprobe stays 8. ``labels`` filters with the `&&`
+        overlap rule inside the probed-cell scan ([] matches nothing),
+        and widens the probe set to every cell holding any requested
+        label via the coverage sidecar — DiskANN family semantics.
         """
+        self._check_labels(labels)
+        if labels is not None and len(list(labels)) == 0:
+            return self.spark.createDataFrame([], "node_id long, distance double")
         nprobe = self._resolve_nprobe(nprobe, recall_target)
         cells = self.probe_cells(query_vec, nprobe)
+        if labels is not None:
+            cells = sorted(set(cells) | self._label_cells(labels))
         if not cells:
             return self.spark.createDataFrame([], "node_id long, distance double")
         qlit = F.array([F.lit(float(x)) for x in query_vec])
+        scan = self.live_nodes().filter(F.col("centroid_id").isin(cells))
+        if labels is not None:
+            scan = scan.filter(self._label_filter_expr(labels))
         return (
-            self.live_nodes()
-            .filter(F.col("centroid_id").isin(cells))
-            .withColumn(
+            scan.withColumn(
                 "distance",
                 F.round(distance_expr(F.col("vector"), qlit, self.meta.distance_type), 6),
             )
@@ -441,7 +557,11 @@ class IvfIndex:
     # -- mutations ---------------------------------------------------------
 
     def insert(
-        self, df: DataFrame, vector_col: str = "embedding", id_col: str = "vec_id"
+        self,
+        df: DataFrame,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+        label_col: str = "labels",
     ) -> None:
         """Micro-batch upsert via the delta sink: the batch's rows land in
         their nearest (fixed) centroid's cell as a new delta generation —
@@ -459,21 +579,32 @@ class IvfIndex:
                 # disables the exact-scan cost bypass)
                 return
             cents = self.centroids().select("centroid_id", F.col("centroid").alias("_cv"))
+            in_sel = [
+                F.col(id_col).cast("long").alias("node_id"),
+                F.col(vector_col).alias("vector"),
+            ]
+            if self.meta.has_labels:
+                if label_col not in src.columns:
+                    raise ValueError(
+                        f"index at {self.path} is labeled: insert batches must "
+                        f"carry a {label_col!r} column"
+                    )
+                in_sel.append(F.col(label_col).cast("array<smallint>").alias("labels"))
+            aggs = [
+                F.min_by("centroid_id", F.struct("_d", "centroid_id")).alias("centroid_id"),
+                F.first("vector").alias("vector"),
+            ]
+            if self.meta.has_labels:
+                aggs.append(F.first("labels").alias("labels"))
             new = (
-                src.select(
-                    F.col(id_col).cast("long").alias("node_id"),
-                    F.col(vector_col).alias("vector"),
-                )
+                src.select(*in_sel)
                 .crossJoin(F.broadcast(cents))
                 .withColumn(
                     "_d", distance_expr(F.col("vector"), F.col("_cv"), self.meta.distance_type)
                 )
                 .groupBy("node_id")
-                .agg(
-                    F.min_by("centroid_id", F.struct("_d", "centroid_id")).alias("centroid_id"),
-                    F.first("vector").alias("vector"),
-                )
-                .select("node_id", "vector", "centroid_id")
+                .agg(*aggs)
+                .select(self._node_cols(with_deleted=False))
             )
             # stale copies in OTHER cells -> tombstone markers (same-cell
             # copies are superseded by latest-generation-wins on its own).
@@ -489,7 +620,9 @@ class IvfIndex:
                 live_batch
                 .join(F.broadcast(routed), "node_id")
                 .filter(F.col("centroid_id") != F.col("_newc"))
-                .select("node_id", "vector", "centroid_id", F.lit(True).alias("deleted"))
+                .select(
+                    *self._node_cols(with_deleted=False), F.lit(True).alias("deleted")
+                )
             )
             n_batch = batch_ids.count()
             n_present_live = live_batch.select("node_id").distinct().count()
@@ -510,6 +643,23 @@ class IvfIndex:
                     self.meta,
                     "centroid_id",
                 )
+            # label-coverage sidecar upkeep: union the batch's new
+            # (label, cell) pairs in (O(batch) distinct + a tiny rewrite).
+            # Tombstoned pairs stay as over-approximations — widening may
+            # over-probe after deletes, never under-probe.
+            if self.meta.has_labels:
+                new_pairs = (
+                    new.select(F.explode("labels").alias("label"), "centroid_id")
+                    .distinct()
+                    .collect()
+                )
+                if new_pairs:
+                    old_pairs = []
+                    if _file_exists(os.path.join(self.path, self._LABEL_CELLS_FILE)):
+                        old_pairs = self.spark.read.parquet(
+                            os.path.join(self.path, self._LABEL_CELLS_FILE)
+                        ).collect()
+                    self._write_label_cells(list(old_pairs) + list(new_pairs))
             # exact incremental live count: upserts of live ids +0, fresh or
             # resurrected ids +1 — no O(corpus) merge-view count per batch
             self.meta.num_rows = int(self.meta.num_rows) + n_batch - n_present_live
@@ -591,7 +741,9 @@ class IvfIndex:
             # pages (ambulkdelete touches only affected pages, vacuum.rs)
             gone = (
                 self._live_rows_for(ids_df, cells=self._routing_cells_for(ids_df))
-                .select("node_id", "vector", "centroid_id", F.lit(True).alias("deleted"))
+                .select(
+                    *self._node_cols(with_deleted=False), F.lit(True).alias("deleted")
+                )
                 .localCheckpoint()  # tiny; avoids re-running the merge scan
             )
             if gone.isEmpty():
@@ -617,7 +769,7 @@ class IvfIndex:
         # an in-flight reader may still be merging (snapshot isolation)
         self.meta.delta_counter = int(self.meta.delta_counter) + 1
         next_rel = f"nodes_delta/seq={self.meta.delta_counter}"
-        delta.select("node_id", "vector", "centroid_id", "deleted").write.mode(
+        delta.select(self._node_cols()).write.mode(
             "overwrite"
         ).partitionBy("centroid_id").parquet(os.path.join(self.path, next_rel))
         self.meta.delta_gens = list(self.meta.delta_gens) + [next_rel]
@@ -665,7 +817,7 @@ class IvfIndex:
             gen_rel = f"nodes_gens/{uuid.uuid4().hex[:12]}"
             if survivors:
                 (
-                    merged.select("node_id", "vector", "centroid_id")
+                    merged.select(self._node_cols(with_deleted=False))
                     .write.partitionBy("centroid_id")
                     .parquet(os.path.join(self.path, gen_rel))
                 )
@@ -727,14 +879,24 @@ class IvfIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
         recall_target: float | None = None,
+        labels: Sequence[int] | None = None,
     ) -> DataFrame:
         """Batch: union of all probed cells scanned once; each query scores
-        only rows of its own probe set (broadcast probe map)."""
+        only rows of its own probe set (broadcast probe map). ``labels``
+        applies the `&&` overlap filter inside the scan and widens every
+        query's probe set with the label-coverage cells ([] matches
+        nothing) — same semantics as ``search`` and as DiskANN."""
+        self._check_labels(labels)
+        if labels is not None and len(list(labels)) == 0:
+            return self.spark.createDataFrame(
+                [], "query_id long, node_id long, distance double, rank integer"
+            )
         nprobe = self._resolve_nprobe(nprobe, recall_target)
+        extra = sorted(self._label_cells(labels)) if labels is not None else []
         qrows = queries_df.select(query_id_col, query_vec_col).collect()
         probe_pairs = []
         for r in qrows:
-            for c in self.probe_cells(r[1], nprobe):
+            for c in set(self.probe_cells(r[1], nprobe)) | set(extra):
                 probe_pairs.append((int(r[0]), c))
         if not probe_pairs:
             return self.spark.createDataFrame(
@@ -745,9 +907,13 @@ class IvfIndex:
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
         )
         all_cells = list({c for _, c in probe_pairs})
+        scan = self.live_nodes().filter(
+            F.col("centroid_id").isin(all_cells)  # partition pruning
+        )
+        if labels is not None:
+            scan = scan.filter(self._label_filter_expr(labels))
         scored = (
-            self.live_nodes()
-            .filter(F.col("centroid_id").isin(all_cells))  # partition pruning
+            scan
             .join(F.broadcast(probes), "centroid_id")  # rows only for probing queries
             .join(F.broadcast(qsel), "query_id")
             .withColumn(
