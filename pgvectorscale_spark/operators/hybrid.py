@@ -230,6 +230,7 @@ def hybrid_topk_served(
     q_text_col: str = "q_text",
     q_vec_col: str = "q_vec",
     q_id_col: str = "query_id",
+    labels_col: str = "labels",
     **search_kwargs,
 ) -> DataFrame:
     """Hybrid retrieval with the vector arm SERVED by a built ANN index
@@ -246,9 +247,46 @@ def hybrid_topk_served(
     arm and the RRF fusion are bit-identical to :func:`hybrid_topk`, so
     any fused-result difference is exactly the index arm's recall —
     which is what bench.py gates (served-hybrid fused top-k must keep
-    >= 0.9 of the exact-arm hybrid's fused top-k at the 8x point)."""
+    >= 0.9 of the exact-arm hybrid's fused top-k at the 8x point).
+
+    A ``labels=[...]`` search kwarg filters BOTH arms (round 13): the
+    vector arm through the index's label routing, the lexical arm by
+    the same `&&` overlap rule over ``labels_col`` on ``corpus_text`` —
+    so the FUSED result respects the filter. ``corpus_text`` must carry
+    ``labels_col`` then (raises otherwise: silently fusing an
+    unfiltered lexical arm would leak out-of-label docs); ``labels=[]``
+    matches nothing on either arm."""
+    labels = search_kwargs.get("labels")
+    if labels is not None and not list(labels):
+        # `labels && '{}'` is always false on BOTH arms — and BM25 over a
+        # zero-row corpus has no avgdl, so short-circuit before the arms
+        return corpus_text.sparkSession.createDataFrame(
+            [],
+            f"{q_id_col} long, {id_col} long, rrf_score double, rank integer",
+        )
+    lex_corpus = corpus_text.select(
+        F.col(id_col), F.col(text_col), *(
+            [F.col(labels_col)] if labels_col in corpus_text.columns else []
+        )
+    )
+    if labels is not None:
+        if labels_col not in corpus_text.columns:
+            raise ValueError(
+                f"labels were passed but corpus_text lacks a {labels_col!r} "
+                "column — the lexical arm could not honor the filter"
+            )
+        lab = list(labels)
+        if not lab:
+            lex_corpus = lex_corpus.filter(F.lit(False))
+        else:
+            lex_corpus = lex_corpus.filter(
+                F.arrays_overlap(
+                    F.col(labels_col),
+                    F.array([F.lit(int(l)).cast("smallint") for l in lab]),
+                )
+            )
     lex = bm25_topk(
-        corpus_text.select(F.col(id_col), F.col(text_col)),
+        lex_corpus.select(F.col(id_col), F.col(text_col)),
         queries.select(F.col(q_id_col), F.col(q_text_col)),
         k=arm_k,
         k1=k1,

@@ -318,3 +318,72 @@ def test_hybrid_topk_served_over_ivf(spark, corpus, tmp_path):
         len(sv_by_q.get(q, set()) & ex_by_q[q]) / len(ex_by_q[q]) for q in ex_by_q
     ) / len(ex_by_q)
     assert recall >= 0.9, f"IVF served-hybrid fused recall {recall}"
+
+
+def test_hybrid_topk_served_labeled_filters_both_arms(spark, corpus, tmp_path):
+    """Labeled served hybrid (round 13): `labels=[...]` must filter BOTH
+    arms — the vector arm through the index's label routing AND the
+    lexical arm by the same `&&` overlap rule — so every fused doc bears
+    the label, and the fused set tracks the exact-arm hybrid computed
+    over the label-filtered corpus (shared fusion: the delta is the
+    index arm's recall)."""
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+    from pgvectorscale_spark.operators.hybrid import hybrid_topk_served
+
+    lab = corpus.withColumn(
+        "labels",
+        F.array(F.lit(1).cast("smallint"), (F.col("doc_id") % 4 + 2).cast("smallint")),
+    ).cache()
+    queries = lab.filter("doc_id % 53 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 1, 4))").alias("q_text"),
+        F.col("embedding").alias("q_vec"),
+    )
+    idx = DiskannIndex.build(
+        lab.select(F.col("doc_id").alias("vec_id"), "embedding", "labels"),
+        str(tmp_path / "hybrid_lbl_idx"),
+        distance_type="cosine",
+        num_shards=4,
+        label_col="labels",
+    )
+    lbl = 3
+    served = hybrid_topk_served(
+        idx, lab.select("doc_id", "text", "labels"), queries, k=5, arm_k=10,
+        labels=[lbl],
+    )
+    rows = served.collect()
+    in_label = {r["doc_id"] for r in lab.filter(f"doc_id % 4 + 2 = {lbl}").collect()}
+    got_docs = {r["doc_id"] for r in rows}
+    assert rows and got_docs <= in_label, "fused result leaked out-of-label docs"
+    # exact-arm twin over the label-filtered corpus: shared fusion, so
+    # the served fused set keeps >= 0.9 of it per query
+    exact = hybrid_topk(
+        lab.filter(f"doc_id % 4 + 2 = {lbl}").select("doc_id", "text", "embedding"),
+        queries, k=5, arm_k=10,
+    ).collect()
+    ex_by_q: dict[int, set] = {}
+    for r in exact:
+        ex_by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    sv_by_q: dict[int, set] = {}
+    for r in rows:
+        sv_by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    recall = sum(
+        len(sv_by_q.get(q, set()) & ex_by_q[q]) / len(ex_by_q[q]) for q in ex_by_q
+    ) / len(ex_by_q)
+    assert recall >= 0.9, f"labeled served-hybrid fused recall {recall}"
+    # labels=[] matches nothing on either arm
+    assert (
+        hybrid_topk_served(
+            idx, lab.select("doc_id", "text", "labels"), queries, k=5, arm_k=10,
+            labels=[],
+        ).count()
+        == 0
+    )
+    # a corpus without the labels column cannot honor the filter: raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="labels"):
+        hybrid_topk_served(
+            idx, lab.select("doc_id", "text"), queries, k=5, arm_k=10, labels=[lbl]
+        )
+    lab.unpersist()
