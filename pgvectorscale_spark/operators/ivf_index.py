@@ -927,3 +927,97 @@ class IvfIndex:
             .filter(F.col("rank") <= k)
             .select("query_id", "node_id", "distance", "rank")
         )
+
+    def ann_join(
+        self,
+        queries_df: DataFrame,
+        k: int = 10,
+        nprobe: int | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        recall_target: float | None = None,
+        labels: Sequence[int] | None = None,
+    ) -> DataFrame:
+        """Corpus x corpus IVF join — the distributed twin of
+        ``search_batch`` (which collects its query batch driver-side:
+        right for serving, wrong for a 100M-row offline join). Queries
+        stay a DataFrame end to end: each Arrow batch computes its own
+        probe map against the BROADCAST centroid table (a numpy top-p
+        per batch — no collect, |Q| x nprobe output rows carrying the
+        query vector), the probed rows co-partition with the cells on
+        one centroid_id exchange, scoring is the same rounded distance
+        expression, and one query_id exchange runs the window top-k.
+        Results are identical to search_batch on the same inputs
+        (pytest-pinned — same seams, same tie-breaks).
+
+        Scan shape: search_batch partition-prunes to the union of probed
+        cells (knowable driver-side); here the probe set is data, so the
+        cell scan is full — the right trade at corpus x corpus scale,
+        where every cell is probed by someone anyway. ``labels`` follow
+        search_batch semantics (filter inside the scan + coverage-cell
+        widening; [] matches nothing)."""
+        self._check_labels(labels)
+        if labels is not None and len(list(labels)) == 0:
+            return self.spark.createDataFrame(
+                [], "query_id long, node_id long, distance double, rank integer"
+            )
+        nprobe = self._resolve_nprobe(nprobe, recall_target)
+        extra = sorted(self._label_cells(labels)) if labels is not None else []
+        cent_rows = self.centroids().collect()  # num_centroids rows — tiny
+        if not cent_rows:
+            return self.spark.createDataFrame(
+                [], "query_id long, node_id long, distance double, rank integer"
+            )
+        cids = np.array([int(r["centroid_id"]) for r in cent_rows], dtype=np.int64)
+        cmat = np.stack([np.array(r["centroid"], dtype=np.float64) for r in cent_rows])
+        bc = self.spark.sparkContext.broadcast(
+            (cids, cmat, self.meta.distance_type, int(nprobe), extra)
+        )
+
+        def route_fn(batches):
+            import pandas as pd
+
+            cids_l, cmat_l, dt, p, extra_l = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qm = np.stack(pdf["query_vec"].to_numpy()).astype(np.float64)
+                vecs = pdf["query_vec"].tolist()
+                qids = pdf["query_id"].tolist()
+                o_c, o_q, o_v = [], [], []
+                for i in range(len(qm)):
+                    d = np_distance(cmat_l, qm[i], dt)
+                    order = np.lexsort((cids_l, d))[:p]
+                    probed = {int(cids_l[j]) for j in order}
+                    probed.update(extra_l)
+                    for c in sorted(probed):
+                        o_c.append(c)
+                        o_q.append(int(qids[i]))
+                        o_v.append(vecs[i])
+                yield pd.DataFrame(
+                    {"centroid_id": o_c, "query_id": o_q, "_qv": o_v}
+                )
+
+        routed = queries_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_vec_col).cast("array<double>").alias("query_vec"),
+        ).mapInPandas(
+            route_fn, "centroid_id int, query_id long, _qv array<double>"
+        )
+        scan = self.live_nodes()
+        if labels is not None:
+            scan = scan.filter(self._label_filter_expr(labels))
+        scored = scan.join(routed, "centroid_id").withColumn(
+            "distance",
+            F.round(
+                distance_expr(F.col("vector"), F.col("_qv"), self.meta.distance_type), 6
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc(), F.col("node_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "node_id", "distance", "rank")
+        )

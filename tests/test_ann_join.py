@@ -148,3 +148,72 @@ def test_ann_join_plan_two_exchanges_no_corpus_scan(spark, kmeans_idx):
     assert "FileScan" not in plan and "Scan parquet" not in plan
     # exactly the two exchanges — any third would be a corpus-shaped shuffle
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+# ---------------------------------------------------------------------------
+# IvfIndex.ann_join (round 13): same distributed-queries contract for the
+# IVF family — probe map computed per Arrow batch against broadcast
+# centroids, results identical to search_batch.
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_ann_join_equals_search_batch(spark, tmpdir):
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(23)
+    mat = rng.random((200, 12), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = IvfIndex.build(
+        df, f"{tmpdir}/ivf_aj", num_centroids=8, distance_type="l2",
+        tune_probing=False,
+    )
+    qdf = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(20)],
+        "query_id long, query_vec array<float>",
+    )
+    for p in (1, 3, 8):
+        got = _keyed(idx.ann_join(qdf, k=6, nprobe=p).collect())
+        want = _keyed(idx.search_batch(qdf, k=6, nprobe=p).collect())
+        assert got == want, f"nprobe={p}"
+    # plan: no driver collect of queries — the probe map is a mapInPandas
+    # over the query scan feeding the centroid_id join (Catalyst picks
+    # broadcast at this tiny scale, hashpartitioning co-partitioning at
+    # real scale — both are the distributed shape), then one query_id
+    # exchange for the top-k window
+    plan = (
+        idx.ann_join(qdf, k=6, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert (
+        "hashpartitioning(centroid_id" in plan or "BroadcastHashJoin" in plan
+    ), plan
+    assert "hashpartitioning(query_id" in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan  # batch routing
+
+
+def test_ivf_ann_join_labeled(spark, tmpdir):
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(29)
+    mat = rng.random((120, 8), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist(), [int(i % 3) + 1]) for i in range(120)],
+        "vec_id long, embedding array<float>, labels array<smallint>",
+    )
+    idx = IvfIndex.build(
+        df, f"{tmpdir}/ivf_aj_lbl", num_centroids=4, distance_type="l2",
+        label_col="labels", tune_probing=False,
+    )
+    qdf = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(10)],
+        "query_id long, query_vec array<float>",
+    )
+    got = _keyed(idx.ann_join(qdf, k=5, nprobe=1, labels=[2]).collect())
+    want = _keyed(idx.search_batch(qdf, k=5, nprobe=1, labels=[2]).collect())
+    assert got == want and len(got) > 0
+    assert idx.ann_join(qdf, k=5, labels=[]).count() == 0
