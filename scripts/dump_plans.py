@@ -457,6 +457,26 @@ def main() -> None:
             ),
         )
     )
+    # corpus x corpus ANN join (round 13): queries stay a DataFrame
+    idxkm = DiskannIndex.build(
+        emb.limit(400), f"{tmp}/idxkm", distance_type="l2", num_shards=4,
+        shard_assignment="kmeans",
+    )
+    sections.append(
+        (
+            "ann_join (corpus x corpus ANN join, routed)",
+            "The query side never collects: routing against the broadcast "
+            "centroid table is an ArrowEvalPython/mapInPandas projection "
+            "over the QUERY scan, then exactly TWO exchanges — "
+            "hashpartitioning(shard, _salt) fans routed rows out to the "
+            "shard graphs (per-batch probe, worker-side pyarrow reads "
+            "invisible to the plan, Arrow batches bound memory at any "
+            "|Q|), and hashpartitioning(query_id) runs the window top-k "
+            "over |Q| x p x max(k, rescore) candidate rows. Nothing in "
+            "the plan scans the corpus.",
+            idxkm.ann_join(qdf, k=5, probe_shards=2),
+        )
+    )
     from pgvectorscale_spark.functions.text import FROZEN_BPE_MERGES, bpe_encode_count
 
     sections.append(
