@@ -356,3 +356,25 @@ def test_span_walk_mirrors_parser_strictness():
         list(iter_warc_spans(io.BytesIO(no_colon)))
     with pytest.raises(ValueError, match="malformed WARC header line"):
         parse_warc_bytes(no_colon)
+
+
+def test_gz_members_with_fname_and_mtime_headers():
+    """Real crawlers write gzip members with FNAME/MTIME header fields;
+    zlib's wbits=31 parses them transparently — the member walk and the
+    inflate must both cope (the synthesis helper writes bare headers, so
+    this pins the read side against gzip-module-authored members)."""
+    import gzip
+
+    plain = _three_records()
+    spans = list(iter_warc_spans(io.BytesIO(plain)))
+    gz = b""
+    for off, ln in spans:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", filename="r.warc", mtime=1234567) as g:
+            g.write(plain[off : off + ln])
+        gz += buf.getvalue()
+    assert gunzip_warc_bytes(gz) == plain
+    members = list(iter_warc_gz_members(io.BytesIO(gz)))
+    assert len(members) == 3
+    assert members[-1][0] + members[-1][1] == len(gz)
+    assert b"".join(m[2] for m in members) == plain
