@@ -153,16 +153,25 @@ def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = tempfile.mkdtemp(prefix="annjoin_entry_")
     idx = DiskannIndex.build(emb, path, distance_type="cosine", num_shards=4)
-    aj = idx.ann_join(qdf, k=5, search_list_size=_EXACT_SLS)
+    # fetch a 4x candidate buffer and CUT at the oracle's seam — rank over
+    # (4dp distance, id), keep 5: a 4dp tie straddling the k-boundary is
+    # then resolved identically to the oracle (ann_join's own top-k ranks
+    # unrounded, which could pick the other tie member; the buffer makes
+    # both members present before the rounded cut)
+    aj = idx.ann_join(qdf, k=20, search_list_size=_EXACT_SLS)
     wj = Window.partitionBy("query_id").orderBy(
         F.round("distance", 4).asc(), F.col("node_id").asc()
     )
-    annjoin = aj.select(
-        F.lit("annjoin").alias("form"),
-        "query_id",
-        F.col("node_id").alias("vec_id"),
-        F.round("distance", 4).alias("distance"),
-        F.row_number().over(wj).cast("long").alias("rank"),
+    annjoin = (
+        aj.withColumn("rank", F.row_number().over(wj).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.lit("annjoin").alias("form"),
+            "query_id",
+            F.col("node_id").alias("vec_id"),
+            F.round("distance", 4).alias("distance"),
+            "rank",
+        )
     )
     return exact.unionByName(mmr).unionByName(annjoin)
 

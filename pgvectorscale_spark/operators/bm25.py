@@ -84,6 +84,13 @@ def bm25_topk(
         F.count("*").cast("double").alias("N"),
         F.avg(F.expr(f"size({tokens(f'`{text_col}`', SPARK)})")).alias("avgdl"),
     ).collect()[0]
+    if stats["avgdl"] is None:
+        # zero-row corpus (e.g. a label filter that matched nothing):
+        # there is no avgdl and no possible candidate — a typed empty
+        # result, not a float(None) crash (round-13 review finding)
+        return docs.sparkSession.createDataFrame(
+            [], f"{q_id_col} long, {id_col} long, score double, rank integer"
+        )
     n_docs, avgdl = float(stats["N"]), float(stats["avgdl"])
 
     df_t = post.groupBy("term").agg(F.countDistinct(id_col).alias("df"))

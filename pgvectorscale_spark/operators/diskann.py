@@ -811,7 +811,7 @@ def _probe_shard_block(
         np.concatenate([p for p in pools if len(p)] or [np.array([], dtype=np.int64)])
     )
     if fullmat is not None:
-        vmat, vpos = fullmat, {int(i): int(i) for i in union}
+        vmat, vpos = fullmat, {}  # resident matrix: pools index it directly
     elif len(union):
         vmat, vpos = _fetch_vectors(store, shard, gids[union])
         vpos = {int(gid): r for gid, r in vpos.items()}

@@ -275,16 +275,13 @@ def hybrid_topk_served(
                 f"labels were passed but corpus_text lacks a {labels_col!r} "
                 "column — the lexical arm could not honor the filter"
             )
-        lab = list(labels)
-        if not lab:
-            lex_corpus = lex_corpus.filter(F.lit(False))
-        else:
-            lex_corpus = lex_corpus.filter(
-                F.arrays_overlap(
-                    F.col(labels_col),
-                    F.array([F.lit(int(l)).cast("smallint") for l in lab]),
-                )
+        # labels is non-empty here (the empty filter returned above)
+        lex_corpus = lex_corpus.filter(
+            F.arrays_overlap(
+                F.col(labels_col),
+                F.array([F.lit(int(l)).cast("smallint") for l in labels]),
             )
+        )
     lex = bm25_topk(
         lex_corpus.select(F.col(id_col), F.col(text_col)),
         queries.select(F.col(q_id_col), F.col(q_text_col)),

@@ -648,8 +648,16 @@ class IvfIndex:
             # Tombstoned pairs stay as over-approximations — widening may
             # over-probe after deletes, never under-probe.
             if self.meta.has_labels:
+                # column-pruned read-back of the delta just written (the
+                # same dir append_delta reads) — recomputing the `new`
+                # lineage here would re-run the batch x centroids
+                # crossJoin a third time (round-13 review finding)
                 new_pairs = (
-                    new.select(F.explode("labels").alias("label"), "centroid_id")
+                    self.spark.read.parquet(
+                        os.path.join(self.path, self.meta.delta_gens[-1])
+                    )
+                    .filter(~F.col("deleted"))
+                    .select(F.explode("labels").alias("label"), "centroid_id")
                     .distinct()
                     .collect()
                 )
