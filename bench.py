@@ -993,6 +993,51 @@ def main() -> None:
             "bm25_64x_gate_pass": bool(bm25_64_sec <= 16 * max(bm25_8_sec, 1e-9)),
         }
 
+    # ---- WARC ingestion scale point (round 13, one-shot): real .warc.gz
+    # files on disk (one gzip member per record, the production Common
+    # Crawl layout) -> member-boundary split manifest -> ranged
+    # inflate+parse. The timed region covers the headers/member walk AND
+    # the distributed ranged read; the gate is EXACTNESS (row count ==
+    # docs + one warcinfo per file), records/sec is the throughput figure.
+    from pgvectorscale_spark.sources.warc import (
+        attach_warc_payload,
+        gzip_warc_bytes,
+        read_warc_manifest,
+        warc_split_manifest,
+    )
+
+    wdir = tempfile.mkdtemp(prefix="bench_warc_")
+    gz_bytes = 0
+    n_warc_files = 0
+    for r in attach_warc_payload(docs).collect():
+        gz = gzip_warc_bytes(bytes(r["payload"]))
+        gz_bytes += len(gz)
+        n_warc_files += 1
+        with open(
+            os.path.join(wdir, f"seg-{int(r['warc_id']):09d}.warc.gz"), "wb"
+        ) as fh:
+            fh.write(gz)
+    paths_df = spark.createDataFrame(
+        [(os.path.join(wdir, f),) for f in sorted(os.listdir(wdir))],
+        "warc_path string",
+    )
+    t0 = time.time()
+    n_warc_recs = int(
+        read_warc_manifest(
+            warc_split_manifest(paths_df, target_bytes=256 * 1024)
+        ).count()
+    )
+    warc_sec = round(time.time() - t0, 3)
+    warc_scale = {
+        "gz_files": int(n_warc_files),
+        "gz_bytes": int(gz_bytes),
+        "manifest_ranged_read_sec": warc_sec,
+        "records": n_warc_recs,
+        "records_per_sec": round(n_warc_recs / max(warc_sec, 1e-9), 1),
+        "exact_gate_pass": bool(n_warc_recs == int(n_docs) + n_warc_files),
+    }
+    shutil.rmtree(wdir, ignore_errors=True)
+
     encoded.unpersist()
     for d in built_idx["dirs"]:
         shutil.rmtree(d, ignore_errors=True)
@@ -1059,6 +1104,11 @@ def main() -> None:
             "span_64x_sec": dedup_scale_64x["span_64x_sec"],
             "clusters_64x_sec": dedup_scale_64x["clusters_64x_sec"],
         }
+    gates["warc_gz"] = {
+        "exact_gate_pass": warc_scale["exact_gate_pass"],
+        "records_per_sec": warc_scale["records_per_sec"],
+        "manifest_ranged_read_sec": warc_scale["manifest_ranged_read_sec"],
+    }
     if text_scale_64x is not None:
         gates["text_64x"] = {
             "scrub_64x_gate_pass": text_scale_64x["scrub_64x_gate_pass"],
@@ -1094,6 +1144,7 @@ def main() -> None:
         "media_scale": media_scale,
         "text_scale": text_scale,
         "text_scale_64x": text_scale_64x,
+        "warc_scale": warc_scale,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
         json.dump(full, f, indent=1)
