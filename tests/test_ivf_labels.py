@@ -158,3 +158,18 @@ def test_labeled_fold_keeps_labels(spark, tmpdir):
         1000 + j for j in range(IvfIndex.DELTA_FOLD_SEQS + 1)
     }
     assert got == want
+
+
+def test_labeled_probe_plan_keeps_partition_pruning(labeled):
+    """The label filter must ride INSIDE the probed-cell scan without
+    costing the partition pruning: the plan carries both the
+    centroid_id PartitionFilters entry and the arrays_overlap filter."""
+    idx, _ = labeled
+    plan = (
+        idx.search([0.0] * 8, k=5, nprobe=2, labels=[1])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "arrays_overlap" in plan
