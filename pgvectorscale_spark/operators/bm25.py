@@ -69,13 +69,22 @@ def bm25_topk(
     id_col: str = "doc_id",
     q_text_col: str = "q_text",
     q_id_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k BM25 matches per query: (query_id, doc_id, score, rank).
 
     ``rank`` is dense over (rounded score desc, doc_id asc); only docs
     sharing at least one term with the query are candidates (docs with
     zero overlap score 0 and are not returned — inverted-index
-    semantics)."""
+    semantics).
+
+    ``broadcast_queries`` (default True) is the SERVING shape: the
+    query-term table is forced broadcast against the postings. For a
+    corpus x corpus join (a 100M-row query TABLE), pass False — the
+    scoring joins become plain term-key joins (Catalyst/AQE shuffles or
+    broadcasts by actual size), so the query side never has to fit one
+    executor. Results are identical either way (same joins, different
+    physical strategy; pytest-pinned)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     post = bm25_postings(docs, text_col=text_col, id_col=id_col)
@@ -104,9 +113,10 @@ def bm25_topk(
         F.col(q_id_col), F.explode(F.expr(f"array_distinct({qtoks})")).alias("term")
     )
 
+    hint = F.broadcast if broadcast_queries else (lambda df: df)
     contrib = (
-        post.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(idf.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        post.join(hint(qterms), "term")
+        .join(hint(idf.join(hint(qterms.select("term").distinct()), "term")), "term")
         .select(
             q_id_col,
             id_col,

@@ -231,6 +231,7 @@ def hybrid_topk_served(
     q_vec_col: str = "q_vec",
     q_id_col: str = "query_id",
     labels_col: str = "labels",
+    distributed_queries: bool = False,
     **search_kwargs,
 ) -> DataFrame:
     """Hybrid retrieval with the vector arm SERVED by a built ANN index
@@ -255,7 +256,15 @@ def hybrid_topk_served(
     so the FUSED result respects the filter. ``corpus_text`` must carry
     ``labels_col`` then (raises otherwise: silently fusing an
     unfiltered lexical arm would leak out-of-label docs); ``labels=[]``
-    matches nothing on either arm."""
+    matches nothing on either arm.
+
+    ``distributed_queries=True`` is the corpus x corpus shape (round
+    13): the vector arm runs through the index's ``ann_join`` (queries
+    stay a DataFrame — no driver collect) and the lexical arm drops its
+    forced query-term broadcast (plain term joins; Catalyst sizes the
+    strategy), so a 100M-row query TABLE can be hybrid-retrieved end to
+    end. Fusion is the same rrf_fuse either way, and results are
+    identical to the serving path on the same inputs (pytest-pinned)."""
     labels = search_kwargs.get("labels")
     if labels is not None and not list(labels):
         # `labels && '{}'` is always false on BOTH arms — and BM25 over a
@@ -292,8 +301,10 @@ def hybrid_topk_served(
         id_col=id_col,
         q_text_col=q_text_col,
         q_id_col=q_id_col,
+        broadcast_queries=not distributed_queries,
     ).select(F.col(q_id_col), F.col(id_col), "rank")
-    vec = index.search_batch(
+    vector_search = index.ann_join if distributed_queries else index.search_batch
+    vec = vector_search(
         queries.select(
             F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("query_vec")
         ),

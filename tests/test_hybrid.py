@@ -387,3 +387,88 @@ def test_hybrid_topk_served_labeled_filters_both_arms(spark, corpus, tmp_path):
             idx, lab.select("doc_id", "text"), queries, k=5, arm_k=10, labels=[lbl]
         )
     lab.unpersist()
+
+
+def test_hybrid_distributed_queries_matches_serving_path(spark, corpus, tmp_path):
+    """distributed_queries=True (corpus x corpus shape: ann_join vector
+    arm + shuffle-join lexical arm, no forced broadcasts, no driver
+    collect of queries) must produce the SAME fused result as the
+    serving path on identical inputs — the flag changes physical
+    strategy, never semantics. Pinned on both index families."""
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+    from pgvectorscale_spark.operators.hybrid import hybrid_topk_served
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    queries = corpus.filter("doc_id % 53 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 1, 4))").alias("q_text"),
+        F.col("embedding").alias("q_vec"),
+    )
+
+    def _key(rows):
+        return {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["rrf_score"], 6))
+            for r in rows
+        }
+
+    didx = DiskannIndex.build(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        str(tmp_path / "dq_didx"),
+        distance_type="cosine",
+        num_shards=4,
+    )
+    serve = _key(
+        hybrid_topk_served(
+            didx, corpus.select("doc_id", "text"), queries, k=5, arm_k=10
+        ).collect()
+    )
+    dist = _key(
+        hybrid_topk_served(
+            didx, corpus.select("doc_id", "text"), queries, k=5, arm_k=10,
+            distributed_queries=True,
+        ).collect()
+    )
+    assert dist == serve and len(dist) > 0
+
+    iidx = IvfIndex.build(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        str(tmp_path / "dq_iidx"),
+        num_centroids=4,
+        distance_type="cosine",
+        tune_probing=False,
+    )
+    serve_i = _key(
+        hybrid_topk_served(
+            iidx, corpus.select("doc_id", "text"), queries, k=5, arm_k=10, nprobe=2
+        ).collect()
+    )
+    dist_i = _key(
+        hybrid_topk_served(
+            iidx, corpus.select("doc_id", "text"), queries, k=5, arm_k=10, nprobe=2,
+            distributed_queries=True,
+        ).collect()
+    )
+    assert dist_i == serve_i and len(dist_i) > 0
+
+
+def test_bm25_shuffle_join_matches_broadcast(spark, corpus):
+    """bm25_topk(broadcast_queries=False) — the corpus x corpus lexical
+    shape — returns the identical ranked result as the forced-broadcast
+    serving shape."""
+    from pgvectorscale_spark.operators.bm25 import bm25_topk
+
+    docs = corpus.select("doc_id", "text")
+    queries = corpus.filter("doc_id % 31 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 1, 5))").alias("q_text"),
+    )
+
+    def _key(rows):
+        return {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+            for r in rows
+        }
+
+    a = _key(bm25_topk(docs, queries, k=8).collect())
+    b = _key(bm25_topk(docs, queries, k=8, broadcast_queries=False).collect())
+    assert a == b and len(a) > 0
