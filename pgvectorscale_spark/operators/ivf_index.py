@@ -945,6 +945,7 @@ class IvfIndex:
         query_vec_col: str = "query_vec",
         recall_target: float | None = None,
         labels: Sequence[int] | None = None,
+        prune_cells: bool = False,
     ) -> DataFrame:
         """Corpus x corpus IVF join — the distributed twin of
         ``search_batch`` (which collects its query batch driver-side:
@@ -959,11 +960,18 @@ class IvfIndex:
         (pytest-pinned — same seams, same tie-breaks).
 
         Scan shape: search_batch partition-prunes to the union of probed
-        cells (knowable driver-side); here the probe set is data, so the
-        cell scan is full — the right trade at corpus x corpus scale,
-        where every cell is probed by someone anyway. ``labels`` follow
-        search_batch semantics (filter inside the scan + coverage-cell
-        widening; [] matches nothing)."""
+        cells (knowable driver-side); here the probe set is data, so by
+        default the cell scan is full — the right trade at true corpus x
+        corpus scale, where every cell is probed by someone anyway.
+        ``prune_cells=True`` is the MID-SIZE query-table option: the
+        routed rows are materialized (localCheckpoint), their distinct
+        probed cells collected (bounded by num_centroids — never
+        query-sized), and the scan filtered to exactly those cells
+        (PartitionFilters, unprobed cell files unread) — pay one
+        materialization of |Q| x nprobe routed rows to skip the cells
+        nobody probes. Results are identical either way (pytest-pinned).
+        ``labels`` follow search_batch semantics (filter inside the scan
+        + coverage-cell widening; [] matches nothing)."""
         self._check_labels(labels)
         if labels is not None and len(list(labels)) == 0:
             return self.spark.createDataFrame(
@@ -1013,6 +1021,17 @@ class IvfIndex:
             route_fn, "centroid_id int, query_id long, _qv array<double>"
         )
         scan = self.live_nodes()
+        if prune_cells:
+            routed = routed.localCheckpoint()  # one materialization of |Q| x nprobe
+            probed = sorted(
+                int(r["centroid_id"])
+                for r in routed.select("centroid_id").distinct().collect()
+            )
+            if not probed:
+                return self.spark.createDataFrame(
+                    [], "query_id long, node_id long, distance double, rank integer"
+                )
+            scan = scan.filter(F.col("centroid_id").isin(probed))
         if labels is not None:
             scan = scan.filter(self._label_filter_expr(labels))
         scored = scan.join(routed, "centroid_id").withColumn(

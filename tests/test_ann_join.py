@@ -217,3 +217,31 @@ def test_ivf_ann_join_labeled(spark, tmpdir):
     want = _keyed(idx.search_batch(qdf, k=5, nprobe=1, labels=[2]).collect())
     assert got == want and len(got) > 0
     assert idx.ann_join(qdf, k=5, labels=[]).count() == 0
+
+
+def test_ivf_ann_join_prune_cells_parity_and_pruning(spark, tmpdir):
+    """prune_cells=True (the mid-size query-table option) returns the
+    identical result AND its scan carries a centroid_id partition filter
+    restricted to the probed cells — unprobed cell files unread."""
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(41)
+    mat = rng.random((160, 8), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(160)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = IvfIndex.build(
+        df, f"{tmpdir}/ivf_prune", num_centroids=8, distance_type="l2",
+        tune_probing=False,
+    )
+    qdf = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(6)],
+        "query_id long, query_vec array<float>",
+    )
+    base = _keyed(idx.ann_join(qdf, k=5, nprobe=2).collect())
+    pruned_df = idx.ann_join(qdf, k=5, nprobe=2, prune_cells=True)
+    pruned = _keyed(pruned_df.collect())
+    assert pruned == base and len(pruned) == 6 * 5
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
