@@ -153,12 +153,13 @@ def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = tempfile.mkdtemp(prefix="annjoin_entry_")
     idx = DiskannIndex.build(emb, path, distance_type="cosine", num_shards=4)
-    # fetch a 4x candidate buffer and CUT at the oracle's seam — rank over
-    # (4dp distance, id), keep 5: a 4dp tie straddling the k-boundary is
-    # then resolved identically to the oracle (ann_join's own top-k ranks
-    # unrounded, which could pick the other tie member; the buffer makes
-    # both members present before the rounded cut)
-    aj = idx.ann_join(qdf, k=20, search_list_size=_EXACT_SLS)
+    # fetch k >= corpus (exact-parity settings already pay the full walk,
+    # so this is free) and CUT at the oracle's seam — rank over (4dp
+    # distance, id), keep 5: with the WHOLE corpus in the buffer, a 4dp
+    # tie-group straddling any unrounded-rank boundary is provably
+    # resolved identically to the oracle (round-13 advice closed — the
+    # old 4x buffer was probabilistic, this is exhaustive)
+    aj = idx.ann_join(qdf, k=_EXACT_SLS, search_list_size=_EXACT_SLS)
     wj = Window.partitionBy("query_id").orderBy(
         F.round("distance", 4).asc(), F.col("node_id").asc()
     )

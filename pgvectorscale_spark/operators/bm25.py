@@ -98,7 +98,7 @@ def bm25_topk(
         # there is no avgdl and no possible candidate — a typed empty
         # result, not a float(None) crash (round-13 review finding)
         return docs.sparkSession.createDataFrame(
-            [], f"{q_id_col} long, {id_col} long, score double, rank integer"
+            [], f"{q_id_col} long, {id_col} long, score double, rank long"
         )
     n_docs, avgdl = float(stats["N"]), float(stats["avgdl"])
 

@@ -266,12 +266,18 @@ def hybrid_topk_served(
     end. Fusion is the same rrf_fuse either way, and results are
     identical to the serving path on the same inputs (pytest-pinned)."""
     labels = search_kwargs.get("labels")
-    if labels is not None and not list(labels):
+    if labels is not None:
+        # materialize once: a one-shot iterable would be exhausted by the
+        # empty check and silently yield an empty lexical filter + empty
+        # vector result downstream (round-13 advice)
+        labels = list(labels)
+        search_kwargs = dict(search_kwargs, labels=labels)
+    if labels is not None and not labels:
         # `labels && '{}'` is always false on BOTH arms — and BM25 over a
         # zero-row corpus has no avgdl, so short-circuit before the arms
         return corpus_text.sparkSession.createDataFrame(
             [],
-            f"{q_id_col} long, {id_col} long, rrf_score double, rank integer",
+            f"{q_id_col} long, {id_col} long, rrf_score double, rank long",
         )
     lex_corpus = corpus_text.select(
         F.col(id_col), F.col(text_col), *(

@@ -402,7 +402,10 @@ def gunzip_warc_bytes(blob: bytes) -> bytes:
     to the plain WARC byte stream. Because record-at-time compression puts
     each record (with its trailing CRLFCRLF) in its own member, the
     concatenation of inflated members IS the plain ``.warc`` file — the
-    parser needs no gz-specific logic. Fail-stop on a truncated member."""
+    parser needs no gz-specific logic. Fail-stop (ValueError carrying the
+    compressed offset) on a truncated OR corrupt member — bad magic and
+    CRC mismatches follow the same contract as truncation, not a raw
+    ``zlib.error`` (round-13 advice)."""
     import zlib
 
     if not isinstance(blob, (bytes, bytearray)):
@@ -412,7 +415,12 @@ def gunzip_warc_bytes(blob: bytes) -> bytes:
     rest = bytes(blob)
     while rest:
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(rest)
+        try:
+            out += d.decompress(rest)
+        except zlib.error as e:
+            raise ValueError(
+                f"corrupt gzip member at compressed offset {pos}: {e}"
+            ) from e
         if not d.eof:
             raise ValueError(f"truncated gzip member at compressed offset {pos}")
         pos += len(rest) - len(d.unused_data)
@@ -440,7 +448,12 @@ def iter_warc_gz_members(fh, chunk_size: int = _GZ_CHUNK) -> Iterator[tuple[int,
         data = pending
         pending = b""
         while True:
-            out += d.decompress(data)
+            try:
+                out += d.decompress(data)
+            except zlib.error as e:
+                raise ValueError(
+                    f"corrupt gzip member at compressed offset {offset}: {e}"
+                ) from e
             if d.eof:
                 consumed += len(data) - len(d.unused_data)
                 pending = d.unused_data
