@@ -315,12 +315,20 @@ def _full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged union: exact cosine near-dup pairs ('pairs' rows) AND
-    SemDeDup-style semantic dedup ('semdedup' rows — dedup.semantic_dedup:
+    """Tagged union: exact cosine near-dup pairs ('pairs' rows), SemDeDup
+    -style semantic dedup ('semdedup' rows — dedup.semantic_dedup:
     deterministic Lloyd clusters, pairwise min-id-wins keep rule within
     each cluster; vec_id rides the id_a slot, cluster_id rides id_b, the
-    0/1 keep flag rides the cosine_sim slot). One driver row hash-verifies
-    the pair formula AND the full cluster->pair->keep pipeline."""
+    0/1 keep flag rides the cosine_sim slot), AND index-served SemDeDup
+    ('semdedup_ann' rows, round 14 — dedup.semdedup_ann: the GLOBAL
+    pairwise min-id-wins rule driven by DiskannIndex.ann_join at
+    exact-parity settings (full fan-out, beam and k >= corpus), so keep
+    must equal the brute-force rule derived from the exact pairs:
+    dropped iff the row appears as id_b in any >= threshold pair. id_b
+    rides -1; the fixture's closest pair sits 5.5e-4 from the threshold,
+    far beyond any BLAS-vs-SQL ulp drift at the 6dp seam). One driver
+    row hash-verifies the pair formula, the cluster pipeline, and the
+    full index-served join->threshold->keep chain."""
     emb = _emb(spark, sf_dir)
     pairs = dedup.embedding_neardup_pairs(emb, threshold=_NEARDUP_THRESHOLD).select(
         F.lit("pairs").alias("form"), "id_a", "id_b", "cosine_sim"
@@ -333,7 +341,22 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("id_b"),
         F.col("keep").cast("int").cast("double").alias("cosine_sim"),
     )
-    return pairs.unionByName(sem)
+    import tempfile
+
+    from pgvectorscale_spark.operators.diskann import DiskannIndex
+
+    path = tempfile.mkdtemp(prefix="semdedup_ann_entry_")
+    idx = DiskannIndex.build(emb, path, distance_type="cosine", num_shards=4)
+    ann = dedup.semdedup_ann(
+        emb, idx, threshold=_NEARDUP_THRESHOLD,
+        k=_EXACT_SLS, search_list_size=_EXACT_SLS,
+    ).select(
+        F.lit("semdedup_ann").alias("form"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.col("keep").cast("int").cast("double").alias("cosine_sim"),
+    )
+    return pairs.unionByName(sem).unionByName(ann)
 
 
 # DiskANN exact-parity discipline (reference's own accuracy method,
@@ -2110,6 +2133,17 @@ def oracle_sql() -> dict[str, str]:
                     f"""SELECT vec_id AS id_a, cluster_id AS id_b,
   keep::INT::DOUBLE AS cosine_sim
 FROM ({oracles.semantic_dedup_oracle(8, 2, _NEARDUP_THRESHOLD)}) sd""",
+                ),
+                (
+                    # index-served SemDeDup at exact-parity settings: the
+                    # GLOBAL min-id-wins rule — dropped iff the row is the
+                    # higher id of any >= threshold exact pair
+                    "'semdedup_ann'",
+                    f"""SELECT vec_id AS id_a, CAST(-1 AS BIGINT) AS id_b,
+  (vec_id NOT IN (
+     SELECT id_b FROM ({oracles.embedding_neardup_oracle(_NEARDUP_THRESHOLD)}) p
+  ))::INT::DOUBLE AS cosine_sim
+FROM embeddings""",
                 ),
             ],
         ),

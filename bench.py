@@ -1,9 +1,12 @@
 """Headline benchmark: runs the engine's flagship queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE compact
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"gates": {...}, "sf": ...}. The full payload (per-query sample spreads and the
-8x/64x ANN, dedup, media, and text scale blocks) is written to bench_full.json
-next to this script — stdout stays small enough for a bounded tail capture.
+"gates_all_pass": bool, "gates_failed": [...], "sf": ...}. The full payload
+(the complete nested gates block, per-query sample spreads, planes/normalized
+figures, and the 8x/64x ANN, dedup, media, and text scale blocks) is written
+to bench_full.json next to this script — stdout stays under ~1 KB so the
+driver's bounded tail capture always parses it (the r13 artifact recorded
+parsed=null when the grown inline gates block outgrew that window).
 
 Query set spans the engine's planes: relational (scan/agg, broadcast join,
 time rollup), vector search (batch exact k-NN, SBQ two-stage, IVF, DiskANN
@@ -194,28 +197,38 @@ def main() -> None:
     # noisy one without re-running. The index build times median-of-3
     # (each into a fresh dir) — it dominates the total, so single-run
     # noise there moved the whole headline in past rounds.
+    # Each query carries its execution-PLANE tag (round 14): 'jvm' for
+    # whole-stage-codegen DataFrame paths, 'blas' for numpy/Pandas-UDF
+    # -dominated paths, 'mixed' where neither dominates (the diskann
+    # build: shard shuffle + numpy graph construction). The dual
+    # calibration (see _host_fingerprint) measures each plane's
+    # throughput per run; per-query normalized = median / its OWN
+    # plane's calibration ('mixed' divides by the geometric mean), so
+    # the headline value_normalized no longer mixes a JVM-slow run and a
+    # BLAS-slow run into incomparable figures (round-13 adjudication).
     queries = [
-        ("q_pricing", q_pricing, 5),
-        ("q_top_customers", q_top_customers, 5),
-        ("q_events_hourly", q_events_hourly, 5),
-        ("q_sessionize", q_sessionize, 5),
-        ("q_knn_batch", q_knn_batch, 5),
-        ("q_sbq_rescore", q_sbq_rescore, 5),
-        ("q_ivf", q_ivf, 5),
-        ("q_diskann_build", q_diskann_build, 3),
-        ("q_diskann_serve", q_diskann_serve, 5),
-        ("q_diskann_serve_batch16", q_diskann_serve_batch16, 5),
-        ("q_dedup_exact", q_dedup_exact, 5),
-        ("q_minhash_pairs", q_minhash_pairs, 5),
-        ("q_simhash", q_simhash, 5),
-        ("q_text_features", q_text_features, 5),
+        ("q_pricing", q_pricing, 5, "jvm"),
+        ("q_top_customers", q_top_customers, 5, "jvm"),
+        ("q_events_hourly", q_events_hourly, 5, "jvm"),
+        ("q_sessionize", q_sessionize, 5, "jvm"),
+        ("q_knn_batch", q_knn_batch, 5, "blas"),
+        ("q_sbq_rescore", q_sbq_rescore, 5, "blas"),
+        ("q_ivf", q_ivf, 5, "blas"),
+        ("q_diskann_build", q_diskann_build, 3, "mixed"),
+        ("q_diskann_serve", q_diskann_serve, 5, "blas"),
+        ("q_diskann_serve_batch16", q_diskann_serve_batch16, 5, "blas"),
+        ("q_dedup_exact", q_dedup_exact, 5, "jvm"),
+        ("q_minhash_pairs", q_minhash_pairs, 5, "blas"),
+        ("q_simhash", q_simhash, 5, "blas"),
+        ("q_text_features", q_text_features, 5, "jvm"),
     ]
 
     import statistics
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
-    for name, fn, runs in queries:
+    planes: dict[str, str] = {}
+    for name, fn, runs, plane in queries:
         fn()  # warm-up, untimed
         samples = []
         for _ in range(runs):
@@ -224,6 +237,7 @@ def main() -> None:
             samples.append(round(time.time() - t0, 3))
         timings[name] = round(statistics.median(samples), 3)
         spreads[name] = samples
+        planes[name] = plane
 
     # ---- ANN scale point (NOT in the headline total: totals stay
     # comparable round-over-round). Build+serve at 8x the rows with 8x the
@@ -676,6 +690,43 @@ def main() -> None:
             / len(exact64),
             4,
         )
+        # ANN-JOIN at the 64x point (round 14): the flagship
+        # corpus x corpus join gets a standing gate at the same scale the
+        # point-query paths carry — a 2k-row DISTRIBUTED query table
+        # joined against the 128k x 512-shard index at routed p=8 must
+        # return the IDENTICAL per-query top-10 sets as search_batch on
+        # the same queries (shared probe kernel: divergence is a
+        # routing/partitioning bug, not jitter).
+        q2k = (
+            emb64ho.orderBy("vec_id")
+            .limit(2000)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            .persist()
+        )
+        q2k.count()
+
+        def _annjoin64():
+            return (
+                idx64.ann_join(q2k, k=10, probe_shards=8)
+                .groupBy("query_id")
+                .agg(F.collect_set("node_id").alias("ids"))
+                .collect()
+            )
+
+        annjoin64_sec, _ = timed(_annjoin64, runs=1)
+        got64j = {r["query_id"]: set(r["ids"]) for r in timed.last}
+        want64j = {
+            r["query_id"]: set(r["ids"])
+            for r in idx64.search_batch(q2k, k=10, probe_shards=8)
+            .groupBy("query_id")
+            .agg(F.collect_set("node_id").alias("ids"))
+            .collect()
+        }
+        annjoin64_gate = bool(got64j == want64j)
+        q2k.unpersist()
         curve64 = idx64.meta.routing_recall_curve
         ann_scale_64x = {
             "rows_64x": int(n_rows64),
@@ -700,6 +751,9 @@ def main() -> None:
             ),
             "routing_recall_curve": curve64,
             "gate_queries_held_out": True,
+            "annjoin_2k_queries": 2000,
+            "annjoin_sec": annjoin64_sec,
+            "annjoin_gate_pass": annjoin64_gate,
         }
         emb64.unpersist()
         shutil.rmtree(tmp64, ignore_errors=True)
@@ -1056,12 +1110,13 @@ def main() -> None:
     for d in built_idx["dirs"]:
         shutil.rmtree(d, ignore_errors=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # Output protocol (round 11): stdout carries ONE compact JSON line —
-    # total + per-query medians + the pass/fail gates — small enough that
-    # a bounded tail capture always parses it (the r10 artifact was
-    # recorded unparseable because the full sample/scale payload rode the
-    # same single line). The full payload (per-query sample spreads + all
-    # scale blocks) goes to bench_full.json next to this script.
+    # Output protocol (round 11, tightened round 14): stdout carries ONE
+    # compact JSON line — total + per-query medians + a flat gate
+    # SUMMARY (gates_all_pass + the failing keys). The r10 artifact was
+    # recorded unparseable because the full sample/scale payload rode
+    # the line; the r13 one because the grown inline gates block did.
+    # The complete nested gates dict, spreads, and all scale blocks go
+    # to bench_full.json next to this script.
     gates = {
         "recall_8x_at10": ann_scale["recall_8x_at10"],
         "recall_8x_gate_pass": ann_scale["recall_8x_gate_pass"],
@@ -1110,6 +1165,8 @@ def main() -> None:
             "routed_p8_recall_at10": ann_scale_64x["routed_p8_recall_at10"],
             "routed_p8_gate_pass": ann_scale_64x["routed_p8_gate_pass"],
             "auto_serve_sec": ann_scale_64x["auto_serve_sec"],
+            "annjoin_sec": ann_scale_64x["annjoin_sec"],
+            "annjoin_gate_pass": ann_scale_64x["annjoin_gate_pass"],
         }
     if dedup_scale_64x is not None:
         gates["dedup_64x"] = {
@@ -1133,26 +1190,49 @@ def main() -> None:
             "bm25_64x_sec": text_scale_64x["bm25_64x_sec"],
         }
     total = round(sum(timings.values()), 3)
+    # per-plane normalization (round 14): each query's median divided by
+    # ITS plane's calibration; 'mixed' divides by the geometric mean of
+    # the two. value_normalized = the sum — the cross-round comparable
+    # figure when raw walls disagree (the r13 adjudication showed one
+    # run JVM-slow and one BLAS-slow; a single-plane divisor made the
+    # normalized totals incomparable in exactly that case).
+    cb = max(host["calibration_matmul_sec"], 1e-9)
+    cj = max(host["calibration_jvm_sec"], 1e-9)
+    plane_div = {"blas": cb, "jvm": cj, "mixed": (cb * cj) ** 0.5}
+    queries_normalized = {
+        name: round(t / plane_div[planes[name]], 2) for name, t in timings.items()
+    }
+    # compact gate summary for the one-line headline: the full nested
+    # gates payload lives in bench_full.json; the driver's tail capture
+    # only needs pass/fail (BENCH_r13.json recorded parsed=null because
+    # the grown gates block pushed the line past the capture window)
+    def _gate_flags(d: dict, prefix: str = "") -> dict:
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(_gate_flags(v, f"{prefix}{k}."))
+            elif isinstance(v, bool) and k.endswith("_pass"):
+                out[f"{prefix}{k}"] = v
+        return out
+
+    flags = _gate_flags(gates)
     headline = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        # total divided by the host calibration microloop: compare THIS
-        # across rounds when raw wall times disagree (see _host_fingerprint)
-        "value_normalized": round(
-            total / max(host["calibration_matmul_sec"], 1e-9), 2
-        ),
-        "value_normalized_jvm": round(
-            total / max(host["calibration_jvm_sec"], 1e-9), 2
-        ),
+        "value_normalized": round(sum(queries_normalized.values()), 2),
         "calibration_matmul_sec": host["calibration_matmul_sec"],
         "calibration_jvm_sec": host["calibration_jvm_sec"],
         "queries": timings,
-        "gates": gates,
+        "gates_all_pass": all(flags.values()),
+        "gates_failed": sorted(k for k, v in flags.items() if not v),
         "sf": float(sf),
     }
     full = {
         **headline,
+        "gates": gates,
+        "query_planes": planes,
+        "queries_normalized": queries_normalized,
         "host": host,
         "spread": spreads,
         "ann_scale": ann_scale,

@@ -207,6 +207,37 @@ def np_inner_product_distance(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
     return -(mat.astype(np.float64) @ q.astype(np.float64))
 
 
+def np_distance_pairwise(
+    mat: np.ndarray, qs: np.ndarray, distance_type: str, assume_normalized: bool = False
+) -> np.ndarray:
+    """(len(qs), len(mat)) distance matrix in one vectorized shot — the
+    batched twin of :func:`np_distance` for routing loops that otherwise
+    call it once per query (one GEMM per Arrow batch instead of
+    batch-many GEMVs). cosine/IP are a single float64 matmul; l2 keeps
+    the elementwise (diff * diff) formula of :func:`np_l2_squared`
+    (NOT the ||a||^2+||b||^2-2ab expansion, which changes rounding),
+    chunked over queries so the (chunk, n, d) broadcast stays ~64 MB
+    regardless of batch size."""
+    mat = mat.astype(np.float64)
+    qs = qs.astype(np.float64)
+    if distance_type == "cosine":
+        if not assume_normalized:
+            mat = np_normalize(mat)
+            qs = np_normalize(qs)
+        return np.maximum(0.0, 1.0 - qs @ mat.T)
+    if distance_type == "inner_product":
+        return -(qs @ mat.T)
+    if distance_type == "l2":
+        n, d = mat.shape
+        chunk = max(1, (64 << 20) // max(1, n * d * 8))
+        out = np.empty((len(qs), n), dtype=np.float64)
+        for s in range(0, len(qs), chunk):
+            diff = qs[s : s + chunk, None, :] - mat[None, :, :]
+            out[s : s + chunk] = np.einsum("qij,qij->qi", diff, diff)
+        return out
+    raise ValueError(f"unknown distance type: {distance_type}")
+
+
 def np_distance(mat: np.ndarray, q: np.ndarray, distance_type: str, assume_normalized: bool = False) -> np.ndarray:
     if distance_type == "cosine":
         return np_cosine_distance(mat, q, assume_normalized=assume_normalized)

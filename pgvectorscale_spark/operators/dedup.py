@@ -1161,6 +1161,68 @@ def semantic_dedup(
     )
 
 
+def semdedup_ann(
+    df: DataFrame,
+    index,
+    threshold: float = 0.9,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    **search_kwargs,
+) -> DataFrame:
+    """Index-served SemDeDup (round 14): embedding near-dup keep/drop
+    decisions driven by a built ANN index's corpus x corpus ``ann_join``
+    instead of LSH bucketing or within-cluster quadratic scans. Returns
+    (``id_col``, keep) for EVERY input row.
+
+    The keep rule is the same pairwise min-id-wins convention as
+    :func:`semantic_dedup` and the streaming screen, applied GLOBALLY: a
+    row is dropped iff the join surfaces a LOWER-id neighbor with cosine
+    similarity >= ``threshold`` among its top-``k``. Because nearest
+    neighbors are the most similar, any row with a qualifying lower-id
+    neighbor anywhere has qualifying rows filling its top of the list —
+    recall is bounded only by the index's graph recall and by ``k``
+    (a row whose >= threshold neighborhood exceeds ``k`` rows could see
+    only higher-id ones; raise ``k`` above the expected duplicate-group
+    size). At exact-parity settings (full fan-out, beam >= corpus,
+    k >= corpus) the result provably equals the brute-force global rule
+    derived from :func:`embedding_neardup_pairs` (pytest + driver
+    oracle); at production settings it inherits the index's measured
+    recall — strictly better-targeted than LSH band/row tuning, at the
+    ann_join's own two-exchange plan shape (no all-pairs join anywhere).
+
+    ``index`` is any handle exposing ``ann_join`` over a cosine index
+    built on the SAME (id, vector) rows (``DiskannIndex`` / ``IvfIndex``
+    — raises if the index metric isn't cosine, since the similarity
+    threshold is a cosine statement). ``search_kwargs`` pass through
+    (``probe_shards``, ``search_list_size``, ``nprobe``, ...)."""
+    dt = getattr(getattr(index, "meta", None), "distance_type", None)
+    if dt != "cosine":
+        raise ValueError(
+            f"semdedup_ann needs a cosine index (threshold is a cosine "
+            f"similarity); index at {getattr(index, 'path', '?')} is {dt!r}"
+        )
+    queries = df.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vector_col).alias("query_vec"),
+    )
+    neigh = index.ann_join(queries, k=k, **search_kwargs)
+    # cosine distance -> similarity; the join's distance is the exact
+    # rescored value, rounded like the brute-force pair formula
+    dropped = (
+        neigh.filter(F.col("node_id") < F.col("query_id"))
+        .filter(F.round(F.lit(1.0) - F.col("distance"), 6) >= threshold)
+        .select(F.col("query_id").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .join(dropped, id_col, "left")
+        .select(id_col, F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"))
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     shingle_n: int = 3,

@@ -53,6 +53,7 @@ from pgvectorscale_spark.functions.distance import (
     distance_expr,
     l2_normalize,
     np_distance,
+    np_distance_pairwise,
     np_normalize,
 )
 from pgvectorscale_spark.operators.sbq import SbqQuantizer, train_quantizer
@@ -1561,14 +1562,8 @@ class DiskannIndex:
             qmat = np_normalize(qmat)
             cents = np_normalize(cents)
         order = np.argsort(
-            np.stack(
-                [
-                    np_distance(
-                        cents, qmat[qi], self.meta.distance_type,
-                        assume_normalized=True,
-                    )
-                    for qi in range(len(qmat))
-                ]
+            np_distance_pairwise(
+                cents, qmat, self.meta.distance_type, assume_normalized=True
             ),
             axis=1,
         )  # (queries, shards): shard-table row indices by proximity
@@ -2057,12 +2052,9 @@ class DiskannIndex:
                     # routing ranks by angle, not centroid magnitude
                     cents = np_normalize(cents)
                 route = {}
-                cd = np.stack(
-                    [
-                        np_distance(cents, qmat[qi], meta_d["distance_type"], assume_normalized=True)
-                        for qi in range(len(qmat))
-                    ]
-                )  # (queries, shards)
+                cd = np_distance_pairwise(
+                    cents, qmat, meta_d["distance_type"], assume_normalized=True
+                )  # (queries, shards) — one GEMM, not batch-many GEMVs
                 nearest = np.argsort(cd, axis=1)[:, :probe_shards]
                 # label-aware widening: a filtered query must also probe
                 # every shard that holds its labels, or a rare label
@@ -2140,7 +2132,7 @@ class DiskannIndex:
         query_vec_col: str = "query_vec",
         probe_shards: int | None = None,
         recall_target: float | None = None,
-        partitions_per_shard: int = 1,
+        partitions_per_shard: int | None = None,
         stats: "QueryStats | None" = None,
     ) -> DataFrame:
         """Corpus x corpus ANN join: top-k neighbors for EVERY row of a
@@ -2166,7 +2158,12 @@ class DiskannIndex:
           shards across that many tasks so a skewed routing (every
           query near one centroid) cannot serialize. The process-level
           shard-graph cache amortizes graph loads across batches and
-          tasks exactly as in serving.
+          tasks exactly as in serving. ``None`` (default, round 14)
+          auto-raises the salt only when idle cores are GUARANTEED —
+          num_shards alone can't fill half the default parallelism —
+          to ceil(parallelism / 2 / num_shards); an explicit int always
+          wins (the tradeoff is real: each extra salt is another worker
+          cold-loading the shard graph, so auto stays conservative).
         - *per-batch probe*: ``_probe_shard_block`` — the search_batch
           kernel (beam walk, visited-only pyarrow vector fetch, one
           BLAS exact rescore, per-shard exact top max(k, rescore); the
@@ -2208,9 +2205,23 @@ class DiskannIndex:
         qlabels = frozenset(int(l) for l in labels) if labels else None
         limit = max(k, rescore)
         num_shards = self.meta.num_shards
+        # the routed fan-out row is (shard, query_id, vec) x p copies —
+        # the join's biggest shuffle. Keep the query column's element
+        # type: float32-at-rest vectors ship as array<float> (half the
+        # bytes of an unconditional array<double>); the probe kernel
+        # re-ups to float64 numpy either way, so results are unchanged
+        # for values that are float32 at rest (round 14).
+        from pyspark.sql.types import ArrayType, FloatType
+
+        qf = queries_df.schema[query_vec_col].dataType
+        vec_t = (
+            "array<float>"
+            if isinstance(qf, ArrayType) and isinstance(qf.elementType, FloatType)
+            else "array<double>"
+        )
         q = queries_df.select(
             F.col(query_id_col).cast("long").alias("query_id"),
-            F.col(query_vec_col).cast("array<double>").alias("query_vec"),
+            F.col(query_vec_col).cast(vec_t).alias("query_vec"),
         )
         sc = self.spark.sparkContext
         route_bc = None
@@ -2240,12 +2251,9 @@ class DiskannIndex:
                     qm = np.stack(pdf["query_vec"].to_numpy()).astype(np.float64)
                     if dt == DistanceType.COSINE.value:
                         qm = np_normalize(qm)
-                    cd = np.stack(
-                        [
-                            np_distance(cents_l, qm[i], dt, assume_normalized=True)
-                            for i in range(len(qm))
-                        ]
-                    )  # (batch, shards)
+                    cd = np_distance_pairwise(
+                        cents_l, qm, dt, assume_normalized=True
+                    )  # (batch, shards) — one GEMM per Arrow batch
                     nearest = np.argsort(cd, axis=1)[:, :p]
                     vecs = pdf["query_vec"].tolist()
                     qids = pdf["query_id"].tolist()
@@ -2262,7 +2270,7 @@ class DiskannIndex:
                     )
 
             routed = q.mapInPandas(
-                route_fn, "shard int, query_id long, query_vec array<double>"
+                route_fn, f"shard int, query_id long, query_vec {vec_t}"
             )
         else:
             routed = q.select(
@@ -2272,7 +2280,16 @@ class DiskannIndex:
                 "query_id",
                 "query_vec",
             )
-        pps = max(1, int(partitions_per_shard))
+        if partitions_per_shard is None:
+            # auto (round 14): only when num_shards keys alone cannot
+            # fill half the cluster are idle cores guaranteed — raise the
+            # salt just enough to fill them. Conservative on purpose:
+            # every extra salt is another task cold-loading that shard's
+            # graph into its process cache.
+            par = self.spark.sparkContext.defaultParallelism
+            pps = max(1, -(-par // (2 * num_shards)))  # ceil(par/2/shards)
+        else:
+            pps = max(1, int(partitions_per_shard))
         routed = routed.withColumn(
             "_salt", F.pmod(F.hash("query_id"), F.lit(pps))
         ).repartition(num_shards * pps, "shard", "_salt")

@@ -837,6 +837,33 @@ class IvfIndex:
                     new_trash.append(f"{self.meta.base_rel}/centroid_id={c}")
                 # old == "": emptied sentinel — nothing on disk to trash
                 self.meta.shard_base[str(c)] = gen_rel if c in survivors else ""
+            # label-sidecar compaction (round 14): deletes leave stale
+            # (label, cell) pairs that only ever OVER-probe, but a
+            # long-lived labeled index under churn would widen every
+            # labeled query toward full fan-out. Stale pairs can only
+            # involve TOUCHED cells (a delete rides the delta chain, so
+            # its cell is in `touched` at fold time), so rewrite exactly
+            # those cells' pairs from the fold's live survivors and keep
+            # the untouched cells' pairs as-is. Live (label, cell)
+            # content is identical pre/post fold (tombstones were already
+            # invisible to live_nodes), so the atomic sidecar swap is
+            # safe at any point relative to the meta flip.
+            if self.meta.has_labels and _file_exists(
+                os.path.join(self.path, self._LABEL_CELLS_FILE)
+            ):
+                live_pairs = (
+                    merged.select(F.explode("labels").alias("label"), "centroid_id")
+                    .distinct()
+                    .collect()
+                )
+                kept_pairs = [
+                    r
+                    for r in self.spark.read.parquet(
+                        os.path.join(self.path, self._LABEL_CELLS_FILE)
+                    ).collect()
+                    if int(r["centroid_id"]) not in touched
+                ]
+                self._write_label_cells(kept_pairs + list(live_pairs))
         self.meta.delta_gens = []
         self.meta.trash_dirs = list(dict.fromkeys(new_trash))
         # id-routing sidecar chain compaction (no-op until the chain
@@ -946,6 +973,7 @@ class IvfIndex:
         recall_target: float | None = None,
         labels: Sequence[int] | None = None,
         prune_cells: bool = False,
+        partitions_per_cell: int = 4,
     ) -> DataFrame:
         """Corpus x corpus IVF join — the distributed twin of
         ``search_batch`` (which collects its query batch driver-side:
@@ -971,7 +999,29 @@ class IvfIndex:
         materialization of |Q| x nprobe routed rows to skip the cells
         nobody probes. Results are identical either way (pytest-pinned).
         ``labels`` follow search_batch semantics (filter inside the scan
-        + coverage-cell widening; [] matches nothing)."""
+        + coverage-cell widening; [] matches nothing).
+
+        ``partitions_per_cell`` (round 14) salts the scoring join
+        against hot-cell skew: real corpora cluster, so one popular
+        centroid can otherwise serialize |cell| x |probing queries|
+        through a single task after the centroid_id exchange. Scan rows
+        take a deterministic salt (pmod(hash(node_id), ppc)); routed
+        rows replicate across all ppc salts (a JVM-side explode — the
+        routed side is the small |Q| x nprobe one); the join key becomes
+        (centroid_id, _salt), splitting every cell's work across ppc
+        tasks. Each (scan row, query) pair still meets exactly once (the
+        scan row's single salt), so results are bit-identical
+        (pytest-pinned). Unlike DiskANN's ``partitions_per_shard`` there
+        is no per-worker graph cache to multiply cold, so the default is
+        >1; the cost is routed-shuffle bytes x ppc — set 1 for tiny
+        query tables where the routed side would otherwise broadcast.
+
+        The routed row's vector keeps the QUERY COLUMN'S element type
+        (round 14): float32-at-rest vectors ship as ``array<float>``
+        through the fan-out exchange — half the bytes of the old
+        unconditional array<double> — and the distance math casts each
+        element to double exactly as before (lossless for values that
+        are float32 at rest), so distances are unchanged."""
         self._check_labels(labels)
         if labels is not None and len(list(labels)) == 0:
             return self.spark.createDataFrame(
@@ -1014,11 +1064,22 @@ class IvfIndex:
                     {"centroid_id": o_c, "query_id": o_q, "_qv": o_v}
                 )
 
+        # routed vectors keep the query column's element type: float32 at
+        # rest ships half the fan-out bytes; the scoring expr casts each
+        # element to double either way, so distances are unchanged
+        from pyspark.sql.types import ArrayType, FloatType
+
+        qf = queries_df.schema[query_vec_col].dataType
+        vec_t = (
+            "array<float>"
+            if isinstance(qf, ArrayType) and isinstance(qf.elementType, FloatType)
+            else "array<double>"
+        )
         routed = queries_df.select(
             F.col(query_id_col).cast("long").alias("query_id"),
-            F.col(query_vec_col).cast("array<double>").alias("query_vec"),
+            F.col(query_vec_col).cast(vec_t).alias("query_vec"),
         ).mapInPandas(
-            route_fn, "centroid_id int, query_id long, _qv array<double>"
+            route_fn, f"centroid_id int, query_id long, _qv {vec_t}"
         )
         scan = self.live_nodes()
         if prune_cells:
@@ -1034,7 +1095,20 @@ class IvfIndex:
             scan = scan.filter(F.col("centroid_id").isin(probed))
         if labels is not None:
             scan = scan.filter(self._label_filter_expr(labels))
-        scored = scan.join(routed, "centroid_id").withColumn(
+        ppc = max(1, int(partitions_per_cell))
+        join_keys = ["centroid_id"]
+        if ppc > 1:
+            # hot-cell salting: scan rows take ONE deterministic salt,
+            # routed rows replicate across all ppc salts (JVM explode on
+            # the small side), so each (scan row, query) pair meets in
+            # exactly one (centroid_id, _salt) task — bit-identical
+            # results, cell work split ppc ways
+            scan = scan.withColumn("_salt", F.pmod(F.hash("node_id"), F.lit(ppc)))
+            routed = routed.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(ppc - 1)))
+            )
+            join_keys = ["centroid_id", "_salt"]
+        scored = scan.join(routed, join_keys).withColumn(
             "distance",
             F.round(
                 distance_expr(F.col("vector"), F.col("_qv"), self.meta.distance_type), 6

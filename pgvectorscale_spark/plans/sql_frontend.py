@@ -66,6 +66,16 @@ _ANN_TAIL_RE = re.compile(
     re.IGNORECASE,
 )
 _FROM_RE = re.compile(rf"\bfrom\s+(?P<table>{_IDENT})\b", re.IGNORECASE)
+# the LATERAL ANN-join shape (round 14) — top-k per row of a QUERY TABLE:
+#   SELECT <q>.<qid>, nn.* FROM <qtable> <q>, LATERAL (
+#     SELECT <id_col> [AS <a>], <distfn>(<col>, <q>.<qvec>) AS <d>
+#     FROM <ctable> ORDER BY <d> [ASC] LIMIT <k>) [AS] nn
+_LATERAL_RE = re.compile(
+    rf"^\s*select\s+(?P<items>.*?)\bfrom\s+(?P<qtable>{_IDENT})\s+(?:as\s+)?(?P<qalias>\w+)\s*,\s*"
+    rf"lateral\s*\(\s*select\s+(?P<inner>.*?)\bfrom\s+(?P<ctable>{_IDENT})\s+"
+    rf"order\s+by\s+(?P<ord>\w+)\s*(?:asc\s*)?limit\s+(?P<k>\d+)\s*\)\s*(?:as\s+)?(?P<lalias>\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _WHERE_RE = re.compile(r"\bwhere\b(?P<pred>.*?)(?=\border\s+by\b)", re.IGNORECASE | re.DOTALL)
 _SELECT_RE = re.compile(r"^\s*select\s+(?P<items>.*?)\bfrom\b", re.IGNORECASE | re.DOTALL)
 
@@ -249,9 +259,126 @@ class VectorSql:
     def sql(self, query: str) -> DataFrame:
         rewritten = self._rewrite_ops(query.strip().rstrip(";").strip())
         routed = self._try_index_route(rewritten)
+        if routed is None:
+            routed = self._try_lateral_route(rewritten)
         if routed is not None:
             return routed
         return self.spark.sql(self._expand_distance_fns(rewritten))
+
+    def _try_lateral_route(self, sql: str) -> DataFrame | None:
+        """Route the LATERAL top-k-per-query-row shape onto the index's
+        corpus x corpus ``ann_join`` (round 14) — the SQL spelling of the
+        distributed similarity join:
+
+            SELECT q.qid, nn.* FROM queries q, LATERAL (
+              SELECT vec_id, embedding <=> q.qvec AS distance
+              FROM corpus ORDER BY distance LIMIT 10) nn
+
+        Routes when (corpus, column) carries a registered index exposing
+        ``ann_join`` and the inner SELECT is exactly the id column plus
+        the aliased distance expression (the canonical shape; the
+        reference has no lateral surface — this is the Spark-native
+        extension of its single-query ``ORDER BY distance LIMIT k``
+        contract). The query table stays a distributed DataFrame end to
+        end. Anything that doesn't match falls through to ``spark.sql``,
+        whose lateral-subquery support evaluates the same semantics as a
+        decorrelated exact scan — slower, never wrong. The same
+        cost/divergence rules as the single-vector route apply (tiny or
+        k-covering corpora prefer the exact scan unless the index has
+        diverged from the registered table)."""
+        m = _LATERAL_RE.match(sql)
+        if m is None:
+            return None
+        qtable, qalias = m.group("qtable").lower(), m.group("qalias")
+        ctable, lalias = m.group("ctable").lower(), m.group("lalias")
+        qdf = self._tables.get(qtable)
+        if qdf is None or self._tables.get(ctable) is None:
+            return None
+        inner = _split_select(m.group("inner"))
+        if len(inner) != 2:
+            return None
+        # item 1: the corpus id column, optionally aliased
+        im = re.match(rf"(?is)^({_IDENT})(?:\s+as\s+(\w+))?$", inner[0])
+        if im is None:
+            return None
+        id_sel, id_alias = im.group(1).lower(), (im.group(2) or im.group(1)).lower()
+        # item 2: <fn>(<col>, <qalias>.<qvec>) AS <dalias>
+        dm = re.match(
+            rf"(?is)^(?P<fn>{'|'.join(_FN_TO_DTYPE)})\s*\(\s*(?P<col>\w+)\s*,\s*"
+            rf"(?P<qa>\w+)\.(?P<qvec>\w+)\s*\)\s+as\s+(?P<dalias>\w+)$",
+            inner[1],
+        )
+        if dm is None or dm.group("qa") != qalias:
+            return None
+        if m.group("ord").lower() != dm.group("dalias").lower():
+            return None
+        col = dm.group("col").lower()
+        entry = self._indexes.get((ctable, col))
+        if entry is None or id_sel != entry.id_col.lower():
+            return None
+        if not hasattr(entry.index, "ann_join"):
+            return None
+        dtype = _FN_TO_DTYPE[dm.group("fn").lower()]
+        meta = getattr(entry.index, "meta", None)
+        if meta is not None and getattr(meta, "distance_type", dtype) != dtype:
+            return None
+        k = int(m.group("k"))
+        total = int(getattr(meta, "num_rows", 0) or 0)
+        diverged = bool(getattr(meta, "has_tombstones", True)) or bool(
+            getattr(meta, "has_mutations", True)
+        )
+        min_rows = entry.min_index_rows
+        if not min_rows:
+            try:
+                min_rows = int(self.spark.conf.get("spark.pgvectorscale.min_index_rows"))
+            except Exception:
+                min_rows = self.MIN_INDEX_ROWS
+        if total and not diverged and (total < min_rows or k >= total):
+            return None  # spark.sql's decorrelated exact scan wins here
+        # the query table needs a row id for the join: the first outer
+        # select item referencing the query alias names it
+        items = _split_select(m.group("items"))
+        qid = None
+        out_cols = []
+        for item in items:
+            am = re.match(r"(?is)^(.+?)\s+as\s+(\w+)$", item)
+            expr_text = (am.group(1) if am else item).strip()
+            alias = am.group(2) if am else None
+            qm = re.match(rf"(?is)^{re.escape(qalias)}\.(\w+)$", expr_text)
+            lm = re.match(rf"(?is)^{re.escape(lalias)}\.(\w+|\*)$", expr_text)
+            if qm is not None:
+                if qid is None:
+                    qid = qm.group(1)
+                out_cols.append(("q", qm.group(1), alias))
+            elif lm is not None:
+                out_cols.append(("l", lm.group(1).lower(), alias))
+            else:
+                return None  # expression outputs: fall through to spark.sql
+        if qid is None:
+            return None
+        queries = qdf.select(
+            F.col(qid).alias("query_id"), F.col(dm.group("qvec")).alias("query_vec")
+        )
+        res = entry.index.ann_join(queries, k=k, **entry.search_kwargs)
+        # map lateral-alias columns onto ann_join's output names
+        lmap = {id_alias: "node_id", dm.group("dalias").lower(): "distance"}
+        cols = []
+        for kind, name, alias in out_cols:
+            if kind == "q":
+                # non-id query columns would need a join back to qdf; the
+                # canonical shape selects the id (and lateral columns)
+                if name != qid:
+                    return None
+                c = F.col("query_id")
+                cols.append(c.alias(alias or name))
+            elif name == "*":
+                cols.append(F.col("node_id").alias(id_alias))
+                cols.append(F.col("distance").alias(dm.group("dalias")))
+            else:
+                if name not in lmap:
+                    return None
+                cols.append(F.col(lmap[name]).alias(alias or name))
+        return res.select(*cols)
 
     def _try_index_route(self, sql: str) -> DataFrame | None:
         tail = _ANN_TAIL_RE.search(sql)

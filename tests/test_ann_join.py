@@ -245,3 +245,120 @@ def test_ivf_ann_join_prune_cells_parity_and_pruning(spark, tmpdir):
     assert pruned == base and len(pruned) == 6 * 5
     plan = pruned_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_ivf_ann_join_hot_cell_salting_parity_and_plan(spark, tmpdir):
+    """partitions_per_cell (round 14, hot-cell salting): on a SKEWED
+    corpus where one cell holds ~80% of the rows, the salted join must
+    (a) return bit-identical results to the unsalted join and to
+    search_batch, and (b) when the scoring join shuffles, exchange on
+    (centroid_id, _salt) so the hot cell's work splits across ppc
+    tasks instead of serializing through one."""
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(53)
+    d = 8
+    # 80% of rows in one tight cluster, 20% in one far-away cluster —
+    # two well-separated clusters with num_centroids=2 makes the hot
+    # cell deterministic regardless of kmeans initialization
+    hot = rng.normal(loc=0.0, scale=0.05, size=(160, d))
+    cold = rng.normal(loc=100.0, scale=0.05, size=(40, d))
+    mat = np.concatenate([hot, cold]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))],
+        "vec_id long, embedding array<float>",
+    )
+    idx = IvfIndex.build(
+        df, f"{tmpdir}/ivf_skew", num_centroids=2, distance_type="l2",
+        tune_probing=False,
+    )
+    # verify the fixture is actually skewed: one cell >= 70% of rows
+    sizes = sorted(
+        (r[1] for r in idx.live_nodes().groupBy("centroid_id").count().collect()),
+        reverse=True,
+    )
+    assert sizes[0] >= 0.7 * len(mat), f"fixture not skewed: {sizes}"
+    qdf = _qdf(spark, mat, range(0, 30))
+    want = _keyed(idx.search_batch(qdf, k=6, nprobe=2).collect())
+    unsalted = _keyed(
+        idx.ann_join(qdf, k=6, nprobe=2, partitions_per_cell=1).collect()
+    )
+    salted = _keyed(
+        idx.ann_join(qdf, k=6, nprobe=2, partitions_per_cell=4).collect()
+    )
+    assert unsalted == want and salted == want and len(want) == 30 * 6
+    # plan: force the shuffle join (no broadcast) and pin the salted key
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            idx.ann_join(qdf, k=6, nprobe=2, partitions_per_cell=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "hashpartitioning(centroid_id" in plan and "_salt" in plan, plan
+    # unsalted keeps the plain key — no stray salt column
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = (
+            idx.ann_join(qdf, k=6, nprobe=2, partitions_per_cell=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "_salt" not in plain
+
+
+def test_ivf_ann_join_float64_queries_unchanged(spark, tmpdir):
+    """The routed vector keeps the query column's element type: a
+    float64 query table must flow through unchanged (array<double>
+    fan-out) with exact search_batch parity — the float32 fast path
+    only engages for float-at-rest queries."""
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    rng = np.random.default_rng(59)
+    mat = rng.random((100, 8), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = IvfIndex.build(
+        df, f"{tmpdir}/ivf_f64q", num_centroids=4, distance_type="cosine",
+        tune_probing=False,
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(8)],
+        "query_id long, query_vec array<double>",
+    )
+    got = _keyed(idx.ann_join(qdf, k=5, nprobe=2).collect())
+    want = _keyed(idx.search_batch(qdf, k=5, nprobe=2).collect())
+    assert got == want and len(got) == 8 * 5
+
+
+def test_ann_join_float64_queries_and_auto_pps(spark, kmeans_idx):
+    """Round 14: (a) a float64 query table flows through DiskANN's
+    ann_join unchanged (the routed fan-out keeps the input element type
+    — array<double> here, array<float> for float-at-rest queries) with
+    exact search_batch parity; (b) partitions_per_shard=None (the new
+    default) auto-sizes the salt and stays bit-identical to explicit
+    values."""
+    idx, mat = kmeans_idx
+    qdf64 = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(12)],
+        "query_id long, query_vec array<double>",
+    )
+    got = _keyed(idx.ann_join(qdf64, k=6, probe_shards=2).collect())
+    want = _keyed(idx.search_batch(qdf64, k=6, probe_shards=2).collect())
+    assert got == want and len(got) == 12 * 6
+    # auto == explicit on the float path too
+    qdf = _qdf(spark, mat, range(40))
+    auto = _keyed(idx.ann_join(qdf, k=5, probe_shards=2).collect())
+    explicit = _keyed(
+        idx.ann_join(qdf, k=5, probe_shards=2, partitions_per_shard=3).collect()
+    )
+    assert auto == explicit

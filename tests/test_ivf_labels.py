@@ -173,3 +173,55 @@ def test_labeled_probe_plan_keeps_partition_pruning(labeled):
     )
     assert "PartitionFilters" in plan
     assert "arrays_overlap" in plan
+
+
+def test_fold_compacts_label_sidecar(spark, tmpdir):
+    """Round 14: deletes leave stale (label, cell) pairs that only
+    over-probe — after a fold, the sidecar must match a fresh distinct
+    scan of the live rows (stale pairs for folded cells dropped,
+    untouched cells' pairs kept)."""
+    rng = np.random.default_rng(7)
+    # label 5 lives ONLY on rows we will delete; label 1/2 persist
+    rows = [
+        (i, rng.random(4).tolist(), [5] if i < 5 else [int(i % 2) + 1])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, labels array<smallint>"
+    )
+    idx = IvfIndex.build(
+        df, f"{tmpdir}/sidecar_fold", num_centroids=2, distance_type="l2",
+        label_col="labels", tune_probing=False,
+    )
+    idx.delete(list(range(5)))  # label 5 is now dead everywhere
+    assert idx._label_cells([5]), "pre-fold: stale pairs expected (over-probe)"
+    # force the fold
+    for j in range(IvfIndex.DELTA_FOLD_SEQS + 1):
+        idx.insert(
+            spark.createDataFrame(
+                [(2000 + j, rng.random(4).tolist(), [2])],
+                "vec_id long, embedding array<float>, labels array<smallint>",
+            )
+        )
+    # the delete consumed a delta seq too, so the fold fired mid-loop and
+    # a couple of post-fold inserts may ride a fresh chain — what matters
+    # is that a fold HAPPENED (epoch bumped) and compacted the sidecar
+    assert idx.meta.epoch > 0
+    # sidecar == fresh distinct scan of live rows
+    want = {
+        (int(r["label"]), int(r["centroid_id"]))
+        for r in idx.live_nodes()
+        .select(F.explode("labels").alias("label"), "centroid_id")
+        .distinct()
+        .collect()
+    }
+    import os as _os
+
+    got = {
+        (int(r["label"]), int(r["centroid_id"]))
+        for r in spark.read.parquet(
+            _os.path.join(idx.path, idx._LABEL_CELLS_FILE)
+        ).collect()
+    }
+    assert got == want
+    assert not idx._label_cells([5]), "post-fold: dead label still widens probes"

@@ -158,3 +158,70 @@ def test_search_post_filter_api(spark, tmpdir):
     assert len(got) == 10
     assert all(i % 2 == 1 for i in got)
     assert got == _true_topk_l2(mat, q, 10, pred=lambda i: i % 2 == 1)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL ANN-join rewrite (round 14): top-k per row of a query TABLE maps
+# onto the index's corpus x corpus ann_join; non-matching shapes fall
+# through to spark.sql's lateral subquery (exact, slower, never wrong).
+# ---------------------------------------------------------------------------
+
+
+def test_lateral_routes_to_ann_join_and_matches_exact(ctx, spark):
+    vs, df, mat = ctx
+    qdf = df.filter("id < 6").select(
+        F.col("id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    vs.register_table("qtab", qdf)
+    res = vs.sql(
+        """
+        SELECT q.qid, nn.id, nn.distance
+        FROM qtab q, LATERAL (
+          SELECT id, embedding <-> q.qvec AS distance
+          FROM vecs ORDER BY distance LIMIT 5
+        ) nn
+        """
+    )
+    rows = res.collect()
+    assert len(rows) == 6 * 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["id"], r["distance"]))
+    for qid, pairs in by_q.items():
+        want = _true_topk_l2(mat, mat[qid], 5)
+        got = [i for i, _ in sorted(pairs, key=lambda p: (p[1], p[0]))]
+        assert got == want, (qid, got, want)
+    # the routed plan is the ann_join shape: no per-query exact corpus
+    # scan (the fallback decorrelates into a window over a full join)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_lateral_falls_through_without_index(ctx, spark):
+    """A lateral over an UNREGISTERED corpus column must still answer
+    (spark.sql's decorrelated lateral subquery) with the same rows."""
+    vs, df, mat = ctx
+    qdf = df.filter("id < 3").select(
+        F.col("id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    vs.register_table("qtab2", qdf)
+    # vecs2 has no registered index
+    vs.register_table("vecs2", df)
+    res = vs.sql(
+        """
+        SELECT q.qid, nn.id, nn.distance
+        FROM qtab2 q, LATERAL (
+          SELECT id, embedding <-> q.qvec AS distance
+          FROM vecs2 ORDER BY distance LIMIT 4
+        ) nn
+        """
+    )
+    rows = res.collect()
+    assert len(rows) == 3 * 4
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["id"], r["distance"]))
+    for qid, pairs in by_q.items():
+        want = _true_topk_l2(mat, mat[qid], 4)
+        got = [i for i, _ in sorted(pairs, key=lambda p: (p[1], p[0]))]
+        assert got == want, (qid, got, want)
