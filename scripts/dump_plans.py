@@ -473,8 +473,48 @@ def main() -> None:
             "invisible to the plan, Arrow batches bound memory at any "
             "|Q|), and hashpartitioning(query_id) runs the window top-k "
             "over |Q| x p x max(k, rescore) candidate rows. Nothing in "
-            "the plan scans the corpus.",
+            "the plan scans the corpus. Round 14: the routed row keeps "
+            "the query column's element type — step (3) casts to "
+            "array<float> for float-at-rest queries, NOT array<double>, "
+            "so the fan-out exchange (the join's biggest shuffle: "
+            "|Q| x p rows carrying the vector) ships half the bytes; at "
+            "100M x 768d x p=8 that is ~2.5 TB instead of ~5 TB.",
             idxkm.ann_join(qdf, k=5, probe_shards=2),
+        )
+    )
+    # IVF twin with the round-14 hot-cell salting: render NOW with the
+    # broadcast threshold disabled so the plan shows the SHUFFLE shape
+    # the salt exists for (at sf0.01 Catalyst would broadcast the routed
+    # side and hide the exchange)
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    idxivf = IvfIndex.build(
+        emb.limit(400).filter(F.col("embedding").isNotNull()),
+        f"{tmp}/ivfkm", num_centroids=8, distance_type="l2",
+        tune_probing=False,
+    )
+    _old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ivf_rendered = fmt(idxivf.ann_join(qdf, k=5, nprobe=2))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _old_bc)
+    sections.append(
+        (
+            "IvfIndex.ann_join (hot-cell salted scoring join)",
+            "Round 14: the scoring join keys on (centroid_id, _salt) — "
+            "scan rows take ONE deterministic salt "
+            "(pmod(hash(node_id), ppc)), routed rows replicate across "
+            "all ppc salts via a JVM-side explode on the SMALL "
+            "(|Q| x nprobe) side — so a hot centroid's scan x queries "
+            "work splits across ppc tasks instead of serializing "
+            "through one after the exchange. Each (scan row, query) "
+            "pair meets in exactly one salt: results are bit-identical "
+            "to the unsalted join (pytest-pinned). Rendered with "
+            "autoBroadcastJoinThreshold=-1 to show the shuffle shape "
+            "the salt exists for; when Catalyst broadcasts the routed "
+            "side instead, there is no skewed exchange to salt and the "
+            "extra copies ride a broadcast that is ppc x bigger — set "
+            "partitions_per_cell=1 for serving-sized query tables.",
+            ivf_rendered,
         )
     )
     from pgvectorscale_spark.functions.text import FROZEN_BPE_MERGES, bpe_encode_count
@@ -504,7 +544,8 @@ def main() -> None:
     for title, commentary, df in sections:
         out.append(f"\n## {title}\n")
         out.append(commentary + "\n")
-        out.append("```\n" + fmt(df).strip() + "\n```\n")
+        rendered = df if isinstance(df, str) else fmt(df)
+        out.append("```\n" + rendered.strip() + "\n```\n")
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
     shutil.rmtree(tmp, ignore_errors=True)
