@@ -94,3 +94,24 @@ def test_semdedup_ann_requires_cosine_index(spark, planted, tmp_path):
     )
     with pytest.raises(ValueError, match="cosine"):
         dedup.semdedup_ann(df, idx, threshold=THRESHOLD)
+
+
+def test_semdedup_ann_ivf_family(spark, planted, tmp_path):
+    """The operator is index-family-agnostic (duck-typed ann_join): a
+    cosine IvfIndex at full probing + k >= corpus reproduces the exact
+    global rule too."""
+    from pgvectorscale_spark.operators.ivf_index import IvfIndex
+
+    df, mat = planted
+    n = df.count()
+    truth = _true_dropped(df)
+    idx = IvfIndex.build(
+        df.select(F.col("vec_id"), F.col("embedding")),
+        str(tmp_path / "sd_ivf"),
+        num_centroids=6,
+        distance_type="cosine",
+        tune_probing=False,
+    )
+    out = dedup.semdedup_ann(df, idx, threshold=THRESHOLD, k=n, nprobe=6).collect()
+    got_dropped = {r["vec_id"] for r in out if not r["keep"]}
+    assert got_dropped == truth
