@@ -56,6 +56,7 @@ from pgvectorscale_spark.functions.distance import (
     np_distance_pairwise,
     np_normalize,
 )
+from pgvectorscale_spark.operators.partitioning import proxy_partition_col
 from pgvectorscale_spark.operators.sbq import SbqQuantizer, train_quantizer
 from pgvectorscale_spark.operators.vamana import VamanaGraph
 from pgvectorscale_spark.types import (
@@ -1143,12 +1144,30 @@ class DiskannIndex:
         # explicit repartition: one task per shard. Without it AQE coalesces
         # the small shuffle into one partition and the shard builds run
         # sequentially in a single Python worker — a parallelism collapse
-        # (harmless-looking locally, catastrophic on a cluster).
+        # (harmless-looking locally, catastrophic on a cluster). Round 14:
+        # repartition on a collision-free PROXY of the shard id, not the id
+        # itself — hashing num_shards keys into num_shards partitions
+        # collides (max load 3 at n=8, 5 at n=512), so the "one task per
+        # shard" stage actually ran in max-load waves while most partitions
+        # sat empty (guide §2.5). The proxy guarantees the bijection; the
+        # per-partition groupby keeps correctness independent of placement.
         sc.setJobDescription("diskann build: building + finalizing graph")
+        node_cols = _node_cols()
+
+        def build_partition(batches):
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            part = pd.concat(pdfs, ignore_index=True).drop(columns=["_pid"])
+            for _, grp in part.groupby("shard", sort=True):
+                yield build_shard(grp.reset_index(drop=True))[node_cols]
+
         nodes = (
-            base.repartition(num_shards, "shard")
-            .groupBy("shard")
-            .applyInPandas(build_shard, schema=_NODE_SCHEMA)
+            base.withColumn(
+                "_pid", proxy_partition_col(F.col("shard"), range(num_shards))
+            )
+            .repartition(num_shards, "_pid")
+            .mapInPandas(build_partition, schema=_NODE_SCHEMA)
         )
         # snapshot-isolated rebuild: at a path with a readable prior index
         # the new base lands in a FRESH generation dir and the meta save is
@@ -2076,8 +2095,7 @@ class DiskannIndex:
         base_token = (self.meta.build_id, self.meta.mutation_id)
         shard_muts = dict(self.meta.shard_mutations)
 
-        def shard_probe(pdf: pd.DataFrame) -> pd.DataFrame:
-            shard = int(pdf["shard"].iloc[0])
+        def shard_probe(shard: int) -> pd.DataFrame:
             cache_token = (base_token[0], shard_muts.get(str(shard)) or base_token[1])
             qids_l, qmat_l, md, qstate, qlab, lim, sls, route_l = b.value
             my_queries = (
@@ -2106,14 +2124,30 @@ class DiskannIndex:
                 {"query_id": out_q, "node_id": out_n, "wdist": out_d}
             ).astype({"query_id": "int64", "node_id": "int64", "wdist": "float64"})
 
-        shards_df = self.spark.createDataFrame(
-            [(s,) for s in range(self.meta.num_shards)], "shard int"
+        # Stage-1 fan-out (round 14): one range partition per PROBED shard,
+        # mapInPandas — zero Exchange (the old repartition(n, "shard") +
+        # groupBy hashed n keys into n partitions, which collides: at n=8
+        # only 5 partitions fill and the worst holds 3 shards, so the probe
+        # stage ran 3 waves instead of 1 — guide §2.5). Routed queries also
+        # stop paying empty tasks for unprobed shards: the range enumerates
+        # exactly the shards that have queries.
+        shard_list = (
+            sorted(route.keys()) if route is not None else list(range(self.meta.num_shards))
         )
-        cand = (
-            shards_df.repartition(self.meta.num_shards, "shard")  # one task per shard
-            .groupBy("shard")
-            .applyInPandas(shard_probe, schema="query_id long, node_id long, wdist double")
-        )
+
+        def probe_partition(batches):
+            for pdf in batches:
+                for i in pdf["id"]:
+                    yield shard_probe(shard_list[int(i)])
+
+        if shard_list:
+            cand = self.spark.range(0, len(shard_list), 1, len(shard_list)).mapInPandas(
+                probe_partition, schema="query_id long, node_id long, wdist double"
+            )
+        else:  # no queries routed anywhere (empty query batch)
+            cand = self.spark.createDataFrame(
+                [], "query_id long, node_id long, wdist double"
+            )
         w = Window.partitionBy("query_id").orderBy(F.col("wdist").asc(), F.col("node_id").asc())
         return (
             cand.withColumn("rank", F.row_number().over(w))
@@ -2290,9 +2324,21 @@ class DiskannIndex:
             pps = max(1, -(-par // (2 * num_shards)))  # ceil(par/2/shards)
         else:
             pps = max(1, int(partitions_per_shard))
+        # fan-out exchange on a collision-free PROXY of (shard, salt):
+        # hashing num_shards*pps composite keys into as many partitions
+        # collides (guide §2.5 — max load 3-5), turning the probe stage
+        # into max-load waves; the proxy places each (shard, salt) group
+        # in its own partition (round 14). probe_fn groups by the real
+        # shard column, so results never depend on placement.
         routed = routed.withColumn(
             "_salt", F.pmod(F.hash("query_id"), F.lit(pps))
-        ).repartition(num_shards * pps, "shard", "_salt")
+        )
+        routed = routed.withColumn(
+            "_pid",
+            proxy_partition_col(
+                F.col("shard") * pps + F.col("_salt"), range(num_shards * pps)
+            ),
+        ).repartition(num_shards * pps, "_pid")
         b = sc.broadcast(
             (meta_d, self._quantizer_state(), qlabels, limit, search_list_size)
         )
@@ -2585,10 +2631,21 @@ class DiskannIndex:
             _cache_put((nodes_dir, shard, next_token), entry, _entry_nbytes(*entry))
             return out
 
+        # one task per TOUCHED shard, via a collision-free proxy of the
+        # shard id (round 14 — hashing len(shards) keys into as many
+        # partitions collides and serializes 2-3 shards through one task,
+        # guide §2.5). Grouping on the injective proxy is grouping on the
+        # shard; insert_shard still reads the real shard from its rows.
+        def insert_shard_by_pid(pdf: pd.DataFrame) -> pd.DataFrame:
+            return insert_shard(pdf.drop(columns=["_pid"]))[_node_cols()]
+
         updated = (
-            new.repartition(max(len(shards), 1), "shard")  # one task per shard
-            .groupBy("shard")
-            .applyInPandas(insert_shard, schema=_NODE_SCHEMA)
+            new.withColumn(
+                "_pid", proxy_partition_col(F.col("shard"), sorted(shards) or [0])
+            )
+            .repartition(max(len(shards), 1), "_pid")
+            .groupBy("_pid")
+            .applyInPandas(insert_shard_by_pid, schema=_NODE_SCHEMA)
         )
         # delta sink: the micro-batch persists ONLY its changed rows (batch +
         # back-edge-touched neighbors) as a new delta generation — bytes

@@ -113,9 +113,26 @@ class IvfIndex:
             cents_rel = (
                 "centroids" if dest_rel == "nodes" else f"centroids_gens/{uuid.uuid4().hex[:12]}"
             )
-            # one task per cell; each cell becomes one parquet partition
+            # one task per cell; each cell becomes one parquet partition.
+            # Round 14: repartition on a collision-free PROXY of the cell id
+            # — hashing num_centroids keys into num_centroids partitions
+            # collides (guide §2.5), so the write stage ran in max-load
+            # waves (3 cells through one task at n=8) with most partitions
+            # empty. The proxy is dropped before the write; file layout
+            # (partitionBy) is unchanged.
+            from pgvectorscale_spark.operators.partitioning import (
+                proxy_partition_col,
+            )
+
+            cent_ids = sorted(
+                int(r["centroid_id"]) for r in cents.select("centroid_id").collect()
+            )
             (
-                nodes.repartition(num_centroids, "centroid_id")
+                nodes.withColumn(
+                    "_pid", proxy_partition_col(F.col("centroid_id"), cent_ids)
+                )
+                .repartition(max(len(cent_ids), 1), "_pid")
+                .drop("_pid")
                 .write.mode("overwrite")
                 .partitionBy("centroid_id")
                 .parquet(os.path.join(path, dest_rel))

@@ -55,6 +55,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pgvectorscale_spark.operators.partitioning import proxy_partition_col
+
 __all__ = [
     "DEFAULT_BUCKETS",
     "ROUTING_FOLD_GENS",
@@ -116,7 +118,12 @@ def write_base(
     (
         _pairs(pairs_df, part_col)
         .withColumn(RB, _bucket_col("node_id", b))
-        .repartition(b, RB)
+        # collision-free proxy of rb (round 14): repartition(b, RB) hashes
+        # b keys into b partitions, which collides (guide §2.5) and runs
+        # the corpus-sized sidecar write in max-load waves
+        .withColumn("_pid", proxy_partition_col(F.col(RB), range(b)))
+        .repartition(b, "_pid")
+        .drop("_pid")
         .write.mode("overwrite")
         .partitionBy(RB)
         .parquet(os.path.join(index_path, rel))
@@ -215,7 +222,10 @@ def maybe_compact(spark: SparkSession, index_path: str, meta) -> None:
     new_rel = f"{ROUTING_PARENT}/{uuid.uuid4().hex[:12]}"
     (
         u.distinct()
-        .repartition(b, RB)
+        # same collision-free proxy as write_base (round 14, guide §2.5)
+        .withColumn("_pid", proxy_partition_col(F.col(RB), range(b)))
+        .repartition(b, "_pid")
+        .drop("_pid")
         .write.mode("overwrite")
         .partitionBy(RB)
         .parquet(os.path.join(index_path, new_rel))

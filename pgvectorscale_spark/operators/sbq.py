@@ -163,6 +163,37 @@ def hamming_distance_col(df: DataFrame, qcode: np.ndarray, code_col: str = "bq_c
     return ham(F.col(code_col))
 
 
+def hamming_from_vector_col(
+    df: DataFrame,
+    quantizer: SbqQuantizer,
+    qcode: np.ndarray,
+    vector_col: str = "embedding",
+    normalize: bool = False,
+):
+    """Quantize + Hamming in ONE pandas UDF (round 14): the un-encoded
+    search path used to chain ``encode_dataframe`` into
+    ``hamming_distance_col`` — two ArrowEvalPython stages, with the packed
+    code column crossing the JVM↔Python boundary twice for values consumed
+    only by the very next expression (guide §4.1: control what crosses).
+    Same math as the two-step form (quantize_matrix → np_hamming), so the
+    distances — and everything ranked on them — are bit-identical."""
+    b_q = df.sparkSession.sparkContext.broadcast(
+        (quantizer.means, quantizer.variances, quantizer.bits, qcode.astype(np.uint64))
+    )
+
+    @pandas_udf("long")
+    def ham_vec(s: pd.Series) -> pd.Series:
+        means, variances, bits, q = b_q.value
+        local = SbqQuantizer(means, variances, bits)
+        mat = np.stack(s.to_numpy())
+        if normalize:
+            mat = np_normalize(mat)
+        codes = local.quantize_matrix(mat).view(np.uint64)
+        return pd.Series(np_hamming(codes, q))
+
+    return ham_vec(F.col(vector_col))
+
+
 def search_sbq(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -192,14 +223,21 @@ def search_sbq(
         src = src.filter(label_overlap_filter(src, label_col, labels))
     if quantizer is None:
         quantizer = train_quantizer(df, vector_col, normalize=normalize)
-    if code_col not in src.columns:
-        src = encode_dataframe(src, quantizer, vector_col, code_col, normalize=normalize)
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np_normalize(q.reshape(1, -1))[0] if normalize else q
     qcode = quantizer.quantize(qn)
 
-    scored = src.withColumn("hamming", hamming_distance_col(src, qcode, code_col))
+    if code_col not in src.columns:
+        # un-encoded corpus: fuse quantize+Hamming into one Python stage
+        # (round 14) instead of encode_dataframe → hamming_distance_col —
+        # same math, half the JVM↔Python crossings
+        scored = src.withColumn(
+            "hamming",
+            hamming_from_vector_col(src, quantizer, qcode, vector_col, normalize),
+        )
+    else:
+        scored = src.withColumn("hamming", hamming_distance_col(src, qcode, code_col))
     # Candidate pool: the reference's graph walk visits >= search_list_size
     # nodes before the 50-candidate rescore heap fills (guc.rs:3-4). The scan
     # analog pools max(k, rescore, search_list_size) by Hamming order, then

@@ -143,7 +143,9 @@ def test_ann_join_plan_two_exchanges_no_corpus_scan(spark, kmeans_idx):
         .executedPlan()
         .toString()
     )
-    assert "hashpartitioning(shard" in plan
+    # round 14: the fan-out exchange keys on the collision-free proxy of
+    # (shard, salt) — _pid — so every (shard, salt) group gets its own task
+    assert "hashpartitioning(_pid" in plan
     assert "hashpartitioning(query_id" in plan
     assert "FileScan" not in plan and "Scan parquet" not in plan
     # exactly the two exchanges — any third would be a corpus-shaped shuffle

@@ -152,7 +152,10 @@ def test_diskann_serve_io_is_codes_and_adjacency_only(spark, tmpdir):
     )
     qdf = spark.createDataFrame([(0, [0.1] * 8)], "query_id long, query_vec array<float>")
     p = plan(idx.search_batch(qdf, k=5))
-    assert "FlatMapGroupsInPandas" in p  # shard probe
+    assert "MapInPandas" in p  # shard probe (range-partitioned, round 14)
+    # round 14: the probe fan-out is one range partition per shard with NO
+    # exchange at all — the only exchange left is the query_id window's
+    assert p.count("Exchange") == 1
     # no corpus-sized scan or join anywhere in the serving plan
     assert "Scan parquet" not in p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p

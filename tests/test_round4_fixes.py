@@ -434,10 +434,10 @@ def test_cost_routing_never_bypasses_index_with_tombstones(spark, tmpdir):
     q = ", ".join(str(float(x)) for x in mat[0])
     sql = f"SELECT id FROM tomb_t ORDER BY embedding <-> [{q}] LIMIT 3"
     # 60 < 128: exact-scan fallback while consistent
-    assert "FlatMapGroupsInPandas" not in vs.sql(sql)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in vs.sql(sql)._jdf.queryExecution().executedPlan().toString()
     idx.delete([0])  # nearest row tombstoned in the INDEX only
     res = vs.sql(sql)
-    assert "FlatMapGroupsInPandas" in res._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in res._jdf.queryExecution().executedPlan().toString()
     assert 0 not in [r["id"] for r in res.collect()]
 
 
@@ -584,7 +584,7 @@ def test_sql_skips_index_for_tiny_or_full_k(spark, tmpdir):
             f"SELECT id FROM cost_t_{n}_{k} ORDER BY embedding <-> [{q}] LIMIT {k}"
         )
         plan = res._jdf.queryExecution().executedPlan().toString()
-        routed = "FlatMapGroupsInPandas" in plan
+        routed = "MapInPandas" in plan
         assert routed == expect_index, f"n={n} k={k}: routed={routed}, plan head: {plan[:200]}"
         assert res.first()["id"] == 0  # nearest is the query's own row
 
@@ -602,7 +602,7 @@ def test_sql_skips_index_for_tiny_or_full_k(spark, tmpdir):
     vs.register_index("cost_small", "embedding", idx, id_col="id", min_index_rows=1)
     q = ", ".join(str(float(x)) for x in mat[0])
     res = vs.sql(f"SELECT id FROM cost_small ORDER BY embedding <-> [{q}] LIMIT 5")
-    assert "FlatMapGroupsInPandas" in res._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in res._jdf.queryExecution().executedPlan().toString()
 
 
 # -- 9. two-process writer race ------------------------------------------------

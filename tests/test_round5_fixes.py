@@ -49,7 +49,7 @@ def test_sql_never_bypasses_mutated_index(spark, tmpdir):
     qs = ", ".join(str(float(x)) for x in q)
     res = vs.sql(f"SELECT id FROM mut_t ORDER BY embedding <-> [{qs}] LIMIT 3")
     plan = res._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan, "mutated index must stay index-routed"
+    assert "MapInPandas" in plan, "mutated index must stay index-routed"
     # NOTE: the frontend joins candidates back to the registered table for
     # projection, so the inserted-but-unregistered id can't appear in the
     # OUTPUT — the guard's job is that the index (which knows all rows)

@@ -63,7 +63,7 @@ def test_index_route_matches_exact(ctx):
     assert got == _true_topk_l2(mat, q, 5)
     # the plan went through the index probe, not a brute-force scan
     p = res._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in p
+    assert "MapInPandas" in p  # the round-14 probe stage (was FlatMapGroupsInPandas)
 
 
 def test_fallback_without_index_matches_exact(spark, ctx):
@@ -78,7 +78,7 @@ def test_fallback_without_index_matches_exact(spark, ctx):
     assert got == _true_topk_l2(mat, q, 5)
     # fallback is pure spark.sql: JVM expressions, no Python stage
     p = res._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" not in p
+    assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
