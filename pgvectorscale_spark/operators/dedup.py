@@ -211,16 +211,36 @@ def minhash_candidate_pairs(
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     buckets = lsh_band_buckets(sig, id_col, bands, rows_per_band)
     if max_bucket_size is None:
-        a = buckets.select(
-            F.col(id_col).alias("doc_a"), "band_id", "band_hash"
-        )
-        b = buckets.select(
-            F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+        # single-pass pair generation (round 14): the old bucket×bucket
+        # self-join re-evaluated the whole signature subtree (shingling +
+        # num_hashes md5 folds per doc — the dominant per-row cost) on BOTH
+        # join sides, plus a second widen exchange and a broadcast of the
+        # full bucket table. One groupBy collects each bucket's member
+        # list once; in-bucket pairs come from a JVM array expression.
+        # The pair SET is identical: members are distinct ids (one row per
+        # doc per band), sorted ascending, paired i<j — exactly the
+        # doc_a < doc_b filter of the join form. A bucket's pair array is
+        # c²/2 entries in one row — the same quadratic concentration the
+        # direct join put in one reducer; mega-bucket corpora use
+        # ``max_bucket_size`` (the salted triangle) as before.
+        members = (
+            buckets.groupBy("band_id", "band_hash")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_m"))
+            .filter(F.size("_m") > 1)
         )
         return (
-            a.join(b, ["band_id", "band_hash"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
+            members.select(
+                F.explode(
+                    F.flatten(
+                        F.expr(
+                            "transform(_m, (x, i) -> transform("
+                            "slice(_m, i + 2, size(_m)), "
+                            "y -> struct(x AS doc_a, y AS doc_b)))"
+                        )
+                    )
+                ).alias("_p")
+            )
+            .select("_p.doc_a", "_p.doc_b")
             .distinct()
         )
     t = int(max_bucket_size)
@@ -291,13 +311,22 @@ def minhash_star_edges(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     buckets = lsh_band_buckets(sig, id_col, bands, rows_per_band)
-    bucket_min = buckets.groupBy("band_id", "band_hash").agg(
-        F.min(id_col).alias("doc_a")
-    )
+    # single-pass star generation (round 14): the old buckets ⋈ bucket_min
+    # join re-evaluated the signature subtree (the md5-heavy fold) on both
+    # sides — bucket_min is an aggregate OVER the same buckets frame, and a
+    # DataFrame self-join recomputes, not reuses, the shared subtree. One
+    # groupBy collects each bucket's sorted member list; the star edges are
+    # min-vs-rest from the array — identical edge set (doc_a = the bucket
+    # min, doc_b = every other member), and the member list is linear in
+    # bucket size, so mega-buckets stay safe.
     return (
-        buckets.join(bucket_min, ["band_id", "band_hash"])
-        .filter(F.col(id_col) > F.col("doc_a"))
-        .select("doc_a", F.col(id_col).alias("doc_b"))
+        buckets.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_m"))
+        .filter(F.size("_m") > 1)
+        .select(
+            F.col("_m")[0].alias("doc_a"),
+            F.explode(F.slice("_m", 2, F.size("_m"))).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -451,16 +480,30 @@ def simhash_pairs(
     buckets = s.select(
         F.col(id_col), F.col("simhash"), F.posexplode(band_vals).alias("band_id", "band_val")
     )
-    a = buckets.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"), "band_id", "band_val"
-    )
-    b = buckets.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"), "band_id", "band_val"
-    )
+    # single-pass banding (round 14): the old a ⋈ b self-join recomputed
+    # the fingerprint fold on both sides; one groupBy collects each
+    # bucket's (id, simhash) members and the pairs come from the sorted
+    # array — same (doc_a < doc_b) pair set, same exact Hamming prune.
     return (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "_sa", "_sb")
+        buckets.groupBy("band_id", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
+            ).alias("_m")
+        )
+        .filter(F.size("_m") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(_m, (x, i) -> transform("
+                        "slice(_m, i + 2, size(_m)), "
+                        "y -> struct(x.i AS doc_a, y.i AS doc_b, x.s AS _sa, y.s AS _sb)))"
+                    )
+                )
+            ).alias("_p")
+        )
+        .select("_p.doc_a", "_p.doc_b", "_p._sa", "_p._sb")
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
         .filter(F.col("hamming") <= max_hamming)

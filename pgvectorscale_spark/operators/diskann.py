@@ -1026,33 +1026,38 @@ class DiskannIndex:
         if shard_assignment == "kmeans":
             # Voronoi sharding: train num_shards centroids (declarative
             # Lloyd over the corpus), then reassign each row to its nearest
-            # centroid's shard via broadcast + min_by agg — one shuffle of
-            # n rows, exactly like the hash path's repartition.
-            from pgvectorscale_spark.operators.similarity import kmeans_centroids
+            # centroid's shard. Round 14: the reassignment is the map-only
+            # numpy kernel (similarity._assign_nearest) instead of a
+            # broadcast-crossJoin + min_by — min_by on a struct key is not
+            # hash-aggregable, so the old shape SortAggregated an
+            # n × num_shards intermediate carrying the vectors (at the 64×
+            # bench point: a sort of 65M wide rows). The kernel replays the
+            # SQL fold's float64 sequence exactly, so shard membership is
+            # unchanged; shard NUMBERS now follow centroid_id order (they
+            # are internal labels — every output is keyed by node_id).
+            from pgvectorscale_spark.operators.similarity import (
+                _assign_nearest,
+                _rows_to_centroids,
+                kmeans_centroids,
+            )
 
             sc.setJobDescription("diskann build: training shard centroids")
             cents = kmeans_centroids(
                 base.select("node_id", "vector"), num_centroids=num_shards,
                 iterations=2, vector_col="vector", id_col="node_id",
             ).collect()
-            cdf = spark.createDataFrame(
-                [(i, [float(x) for x in r["centroid"]]) for i, r in enumerate(cents)],
-                "shard int, _cv array<double>",
-            )
+            _, cmat = _rows_to_centroids(cents)
+            shard_ids = np.arange(len(cents), dtype=np.int64)
             other = [c for c in base.columns if c not in ("node_id", "shard")]
             base = (
-                base.drop("shard")
-                .crossJoin(F.broadcast(cdf))
-                .withColumn("_cd", distance_expr(F.col("vector"), F.col("_cv"), distance_type))
-                .groupBy("node_id")
-                .agg(
-                    F.min_by("shard", F.struct("_cd", "shard")).alias("shard"),
-                    *[F.first(c).alias(c) for c in other],
+                _assign_nearest(
+                    base.drop("shard"), shard_ids, cmat, distance_type, "vector"
                 )
+                .withColumn("shard", F.col("centroid_id").cast("int"))
                 .select("node_id", "shard", *other)
             )
             # the assignment feeds three jobs (skew counts, quantizer
-            # training, the build itself) — compute the crossJoin+min_by once
+            # training, the build itself) — compute the mapped assignment once
             base = base.persist()
             # Skew cap: Voronoi cells follow the data distribution, and one
             # oversized cell breaks the per-shard O(n²) build bound (and

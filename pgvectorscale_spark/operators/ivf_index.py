@@ -30,7 +30,7 @@ from pgvectorscale_spark.operators.index_util import (
     prepare_rebuild,
     writer_lock,
 )
-from pgvectorscale_spark.operators.similarity import ivf_assign, kmeans_centroids
+from pgvectorscale_spark.operators.similarity import kmeans_centroids
 from pgvectorscale_spark.types import DistanceType, IndexMeta
 
 __all__ = ["IvfIndex"]
@@ -86,14 +86,25 @@ class IvfIndex:
                 )
             )
         cents = cents.cache()
-        assign = ivf_assign(
-            src, num_centroids, distance_type, vector_col, id_col, centroids_df=cents
-        )
         node_sel = [F.col(id_col).alias("node_id"), F.col(vector_col).alias("vector")]
         if label_col is not None:
             node_sel.append(F.col(label_col).cast("array<smallint>").alias("labels"))
-        nodes = src.select(*node_sel).join(
-            assign.select(F.col(id_col).alias("node_id"), "centroid_id"), "node_id"
+        # round 14: the nearest-centroid assignment is the map-only numpy
+        # kernel (similarity._assign_nearest — bit-exact twin of the old
+        # crossJoin+min_by SQL fold) with the vector/labels passed through,
+        # so the nodes frame needs NO corpus self-join to re-attach them
+        # (the old shape joined the corpus with its own assignment: a
+        # corpus-sized shuffle per build)
+        from pgvectorscale_spark.operators.similarity import (
+            _assign_nearest,
+            _rows_to_centroids,
+        )
+
+        c_ids, c_mat = _rows_to_centroids(
+            cents.select("centroid_id", "centroid").collect()
+        )
+        nodes = _assign_nearest(
+            src.select(*node_sel), c_ids, c_mat, distance_type, "vector"
         )
         # snapshot-isolated (re)build under the writer lock (a concurrent
         # fold's uncommitted gen dir must not be swept as an orphan, and
@@ -124,9 +135,7 @@ class IvfIndex:
                 proxy_partition_col,
             )
 
-            cent_ids = sorted(
-                int(r["centroid_id"]) for r in cents.select("centroid_id").collect()
-            )
+            cent_ids = [int(x) for x in c_ids]  # already collected above
             (
                 nodes.withColumn(
                     "_pid", proxy_partition_col(F.col("centroid_id"), cent_ids)

@@ -16,12 +16,154 @@ from __future__ import annotations
 from collections import OrderedDict
 from typing import Sequence
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pgvectorscale_spark.functions.distance import distance_expr
 
 __all__ = ["ivf_assign", "ivf_search", "kmeans_centroids"]
+
+
+# ---------------------------------------------------------------------------
+# Map-only nearest-centroid assignment (round 14, guide §2.4/§4.2).
+#
+# The assignment used to be `corpus crossJoin broadcast(centroids)` followed
+# by `groupBy(id).agg(min_by(...))` — and min_by over a struct ordering key is
+# not hash-aggregable, so Catalyst planned a SortAggregate: the n × centroids
+# intermediate (WITH the vector column riding along for `first(vector)`) was
+# sorted map-side, partially aggregated, and exchanged. At the 64× bench
+# point (128k rows × 512 shards) that is a sort of 65M wide rows for an
+# answer that is a pure per-row function of the broadcast centroid table.
+#
+# The rewrite is a single mapInPandas stage: the centroid matrix rides a
+# broadcast, each Arrow batch computes its (rows × centroids) distance matrix
+# in numpy and takes the argmin. ZERO shuffle, zero sort, and the per-pair
+# float64 sequence is IDENTICAL to the SQL expressions it replaces — the
+# distance matrix is accumulated dimension-by-dimension (`acc += term_d`),
+# which is exactly Catalyst's sequential `aggregate(zip_with(...))` left fold
+# (same cast-to-double per element, same 0.0 init, same add order), and the
+# argmin scans centroids in ascending centroid_id order with strict `<`,
+# which is exactly `min_by(cid, struct(dist, cid))`'s tie-break. Pinned by
+# tests/test_round14_perf.py::test_assign_map_matches_sql_fold (exact float
+# equality against the SQL fold on random data, all three distance types).
+# ---------------------------------------------------------------------------
+
+
+def _np_seq_fold_normalize(m: np.ndarray) -> np.ndarray:
+    """Twin of functions.distance.l2_normalize: norm = sqrt(sequential fold
+    of x*x); zero-norm rows pass through unchanged."""
+    acc = np.zeros(m.shape[0])
+    for d in range(m.shape[1]):
+        x = m[:, d]
+        acc += x * x
+    norm = np.sqrt(acc)
+    safe = np.where(norm == 0.0, 1.0, norm)
+    out = m / safe[:, None]
+    z = norm == 0.0
+    if z.any():
+        out[z] = m[z]
+    return out
+
+
+def _np_fold_distance_matrix(
+    mat: np.ndarray, cmat: np.ndarray, distance_type: str
+) -> np.ndarray:
+    """(rows × centroids) float64 distances, flop-for-flop identical to
+    distance_expr's sequential fold (see the block comment above)."""
+    n, dims = mat.shape
+    c = cmat.shape[0]
+    if distance_type == "l2":
+        acc = np.zeros((n, c))
+        for d in range(dims):
+            t = mat[:, d, None] - cmat[None, :, d]
+            acc += t * t
+        return acc
+    if distance_type in ("cosine", "inner_product"):
+        a, b = mat, cmat
+        if distance_type == "cosine":
+            a = _np_seq_fold_normalize(mat)
+            b = _np_seq_fold_normalize(cmat)
+        acc = np.zeros((n, c))
+        for d in range(dims):
+            acc += a[:, d, None] * b[None, :, d]
+        if distance_type == "inner_product":
+            return -acc
+        return np.maximum(0.0, 1.0 - acc)
+    raise ValueError(f"unknown distance type: {distance_type}")
+
+
+def _rows_to_centroids(rows) -> tuple[np.ndarray, np.ndarray]:
+    """Collected (centroid_id, vector) rows → (cids asc, matrix float64)."""
+    rows = sorted(rows, key=lambda r: int(r[0]))
+    cids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    if not len(rows):
+        return cids, np.zeros((0, 0))
+    cmat = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    return cids, cmat
+
+
+def _assign_nearest(
+    df: DataFrame,
+    cids: np.ndarray,
+    cmat: np.ndarray,
+    distance_type: str,
+    vector_col: str,
+    dist_col: str | None = None,
+) -> DataFrame:
+    """df + `centroid_id` (long; nearest centroid, ties → lowest id) and
+    optionally `dist_col` (unrounded double) — one map stage, no shuffle.
+
+    Matches the old crossJoin+min_by semantics exactly: an empty centroid
+    set yields an EMPTY frame (the crossJoin had nothing to pair); a NULL
+    vector row keeps the lowest centroid_id with a NULL distance (every
+    pair's distance was NULL, so the struct ordering fell through to the
+    centroid_id tie-break)."""
+    spark = df.sparkSession
+    fields = list(df.schema.fields) + [T.StructField("centroid_id", T.LongType())]
+    if dist_col is not None:
+        fields.append(T.StructField(dist_col, T.DoubleType()))
+    out_schema = T.StructType(fields)
+    if not len(cids):
+        return spark.createDataFrame([], out_schema)
+    b = spark.sparkContext.broadcast((cids, cmat))
+    vcol = vector_col
+
+    def assign_batches(batches):
+        cids_l, cmat_l = b.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vec = pdf[vcol]
+            mask = vec.notna().to_numpy()
+            cid_out = np.full(n, int(cids_l[0]), dtype=np.int64)
+            dist_out = np.full(n, np.nan)
+            if mask.any():
+                mat = np.stack(vec[mask].to_numpy()).astype(np.float64)
+                m = mat.shape[0]
+                sel = np.empty(m, dtype=np.int64)
+                dmin = np.empty(m)
+                # chunk rows so the (rows × centroids) temporaries stay
+                # cache-sized regardless of Arrow batch size
+                for s in range(0, m, 2048):
+                    dm = _np_fold_distance_matrix(
+                        mat[s : s + 2048], cmat_l, distance_type
+                    )
+                    # NaN sorts greater than every double in Spark orderings
+                    j = np.argmin(np.where(np.isnan(dm), np.inf, dm), axis=1)
+                    sel[s : s + len(j)] = cids_l[j]
+                    dmin[s : s + len(j)] = dm[np.arange(len(j)), j]
+                cid_out[mask] = sel
+                dist_out[mask] = dmin
+            res = pdf.copy()
+            res["centroid_id"] = cid_out
+            if dist_col is not None:
+                res[dist_col] = dist_out  # NaN → NULL through Arrow
+            yield res
+
+    return df.mapInPandas(assign_batches, schema=out_schema)
 
 
 # Per-session memo of corpus→centroid assignments, keyed by the LOGICAL PLAN
@@ -120,14 +262,15 @@ def _probe_frames_cached(
             .select(F.col(id_col).alias("centroid_id"), F.col(vector_col).alias("_cv"))
         )
     centroids = centroids.persist()
-    assign = ivf_assign(
-        df, num_centroids, distance_type, vector_col, id_col, centroids_df
-    )
-    wide = (
-        assign.select(id_col, "centroid_id")
-        .join(df.select(id_col, vector_col), id_col)
-        .persist()
-    )
+    # round 14: the assignment passes the vector through the map stage
+    # (_assign_nearest), so `wide` needs no join back to the corpus — the
+    # memo fill is one scan + one map, and the assignment itself is the
+    # same bit-exact kernel ivf_assign uses
+    cids, cmat = _rows_to_centroids(centroids.collect())
+    wide = _assign_nearest(
+        df.select(F.col(id_col), F.col(vector_col)),
+        cids, cmat, distance_type, vector_col,
+    ).persist()
     entry = (centroids, wide)
     _ASSIGN_CACHE[key] = entry
     while len(_ASSIGN_CACHE) > _ASSIGN_CACHE_CAP:
@@ -149,33 +292,37 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Declarative Lloyd iterations: the quality upgrade over lowest-id seeds.
 
-    Each round = one broadcast-join assignment + one map-side-combined
-    aggregate (posexplode -> avg per (cluster, dim)); centroids stay tiny and
-    broadcast, the corpus is scanned ``iterations`` times and never shuffled
-    whole (the shuffle carries num_centroids x dims partial sums per task).
-    Seeds are the lowest-id vectors, so the whole training is deterministic.
+    Each round = one map-only assignment (``_assign_nearest`` against the
+    collected centroid matrix — round 14; the old broadcast-crossJoin +
+    min_by SortAggregated an n × centroids intermediate per round) + one
+    map-side-combined aggregate (posexplode -> avg per (cluster, dim));
+    centroids stay tiny and driver-resident, the corpus is scanned
+    ``iterations`` times and never shuffled whole (the shuffle carries
+    num_centroids x dims partial sums per task). Seeds are the lowest-id
+    vectors, so the whole training is deterministic. Iterations run
+    EAGERLY (one job per round) instead of unrolling into one lazy plan,
+    so repeated actions on the result no longer re-train.
 
-    Returns (centroid_id, centroid array<double>).
+    Returns (centroid_id, centroid array<double>) — centroid_id ascending.
     """
-    centroids = (
-        df.orderBy(F.col(id_col).asc())
-        .limit(num_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vector_col).cast("array<double>").alias("_cv"))
-    )
+    spark = df.sparkSession
     src = df.select(F.col(id_col), F.col(vector_col)).persist()
     try:
+        crows = (
+            src.orderBy(F.col(id_col).asc())
+            .limit(num_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vector_col).cast("array<double>").alias("_cv"),
+            )
+            .collect()
+        )
+        cids, cmat = _rows_to_centroids(crows)
         for _ in range(iterations):
-            scored = src.crossJoin(F.broadcast(centroids)).withColumn(
-                "_d", distance_expr(F.col(vector_col), F.col("_cv"), "l2")
-            )
-            # min_by aggregation, not row_number-over-window: a window sorts
-            # n x centroids rows; the hash agg reduces map-side to one row
-            # per id (tie-break (distance, centroid_id) via struct ordering)
-            assigned = scored.groupBy(id_col).agg(
-                F.min_by("centroid_id", F.struct("_d", "centroid_id")).alias("centroid_id"),
-                F.first(vector_col).alias(vector_col),  # constant within the group
-            )
-            centroids = (
+            if not len(cids):
+                break
+            assigned = _assign_nearest(src, cids, cmat, "l2", vector_col)
+            crows = (
                 assigned.select("centroid_id", F.posexplode(vector_col).alias("dim", "v"))
                 .groupBy("centroid_id", "dim")
                 .agg(F.avg("v").alias("m"))
@@ -185,8 +332,13 @@ def kmeans_centroids(
                     "centroid_id",
                     F.expr("transform(_s, x -> x.m)").alias("_cv"),
                 )
+                .collect()
             )
-        return centroids.select("centroid_id", F.col("_cv").alias("centroid"))
+            cids, cmat = _rows_to_centroids(crows)
+        return spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in zip(cids, cmat)],
+            "centroid_id long, centroid array<double>",
+        )
     finally:
         src.unpersist()
 
@@ -205,25 +357,29 @@ def ivf_assign(
     the `num_centroids` lowest ids (deterministic, oracle-replayable); pass
     ``centroids_df`` (centroid_id, centroid) from kmeans_centroids for the
     quality path.
+
+    Round 14: one map stage (``_assign_nearest``) instead of
+    crossJoin+min_by — the old shape SortAggregated an n × centroids
+    intermediate for a per-row answer (min_by on a struct key is not
+    hash-aggregable). The numpy kernel replays the SQL fold's float64
+    sequence exactly, so assignments and distances are unchanged.
     """
     if centroids_df is not None:
-        centroids = centroids_df.select("centroid_id", F.col("centroid").alias("_cv"))
+        crows = centroids_df.select("centroid_id", "centroid").collect()
     else:
-        centroids = (
+        crows = (
             df.orderBy(F.col(id_col).asc())
             .limit(num_centroids)
             .select(F.col(id_col).alias("centroid_id"), F.col(vector_col).alias("_cv"))
+            .collect()
         )
-    scored = df.select(F.col(id_col), F.col(vector_col)).crossJoin(F.broadcast(centroids))
-    scored = scored.withColumn(
-        "assign_dist", distance_expr(F.col(vector_col), F.col("_cv"), distance_type)
+    cids, cmat = _rows_to_centroids(crows)
+    assigned = _assign_nearest(
+        df.select(F.col(id_col), F.col(vector_col)),
+        cids, cmat, distance_type, vector_col, dist_col="_ad",
     )
-    # min_by aggregation (map-side partial) instead of row_number-over-window:
-    # the window would sort-shuffle n x centroids rows for a 1-row-per-id
-    # answer; the hash agg collapses to n rows before the exchange
-    return scored.groupBy(id_col).agg(
-        F.min_by("centroid_id", F.struct("assign_dist", "centroid_id")).alias("centroid_id"),
-        F.round(F.min("assign_dist"), 6).alias("assign_dist"),
+    return assigned.select(
+        F.col(id_col), "centroid_id", F.round(F.col("_ad"), 6).alias("assign_dist")
     )
 
 

@@ -110,3 +110,210 @@ def test_ivf_search_memoized_plan_reads_no_parquet(spark, tmp_path):
         executed.append(line)
     executed = "\n".join(executed)
     assert "FileScan" not in executed and "Scan parquet" not in executed, executed
+
+
+@pytest.mark.parametrize("distance_type", ["l2", "cosine", "inner_product"])
+def test_assign_map_matches_sql_fold(spark, distance_type):
+    """The numpy assignment kernel must reproduce the SQL fold's float64
+    sequence EXACTLY — distances bit-equal, argmin + tie-break identical to
+    min_by(cid, struct(dist, cid)) over the crossJoin."""
+    from pgvectorscale_spark.functions.distance import distance_expr
+    from pgvectorscale_spark.operators.similarity import (
+        _assign_nearest,
+        _rows_to_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    mat = rng.random((120, 24)).astype(np.float32)
+    mat[7] = 0.0  # zero vector: cosine normalization passthrough branch
+    mat[13] = mat[12]  # duplicate rows -> exact distance ties across rows
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(120)], "vec_id long, embedding array<float>"
+    )
+    cents_rows = [(int(100 + j), mat[j * 7].astype(np.float64).tolist()) for j in range(9)]
+    cents_rows.append((200, mat[3].astype(np.float64).tolist()))
+    cents_rows.append((201, mat[3].astype(np.float64).tolist()))  # duplicate centroid: cid tie-break
+    cents = spark.createDataFrame(cents_rows, "centroid_id long, _cv array<double>")
+
+    # reference: the old crossJoin + min_by(struct) shape, verbatim
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "_d", distance_expr(F.col("embedding"), F.col("_cv"), distance_type)
+    )
+    want = {
+        r["vec_id"]: (r["centroid_id"], r["_d"])
+        for r in scored.groupBy("vec_id")
+        .agg(
+            F.min_by("centroid_id", F.struct("_d", "centroid_id")).alias("centroid_id"),
+            F.min("_d").alias("_d"),
+        )
+        .collect()
+    }
+    cids, cmat = _rows_to_centroids([(r["centroid_id"], r["_cv"]) for r in cents.collect()])
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["_ad"])
+        for r in _assign_nearest(
+            df, cids, cmat, distance_type, "embedding", dist_col="_ad"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for vid in want:
+        assert got[vid][0] == want[vid][0], (vid, got[vid], want[vid])
+        # EXACT float64 equality — same op sequence, not just close
+        assert got[vid][1] == want[vid][1], (vid, got[vid], want[vid])
+
+
+def test_assign_map_null_vector_and_empty_centroids(spark):
+    from pgvectorscale_spark.operators.similarity import _assign_nearest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    cids = np.array([5, 9], dtype=np.int64)
+    cmat = np.array([[0.4, 0.6], [1.0, 2.0]], dtype=np.float64)
+    rows = {
+        r["vec_id"]: (r["centroid_id"], r["_ad"])
+        for r in _assign_nearest(df, cids, cmat, "l2", "embedding", dist_col="_ad").collect()
+    }
+    assert rows[1] == (5, None)  # null vector: lowest cid, NULL distance
+    assert rows[0][0] == 9 and rows[2][0] == 5
+    # empty centroid set: empty result (the crossJoin had nothing to pair)
+    empty = _assign_nearest(
+        df, np.array([], dtype=np.int64), np.zeros((0, 0)), "l2", "embedding"
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["vec_id", "embedding", "centroid_id"]
+
+
+def test_kmeans_eager_matches_legacy_chain(spark):
+    """kmeans_centroids (eager, map-assigned) vs the legacy lazy unrolled
+    crossJoin/min_by/avg chain — same centroid ids and values to 1e-9
+    (the avg partial-sum order may differ at the last ulp; membership and
+    seeding are exact)."""
+    from pgvectorscale_spark.functions.distance import distance_expr
+    from pgvectorscale_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(17)
+    mat = rng.random((90, 12)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(90)], "vec_id long, embedding array<float>"
+    )
+
+    def legacy(df, num_centroids, iterations):
+        centroids = (
+            df.orderBy(F.col("vec_id").asc())
+            .limit(num_centroids)
+            .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").cast("array<double>").alias("_cv"))
+        )
+        for _ in range(iterations):
+            scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+                "_d", distance_expr(F.col("embedding"), F.col("_cv"), "l2")
+            )
+            assigned = scored.groupBy("vec_id").agg(
+                F.min_by("centroid_id", F.struct("_d", "centroid_id")).alias("centroid_id"),
+                F.first("embedding").alias("embedding"),
+            )
+            centroids = (
+                assigned.select("centroid_id", F.posexplode("embedding").alias("dim", "v"))
+                .groupBy("centroid_id", "dim")
+                .agg(F.avg("v").alias("m"))
+                .groupBy("centroid_id")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_s"))
+                .select("centroid_id", F.expr("transform(_s, x -> x.m)").alias("_cv"))
+            )
+        return {r["centroid_id"]: np.array(r["_cv"]) for r in centroids.collect()}
+
+    want = legacy(df, 6, 3)
+    got = {
+        r["centroid_id"]: np.array(r["centroid"])
+        for r in kmeans_centroids(df, num_centroids=6, iterations=3).collect()
+    }
+    assert set(got) == set(want)
+    for cid in want:
+        np.testing.assert_allclose(got[cid], want[cid], rtol=0, atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Synthetic docs with planted near-duplicates so LSH buckets collide."""
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "pack my box with five dozen liquor jugs before the long winter",
+        "a stitch in time saves nine but two stitches save eighteen maybe",
+    ]
+    rows = []
+    for i in range(60):
+        t = base[i % 3]
+        if i % 5 == 0:
+            t = t + f" variant {i // 5}"
+        rows.append((i, t))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_pairs_single_pass_matches_join(spark, dup_docs):
+    """Round 14: pair generation from bucket member lists must equal the
+    legacy bucket×bucket self-join (set equality), with ONE corpus scan."""
+    from pgvectorscale_spark.operators import dedup
+
+    pairs = dedup.minhash_candidate_pairs(dup_docs, num_hashes=16, bands=4)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    sig = dedup.minhash_signatures(dup_docs, num_hashes=16)
+    b = dedup.lsh_band_buckets(sig, bands=4, rows_per_band=4)
+    aa = b.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    bb = b.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in aa.join(bb, ["band_id", "band_hash"]).filter("doc_a < doc_b")
+        .select("doc_a", "doc_b").distinct().collect()
+    }
+    assert got == want and len(got) > 0
+    # one signature evaluation: the executed plan holds exactly one scan of
+    # the corpus (the legacy self-join held two) and no join at all
+    pairs.count()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints the tree twice
+    assert final.count("FileScan") <= 1
+    assert "Join" not in final
+
+
+def test_minhash_star_edges_single_pass_matches_join(spark, dup_docs):
+    from pgvectorscale_spark.operators import dedup
+
+    st = dedup.minhash_star_edges(dup_docs, num_hashes=16, bands=4)
+    got = {(r["doc_a"], r["doc_b"]) for r in st.collect()}
+    sig = dedup.minhash_signatures(dup_docs, num_hashes=16)
+    bk = dedup.lsh_band_buckets(sig, bands=4, rows_per_band=4)
+    bmin = bk.groupBy("band_id", "band_hash").agg(F.min("doc_id").alias("doc_a"))
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in bk.join(bmin, ["band_id", "band_hash"])
+        .filter(F.col("doc_id") > F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b")).distinct().collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_simhash_pairs_single_pass_matches_join(spark, dup_docs):
+    from pgvectorscale_spark.operators import dedup
+
+    sp = dedup.simhash_pairs(dup_docs, max_hamming=6)
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in sp.collect()}
+    s = dedup.simhash(dup_docs, num_bits=32)
+    nb = 7
+    sizes = [32 // nb + (1 if i < 32 % nb else 0) for i in range(nb)]
+    offsets = [sum(sizes[:i]) for i in range(nb)]
+    band_vals = F.array(
+        *[F.expr(f"shiftright(simhash, {off}) & {(1 << sz) - 1}")
+          for off, sz in zip(offsets, sizes)]
+    )
+    buckets = s.select("doc_id", "simhash", F.posexplode(band_vals).alias("band_id", "band_val"))
+    a = buckets.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa"), "band_id", "band_val")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sb"), "band_id", "band_val")
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, ["band_id", "band_val"]).filter("doc_a < doc_b")
+        .select("doc_a", "doc_b", "_sa", "_sb").distinct()
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= 6).select("doc_a", "doc_b", "hamming").collect()
+    }
+    assert got == want and len(got) > 0
