@@ -87,7 +87,6 @@ def bm25_topk(
     physical strategy; pytest-pinned)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    post = bm25_postings(docs, text_col=text_col, id_col=id_col)
 
     stats = docs.agg(
         F.count("*").cast("double").alias("N"),
@@ -102,21 +101,46 @@ def bm25_topk(
         )
     n_docs, avgdl = float(stats["N"]), float(stats["avgdl"])
 
-    df_t = post.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    idf = df_t.select(
-        "term",
-        F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
-    )
-
     qtoks = tokens(f"`{q_text_col}`", SPARK)
     qterms = queries.select(
         F.col(q_id_col), F.explode(F.expr(f"array_distinct({qtoks})")).alias("term")
     )
+    qt = qterms.select("term").distinct()
+
+    # Round 14 (guide §3.2 + §2.3): the old shape evaluated the FULL corpus
+    # postings aggregation twice — once for the per-term df counts feeding
+    # idf, once for the scoring join — and only met the query terms AFTER
+    # the corpus-sized (term, doc) shuffle. Now the exploded token stream is
+    # semi-filtered by the (broadcast) query-term set BEFORE the tf
+    # aggregation, so the shuffle carries only query-matching tokens, and
+    # per-term df comes from a count-over-term window on the SAME filtered
+    # postings instead of a second full evaluation. df per query term is
+    # unchanged (the filter is term-membership; (term, doc) rows are unique
+    # because dl is a function of the doc, so count(*) over the term
+    # partition equals the old countDistinct(doc)); idf/tf/dl/avgdl floats
+    # are computed by the same expressions, so scores are identical.
+    toks = tokens(f"`{text_col}`", SPARK)
+    tok = docs.select(
+        F.col(id_col), F.expr(f"size({toks})").alias("dl"), F.explode(F.expr(toks)).alias("term")
+    )
+    if broadcast_queries:
+        tok = tok.join(F.broadcast(qt), "term")  # map-side prefilter, pre-shuffle
+    post = tok.groupBy("term", id_col, "dl").agg(F.count("*").alias("tf"))
+    if not broadcast_queries:
+        # corpus×corpus: the query-term set may not fit a broadcast, so the
+        # semi-join lands after the tf aggregation as a plain term-key join
+        # (Catalyst/AQE picks the strategy by size, as before)
+        post = post.join(qt, "term")
 
     hint = F.broadcast if broadcast_queries else (lambda df: df)
+    w_term = Window.partitionBy("term")
     contrib = (
-        post.join(hint(qterms), "term")
-        .join(hint(idf.join(hint(qterms.select("term").distinct()), "term")), "term")
+        post.withColumn("df", F.count("*").over(w_term))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .join(hint(qterms), "term")
         .select(
             q_id_col,
             id_col,

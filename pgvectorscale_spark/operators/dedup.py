@@ -944,23 +944,31 @@ def span_dedup(
             )
         ).alias("pos", "gh"),
     )
-    dup_grams = (
-        occ.groupBy("gh")
-        .agg(
-            F.count("*").alias("_c"),
-            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
-                "_keep"
-            ),
+    # Round 14: duplicate detection + keeper selection via ONE window over
+    # the gram hash instead of groupBy → join-back. The old self-referencing
+    # join re-evaluated `occ` — the md5-heavy gram explode — on BOTH sides
+    # (a DataFrame join recomputes, not reuses, the shared subtree) and
+    # shuffled the corpus-sized occurrence table a second time for the
+    # sort-merge join. The window computes the per-gram count and min
+    # (doc, pos) keeper over the same single exchange; rows, keeper rule
+    # and every downstream value are identical.
+    from pyspark.sql import Window
+
+    w_g = Window.partitionBy("gh")
+    docc = (
+        occ.withColumn("_c", F.count("*").over(w_g))
+        .withColumn(
+            "_keep",
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).over(w_g),
         )
-        .filter("_c >= 2")
-        .select("gh", "_keep")
-    )
-    docc = occ.join(dup_grams, "gh").select(
-        id_col,
-        "pos",
-        (
-            (F.col(id_col) == F.col("_keep.d")) & (F.col("pos") == F.col("_keep.p"))
-        ).alias("is_keeper"),
+        .filter(F.col("_c") >= 2)
+        .select(
+            id_col,
+            "pos",
+            (
+                (F.col(id_col) == F.col("_keep.d")) & (F.col("pos") == F.col("_keep.p"))
+            ).alias("is_keeper"),
+        )
     )
     # three span sets — full coverage (stats), keeper coverage, non-keeper
     # coverage — from ONE pass: tag-explode each occurrence into its sets
