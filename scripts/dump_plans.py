@@ -74,10 +74,13 @@ def main() -> None:
         ),
         (
             "MinHash LSH candidate pairs (dedup scale path)",
-            "No `CartesianProduct` anywhere: signatures are a zero-shuffle "
-            "per-row fold, bands explode from one projection, and candidates "
-            "come from an equi-join on (band_id, band_hash). The self-join's "
-            "two sides share one exchange via `ReusedExchange`.",
+            "No `CartesianProduct` — and since round 14 no join at all: "
+            "signatures are a zero-shuffle per-row fold, bands explode from "
+            "one projection, ONE `ObjectHashAggregate` collects each "
+            "bucket's sorted member list (map-side partial on the same "
+            "(band_id, band_hash) keys), and in-bucket pairs come from a "
+            "JVM array expression. The md5-heavy signature fold runs ONCE "
+            "(the old bucket self-join re-evaluated it on both sides).",
             dedup.minhash_candidate_pairs(docs, num_hashes=8, bands=4),
         ),
         (
@@ -217,13 +220,14 @@ def main() -> None:
     )
     sections.append(
         (
-            "bm25_topk (inverted-index search as postings joins)",
-            "The corpus-sized postings table meets ONLY `BroadcastHashJoin`s "
-            "(query terms, then query-restricted IDF) — candidate docs are "
-            "the posting rows of the query's terms, never a corpus scan per "
-            "query; the per-(query, doc) score is one hash aggregate and "
-            "the top-k window runs over candidates only. No SortMergeJoin "
-            "on the corpus path.",
+            "bm25_topk (inverted-index search, query-term prefiltered)",
+            "Round 14: the exploded token stream meets the BROADCAST "
+            "query-term set BEFORE the tf aggregation, so the only "
+            "corpus-sized shuffle carries query-matching tokens only; "
+            "per-term document frequency is a count window over that same "
+            "filtered postings exchange (the old plan evaluated the FULL "
+            "postings aggregation twice — once for IDF, once for scoring). "
+            "No SortMergeJoin on the corpus path.",
             bm25_topk(docs, qdf_bm, k=5),
         )
     )
@@ -240,8 +244,8 @@ def main() -> None:
     sections.append(
         (
             "hybrid_topk (BM25 + vector arms fused with RRF)",
-            "Both arms keep their own scale shape (the BM25 postings path "
-            "meets only `BroadcastHashJoin`s; the exact vector arm "
+            "Both arms keep their own scale shape (the BM25 arm "
+            "prefilters its postings by the broadcast query terms; the exact vector arm "
             "broadcasts the query batch into the corpus scan — swap in a "
             "DiskANN/IVF result frame for served traffic, `rrf_fuse` is "
             "arm-agnostic). The fusion itself sees at most "
@@ -468,7 +472,9 @@ def main() -> None:
             "The query side never collects: routing against the broadcast "
             "centroid table is an ArrowEvalPython/mapInPandas projection "
             "over the QUERY scan, then exactly TWO exchanges — "
-            "hashpartitioning(shard, _salt) fans routed rows out to the "
+            "hashpartitioning(_pid) (round 14: the collision-free PROXY "
+            "of (shard, _salt), so every group gets its own task instead "
+            "of the balls-in-bins max-load waves) fans routed rows out to the "
             "shard graphs (per-batch probe, worker-side pyarrow reads "
             "invisible to the plan, Arrow batches bound memory at any "
             "|Q|), and hashpartitioning(query_id) runs the window top-k "
