@@ -601,10 +601,23 @@ def simhash_pairs_multiprobe(
     buckets = s.select(
         F.col(id_col), F.col("simhash"), F.posexplode(block_vals).alias("band_id", "band_val")
     )
-    # probe side: every <=t-flip variant of each block value (masks are a
-    # per-block literal array — the probe set is tiny and constant)
+    # single-pass multi-probe (round 14, guide §2.3): the old probe ⋈ raw
+    # self-join recomputed the fingerprint fold on both sides. One pass
+    # tags each emitted (band_id, value) row with its role — the row's own
+    # block value ('b', the join's raw side) or one of its <=t-flip probe
+    # variants ('a', the exploded side; mask 0 keeps the exact value in
+    # the probe set, as before) — and one groupBy collects both roles'
+    # members per bucket. Pairs = a-members × b-members with doc_a <
+    # doc_b: exactly the old equi-join's match condition (y matches x iff
+    # y's block value ∈ probeset(x)), same distinct + exact Hamming prune.
+    # Masks are a per-block literal array — the probe set stays tiny and
+    # constant.
     probe_arrays = [
-        "array(" + ", ".join(f"band_val ^ {m}L" for m in _probe_masks(sz, t)) + ")"
+        "array("
+        + ", ".join(
+            f"struct(band_val ^ {m}L AS v, false AS isb)" for m in _probe_masks(sz, t)
+        )
+        + ")"
         for sz in sizes
     ]
     probe_expr = (
@@ -612,19 +625,34 @@ def simhash_pairs_multiprobe(
         + " ".join(f"WHEN band_id = {i} THEN {arr}" for i, arr in enumerate(probe_arrays))
         + " END"
     )
-    a = buckets.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("simhash").alias("_sa"),
+    tagged = buckets.select(
+        F.col(id_col),
+        F.col("simhash"),
         "band_id",
-        F.explode(F.expr(probe_expr)).alias("band_val"),
-    )
-    b = buckets.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"), "band_id", "band_val"
-    )
+        F.explode(
+            F.expr(f"concat(array(struct(band_val AS v, true AS isb)), {probe_expr})")
+        ).alias("_t"),
+    ).select(id_col, "simhash", "band_id", "_t.v", "_t.isb")
+    member = F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
     return (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "_sa", "_sb")
+        tagged.groupBy("band_id", "v")
+        .agg(
+            F.collect_list(F.when(~F.col("isb"), member)).alias("_a"),
+            F.collect_list(F.when(F.col("isb"), member)).alias("_b"),
+        )
+        .filter((F.size("_a") > 0) & (F.size("_b") > 0))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(_a, x -> transform("
+                        "filter(_b, y -> x.i < y.i), "
+                        "y -> struct(x.i AS doc_a, y.i AS doc_b, x.s AS _sa, y.s AS _sb)))"
+                    )
+                )
+            ).alias("_p")
+        )
+        .select("_p.doc_a", "_p.doc_b", "_p._sa", "_p._sb")
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -1089,51 +1117,60 @@ def paragraph_dedup(
     base = _widen(df).select(
         F.col(id_col).cast("long").alias(id_col),
         F.expr(f"split(`{text_col}`, '\\n{{2,}}')").alias("_ps"),
-    )
-    paras = base.select(
-        id_col, F.posexplode("_ps").alias("idx", "p")
-    ).withColumn(
-        "np", F.expr("trim(regexp_replace(lower(p), '[^a-z0-9]+', ' '))")
-    ).withColumn("f", F.expr(h60("np", SPARK)))
-    groups = (
-        paras.filter(F.col("np") != "")
-        .groupBy("f")
-        .agg(
-            F.count("*").alias("_c"),
-            F.min(F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))).alias("_keep"),
+    ).filter(F.col("_ps").isNotNull())  # null text exploded to no rows before
+    # Decide removals on SMALL rows (round 14, guide §8): the old shape
+    # evaluated the explode + normalize + h60 fold TWICE (once into the
+    # group table, once into the join-back) and then regrouped the full
+    # paragraph TEXT by doc_id. Here the occurrence stream carries only
+    # (doc_id, idx, f); the duplicate groups collect their sorted member
+    # lists directly, so the removal set falls out of the aggregate with
+    # no join back to a recomputed corpus — paragraph text never enters
+    # an exchange (the final per-doc reassembly is array expressions over
+    # the ORIGINAL _ps array on the document row).
+    occ = (
+        base.select(id_col, F.posexplode("_ps").alias("idx", "p"))
+        .select(
+            id_col,
+            "idx",
+            F.expr("trim(regexp_replace(lower(p), '[^a-z0-9]+', ' '))").alias("np"),
         )
-        .filter("_c >= 2")
-        .select("f", "_keep")
+        .filter(F.col("np") != "")
+        .select(id_col, "idx", F.expr(h60("np", SPARK)).alias("f"))
     )
-    marked = paras.join(groups, "f", "left").select(
+    # keeper = mem[0] after the sort (struct order = (doc_id, idx), the
+    # same ordering F.min(struct(d, i)) used); everyone else is removed
+    removed = (
+        occ.groupBy("f")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i")))
+            ).alias("_mem")
+        )
+        .filter(F.size("_mem") >= 2)
+        .select(F.explode(F.expr("slice(_mem, 2, size(_mem) - 1)")).alias("_r"))
+        .select(F.col("_r.d").alias(id_col), F.col("_r.i").alias("i"))
+        .groupBy(id_col)
+        .agg(F.collect_list("i").alias("_rm"))
+    )
+    kept = (
+        "filter(sequence(0, size(_ps) - 1), "
+        "i -> NOT array_contains(coalesce(_rm, array()), i))"
+    )
+    return base.join(removed, id_col, "left").select(
         id_col,
-        "idx",
-        "p",
-        (
-            F.col("_keep").isNotNull()
-            & ~(
-                (F.col(id_col) == F.col("_keep.d"))
-                & (F.col("idx") == F.col("_keep.i"))
-            )
-        ).alias("removed"),
-    )
-    perdoc = marked.groupBy(id_col).agg(
-        F.expr("array_sort(collect_list(struct(idx, p, removed)))").alias("_a")
-    )
-    return perdoc.select(
-        id_col,
-        F.size("_a").cast("long").alias("n_paras"),
-        F.expr("size(filter(_a, x -> x.removed))").cast("long").alias("dup_paras"),
+        # coalesce keeps both counts non-nullable, matching the legacy
+        # aggregate-derived schema exactly
+        F.expr("coalesce(size(_ps), 0)").cast("long").alias("n_paras"),
+        F.expr("coalesce(size(_rm), 0)").cast("long").alias("dup_paras"),
         F.round(
-            F.expr("size(filter(_a, x -> x.removed))")
-            / F.greatest(F.size("_a"), F.lit(1)),
+            F.expr("coalesce(size(_rm), 0)") / F.greatest(F.size("_ps"), F.lit(1)),
             6,
         ).alias("dup_ratio"),
+        F.expr(f"concat_ws(',', transform({kept}, i -> cast(i as string)))").alias(
+            "kept_str"
+        ),
         F.expr(
-            "concat_ws(',', transform(filter(_a, x -> NOT x.removed), x -> cast(x.idx as string)))"
-        ).alias("kept_str"),
-        F.expr(
-            "concat_ws('\\n\\n', transform(filter(_a, x -> NOT x.removed), x -> x.p))"
+            f"concat_ws('\\n\\n', transform({kept}, i -> element_at(_ps, i + 1)))"
         ).alias("clean_text"),
     )
 

@@ -317,3 +317,151 @@ def test_simhash_pairs_single_pass_matches_join(spark, dup_docs):
         .filter(F.col("hamming") <= 6).select("doc_a", "doc_b", "hamming").collect()
     }
     assert got == want and len(got) > 0
+
+def test_simhash_multiprobe_single_pass_matches_join(spark, dup_docs):
+    """Round 14: the role-tagged single-pass multiprobe banding must equal
+    the legacy probe ⋈ raw self-join (set equality) with no Join node."""
+    from pgvectorscale_spark.operators import dedup
+    from pgvectorscale_spark.operators.dedup import _probe_masks
+
+    for max_hamming, num_bits, num_blocks in [(3, 60, 2), (5, 60, 3), (2, 32, 1)]:
+        mp = dedup.simhash_pairs_multiprobe(
+            dup_docs, max_hamming=max_hamming, num_bits=num_bits, num_blocks=num_blocks
+        )
+        got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in mp.collect()}
+        # verbatim legacy shape
+        t = max_hamming // num_blocks
+        sizes = [
+            num_bits // num_blocks + (1 if i < num_bits % num_blocks else 0)
+            for i in range(num_blocks)
+        ]
+        offsets = [sum(sizes[:i]) for i in range(num_blocks)]
+        s = dedup.simhash(dup_docs, num_bits=num_bits)
+        band_vals = F.array(
+            *[F.expr(f"shiftright(simhash, {off}) & {(1 << sz) - 1}")
+              for off, sz in zip(offsets, sizes)]
+        )
+        buckets = s.select(
+            "doc_id", "simhash", F.posexplode(band_vals).alias("band_id", "band_val")
+        )
+        probe_arrays = [
+            "array(" + ", ".join(f"band_val ^ {m}L" for m in _probe_masks(sz, t)) + ")"
+            for sz in sizes
+        ]
+        probe_expr = (
+            "CASE "
+            + " ".join(
+                f"WHEN band_id = {i} THEN {arr}" for i, arr in enumerate(probe_arrays)
+            )
+            + " END"
+        )
+        a = buckets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("simhash").alias("_sa"),
+            "band_id",
+            F.explode(F.expr(probe_expr)).alias("band_val"),
+        )
+        b = buckets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("_sb"),
+            "band_id",
+            "band_val",
+        )
+        want = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in a.join(b, ["band_id", "band_val"]).filter("doc_a < doc_b")
+            .select("doc_a", "doc_b", "_sa", "_sb").distinct()
+            .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming").collect()
+        }
+        assert got == want, (max_hamming, num_bits, num_blocks)
+        assert len(got) > 0
+    mp.count()
+    plan = mp._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final  # fingerprint fold evaluated once, no self-join
+
+
+def test_paragraph_dedup_small_row_decision_matches_join_back(spark):
+    """Round 14: paragraph_dedup's removal set now comes from the sorted
+    group member lists (one hash/normalize evaluation, text out of every
+    exchange); must match the legacy groupBy→join-back→regroup shape
+    row-for-row, and the corpus join must stay broadcast (no corpus-sized
+    re-shuffle of the document rows)."""
+    from pgvectorscale_spark.functions.hashing import SPARK, h60
+    from pgvectorscale_spark.operators import dedup
+
+    rows = [
+        (0, "alpha beta gamma\n\nSubscribe NOW!!\n\ndelta epsilon"),
+        (1, "zeta eta theta\n\n...subscribe, now\n\nalpha beta gamma"),
+        (2, "SUBSCRIBE now\n\nSUBSCRIBE now\n\niota kappa"),
+        (3, "unique paragraph only"),
+        (4, "lambda mu\n\n###\n\nlambda mu"),
+        (5, None),  # null text: dropped by both shapes
+        (6, ""),  # empty text: one empty paragraph, kept
+        (7, "alpha beta gamma\n\n\n\nzeta eta theta"),  # 3+ newlines split
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.paragraph_dedup(df)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    # verbatim legacy shape
+    base = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("split(`text`, '\\n{2,}')").alias("_ps"),
+    )
+    paras = base.select(
+        "doc_id", F.posexplode("_ps").alias("idx", "p")
+    ).withColumn(
+        "np", F.expr("trim(regexp_replace(lower(p), '[^a-z0-9]+', ' '))")
+    ).withColumn("f", F.expr(h60("np", SPARK)))
+    groups = (
+        paras.filter(F.col("np") != "")
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(F.struct(F.col("doc_id").alias("d"), F.col("idx").alias("i"))).alias("_keep"),
+        )
+        .filter("_c >= 2")
+        .select("f", "_keep")
+    )
+    marked = paras.join(groups, "f", "left").select(
+        "doc_id",
+        "idx",
+        "p",
+        (
+            F.col("_keep").isNotNull()
+            & ~((F.col("doc_id") == F.col("_keep.d")) & (F.col("idx") == F.col("_keep.i")))
+        ).alias("removed"),
+    )
+    perdoc = marked.groupBy("doc_id").agg(
+        F.expr("array_sort(collect_list(struct(idx, p, removed)))").alias("_a")
+    )
+    want_df = perdoc.select(
+        "doc_id",
+        F.size("_a").cast("long").alias("n_paras"),
+        F.expr("size(filter(_a, x -> x.removed))").cast("long").alias("dup_paras"),
+        F.round(
+            F.expr("size(filter(_a, x -> x.removed))") / F.greatest(F.size("_a"), F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+        F.expr(
+            "concat_ws(',', transform(filter(_a, x -> NOT x.removed), x -> cast(x.idx as string)))"
+        ).alias("kept_str"),
+        F.expr(
+            "concat_ws('\\n\\n', transform(filter(_a, x -> NOT x.removed), x -> x.p))"
+        ).alias("clean_text"),
+    )
+    want = {r["doc_id"]: r.asDict() for r in want_df.collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == want[d], (d, got[d], want[d])
+    assert out.schema == want_df.schema
+    # plan: the document-row join stays broadcast — the corpus is never
+    # re-shuffled to attach the (tiny) removal sets
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    assert "BroadcastHashJoin" in final
