@@ -747,12 +747,25 @@ def embedding_neardup_lsh(
         ]
     )
     buckets = bits.select(F.col(id_col), F.posexplode(band_vals).alias("band_id", "band_val"))
-    a = buckets.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
-    b = buckets.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
+    # single-pass pair generation (round 14, guide §2.3): the old bucket
+    # self-join evaluated the bands*rows_per_band interpreted projection
+    # folds on BOTH sides; one groupBy collects each bucket's sorted
+    # member ids and the i<j pairs come from the array — identical to the
+    # join's id_a < id_b set (ids are unique per bucket: one row per
+    # (id, band)), one fold evaluation, no join.
     cand = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_m"))
+        .filter(F.size("_m") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_m, (x, i) -> transform("
+                    "slice(_m, i + 2, size(_m)), y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.id_a", "_p.id_b")
         .distinct()
     )
     src = df.select(
@@ -794,7 +807,17 @@ def connected_components(
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
+    # round 14 (guide §2.4): partition the symmetric edge table by v ONCE —
+    # every round's neighbor join is keyed on v, so the persisted
+    # partitioning is reused and the edges never re-shuffle. The distinct
+    # rides the same exchange (hash(v) clusters equal (u, v) rows), so
+    # setup still pays a single shuffle of the edges.
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("v")
+        .distinct()
+        .persist()
+    )
     # localCheckpoint (not just persist) per round: iterative self-joins
     # grow the logical plan exponentially and Catalyst re-analyzes the whole
     # tree every iteration — lineage must be truncated, not merely cached
@@ -815,8 +838,14 @@ def connected_components(
             .agg(F.min("_vc").alias("_nc"))
             .select(F.col("u").alias("id"), "_nc")
         )
-        step = lab.join(nbr, "id", "left").select(
-            "id", F.least("comp", F.coalesce("_nc", "comp")).alias("comp")
+        # round 14 (guide §2.3): checkpoint BEFORE the halving self-join —
+        # a DataFrame self-reference recomputes its subtree on both sides,
+        # so without this the neighbor-min join + aggregate ran TWICE per
+        # round (once under step, once under parent)
+        step = (
+            lab.join(nbr, "id", "left")
+            .select("id", F.least("comp", F.coalesce("_nc", "comp")).alias("comp"))
+            .localCheckpoint()
         )
         parent = step.select(F.col("id").alias("_pid"), F.col("comp").alias("_pc"))
         lab = (

@@ -101,12 +101,15 @@ def main() -> None:
         ),
         (
             "simhash_pairs_multiprobe (wide-fingerprint near-dup pairs)",
-            "No `CartesianProduct` / `BroadcastNestedLoopJoin`: the probe "
-            "side explodes a constant per-block mask array (sum C(width, <=t) "
-            "variants) and pairs come from an equi-join on (band_id, "
-            "band_val). Wide blocks keep buckets collision-sparse; the probe "
-            "factor is a constant while collisions shrink exponentially with "
-            "block width — the right trade at corpus scale.",
+            "No join at all (round 14): one pass tags each row's own block "
+            "value plus its constant <=t-flip probe variants (sum C(width, "
+            "<=t) masks) with a role, and ONE groupBy collects both roles' "
+            "members per (band_id, value) — the fingerprint fold is "
+            "evaluated once where the old probe ⋈ raw self-join computed "
+            "it twice. Wide blocks keep buckets collision-sparse; the "
+            "probe factor is a constant while collisions shrink "
+            "exponentially with block width — the right trade at corpus "
+            "scale.",
             dedup.simhash_pairs_multiprobe(docs, max_hamming=3, num_bits=60, num_blocks=2),
         ),
         (
@@ -358,11 +361,13 @@ def main() -> None:
     sections.append(
         (
             "paragraph_dedup (normalized paragraph-granularity dedup)",
-            "One map-side-combined groupBy on the normalized-paragraph hash "
-            "(the same scale shape as exact doc dedup), one join back, and "
-            "per-DOC windows for reassembly — the shuffle carries "
-            "(doc, idx, hash) rows, linear in corpus paragraphs; nothing "
-            "is ever pairwise.",
+            "Decisions on small rows (round 14, guide §8): the occurrence "
+            "stream carries only (doc, idx, hash) into one map-side-combined "
+            "groupBy; removals explode straight out of the sorted member "
+            "lists and re-attach to the INTACT document rows by a broadcast "
+            "join — paragraph text enters no exchange, the hash fold is "
+            "evaluated once, and reassembly is array expressions over the "
+            "original paragraph array; nothing is ever pairwise.",
             dedup.paragraph_dedup(
                 docs.selectExpr(
                     "doc_id",

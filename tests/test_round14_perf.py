@@ -465,3 +465,69 @@ def test_paragraph_dedup_small_row_decision_matches_join_back(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
     assert "BroadcastHashJoin" in final
+
+
+def test_embedding_lsh_single_pass_matches_join(spark):
+    """Round 14: hyperplane-LSH candidate pairs from bucket member lists
+    must equal the legacy bucket self-join (the projection fold is the
+    dominant per-row cost and now evaluates once)."""
+    import numpy as np
+
+    from pgvectorscale_spark.operators import dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 16))
+    rows = []
+    for i in range(48):
+        v = base[i % 12] + (rng.normal(size=16) * (0.01 if i % 4 else 0.0))
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got_pairs = dedup.embedding_neardup_lsh(df, threshold=0.8, bands=8, rows_per_band=4)
+    got = {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in got_pairs.collect()}
+
+    # legacy candidate shape: bucket self-join
+    d = 16
+    planes = dedup.lsh_planes(d, 8, 4, 42)
+    proj_cols = []
+    for p in range(planes.shape[0]):
+        lit = F.array([F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        proj_cols.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    bits = df.select(F.col("vec_id"), F.array(*proj_cols).alias("_bits"))
+    band_vals = F.array(
+        *[
+            F.expr(
+                f"aggregate(zip_with(slice(_bits, {b * 4 + 1}, 4), sequence(0, 3), "
+                "(bb, r) -> shiftleft(cast(bb as bigint), cast(r as int))), 0L, (acc, x) -> acc + x)"
+            )
+            for b in range(8)
+        ]
+    )
+    buckets = bits.select("vec_id", F.posexplode(band_vals).alias("band_id", "band_val"))
+    aa = buckets.select(F.col("vec_id").alias("id_a"), "band_id", "band_val")
+    bb = buckets.select(F.col("vec_id").alias("id_b"), "band_id", "band_val")
+    cand = (
+        aa.join(bb, ["band_id", "band_val"]).filter("id_a < id_b")
+        .select("id_a", "id_b").distinct()
+    )
+    from pgvectorscale_spark.functions.distance import l2_norm
+
+    src = df.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("_n"))
+    va = src.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), F.col("_n").alias("_na"))
+    vb = src.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), F.col("_n").alias("_nb"))
+    want = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn(
+            "cosine_sim",
+            F.round(dedup._pair_cosine_sim(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6),
+        )
+        .filter(F.col("cosine_sim") >= 0.8)
+        .select("id_a", "id_b", "cosine_sim").collect()
+    }
+    assert got == want and len(got) > 0
