@@ -246,35 +246,61 @@ def minhash_candidate_pairs(
     t = int(max_bucket_size)
     if t < 2:
         raise ValueError(f"max_bucket_size must be >= 2, got {t}")
-    # per-bucket group count from the bucket's actual size: small buckets
-    # get g=1 (degenerates to the direct join), only mega-buckets split
-    cnt = buckets.groupBy("band_id", "band_hash").agg(F.count("*").alias("_c"))
+    from pyspark.sql import Window
+
+    # single-pass salted triangle (round 14, guide §2.3): the old shape
+    # evaluated the signature fold FOUR times (once under the bucket-count
+    # aggregate, once under its join-back, and the joined frame again on
+    # each side of the triangle self-join). One pass: per-bucket size from
+    # a count window on the bucket exchange (small (id, band) rows; the
+    # buffer spills, and the quadratic work still lands on the group-pair
+    # keys, never one reducer), then every member emits its LEFT role
+    # (_i = own salt, _j = own..g-1) and RIGHT role (_i = 0..own salt,
+    # _j = own) in one explode, and a groupBy on (bucket, _i, _j) crosses
+    # the two role lists — each task still sees ~t x t rows. The match
+    # condition is the old join's verbatim: pair (x, y) meets exactly in
+    # key (min(s_x, s_y), max(s_x, s_y)), same-salt pairs meet (both
+    # orders) in (s, s); least/greatest + distinct normalize identically.
+    w = Window.partitionBy("band_id", "band_hash")
     wb = (
-        buckets.join(cnt, ["band_id", "band_hash"])
-        .withColumn("_g", F.ceil(F.col("_c") / t).cast("int"))
+        buckets.withColumn("_g", F.ceil(F.count("*").over(w) / t).cast("int"))
         .withColumn("_s", F.pmod(F.xxhash64(F.col(id_col)), F.col("_g")).cast("int"))
     )
-    left = wb.select(
-        F.col(id_col).alias("doc_a"),
+    roles = wb.select(
         "band_id",
         "band_hash",
-        F.col("_s").alias("_i"),
-        F.explode(F.sequence(F.col("_s"), F.col("_g") - 1)).alias("_j"),
-    )
-    right = wb.select(
-        F.col(id_col).alias("doc_b"),
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "concat("
+                "transform(sequence(_s, _g - 1), j -> struct(_s AS i, j AS j, true AS isl)), "
+                "transform(sequence(0, _s), i -> struct(i AS i, _s AS j, false AS isl))"
+                ")"
+            )
+        ).alias("_t"),
+    ).select(
         "band_id",
         "band_hash",
-        F.explode(F.sequence(F.lit(0), F.col("_s"))).alias("_i"),
-        F.col("_s").alias("_j"),
+        F.col("_t.i").alias("_i"),
+        F.col("_t.j").alias("_j"),
+        F.col("_t.isl").alias("_isl"),
+        F.col(id_col),
     )
     return (
-        left.join(right, ["band_id", "band_hash", "_i", "_j"])
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        roles.groupBy("band_id", "band_hash", "_i", "_j")
+        .agg(
+            F.collect_list(F.when(F.col("_isl"), F.col(id_col))).alias("_la"),
+            F.collect_list(F.when(~F.col("_isl"), F.col(id_col))).alias("_lb"),
         )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_la, x -> transform(filter(_lb, y -> x != y), "
+                    "y -> struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.doc_a", "_p.doc_b")
         .distinct()
     )
 
@@ -375,12 +401,26 @@ def _ngram_prefix_candidates(
             ).alias("shingle"),
         )
     )
-    a = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    # single-pass pair generation (round 14, guide §2.3): the old a ⋈ b
+    # self-join re-evaluated the whole prefix subtree (shingle explode,
+    # df join, per-doc sort) on both sides. One groupBy collects each
+    # prefix shingle's sorted doc list and the i<j pairs come from the
+    # array — the same doc_a < doc_b set (ids are unique per shingle:
+    # _sh is distinct per doc). Hot stop-shingles are excluded from the
+    # index by the rarest-first prefix rule, so member lists stay small.
     return (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        prefix.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_m"))
+        .filter(F.size("_m") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_m, (x, i) -> transform("
+                    "slice(_m, i + 2, size(_m)), y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.doc_a", "_p.doc_b")
         .distinct()
     )
 
