@@ -16,11 +16,12 @@ Two standard large-scale training-data pipeline stages:
   outgrows a broadcast set but whose bits do not.
 - **Repetition stats** (``repetition_stats``): per-document repetition
   signals in the Gopher/RefinedWeb family — duplicate n-gram fractions
-  and the most-frequent-token share. Duplicate-n-gram fractions are pure
-  map-side expressions (``size(array_distinct(...))``); the top-token
-  share uses explode + two map-side-combining aggregations on (doc_id,
-  token) — the canonical distributed mode computation, no interpreted
-  per-row fold.
+  and the most-frequent-token share. The whole computation is map-side:
+  duplicate-n-gram fractions are ``size(array_distinct(...))``
+  expressions and the top-token share is a longest-equal-run fold over
+  the row's own sorted token array (a doc's tokens sit in one array
+  cell, so distributing the mode computation bought nothing and cost
+  two token-level shuffles plus a corpus self-join).
 
 No reference analog (pgvectorscale stores vectors, not corpora); these
 serve the training-data-pipeline brief alongside operators/dedup.py.
@@ -435,20 +436,30 @@ def repetition_stats(
                 6,
             ).alias(f"dup_{n}gram_frac")
         )
-    per_doc = base.select(
-        id_col, F.size("_toks").cast("long").alias("n_tokens"), *ngram_cols
+    # round 14 (guide §2.4): the top-token multiplicity is a map-side fold
+    # over the row's own sorted token array — the old explode +
+    # groupBy(doc, token) + groupBy(doc) + join shuffled token-level rows
+    # through two aggregations and sort-merge-joined the corpus back to
+    # itself for a value computable inside the row (a doc's tokens sit in
+    # ONE array cell by construction). Sorting the array makes the max
+    # multiplicity the longest equal-run; the fold replays the same exact
+    # integer count, so top_token_frac is bit-identical. The old inner
+    # join dropped docs whose explode produced no rows — exactly the
+    # NULL-text docs (split() yields at least [''] for non-null text), so
+    # the isNotNull filter reproduces that membership.
+    top_fold = (
+        "aggregate(array_sort(_toks), "
+        "struct(cast(null as string) AS p, 0L AS r, 0L AS b), "
+        "(a, x) -> struct(x AS p, "
+        "if(x <=> a.p, a.r + 1L, 1L) AS r, "
+        "greatest(a.b, if(x <=> a.p, a.r + 1L, 1L)) AS b), "
+        "a -> a.b)"
     )
-    top = (
-        base.select(id_col, F.explode("_toks").alias("_tok"))
-        .groupBy(id_col, "_tok")
-        .agg(F.count("*").alias("_c"))
-        .groupBy(id_col)
-        .agg(F.max("_c").alias("_top"))
-    )
-    return per_doc.join(top, id_col).select(
+    return base.filter(F.col("_toks").isNotNull()).select(
         id_col,
-        "n_tokens",
-        F.round(F.col("_top") / F.col("n_tokens"), 6).alias("top_token_frac"),
-        "dup_2gram_frac",
-        "dup_3gram_frac",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.expr(top_fold) / F.size("_toks").cast("long"), 6
+        ).alias("top_token_frac"),
+        *ngram_cols,
     )

@@ -531,3 +531,69 @@ def test_embedding_lsh_single_pass_matches_join(spark):
         .select("id_a", "id_b", "cosine_sim").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_repetition_stats_fold_matches_legacy_join(spark):
+    """Round 14: the map-side longest-equal-run fold must equal the legacy
+    explode + groupBy(doc, token) + groupBy(doc) + join shape — same rows
+    (NULL-text docs dropped), same exact integer top count, same rounding
+    — and the executed plan must be map-only (no Exchange, no Join)."""
+    from pgvectorscale_spark.functions.hashing import SPARK as SQ
+    from pgvectorscale_spark.functions.hashing import tokens, word_shingles
+    from pgvectorscale_spark.operators.curation import repetition_stats
+
+    rows = [
+        (1, "a b a b a"),        # top = 'a' x3
+        (2, "x"),                # single token
+        (3, ""),                 # empty text -> one '' token
+        (4, None),               # NULL text: legacy inner join drops it
+        (5, "t t t t"),          # all-same
+        (6, "p q r p q r p"),    # interleaved repeats
+        (7, "z y x w v u"),      # all-distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_df = repetition_stats(df)
+    got = {r["doc_id"]: r.asDict() for r in got_df.collect()}
+
+    # verbatim legacy shape
+    toks = tokens("`text`", SQ)
+    base = df.select(F.col("doc_id"), F.expr(toks).alias("_toks"))
+    ngram_cols = []
+    for n in (2, 3):
+        g = word_shingles("_toks", n, SQ)
+        ngram_cols.append(
+            F.round(
+                F.lit(1.0)
+                - F.expr(f"size(array_distinct({g}))") / F.expr(f"size({g})"),
+                6,
+            ).alias(f"dup_{n}gram_frac")
+        )
+    per_doc = base.select(
+        "doc_id", F.size("_toks").cast("long").alias("n_tokens"), *ngram_cols
+    )
+    top = (
+        base.select("doc_id", F.explode("_toks").alias("_tok"))
+        .groupBy("doc_id", "_tok")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max("_c").alias("_top"))
+    )
+    want_df = per_doc.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_top") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+    )
+    want = {r["doc_id"]: r.asDict() for r in want_df.collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == want[d], (d, got[d], want[d])
+    assert [(f.name, f.dataType) for f in got_df.schema] == [
+        (f.name, f.dataType) for f in want_df.schema
+    ]
+
+    got_df.count()
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final and "Join" not in final
