@@ -1400,46 +1400,42 @@ def winnowing_fingerprints(
     Returns (id, pos, gram_hash) — one row per selected fingerprint,
     1-based gram positions.
 
-    Scale shape: the window scan is the LITERAL algorithm as relational
-    algebra — each gram row fans out to the <= ``window`` window-ends it
-    participates in (an explode, bounded replication), and the per-window
-    arg-min is ``min(struct(hash, -pos))`` — an associative aggregate, so
-    it combines map-side; the final dedupe groups on the fingerprint
-    itself. No per-document state, no UDF; shuffle volume is
-    O(rows x window). Docs with fewer than ``window`` grams winnow their
-    whole hash sequence as one window (the paper's n < w degenerate
-    case)."""
+    Scale shape (round 14, guide §2.4): a document's gram-hash sequence
+    sits in ONE array cell, so the whole selection — every window's
+    arg-min and the fingerprint dedupe — is computed in-row with array
+    expressions: ZERO shuffles (the previous shape exploded each gram to
+    its <= ``window`` window-ends and ran the arg-min through a groupBy +
+    distinct, two exchanges of O(grams) rows for a per-row-derivable
+    set). The fold scans each window ascending and replaces on
+    ``h <= min`` — the same (min hash, RIGHTMOST position) robust rule as
+    the old ``min(struct(hash, -pos))`` aggregate; ``array_distinct``
+    over (pos, hash) structs within the row equals the old global
+    distinct because rows never share an id across docs. Docs with fewer
+    than ``window`` grams winnow their whole hash sequence as one window
+    (the paper's n < w degenerate case — ``sequence(least(w, n), n)``
+    replays the old end-range clamp); NULL text hashes to a NULL array
+    and drops, as the old posexplode did."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     toks = tokens(f"`{text_col}`", SPARK)
     grams = word_shingles(toks, shingle_n, SPARK)
     hashed = f"transform({grams}, s -> {h60('s', SPARK)})"
-    g = df.select(
-        F.col(id_col),
-        F.expr(f"size({grams})").alias("_n"),  # map-side, no window needed
-        F.posexplode(F.expr(hashed)).alias("_p0", "h"),
-    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "h", "_n")
-    # window ends this gram participates in: e in [pos, pos+window-1],
-    # clamped to the valid end range [least(window, n), n]
-    ends = g.select(
-        id_col,
-        "pos",
-        "h",
-        F.explode(
-            F.expr(
-                f"filter(sequence(pos, least(pos + {window} - 1, _n)), "
-                f"e -> e >= least({window}, _n))"
-            )
-        ).alias("e"),
-    )
-    picked = ends.groupBy(id_col, "e").agg(
-        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("_m")
+    sel = (
+        f"array_distinct(transform("
+        f"sequence(least({window}, size(_h)), size(_h)), "
+        f"e -> aggregate("
+        f"sequence(greatest(1, e - {window} + 1), e), "
+        f"cast(null as struct<pos:int,h:bigint>), "
+        f"(a, p) -> CASE WHEN a IS NULL OR element_at(_h, p) <= a.h "
+        f"THEN named_struct('pos', p, 'h', element_at(_h, p)) ELSE a END)))"
     )
     return (
-        picked.select(
+        df.select(F.col(id_col), F.expr(hashed).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .select(id_col, F.explode(F.expr(sel)).alias("_s"))
+        .select(
             id_col,
-            (-F.col("_m.np")).cast("long").alias("pos"),
-            F.col("_m.h").alias("gram_hash"),
+            F.col("_s.pos").cast("long").alias("pos"),
+            F.col("_s.h").alias("gram_hash"),
         )
-        .distinct()
     )

@@ -597,3 +597,65 @@ def test_repetition_stats_fold_matches_legacy_join(spark):
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in final and "Join" not in final
+
+
+def test_winnowing_in_row_matches_legacy_aggregate(spark):
+    """Round 14: the in-row winnowing selection must equal the legacy
+    explode + groupBy(doc, window_end) arg-min + distinct shape on ragged
+    fixtures (repeats, ties, n < window, empty and NULL text), and the
+    executed plan must be map-only (no Exchange)."""
+    from pgvectorscale_spark.functions.hashing import SPARK as SQ
+    from pgvectorscale_spark.functions.hashing import h60, tokens, word_shingles
+    from pgvectorscale_spark.operators.dedup import winnowing_fingerprints
+
+    rows = [
+        (1, "a b c a b c a b c d"),   # repeats -> hash ties across windows
+        (2, "x y"),                   # n < window: one whole-sequence window
+        (3, "t t t t t t"),           # all-equal hashes: rightmost-tie rule
+        (4, ""),                      # one '' gram
+        (5, None),                    # NULL text: drops
+        (6, "p q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    window = 4
+    got_df = winnowing_fingerprints(df, shingle_n=3, window=window)
+    got = {(r["doc_id"], r["pos"], r["gram_hash"]) for r in got_df.collect()}
+
+    # verbatim legacy shape
+    toks = tokens("`text`", SQ)
+    grams = word_shingles(toks, 3, SQ)
+    hashed = f"transform({grams}, s -> {h60('s', SQ)})"
+    g = df.select(
+        F.col("doc_id"),
+        F.expr(f"size({grams})").alias("_n"),
+        F.posexplode(F.expr(hashed)).alias("_p0", "h"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "h", "_n")
+    ends = g.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.expr(
+                f"filter(sequence(pos, least(pos + {window} - 1, _n)), "
+                f"e -> e >= least({window}, _n))"
+            )
+        ).alias("e"),
+    )
+    picked = ends.groupBy("doc_id", "e").agg(
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("_m")
+    )
+    want_df = picked.select(
+        "doc_id",
+        (-F.col("_m.np")).cast("long").alias("pos"),
+        F.col("_m.h").alias("gram_hash"),
+    ).distinct()
+    want = {(r["doc_id"], r["pos"], r["gram_hash"]) for r in want_df.collect()}
+    assert got == want and len(got) > 0
+    assert [(f.name, f.dataType) for f in got_df.schema] == [
+        (f.name, f.dataType) for f in want_df.schema
+    ]
+
+    got_df.count()
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
