@@ -343,16 +343,48 @@ def main() -> None:
         )
     )
 
+    from pgvectorscale_spark.operators.curation import repetition_stats
+
+    sections.append(
+        (
+            "repetition_stats (Gopher-family repetition signals)",
+            "Map-only since round 14: the top-token share is a "
+            "longest-equal-run fold over the row's own sorted token array "
+            "(a doc's tokens sit in ONE array cell, so the old explode + "
+            "two token-level aggregations + corpus self-join bought "
+            "nothing), joining the dup-n-gram fractions as pure "
+            "projections — zero Exchange, zero Join at any scale.",
+            repetition_stats(docs),
+        )
+    )
+    sections.append(
+        (
+            "winnowing_fingerprints (MOSS robust winnowing)",
+            "Map-only since round 14: every window's arg-min (min hash, "
+            "rightmost-position ties) is an in-row fold over the doc's "
+            "gram-hash array, and the fingerprint dedupe is an in-row "
+            "array_distinct — zero Exchange where the old shape exploded "
+            "each gram to its <= window window-ends through a groupBy + "
+            "global distinct (two exchanges of O(grams) rows; 96 s -> "
+            "4.1 s at sf0.1).",
+            dedup.winnowing_fingerprints(docs, shingle_n=3, window=4),
+        )
+    )
     sections.append(
         (
             "minhash_candidate_pairs, salted triangle (mega-bucket guard)",
             "max_bucket_size splits each LSH bucket into ceil(c/t) salt "
-            "groups and joins per (bucket, group-pair) key: the join stays "
-            "a hash equi-join on (band_id, band_hash, _i, _j) — no task "
-            "ever holds more than ~t^2 rows of one bucket, so a "
-            "boilerplate mega-bucket becomes g^2 parallel tasks instead of "
-            "one straggling reducer. Result-identical to the direct join "
-            "(driver-oracle-verified tagged union).",
+            "groups keyed by (bucket, group-pair) — and since round 14 "
+            "with NO join and ONE signature evaluation: bucket sizes come "
+            "from a count window on the bucket exchange, each member "
+            "emits its left/right group-pair roles in one explode, and a "
+            "single groupBy crosses the role lists (the old shape "
+            "evaluated the md5-heavy fold four times across the count "
+            "aggregate, its join-back and both triangle join sides). No "
+            "task ever holds more than ~t^2 rows of one bucket, so a "
+            "boilerplate mega-bucket becomes g^2 parallel tasks instead "
+            "of one straggling reducer. Result-identical to the direct "
+            "join (driver-oracle-verified tagged union).",
             dedup.minhash_candidate_pairs(
                 docs, num_hashes=8, bands=4, max_bucket_size=4
             ),
