@@ -228,8 +228,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     planes: dict[str, str] = {}
+    # round 15 (VERDICT r14 #8): the warm-up run is additionally TIMED —
+    # not part of any median or the headline total (the timing protocol is
+    # unchanged) — so the report can quote cold first-run costs next to
+    # the warm medians. q_ivf's is the load-bearing one: its warm median
+    # measures in-memory probing, while the memo fill (assignment + corpus
+    # scans) is paid here in the warm-up.
+    cold_first_run: dict[str, float] = {}
     for name, fn, runs, plane in queries:
-        fn()  # warm-up, untimed
+        t0 = time.time()
+        fn()  # warm-up, untimed (recorded separately as the cold cost)
+        cold_first_run[name] = round(time.time() - t0, 3)
         samples = []
         for _ in range(runs):
             t0 = time.time()
@@ -1224,6 +1233,10 @@ def main() -> None:
         "calibration_matmul_sec": host["calibration_matmul_sec"],
         "calibration_jvm_sec": host["calibration_jvm_sec"],
         "queries": timings,
+        # the IVF memo's cold fill (assignment + corpus scans), paid in
+        # the untimed warm-up: quoted so q_ivf's warm median is read as
+        # "warm serve", not "IVF end-to-end" (round-14 VERDICT #8).
+        "q_ivf_cold_sec": cold_first_run.get("q_ivf"),
         "gates_all_pass": all(flags.values()),
         "gates_failed": sorted(k for k, v in flags.items() if not v),
         "sf": float(sf),
@@ -1233,6 +1246,7 @@ def main() -> None:
         "gates": gates,
         "query_planes": planes,
         "queries_normalized": queries_normalized,
+        "cold_first_run": cold_first_run,
         "host": host,
         "spread": spreads,
         "ann_scale": ann_scale,
@@ -1244,8 +1258,15 @@ def main() -> None:
         "text_scale_64x": text_scale_64x,
         "warc_scale": warc_scale,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
-        json.dump(full, f, indent=1)
+    # round 15 (VERDICT r14 #5): the payload is ALSO written per-cpu-count
+    # (bench_full_c{n}.json) so the driver's low-core scaling run no longer
+    # clobbers the 32-core payload; bench_full.json stays as the
+    # latest-run alias for existing readers. stdout contract unchanged.
+    bench_dir = os.path.dirname(os.path.abspath(__file__))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    for payload_name in ("bench_full.json", f"bench_full_c{cpus}.json"):
+        with open(os.path.join(bench_dir, payload_name), "w") as f:
+            json.dump(full, f, indent=1)
     print(json.dumps(headline))
     spark.stop()
 

@@ -253,13 +253,21 @@ def np_distance(mat: np.ndarray, q: np.ndarray, distance_type: str, assume_norma
 _POPCOUNT_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint16)
 
 
+# numpy >= 2.0 check hoisted to import time (round 15): np_hamming is the
+# beam walk's innermost distance call (~30 invocations per probed query);
+# the per-call hasattr + np.__getattr__ lookup pair was ~5 s of a 44 s
+# serial probe sweep at the 64x bench point (guide §4.2 — per-call numpy
+# overhead dominates tiny kernels).
+_BITWISE_COUNT = getattr(np, "bitwise_count", None)
+
+
 def np_hamming(codes: np.ndarray, qcode: np.ndarray) -> np.ndarray:
     """Hamming distance between packed codes.
 
     codes: (n, w) uint64 matrix; qcode: (w,) uint64. Returns (n,) int64.
     """
     x = np.bitwise_xor(codes, qcode[None, :])
-    if hasattr(np, "bitwise_count"):  # numpy >= 2.0
-        return np.bitwise_count(x).sum(axis=1).astype(np.int64)
+    if _BITWISE_COUNT is not None:  # numpy >= 2.0
+        return _BITWISE_COUNT(x).sum(axis=1).astype(np.int64)
     b = x.view(np.uint8)
     return _POPCOUNT_LUT[b].sum(axis=1).astype(np.int64)

@@ -219,28 +219,25 @@ def minhash_candidate_pairs(
         # list once; in-bucket pairs come from a JVM array expression.
         # The pair SET is identical: members are distinct ids (one row per
         # doc per band), sorted ascending, paired i<j — exactly the
-        # doc_a < doc_b filter of the join form. A bucket's pair array is
-        # c²/2 entries in one row — the same quadratic concentration the
-        # direct join put in one reducer; mega-bucket corpora use
-        # ``max_bucket_size`` (the salted triangle) as before.
+        # doc_a < doc_b filter of the join form. Pairing is a TWO-LEVEL
+        # explode (round 15, guide §5): each member row pairs against its
+        # suffix slice, so no single value ever holds the bucket's c²/2
+        # pair array — the largest value anywhere is the member list
+        # itself (O(c)), and a mega-bucket degrades to a slow generator,
+        # not an executor OOM / 2GB-single-value failure. The c² work
+        # still lands on one task; ``max_bucket_size`` (the salted
+        # triangle) remains the path that also spreads the WORK.
         members = (
             buckets.groupBy("band_id", "band_hash")
             .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_m"))
             .filter(F.size("_m") > 1)
         )
         return (
-            members.select(
-                F.explode(
-                    F.flatten(
-                        F.expr(
-                            "transform(_m, (x, i) -> transform("
-                            "slice(_m, i + 2, size(_m)), "
-                            "y -> struct(x AS doc_a, y AS doc_b)))"
-                        )
-                    )
-                ).alias("_p")
+            members.select(F.posexplode("_m").alias("_i", "doc_a"), "_m")
+            .select(
+                "doc_a",
+                F.explode(F.expr("slice(_m, _i + 2, size(_m))")).alias("doc_b"),
             )
-            .select("_p.doc_a", "_p.doc_b")
             .distinct()
         )
     t = int(max_bucket_size)
@@ -407,20 +404,19 @@ def _ngram_prefix_candidates(
     # prefix shingle's sorted doc list and the i<j pairs come from the
     # array — the same doc_a < doc_b set (ids are unique per shingle:
     # _sh is distinct per doc). Hot stop-shingles are excluded from the
-    # index by the rarest-first prefix rule, so member lists stay small.
+    # index by the rarest-first prefix rule, so member lists stay small;
+    # the two-level explode (round 15, guide §5) additionally bounds any
+    # single value to the member list itself (O(c), never the c²/2 pair
+    # array) should a pathological shingle slip through.
     return (
         prefix.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_m"))
         .filter(F.size("_m") > 1)
+        .select(F.posexplode("_m").alias("_i", "doc_a"), "_m")
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(_m, (x, i) -> transform("
-                    "slice(_m, i + 2, size(_m)), y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("_p")
+            "doc_a",
+            F.explode(F.expr("slice(_m, _i + 2, size(_m))")).alias("doc_b"),
         )
-        .select("_p.doc_a", "_p.doc_b")
         .distinct()
     )
 
@@ -524,6 +520,9 @@ def simhash_pairs(
     # the fingerprint fold on both sides; one groupBy collects each
     # bucket's (id, simhash) members and the pairs come from the sorted
     # array — same (doc_a < doc_b) pair set, same exact Hamming prune.
+    # Two-level explode (round 15, guide §5): each member pairs against
+    # its suffix slice, so no single value holds a bucket's c²/2 pair
+    # array — per-value memory stays O(c) even on a mega-bucket.
     return (
         buckets.groupBy("band_id", "band_val")
         .agg(
@@ -532,18 +531,13 @@ def simhash_pairs(
             ).alias("_m")
         )
         .filter(F.size("_m") > 1)
+        .select(F.posexplode("_m").alias("_i", "_x"), "_m")
         .select(
-            F.explode(
-                F.flatten(
-                    F.expr(
-                        "transform(_m, (x, i) -> transform("
-                        "slice(_m, i + 2, size(_m)), "
-                        "y -> struct(x.i AS doc_a, y.i AS doc_b, x.s AS _sa, y.s AS _sb)))"
-                    )
-                )
-            ).alias("_p")
+            F.col("_x.i").alias("doc_a"),
+            F.explode(F.expr("slice(_m, _i + 2, size(_m))")).alias("_y"),
+            F.col("_x.s").alias("_sa"),
         )
-        .select("_p.doc_a", "_p.doc_b", "_p._sa", "_p._sb")
+        .select("doc_a", F.col("_y.i").alias("doc_b"), "_sa", F.col("_y.s").alias("_sb"))
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -681,18 +675,18 @@ def simhash_pairs_multiprobe(
             F.collect_list(F.when(F.col("isb"), member)).alias("_b"),
         )
         .filter((F.size("_a") > 0) & (F.size("_b") > 0))
+        # two-level explode (round 15, guide §5): each probe-role member
+        # pairs against the filtered own-role list, so no single value
+        # holds the bucket's |a|×|b| pair array — per-value memory stays
+        # O(|a| + |b|) even on a mega-bucket. Match condition is the old
+        # join's verbatim (y matches x iff x.i < y.i).
+        .select(F.explode("_a").alias("_x"), "_b")
         .select(
-            F.explode(
-                F.flatten(
-                    F.expr(
-                        "transform(_a, x -> transform("
-                        "filter(_b, y -> x.i < y.i), "
-                        "y -> struct(x.i AS doc_a, y.i AS doc_b, x.s AS _sa, y.s AS _sb)))"
-                    )
-                )
-            ).alias("_p")
+            F.col("_x.i").alias("doc_a"),
+            F.explode(F.expr("filter(_b, y -> _x.i < y.i)")).alias("_y"),
+            F.col("_x.s").alias("_sa"),
         )
-        .select("_p.doc_a", "_p.doc_b", "_p._sa", "_p._sb")
+        .select("doc_a", F.col("_y.i").alias("doc_b"), "_sa", F.col("_y.s").alias("_sb"))
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -792,20 +786,18 @@ def embedding_neardup_lsh(
     # folds on BOTH sides; one groupBy collects each bucket's sorted
     # member ids and the i<j pairs come from the array — identical to the
     # join's id_a < id_b set (ids are unique per bucket: one row per
-    # (id, band)), one fold evaluation, no join.
+    # (id, band)), one fold evaluation, no join. Two-level explode
+    # (round 15, guide §5) bounds any single value to the member list
+    # itself (O(c)), never the bucket's c²/2 pair array.
     cand = (
         buckets.groupBy("band_id", "band_val")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_m"))
         .filter(F.size("_m") > 1)
+        .select(F.posexplode("_m").alias("_i", "id_a"), "_m")
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(_m, (x, i) -> transform("
-                    "slice(_m, i + 2, size(_m)), y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("_p")
+            "id_a",
+            F.explode(F.expr("slice(_m, _i + 2, size(_m))")).alias("id_b"),
         )
-        .select("_p.id_a", "_p.id_b")
         .distinct()
     )
     src = df.select(
@@ -1413,8 +1405,12 @@ def winnowing_fingerprints(
     distinct because rows never share an id across docs. Docs with fewer
     than ``window`` grams winnow their whole hash sequence as one window
     (the paper's n < w degenerate case — ``sequence(least(w, n), n)``
-    replays the old end-range clamp); NULL text hashes to a NULL array
-    and drops, as the old posexplode did."""
+    replays the old end-range clamp). NULL-text docs are NOT excluded:
+    ``split(NULL)`` yields NULL tokens, whose ``word_shingles`` ELSE
+    branch is ``array(concat_ws(' ', NULL))`` = [''], so a NULL-text doc
+    emits the single fingerprint (pos 1, h60('')) — identical to the old
+    aggregate shape's behavior (``_h`` is never NULL, which is why no
+    NULL filter appears below)."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     toks = tokens(f"`{text_col}`", SPARK)
@@ -1431,7 +1427,6 @@ def winnowing_fingerprints(
     )
     return (
         df.select(F.col(id_col), F.expr(hashed).alias("_h"))
-        .filter(F.col("_h").isNotNull())
         .select(id_col, F.explode(F.expr(sel)).alias("_s"))
         .select(
             id_col,

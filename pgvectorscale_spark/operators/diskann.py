@@ -798,10 +798,25 @@ def _probe_shard_block(
     if stats is not None and hot:
         stats.cache_hits += 1
     d_index = md["num_dimensions_to_index"]
+    # batch quantization (round 15, guide §4.2): the query block's SBQ codes
+    # depend only on the queries and the index-level quantizer, so ONE
+    # quantize_matrix call per shard block replaces a per-(query, shard)
+    # quantize round-trip (quantize_matrix is row-independent — each row of
+    # the batch is bit-identical to quantize_fn on that row).
+    qcodes = None
+    if g.codes is not None and g.quantize_fn is not None and len(qmat_l):
+        means, variances, bits = qstate
+        _lq = SbqQuantizer(means, variances, bits)
+        qcodes = _lq.quantize_matrix(
+            qmat_l[:, :d_index] if d_index else qmat_l
+        )
     pools: list[np.ndarray] = []
     for qi in range(len(qmat_l)):
         q = qmat_l[qi][:d_index] if d_index else qmat_l[qi]
-        idx, _ = g.search(q, k=0, search_list_size=sls, rescore=0, query_labels=qlab)
+        idx, _ = g.search(
+            q, k=0, search_list_size=sls, rescore=0, query_labels=qlab,
+            qcode=qcodes[qi] if qcodes is not None else None,
+        )
         live = idx[~dead[idx]] if len(idx) else idx
         pools.append(live)
         if stats is not None:
@@ -2263,6 +2278,20 @@ class DiskannIndex:
             F.col(query_vec_col).cast(vec_t).alias("query_vec"),
         )
         sc = self.spark.sparkContext
+        # route-stage parallelism (round 15, guide §2.5/§7.1): a query frame
+        # that arrives in fewer partitions than the cluster serializes the
+        # whole route + fan-out + shuffle write on those few cores — the
+        # 64x bench's 2000-query frame is ONE partition (orderBy + limit),
+        # and the stage decomposition showed its route task alone was ~45%
+        # of the join's wall (7.5 s of 16 s). Spread thin inputs round-robin
+        # first (dedup._widen: file-count metadata for wide scans, .rdd
+        # partition count only for narrow plans): routing is per-row, so
+        # placement cannot change any output row, and the extra exchange
+        # moves only |Q| rows (the fan-out exchange right after moves p x
+        # that). Frames already wide keep their partitioning — no exchange.
+        from pgvectorscale_spark.operators.dedup import _widen
+
+        q = _widen(q)
         route_bc = None
         if probe_shards is not None and probe_shards < num_shards:
             table = self._routing_table()

@@ -95,7 +95,18 @@ def _np_fold_distance_matrix(
 
 
 def _rows_to_centroids(rows) -> tuple[np.ndarray, np.ndarray]:
-    """Collected (centroid_id, vector) rows → (cids asc, matrix float64)."""
+    """Collected (centroid_id, vector) rows → (cids asc, matrix float64).
+
+    Driver-memory bound (documented, round 15): every caller collects the
+    full centroid set to the driver and broadcasts the float64 matrix —
+    num_centroids × dims × 8 bytes (plus the same again on each executor).
+    With sqrt(N)-scale centroid counts that is e.g. 1M centroids × 768
+    dims ≈ 6 GB: size ``spark.driver.memory`` (and executor overhead) for
+    it, or cap num_centroids near sqrt(corpus_rows). The bound is
+    INHERITED, not new — the previous crossJoin shape broadcast the same
+    centroid relation (and Spark caps any broadcast at 8 GB) — so the
+    assignment kernel does not change which centroid counts are feasible,
+    only the constant (no per-row struct overhead in the matrix form)."""
     rows = sorted(rows, key=lambda r: int(r[0]))
     cids = np.array([int(r[0]) for r in rows], dtype=np.int64)
     if not len(rows):
@@ -119,7 +130,12 @@ def _assign_nearest(
     set yields an EMPTY frame (the crossJoin had nothing to pair); a NULL
     vector row keeps the lowest centroid_id with a NULL distance (every
     pair's distance was NULL, so the struct ordering fell through to the
-    centroid_id tie-break)."""
+    centroid_id tie-break). A vector whose LENGTH differs from the
+    centroid dimensionality takes the same path (round 15, ADVICE): the
+    old ``zip_with`` fold null-padded the shorter side, so every pair's
+    distance was NULL and the row fell through to the lowest centroid_id
+    — where a bare ``np.stack`` would instead raise in the Python worker
+    and fail the whole job."""
     spark = df.sparkSession
     fields = list(df.schema.fields) + [T.StructField("centroid_id", T.LongType())]
     if dist_col is not None:
@@ -137,7 +153,17 @@ def _assign_nearest(
             if n == 0:
                 continue
             vec = pdf[vcol]
-            mask = vec.notna().to_numpy()
+            # NULL vectors AND length-mismatched vectors fall through to
+            # the (lowest centroid_id, NULL distance) default — the old
+            # zip_with fold's behavior for both (null padding → every
+            # pair NULL → centroid_id tie-break).
+            dim = cmat_l.shape[1]
+            notna = vec.notna().to_numpy()
+            mask = notna & np.fromiter(
+                (m and len(v) == dim for v, m in zip(vec, notna)),
+                dtype=bool,
+                count=n,
+            )
             cid_out = np.full(n, int(cids_l[0]), dtype=np.int64)
             dist_out = np.full(n, np.nan)
             if mask.any():

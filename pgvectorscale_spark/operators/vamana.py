@@ -112,6 +112,12 @@ class VamanaGraph:
         self.ids = (
             np.asarray(ids, dtype=np.int64) if ids is not None else np.arange(self.n, dtype=np.int64)
         )
+        # plain-int twin of ids for the walk's per-neighbor tie-break key:
+        # int(self.ids[v]) is a numpy scalar-index + box per neighbor (~30
+        # expansions x R neighbors per probed query) — list indexing is the
+        # same value at a fraction of the cost (round 15, guide §4.2).
+        # grow() keeps it in sync.
+        self._ids_list: list[int] = self.ids.tolist()
         # precomputed squared norms: in-graph L2 via |a|²+|b|²-2a·b keeps the
         # hot path a single float32 BLAS matvec (the walk makes ~100k tiny
         # distance calls per 1k inserts — per-call numpy overhead dominates
@@ -207,18 +213,27 @@ class VamanaGraph:
         q32 = np.asarray(q, dtype=np.float32)
         sidx = np.array(starts)
         sd = self._dists_to_query(q32, sidx, qcode)
+        ids_l = self._ids_list
         # candidate list: sorted (dist, id, idx, expanded) capped at L. Python
         # insort beats array re-sorts here: ~30 O(len) inserts per expansion
         # are cheaper than a lexsort + 3 concatenates of the whole beam.
         # Ties break on the global id (G9), not the local slot.
         cand: list[list] = sorted(
-            [d, int(self.ids[i]), i, False] for d, i in zip(sd.tolist(), starts)
+            [d, ids_l[i], i, False] for d, i in zip(sd.tolist(), starts)
         )
         seen = set(starts)
         visited: list[int] = []
         visited_d: list[float] = []
         while True:
-            nxt = next((c for c in cand[:L] if not c[3]), None)
+            # first unexpanded among the best L — an index loop, not a
+            # cand[:L] slice: the slice allocated a fresh L-list per beam
+            # step (~2 scans per expansion measured), round 15 guide §4.2
+            nxt = None
+            for j in range(min(L, len(cand))):
+                c = cand[j]
+                if not c[3]:
+                    nxt = c
+                    break
             if nxt is None:
                 break
             nxt[3] = True
@@ -235,7 +250,7 @@ class VamanaGraph:
             nidx = np.array(neigh)
             nd = self._dists_to_query(q32, nidx, qcode)
             for d, v in zip(nd.tolist(), neigh):
-                insort(cand, [d, int(self.ids[v]), v, False])
+                insort(cand, [d, ids_l[v], v, False])
             if len(cand) > 4 * L:
                 # drop hopeless tail but never drop expanded entries' record
                 cand = cand[: 2 * L]
@@ -753,6 +768,7 @@ class VamanaGraph:
             self.labels.extend(new_labels)
         self.adj.extend([] for _ in range(len(ids)))
         self.ids = np.concatenate([self.ids, np.asarray(ids, dtype=np.int64)])
+        self._ids_list = self.ids.tolist()
         self.n += len(ids)
         if self.dirty is not None:
             self.dirty.update(range(start, self.n))
@@ -788,6 +804,7 @@ class VamanaGraph:
         search_list_size: int | None = None,
         rescore: int = 0,
         query_labels: frozenset | None = None,
+        qcode: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k local indices + exact distances. With codes, the walk uses
         Hamming and the top `rescore` candidates are re-ranked at full
@@ -796,11 +813,18 @@ class VamanaGraph:
         ``k=0`` returns the ENTIRE visited pool (walk-metric order, no
         truncation) with the beam still bounded by ``search_list_size`` —
         the distributed serving path emits this pool for JVM-side exact
-        rescore."""
+        rescore.
+
+        ``qcode`` lets a caller pass a pre-quantized query (round 15):
+        quantize_matrix is row-independent, so batch-quantizing a query
+        block once per shard is bit-identical to the per-call
+        ``quantize_fn(q)`` it replaces — and skips one Python quantizer
+        round-trip per (query, shard) probe."""
         no_filter = not query_labels
-        qcode = None
-        if self.codes is not None:
+        if self.codes is not None and qcode is None:
             qcode = self.quantize_fn(q) if self.quantize_fn is not None else None
+        elif self.codes is None:
+            qcode = None
         L = max(search_list_size or self.L, k)
         vis, vis_d = self.greedy_search(
             q, L, query_labels=query_labels, no_filter=no_filter, qcode=qcode,
