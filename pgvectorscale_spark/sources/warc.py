@@ -377,6 +377,10 @@ def iter_warc_spans(fh) -> Iterator[tuple[int, int]]:
 
 _GZIP_MAGIC = b"\x1f\x8b"
 _GZ_CHUNK = 1 << 16
+# max bytes fed to a decompressobj per call: bounds the unused_data copy
+# zlib makes at each member boundary (per-member memcpy waste <= this),
+# while staying large enough that big members don't loop excessively
+_GZ_FEED = 1 << 13
 
 
 def gzip_warc_bytes(data: bytes, level: int = 6) -> bytes:
@@ -410,21 +414,36 @@ def gunzip_warc_bytes(blob: bytes) -> bytes:
 
     if not isinstance(blob, (bytes, bytearray)):
         blob = bytes(blob)
+    data = bytes(blob)
+    # bounded-feed loop (round 15, guide §1.2/§5): the old form fed the
+    # WHOLE remaining blob to each member's decompressobj — zlib copies
+    # everything after the member into ``unused_data``, so an M-member
+    # blob paid O(M x blob) memcpy (a 64 MB split of 1 KB members is
+    # ~4 TB of copying). Feeding <= _GZ_FEED memoryview slices keeps the
+    # per-member waste one bounded copy; output bytes and the
+    # corrupt/truncated error contract (member-start offsets) unchanged.
     out = bytearray()
+    n = len(data)
     pos = 0
-    rest = bytes(blob)
-    while rest:
-        d = zlib.decompressobj(wbits=31)
-        try:
-            out += d.decompress(rest)
-        except zlib.error as e:
-            raise ValueError(
-                f"corrupt gzip member at compressed offset {pos}: {e}"
-            ) from e
-        if not d.eof:
-            raise ValueError(f"truncated gzip member at compressed offset {pos}")
-        pos += len(rest) - len(d.unused_data)
-        rest = d.unused_data
+    with memoryview(data) as mv:
+        while pos < n:
+            member_off = pos
+            d = zlib.decompressobj(wbits=31)
+            while True:
+                if pos >= n:
+                    raise ValueError(
+                        f"truncated gzip member at compressed offset {member_off}"
+                    )
+                end = min(n, pos + _GZ_FEED)
+                try:
+                    out += d.decompress(mv[pos:end])
+                except zlib.error as e:
+                    raise ValueError(
+                        f"corrupt gzip member at compressed offset {member_off}: {e}"
+                    ) from e
+                pos = end - len(d.unused_data)
+                if d.eof:
+                    break
     return bytes(out)
 
 
@@ -436,36 +455,59 @@ def iter_warc_gz_members(fh, chunk_size: int = _GZ_CHUNK) -> Iterator[tuple[int,
     member's inflated bytes (one record, in production crawls). Unlike the
     plain walk there is no header-seek shortcut — gzip carries no member
     length up front, so finding a boundary costs inflating the member —
-    but the walk still never holds more than one member at a time."""
+    but the walk still never holds more than one member at a time.
+
+    Bounded-feed loop (round 15, guide §1.2/§5): the old form fed each
+    member's decompressobj everything buffered — zlib copies the bytes
+    after the member into ``unused_data``, so M members inside one chunk
+    paid O(M x chunk) memcpy. Each decompress call now sees <= _GZ_FEED
+    bytes of a memoryview over the buffer; offsets, yielded bytes and
+    the corrupt/truncated error contract are unchanged."""
     import zlib
 
-    offset = 0
-    pending = fh.read(chunk_size)
-    while pending:
+    buf = bytearray()
+    base = 0  # file offset of buf[0]
+    cur = 0  # index into buf of the next unfed byte
+    file_done = False
+
+    def _ensure_data() -> bool:
+        nonlocal buf, base, cur, file_done
+        if cur < len(buf):
+            return True
+        if file_done:
+            return False
+        if cur:
+            del buf[:cur]
+            base += cur
+            cur = 0
+        data = fh.read(chunk_size)
+        if not data:
+            file_done = True
+            return len(buf) > 0
+        buf += data
+        return True
+
+    while _ensure_data():
+        member_off = base + cur
         d = zlib.decompressobj(wbits=31)
         out = bytearray()
-        consumed = 0
-        data = pending
-        pending = b""
         while True:
-            try:
-                out += d.decompress(data)
-            except zlib.error as e:
+            if cur == len(buf) and not _ensure_data():
                 raise ValueError(
-                    f"corrupt gzip member at compressed offset {offset}: {e}"
-                ) from e
+                    f"truncated gzip member at compressed offset {member_off}"
+                )
+            end = min(len(buf), cur + _GZ_FEED)
+            with memoryview(buf) as mv:
+                try:
+                    out += d.decompress(mv[cur:end])
+                except zlib.error as e:
+                    raise ValueError(
+                        f"corrupt gzip member at compressed offset {member_off}: {e}"
+                    ) from e
+            cur = end - len(d.unused_data)
             if d.eof:
-                consumed += len(data) - len(d.unused_data)
-                pending = d.unused_data
                 break
-            consumed += len(data)
-            data = fh.read(chunk_size)
-            if not data:
-                raise ValueError(f"truncated gzip member at compressed offset {offset}")
-        yield offset, consumed, bytes(out)
-        offset += consumed
-        if not pending:
-            pending = fh.read(chunk_size)
+        yield member_off, (base + cur) - member_off, bytes(out)
 
 
 def _iter_split_units(fh) -> Iterator[tuple[int, int, int]]:
