@@ -21,7 +21,7 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
-    return (
+    builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
@@ -32,5 +32,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .getOrCreate()
     )
+    # parameterized streaming state-store provider (round 15, VERDICT r14
+    # #9): at production scale the known lever for the measured ~1.9 s/
+    # micro-batch fixed cost of the HDFS-backed state store is the RocksDB
+    # provider (spark.sql.streaming.stateStore.providerClass =
+    # org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider).
+    # Default is UNCHANGED (no env var -> Spark's default HDFS provider);
+    # this only exposes the deployment conf without hard-coding it.
+    provider = os.environ.get("SPARK_GRAFT_STATESTORE_PROVIDER")
+    if provider:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", provider
+        )
+    return builder.getOrCreate()
