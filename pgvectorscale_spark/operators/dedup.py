@@ -844,8 +844,22 @@ def connected_components(
     # partitioning is reused and the edges never re-shuffle. The distinct
     # rides the same exchange (hash(v) clusters equal (u, v) rows), so
     # setup still pays a single shuffle of the edges.
+    # round 15 (guide §2.3): the symmetric closure is ONE explode into both
+    # orientations — the previous `e.union(e.select(v, u))` was a
+    # self-reference that re-evaluated the whole upstream candidate
+    # pipeline (the md5-heavy signature fold included) once per union
+    # branch: at the 64x bench point the two branch stages were 23 of the
+    # block's 29 s. Row set is identical (same two rows per input edge).
     e = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .repartition("v")
         .distinct()
         .persist()
